@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that encodes the session configuration the engine needs.
+  *
+  * Mirrors the reference's `SparkSession.builder` usage (e.g.
+  * `/root/reference/etl-ml.py:97-98`) but pins the settings that matter for a
+  * deterministic, oracle-comparable, local[N] run:
+  *
+  *  - UTC session time zone (source timestamps carry offsets; oracle is UTC);
+  *  - `nanosAsLong` because `/root/testdata/sf* / events.parquet` stores
+  *    INT64 TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read;
+  *  - shuffle partitions sized to the machine, not the 200 default — at
+  *    cluster scale this is instead governed by AQE coalescing, which we
+  *    leave on.
+  */
+object GraftSession {
+
+  /** Apply graft's required configs to an arbitrary builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

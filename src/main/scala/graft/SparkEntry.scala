@@ -1,13 +1,167 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets one entry in
+  * [[queries]]; SQL-expressible ones get a DuckDB oracle in [[oracleSql]]
+  * with IDENTICAL column names and row order. Numeric outputs follow the
+  * exact-decimal discipline of [[graft.ops.Num]] so hashes match bit-for-bit.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Rollups.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  // ---- shared oracle-SQL fragments -------------------------------------
+  /** Exact money sum: CAST(SUM(CAST(c AS DECIMAL(12,2))) AS DOUBLE). */
+  private def m(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+  private def dec(c: String) = s"CAST($c AS DECIMAL(12,2))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 aggregations ---------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => Rollups.pricingSummary(Tables.lineitem(s, d))),
+    "q02_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45 &&
+          col("l_shipdate") >= to_timestamp_ntz(lit("1998-01-01")) &&
+          col("l_shipdate") < to_timestamp_ntz(lit("1999-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q03_count_by" -> ((s, d) =>
+      Rollups.countBy(Tables.orders(s, d), Seq("o_orderstatus", "o_orderpriority"))),
+    "q04_rollup" -> ((s, d) => Rollups.ordersRollup(Tables.orders(s, d))),
+    "q05_cube" -> ((s, d) => Rollups.lineitemCube(Tables.lineitem(s, d))),
+    "q06_distinct" -> ((s, d) => Rollups.distinctCounts(Tables.lineitem(s, d))),
+    "q07_topn" -> ((s, d) => Rollups.topNOrders(Tables.orders(s, d))),
+    "q08_histogram" -> ((s, d) =>
+      Rollups.histogram(Tables.lineitem(s, d), "l_extendedprice", 10000)),
+    // §2.4 joins ----------------------------------------------------------
+    "q10_join_segment" -> ((s, d) =>
+      Joins.revenueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "q11_join_brand" -> ((s, d) =>
+      Joins.brandVolume(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q12_join_left" -> ((s, d) =>
+      Joins.ordersPerCustomer(Tables.customer(s, d), Tables.orders(s, d))),
+    "q13_join_semi" -> ((s, d) =>
+      Joins.customersWithBigOrders(Tables.customer(s, d), Tables.orders(s, d), 300000.0)),
+    "q14_join_anti" -> ((s, d) =>
+      Joins.customersWithoutBigOrders(Tables.customer(s, d), Tables.orders(s, d), 300000.0)),
+    "q15_join_star" -> ((s, d) =>
+      Joins.regionNationRevenue(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d))),
+    // §2.7 windows --------------------------------------------------------
+    "q16_window_topn" -> ((s, d) => Windows.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q17_window_mom" -> ((s, d) => Windows.monthlyOrderDeltas(Tables.orders(s, d))),
+    "q18_window_running" -> ((s, d) => Windows.runningSpendPerCustomer(Tables.orders(s, d))),
+    "q19_window_rank" -> ((s, d) => Windows.supplierBalanceRanks(Tables.supplier(s, d))),
+    // §2.7 set ops --------------------------------------------------------
+    "q20_union" -> ((s, d) => SetOps.nationKeyCounts(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q21_intersect" -> ((s, d) => SetOps.nationsWithBoth(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q22_except" -> ((s, d) => SetOps.modestCustomers(Tables.orders(s, d), 300000.0))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${m("l_quantity")} AS sum_qty,
+         |  ${m("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(${dec("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${dec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(${dec("l_extendedprice")} * (CAST(1 AS DECIMAL(3,2)) - ${dec("l_discount")}) * (CAST(1 AS DECIMAL(3,2)) + ${dec("l_tax")})) AS DOUBLE) AS sum_charge,
+         |  ${m("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${m("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_count_by" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q04_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${m("o_totalprice")} AS total_price
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q05_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, ${m("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q06_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q07_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q08_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q10_join_segment" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_join_brand" ->
+      s"""SELECT p_brand, ${m("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q12_join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${m("o_totalprice")}, 0.0) AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_join_star" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q16_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q17_window_mom" ->
+      """SELECT y, m, n_orders, n_orders - COALESCE(LAG(n_orders) OVER (ORDER BY y, m), 0) AS delta
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        |  COUNT(*) AS n_orders FROM orders GROUP BY 1, 2) t
+        |ORDER BY y, m""".stripMargin,
+    "q18_window_running" ->
+      s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |  CAST(SUM(${dec("o_totalprice")}) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q19_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS rnk
+        |FROM supplier ORDER BY s_nationkey, rn""".stripMargin,
+    "q20_union" ->
+      """SELECT nk, COUNT(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey AS nk FROM supplier) t
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q21_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q22_except" ->
+      """SELECT o_custkey AS ck FROM orders
+        |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+        |ORDER BY ck""".stripMargin
+  )
 }

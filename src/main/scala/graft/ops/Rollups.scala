@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.5).
+  *
+  * Re-expresses the reference's rollup family — parametric group-by/count
+  * (`/root/reference/simple-analyses.py:9-18`), SQL COUNT+GROUP BY rollups
+  * (`athena.sql:18-29`) — plus the north-star additions (sum/avg/min/max,
+  * count-distinct, ROLLUP/CUBE/GROUPING SETS).
+  *
+  * Scale notes: every function here compiles to partial (map-side) + final
+  * hash aggregation with whole-stage codegen; the only shuffle is on the
+  * grouping keys. Sorts are placed after aggregation, so the global
+  * range-partitioned sort sees only the (small) aggregated output.
+  */
+object Rollups {
+
+  /** Generic group-by/count over arbitrary key columns, sorted by keys —
+    * the direct analogue of `by_group` at `simple-analyses.py:9-18`. */
+  def countBy(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count()
+      .withColumnRenamed("count", "cnt")
+      .orderBy(keys.map(col): _*)
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: the flagship batch
+    * aggregation. Exact decimal sums (see [[Num]]). */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String = "1999-09-02"): DataFrame = {
+    import Num._
+    val disc  = dec2(col("l_extendedprice")) * (oneDec - dec2(col("l_discount")))
+    val charge = disc * (oneDec + dec2(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit(shipBefore)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** ROLLUP over (status, priority): subtotal + grand-total rows.
+    * Null grouping keys sort first to match the oracle's NULLS FIRST. */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE over (returnflag, linestatus). */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct-count rollup (the `StringIndexer`-style distinct
+    * collection of SURVEY §2.5 A7, generalized). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Top-N by a measure (the reference's preview/limit shape, SURVEY §2.7
+    * W3, made deterministic with a full sort + tiebreak key). */
+  def topNOrders(orders: DataFrame, n: Int = 10): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(n)
+
+  /** Value-histogram: fixed-width bucket counts via integer arithmetic
+    * (no fp ambiguity). */
+  def histogram(df: DataFrame, valueCol: String, width: Int): DataFrame =
+    df.groupBy(floor(col(valueCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/analytic operators (SURVEY.md §2.7 north-star additions:
+  * the reference has no ranking/frame windows; we add the standard set
+  * as verified operators).
+  *
+  * Scale notes: a window = one shuffle on the partition keys + an
+  * in-partition sort. Partition keys are chosen high-cardinality
+  * (custkey, user) so no single partition explodes; global-ORDER-BY
+  * windows are applied only to pre-aggregated (small) inputs.
+  */
+object Windows {
+
+  /** Top-N rows per group via row_number with a deterministic tiebreak. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Month-over-month delta via lag() over a pre-aggregated rollup —
+    * the "events per month with MoM delta" shape from SURVEY §2.7. */
+  def monthlyOrderDeltas(orders: DataFrame): DataFrame = {
+    val monthly = orders.groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("y"), col("m"))
+    monthly
+      .withColumn("delta", col("n_orders") - coalesce(lag(col("n_orders"), 1).over(w), lit(0L)))
+      .orderBy(col("y"), col("m"))
+  }
+
+  /** Running total per customer (exact decimal frame sum → stable
+    * against the oracle; see [[Num]]). */
+  def runningSpendPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        sum(Num.dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** rank/dense_rank over value within a group (supplier balances per
+    * nation). */
+  def supplierBalanceRanks(supplier: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier.select(
+        col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)).cast("long").as("rnk"))
+      .orderBy(col("s_nationkey"), col("rn"))
+  }
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB-oracle gate.
+
+Usage: python3 tools/compare_local.py <sfDir> <verifyOutDir>
+
+Mimics the driver: registers each testdata parquet as a DuckDB view,
+runs every oracle SQL from oracle_sql.json, and compares against the
+parquet Verify wrote — columns aligned by sorted name, values compared
+EXACTLY (floats bit-for-bit) and in row order.
+"""
+import sys, json, math, datetime
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v  # exact compare on purpose
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
+            ok = False
+        elif len(exp_rows) != len(got_rows):
+            print(f"FAIL {name}: rowcount oracle={len(exp_rows)} spark={len(got_rows)}")
+            ok = False
+        else:
+            eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+            gidx = [got_cols.index(c) for c in sorted(got_cols)]
+            for i, (er, gr) in enumerate(zip(exp_rows, got_rows)):
+                ev = tuple(norm(er[j]) for j in eidx)
+                gv = tuple(norm(gr[j]) for j in gidx)
+                if ev != gv:
+                    print(f"FAIL {name}: row {i} oracle={ev} spark={gv}")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name} ({len(exp_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
