@@ -62,7 +62,18 @@ object SparkEntry {
     // §2.7 set ops --------------------------------------------------------
     "q20_union" -> ((s, d) => SetOps.nationKeyCounts(Tables.customer(s, d), Tables.supplier(s, d))),
     "q21_intersect" -> ((s, d) => SetOps.nationsWithBoth(Tables.customer(s, d), Tables.supplier(s, d))),
-    "q22_except" -> ((s, d) => SetOps.modestCustomers(Tables.orders(s, d), 300000.0))
+    "q22_except" -> ((s, d) => SetOps.modestCustomers(Tables.orders(s, d), 300000.0)),
+    // §2.5/2.6 events: time buckets, json, ordinal map, dedup, sessions --
+    "q30_events_buckets" -> ((s, d) => EventOps.bucketCounts(Tables.events(s, d))),
+    "q31_events_json" -> ((s, d) => EventOps.propsKeySum(Tables.events(s, d))),
+    "q32_events_case" -> ((s, d) => EventOps.ordinalStats(Tables.events(s, d))),
+    "q33_events_dedup" -> ((s, d) => EventOps.firstEventPerUser(Tables.events(s, d))),
+    "q34_events_sessions" -> ((s, d) => EventOps.sessionize(Tables.events(s, d), 30)),
+    "q35_events_stats" -> ((s, d) => EventOps.statsByType(Tables.events(s, d))),
+    "q36_events_bands" -> ((s, d) => EventOps.valueBands(Tables.events(s, d))),
+    "q37_events_pivot" -> ((s, d) => EventOps.cohortTypePivot(Tables.events(s, d))),
+    "q38_events_asof" -> ((s, d) => EventOps.purchaseAsofClick(Tables.events(s, d))),
+    "q39_user_stats" -> ((s, d) => EventOps.userStats(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +173,62 @@ object SparkEntry {
     "q22_except" ->
       """SELECT o_custkey AS ck FROM orders
         |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
-        |ORDER BY ck""".stripMargin
+        |ORDER BY ck""".stripMargin,
+    "q30_events_buckets" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, event_type,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type""".stripMargin,
+    "q31_events_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q32_events_case" ->
+      s"""SELECT CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 3
+         |    WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 ELSE 1 END AS BIGINT) AS type_code,
+         |  COUNT(*) AS cnt, ${m("value")} / COUNT(*) AS avg_value
+         |FROM events GROUP BY 1 ORDER BY type_code""".stripMargin,
+    "q33_events_dedup" ->
+      """SELECT user_id, epoch_us(MIN(ts)) AS first_ts, MIN(event_id) AS min_event_id,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q34_events_sessions" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id, CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+        |  THEN 1 ELSE 0 END AS new_sess FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q35_events_stats" ->
+      s"""SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value, MAX(value) AS max_value,
+         |  ${m("value")} / COUNT(*) AS avg_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_events_bands" ->
+      s"""SELECT band, COUNT(*) AS cnt, ${m("value")} AS sum_value
+         |FROM events JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+         |    ('high', 150.0, 400.0), ('extreme', 400.0, 1000.0)) AS b(band, lo, hi)
+         |  ON value >= lo AND value < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "q37_events_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q38_events_asof" ->
+      """SELECT event_id, user_id, tsn, asof_ts FROM (
+        |  SELECT event_id, user_id, tsn, tag, MAX(CASE WHEN tag = 0 THEN tsn END) OVER (
+        |    PARTITION BY user_id ORDER BY tsn, tag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tsn, 1 AS tag FROM events
+        |      WHERE event_type = 'purchase'
+        |    UNION ALL SELECT event_id, user_id, epoch_us(ts) AS tsn, 0 AS tag FROM events
+        |      WHERE event_type = 'click') u) t
+        |WHERE tag = 1 ORDER BY user_id, tsn, event_id""".stripMargin,
+    "q39_user_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
+         |  ${m("value")} AS sum_value, MAX(value) AS max_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream (batch view) operators.
+  *
+  * Re-expresses the reference's time-series analytics (SURVEY.md §2.5/2.6):
+  * calendar-bucket rollups (`/root/reference/simple-analyses.py:23-26`,
+  * `athena.sql:26-29`), `from_json` payload parsing (`etl-events.py:82`),
+  * categorical ordinal mapping (`cluster.py:13-17`), exact dedup
+  * canonicalized per key (`etl.py:10`, `cluster.py:35`), plus north-star
+  * sessionization / as-of style time-series ops the reference lacks.
+  *
+  * The `events` table keeps `ts` as epoch-nanos long (see [[Tables.events]]);
+  * all time arithmetic is integer, so results are engine-exact.
+  *
+  * Scale notes: everything is a hash aggregate or a single window shuffle
+  * on `user_id` (high cardinality — no skew hotspot); JSON parsing is a
+  * codegen'd `from_json`, never a UDF.
+  */
+object EventOps {
+  private val NanosPerMinute = 60L * 1000 * 1000 * 1000
+
+  /** Calendar-bucket counts by event type (day × hour), the reference's
+    * time-series rollup shape. */
+  def bucketCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+        dayofmonth(col("event_ts")).cast("long").as("d"),
+        hour(col("event_ts")).cast("long").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("d"), col("h"), col("event_type"))
+
+  /** Parse the JSON `props` payload with an explicit schema (the
+    * streaming-ETL `from_json` shape) and aggregate a field. */
+  def propsKeySum(events: DataFrame): DataFrame =
+    events
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  /** Categorical → ordinal map via chained when/otherwise (the severity
+    * map at cluster.py:13-17, with the same fallback-to-1 semantics). */
+  def typeOrdinal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === "click", 1L).when(c === "view", 2L).when(c === "signup", 3L)
+      .when(c === "purchase", 4L).when(c === "error", 5L).otherwise(1L)
+
+  /** Ordinal-mapped aggregate: avg value per mapped code (exact decimal). */
+  def ordinalStats(events: DataFrame): DataFrame =
+    events.groupBy(typeOrdinal(col("event_type")).as("type_code"))
+      .agg(count(lit(1)).as("cnt"), Num.avgMoney(col("value")).as("avg_value"))
+      .orderBy(col("type_code"))
+
+  /** Exact dedup, canonicalized representative per key (min-per-key) so
+    * the result is deterministic — the oracle-safe form of
+    * `dropDuplicates('id')` (SURVEY §7.4 trap 8). */
+  def firstEventPerUser(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      // micro precision: DuckDB truncates parquet nanos to micros on read
+      .agg(expr("min(ts) div 1000").as("first_ts"), min(col("event_id")).as("min_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * inactivity. One window shuffle on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = lit(gapMinutes * NanosPerMinute)
+    events
+      .withColumn("new_sess",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gap, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("new_sess")) + 1L).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** min/max/avg rollup per event type (exact decimal avg). */
+  def statsByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        Num.avgMoney(col("value")).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Per-user activity profile. */
+  def userStats(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        Num.sumMoney(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"))
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: event-type counts per user cohort (user_id mod 10). Fixed
+    * pivot values keep the plan single-pass (no distinct-values job). */
+  def cohortTypePivot(events: DataFrame): DataFrame = {
+    val p = events.groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", EventTypes).count()
+    p.select(col("cohort") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("cohort"))
+  }
+
+  /** Band/range join: classify values into [lo, hi) bands (broadcast the
+    * tiny band table — see [[Joins.bandJoin]]). */
+  def valueBands(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 400.0), ("extreme", 400.0, 1000.0)
+    ).toDF("band", "lo", "hi")
+    Joins.bandJoin(events, bands, "value")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), Num.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  /** Purchases as-of joined to the latest preceding click of the same
+    * user (see [[Joins.asofJoinBackward]]). */
+  def purchaseAsofClick(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsn"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("tsn"))
+    Joins.asofJoinBackward(purchases, clicks, "user_id", "tsn", "tsn")
+      .select(col("event_id"), col("user_id"), col("tsn"), col("asof_ts"))
+      .orderBy(col("user_id"), col("tsn"), col("event_id"))
+  }
+}

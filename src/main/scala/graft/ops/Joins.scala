@@ -70,6 +70,36 @@ object Joins {
       .agg(count(lit(1)).as("n_orders"), Num.sumMoney(col("o_totalprice")).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Backward as-of join: for each left row, the greatest `rightTs` of the
+    * same `key` with rightTs <= leftTs (SURVEY §2.4's as-of/interval join
+    * for the time-series view).
+    *
+    * Implemented as the union-and-scan composition rather than a
+    * cross-product range join: tag both sides, sort within key, and take a
+    * running max of the right-side timestamps. One shuffle on `key`, one
+    * in-partition sort, O(n log n) — this is the plan a dedicated as-of
+    * physical operator would produce, so no custom SparkPlan is needed.
+    * Adds column `asof_ts` (null when no right row precedes). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns
+    val l = left.select(
+      struct(leftCols.map(col): _*).as("__row"),
+      col(key).as("__k"), col(leftTs).cast("long").as("__ts"), lit(1).as("__tag"))
+    val r = right.select(
+      lit(null).cast(l.schema("__row").dataType).as("__row"),
+      col(key).as("__k"), col(rightTs).cast("long").as("__ts"), lit(0).as("__tag"))
+    // tag=0 (right) sorts before tag=1 (left) at equal ts → a right row at
+    // exactly leftTs matches, the usual backward-asof convention.
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_ts", max(when(col("__tag") === 0, col("__ts"))).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__row.*"), col("asof_ts"))
+  }
+
   /** Range/theta join: classify rows of `df` into [lo, hi) bands from a
     * small band table (broadcast nested-loop — correct plan for a tiny
     * build side; at scale the band table stays tiny so this never
