@@ -73,7 +73,30 @@ object SparkEntry {
     "q36_events_bands" -> ((s, d) => EventOps.valueBands(Tables.events(s, d))),
     "q37_events_pivot" -> ((s, d) => EventOps.cohortTypePivot(Tables.events(s, d))),
     "q38_events_asof" -> ((s, d) => EventOps.purchaseAsofClick(Tables.events(s, d))),
-    "q39_user_stats" -> ((s, d) => EventOps.userStats(Tables.events(s, d)))
+    "q39_user_stats" -> ((s, d) => EventOps.userStats(Tables.events(s, d))),
+    // north-star: text analysis ------------------------------------------
+    "q40_docs_tokens" -> ((s, d) => graft.text.TextOps.tokenCounts(Tables.documents(s, d))),
+    "q41_docs_quality" -> ((s, d) => graft.text.TextOps.qualityScores(Tables.documents(s, d))),
+    "q42_docs_fingerprint" -> ((s, d) => graft.text.TextOps.fingerprints(Tables.documents(s, d))),
+    "q43_docs_langid" -> ((s, d) => graft.text.TextOps.langId(Tables.documents(s, d))),
+    "q44_docs_vocab" -> ((s, d) => graft.text.TextOps.vocabulary(Tables.documents(s, d), 10)),
+    // north-star: deduplication ------------------------------------------
+    "q45_dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactDedup(Tables.documents(s, d))),
+    "q46_dedup_jaccard" -> ((s, d) =>
+      graft.dedup.Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.2)),
+    "q47_dedup_minhash" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLsh(Tables.documents(s, d), 3, 8, 4, 0.3)),
+    "q48_dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), 3)),
+    // north-star: similarity search --------------------------------------
+    "q49_vec_norms" -> ((s, d) => graft.sim.Similarity.norms(Tables.embeddings(s, d))),
+    "q50_knn_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, 5)
+    }),
+    "q51_knn_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -229,6 +252,66 @@ object SparkEntry {
     "q39_user_stats" ->
       s"""SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
          |  ${m("value")} AS sum_value, MAX(value) AS max_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q40_docs_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_docs_quality" ->
+      """SELECT doc_id, lang, n_tokens, n_stopwords,
+        |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  CAST(sum_word_len AS DOUBLE) / n_tokens AS avg_word_len
+        |FROM (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS sum_word_len
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q42_docs_fingerprint" ->
+      """SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_doc
+        |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q44_docs_vocab" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token HAVING COUNT(*) >= 10 ORDER BY cnt DESC, token""".stripMargin,
+    "q45_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc""".stripMargin,
+    "q46_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS sh_a, sb.n_sh AS sh_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q49_vec_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(SQRT(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q50_knn_brute" ->
+      """WITH pairs AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.embedding AS qe,
+        |    n.embedding AS ne
+        |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8),
+        |flat AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
+        |dots AS (SELECT qid, nid,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dxy,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS dxx,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS dyy
+        |  FROM flat GROUP BY qid, nid),
+        |ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |    ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) AS sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) DESC, nid) AS BIGINT) AS rn
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column — brute-force
+  * cosine top-k as the exactness baseline, plus a random-hyperplane LSH
+  * bucketed variant as the scale path (north-star component).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * the array column — codegen'd, no UDF, elements cast to double once so
+  * the arithmetic is a deterministic left-to-right fold (oracle-exact up
+  * to a final round()).
+  *
+  * Scale notes: brute-force is O(|Q|·|N|) — correct tool only for small
+  * query sets; the LSH path buckets by sign-pattern so candidate
+  * generation is an equi-join on the bucket key. Both broadcast the
+  * (small) query side so the corpus never shuffles.
+  */
+object Similarity {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Dot product of two equal-length float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v)))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Per-vector norms/dims table. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(l2norm(col("embedding")), 6).as("l2"))
+      .orderBy(col("vec_id"))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * other vectors. Ranking uses the 6-decimal-rounded similarity with a
+    * vec_id tiebreak so it is engine-deterministic. Query side broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ne")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * a splitmix64-style integer mix mapped to (-1, 1). Generated on the
+    * fly inside codegen; no driver-side matrix to broadcast. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val seed = xxhash64(lit(plane), dim)
+    (seed.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed to long. */
+  def lshBucket(e: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
+        (x, i) => d(x) * planeComponent(p, i)), lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN top-k: candidates share the sign-pattern bucket on
+    * at least one of `tables` independent hash tables (plane sets are
+    * disjoint per table), then exact cosine re-ranking within candidates.
+    * Recall < 1 by construction; measured against [[bruteForceTopK]] in
+    * tests. */
+  /* Default plane/table counts are tuned for weak-similarity corpora
+   * (top-k cosine ~0.3 → per-plane agreement ~0.6): 4 planes/table gives
+   * ~0.15 collision probability for true neighbors, 16 tables lifts
+   * recall to ~0.9. For tightly clustered embeddings raise `planes` to
+   * cut candidate volume. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 16): DataFrame = {
+    def bucketed(df: DataFrame, idCol: String, eCol: String): DataFrame =
+      df.select(col(idCol), col(eCol),
+        posexplode(array((0 until tables).map { t =>
+          val bits = (0 until planes).map { p =>
+            val plane = t * planes + p
+            val proj = aggregate(zip_with(col(eCol), sequence(lit(0), size(col(eCol)) - 1),
+              (x, i) => d(x) * planeComponent(plane, i)), lit(0.0), (acc, v) => acc + v)
+            when(proj > 0, lit(1L << p)).otherwise(0L)
+          }
+          bits.reduce((a, b) => a.bitwiseOR(b))
+        }: _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val q = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe")
+    val n = bucketed(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+      "neighbor_id", "ne")
+    val cands = n.as("n").join(broadcast(q.as("q")),
+        col("n.table") === col("q.table") && col("n.bucket") === col("q.bucket") &&
+          col("q.query_id") =!= col("n.neighbor_id"))
+      .select(col("q.query_id"), col("n.neighbor_id"), col("q.qe"), col("n.ne"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Num
+
+/** Text-analysis operators over the `documents` table — the north-star
+  * training-data-pipeline surface (builder prompt; SURVEY.md §7.1 text/).
+  *
+  * The corpus is whitespace-separated tokens, so `split(text, ' ')` is the
+  * exact tokenizer; a BPE-ish regex tokenizer is provided for realistic
+  * text. Everything is built from codegen'd `functions._` + higher-order
+  * functions — no UDFs — so at 100 TB these stay inside whole-stage
+  * codegen with the parquet scan pruned to (doc_id, text).
+  */
+object TextOps {
+
+  /** Exact whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer for realistic text: lowercase word pieces,
+    * numbers, and single punctuation marks. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Per-document token counting. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Small English stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality scoring: token stats + stopword ratio + mean word length —
+    * the length/punct/stopword-ratio family, all integer-exact until the
+    * final division. */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    // sum of word lengths = chars - separators
+    val sumWordLen = (length(col("text")) - (size(toks) - 1)).cast("long")
+    documents.select(
+        col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (sumWordLen.cast("double") / nTok).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace-normalized,
+    * lowercased text (rolling-hash family; md5 keeps it oracle-portable). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Fingerprint every doc; duplicate fingerprints share a canonical
+    * min-doc representative. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("canonical_doc",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID by stopword evidence: score each candidate language by
+    * counts of its marker words, pick argmax (n-gram-heuristic family).
+    * The synthetic corpus shares one vocabulary across `lang` labels, so
+    * this is exercised for mechanics, not accuracy. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — greatest picks the lexicographically
+    // largest struct, ties broken by language code deterministically
+    documents.select(
+        col("doc_id"), col("lang").as("label"),
+        greatest(scores: _*).getField("lang").as("predicted"),
+        greatest(scores: _*).getField("score").cast("long").as("best_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-frequency table (corpus vocabulary with counts) — the
+    * StringIndexer-style distinct collection over exploded tokens. */
+  def vocabulary(documents: DataFrame, minCount: Long = 1): DataFrame =
+    documents.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Tables
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Text / dedup / similarity: exactness invariants + recall of the
+  * approximate (LSH) paths against their exact baselines. */
+class TextDedupSimSpec extends AnyFunSuite {
+  import TestSpark._
+  lazy val docs = Tables.documents(spark, sf).cache()
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("shingle count = n_tokens - n + 1 (docs have >= n tokens)") {
+    val counts = Dedup.shingles(docs, 3).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+    // distinct shingles <= raw shingles; equality when no repeated shingle
+    val bad = counts.join(toks, "doc_id")
+      .filter(col("n_sh") > col("n_tokens") - 2).count()
+    assert(bad == 0)
+  }
+
+  test("simhash is bag-of-words stable and changes with content") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),     // permutation of 1
+      (3L, "alpha beta gamma delta zeta")          // one token changed
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "permutation must not change simhash")
+    assert(sig(1L) != sig(3L), "content change should change simhash")
+    val hd = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hd <= 32, s"near-dup hamming distance too large: $hd")
+  }
+
+  test("minhash LSH finds all high-jaccard pairs (recall vs exact)") {
+    val exact = Dedup.ngramJaccard(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 3, 8, 4, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    }
+    // est_jaccard should not wildly overestimate: every LSH pair with est>=0.6
+    // must share at least one shingle (sanity, not tightness)
+    assert(lsh.nonEmpty || exact.isEmpty)
+  }
+
+  test("LSH ANN recall vs brute-force top-5") {
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall (bucketing too lossy)")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(10)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("exact dedup keeps every distinct fingerprint once") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.count() == d.select("fp").distinct().count())
+    assert(d.agg(sum("n_copies")).first().getLong(0) == docs.count())
+  }
+
+  test("langId predicts a valid language with non-negative score") {
+    val l = TextOps.langId(docs)
+    assert(l.filter(!col("predicted").isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0)
+    assert(l.filter(col("best_score") < 0).count() == 0)
+  }
+}
