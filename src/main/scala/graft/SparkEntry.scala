@@ -96,6 +96,34 @@ object SparkEntry {
     "q51_knn_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.sim.Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
+    }),
+    // Open511 reference parity (fixture-driven; golden-tested, rows-only)
+    "q60_open511_ml_etl" -> ((s, _) =>
+      Clean.mlTable(Ingest.readEvents(s, Ingest.fixturePath)).orderBy(col("id"))),
+    "q61_open511_timeseries" -> ((s, _) =>
+      Clean.timeSeriesTable(Ingest.readEvents(s, Ingest.fixturePath))
+        .orderBy(col("id"), col("event_subtype"), col("road"), col("area"))),
+    "q62_open511_severity" -> ((s, _) =>
+      Clean.severityRollup(Ingest.readEvents(s, Ingest.fixturePath))),
+    // custom algorithm: distributed DBSCAN over embedding 2D projection
+    "q63_dbscan" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      graft.cluster.DBSCAN.run(pts, 0.02, 4).orderBy(col("id"))
+    }),
+    // ML surface: oracle-checkable feature prep + seeded RF inference
+    "q64_ml_features" -> ((s, d) =>
+      graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))),
+    "q65_ml_predict" -> ((s, d) => {
+      val feats = graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))
+        .limit(2000).cache()
+      val model = graft.ml.DurationPipeline
+        .rfPipeline(Seq("event_type"), Seq("type_code", "h", "d", "k"), "label",
+          numTrees = 20, maxDepth = 5)
+        .fit(feats)
+      graft.ml.DurationPipeline.predict(model, feats, "event_id").orderBy(col("event_id"))
     })
   )
 
@@ -312,6 +340,14 @@ object SparkEntry {
         |      ORDER BY ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) DESC, nid) AS BIGINT) AS rn
         |  FROM dots)
         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+    "q64_ml_features" ->
+      """SELECT event_id, event_type,
+        |  CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 3
+        |    WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 ELSE 1 END AS BIGINT) AS type_code,
+        |  CAST(hour(ts) AS BIGINT) AS h, CAST(day(ts) AS BIGINT) AS d,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  value AS label
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

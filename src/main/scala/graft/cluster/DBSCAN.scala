@@ -1,0 +1,130 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.graphx.{Edge, Graph}
+
+/** Distributed DBSCAN (SURVEY.md §2.8 U2) — the reference's one custom
+  * algorithm. The reference collected the whole dataset to the driver for
+  * sklearn because a naive per-partition pandas-UDF version clustered
+  * each partition independently and was wrong (`Report.pdf p.15`,
+  * `/root/reference/cluster.py:33-58`). This is the Spark-native design
+  * it needed:
+  *
+  *  1. grid partition: cell side = eps, so all eps-neighbors of a point
+  *     lie in its 3×3 cell neighborhood;
+  *  2. candidate pairs via an equi-join of points against the 9 probe
+  *     cells (shuffle on cell key only — never a cross product);
+  *  3. core points = neighbor count (incl. self) >= minPts;
+  *  4. clusters = connected components (GraphX) over core-core edges;
+  *  5. border points attach to the min core-neighbor's component;
+  *     everything else is noise (cluster = -1, sklearn convention).
+  *
+  * Cluster ids are the min point id of the component's cores —
+  * deterministic, unlike sklearn's discovery order; tests compare
+  * partitions, not labels. Skewed grids (a dense city cell) are handled
+  * by AQE skew-join splitting; at 100 TB the cell key-space is huge so
+  * the shuffle is well spread.
+  *
+  * Input: (id: long, x: double, y: double) in a euclidean plane; for
+  * lat/lon use [[latLonToLocalXY]] (km-scaled equirectangular — within
+  * ~0.3% of haversine at the reference's 25 km eps over BC latitudes).
+  */
+object DBSCAN {
+
+  /** Project (lat, lon) degrees to local km coordinates. */
+  def latLonToLocalXY(df: DataFrame, latCol: String, lonCol: String): DataFrame = {
+    val kmPerDegLat = math.Pi * graft.ops.Geo.EarthRadiusKm / 180.0
+    val meanLat = df.agg(avg(col(latCol))).first().getDouble(0)
+    val kmPerDegLon = kmPerDegLat * math.cos(math.toRadians(meanLat))
+    df.withColumn("x", col(lonCol) * kmPerDegLon)
+      .withColumn("y", col(latCol) * kmPerDegLat)
+  }
+
+  /** Distributed DBSCAN. Returns (id, x, y, cluster). */
+  def run(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col("id").cast("long"), col("x").cast("double"),
+      col("y").cast("double"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+
+    // 9-cell probes: each point visits its cell + 8 neighbors; joining
+    // probes.cell = points.cell yields every directed candidate pair
+    // whose distance can be <= eps (including the self pair).
+    val offsets = Seq(-1L, 0L, 1L)
+    val probeCells = array(
+      (for (dx <- offsets; dy <- offsets)
+        yield struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))): _*)
+    val probes = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(probeCells).as("pc"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        col("pc.px").as("cx"), col("pc.py").as("cy"))
+
+    val pairs = probes.join(pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2) <= eps * eps)
+      .select(col("a_id"), col("b_id"))
+
+    val degrees = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
+    val cores = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
+
+    // Core-core edges → connected components (GraphX, checkpoint-free
+    // pregel loop; the battle-tested scale path for CC).
+    val coreSet = cores.withColumn("is_core", lit(true))
+    val coreEdges = pairs
+      .join(coreSet.select(col("id").as("a_id")), "a_id")
+      .join(coreSet.select(col("id").as("b_id")), "b_id")
+      .filter(col("a_id") < col("b_id"))
+    val edgeRdd = coreEdges.select("a_id", "b_id").as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
+    val components =
+      if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
+      else Graph(vertexRdd, edgeRdd).connectedComponents()
+        .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster")
+
+    // Border points: non-core with a core neighbor — attach to the min
+    // component among core neighbors (deterministic).
+    val borderAssign = pairs
+      .join(coreSet.select(col("id").as("b_id")), "b_id") // neighbor is core
+      .join(components.select(col("id").as("b_id"), col("cluster")), "b_id")
+      .groupBy(col("a_id").as("id")).agg(min(col("cluster")).as("border_cluster"))
+
+    pts.select(col("id"), col("x"), col("y"))
+      .join(components, Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** Exact single-node reference implementation (classic DBSCAN) — the
+    * semantics oracle for [[run]] and the small-input fallback, preserving
+    * the reference's driver-side behavior (`cluster.py:40-44`). */
+  def local(points: Seq[(Long, Double, Double)], eps: Double, minPts: Int): Map[Long, Long] = {
+    val arr = points.toArray
+    val idx = arr.indices
+    def d2(i: Int, j: Int) = {
+      val dx = arr(i)._2 - arr(j)._2; val dy = arr(i)._3 - arr(j)._3
+      dx * dx + dy * dy
+    }
+    val neighbors = idx.map(i => idx.filter(j => d2(i, j) <= eps * eps)).toArray
+    val core = idx.map(i => neighbors(i).length >= minPts).toArray
+    val label = Array.fill(arr.length)(-2L) // -2 unvisited, -1 noise
+    var cid = -1L
+    for (i <- idx if core(i) && label(i) == -2L) {
+      cid += 1
+      label(i) = cid
+      var frontier = List(i)
+      while (frontier.nonEmpty) {
+        val cur = frontier.head; frontier = frontier.tail
+        for (n <- neighbors(cur) if label(n) < 0) {
+          label(n) = cid
+          if (core(n)) frontier = n :: frontier
+        }
+      }
+    }
+    idx.map(i => arr(i)._1 -> (if (label(i) == -2L) -1L else label(i))).toMap
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cluster.DBSCAN
+
+/** Distributed DBSCAN vs the exact local reference implementation:
+  * identical partitions (cluster membership as set-of-sets) and identical
+  * noise, across layouts that cross grid-cell boundaries. */
+class DBSCANSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def partitions(assign: Map[Long, Long]): (Set[Set[Long]], Set[Long]) = {
+    val (noise, clustered) = assign.partition(_._2 == -1L)
+    (clustered.groupBy(_._2).values.map(_.keySet.toSet).toSet, noise.keySet.toSet)
+  }
+
+  private def runBoth(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int) = {
+    val df = pts.toDF("id", "x", "y")
+    val dist = DBSCAN.run(df, eps, minPts).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val loc = DBSCAN.local(pts, eps, minPts)
+    (partitions(dist), partitions(loc))
+  }
+
+  test("two blobs + noise, clusters spanning cell boundaries") {
+    val blob1 = (0 until 20).map(i => (i.toLong, 0.95 + (i % 5) * 0.04, 1.98 + (i / 5) * 0.04))
+    val blob2 = (0 until 15).map(i => (100L + i, 5.0 + (i % 4) * 0.05, -3.0 + (i / 4) * 0.05))
+    val noise = Seq((900L, 50.0, 50.0), (901L, -20.0, 10.0))
+    val ((dc, dn), (lc, ln)) = runBoth(blob1 ++ blob2 ++ noise, 0.15, 4)
+    assert(dc == lc, s"clusters differ: $dc vs $lc")
+    assert(dn == ln)
+    assert(dc.size == 2)
+  }
+
+  test("all noise when eps tiny") {
+    val pts = (0 until 30).map(i => (i.toLong, i * 10.0, i * 7.0))
+    val ((dc, dn), (lc, ln)) = runBoth(pts, 0.001, 3)
+    assert(dc.isEmpty && dn == pts.map(_._1).toSet)
+    assert(lc.isEmpty && ln == dn)
+  }
+
+  test("single dense cluster: everything cores into one component") {
+    val pts = (0 until 25).map(i => (i.toLong, (i % 5) * 0.01, (i / 5) * 0.01))
+    val ((dc, dn), (lc, ln)) = runBoth(pts, 0.05, 5)
+    assert(dc == lc && dc.size == 1 && dn.isEmpty)
+  }
+
+  test("chain cluster across many cells (transitive connectivity)") {
+    // points spaced 0.9*eps in a line: all density-reachable as one cluster
+    val pts = (0 until 40).map(i => (i.toLong, i * 0.09, 0.0))
+    val ((dc, dn), (lc, ln)) = runBoth(pts, 0.1, 3)
+    assert(dc == lc, s"chain clusters differ")
+    assert(dc.size == 1, s"expected one chain cluster, got ${dc.size}")
+  }
+
+  test("latLonToLocalXY projects km-scale distances") {
+    val df = Seq((1L, 49.28, -123.12), (2L, 49.89, -119.50)).toDF("id", "lat", "lon")
+    val xy = DBSCAN.latLonToLocalXY(df, "lat", "lon").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    val dx = xy(1L)._1 - xy(2L)._1; val dy = xy(1L)._2 - xy(2L)._2
+    val dist = math.sqrt(dx * dx + dy * dy)
+    assert(math.abs(dist - 272) < 8, s"projected distance $dist km")
+  }
+
+  test("distributed DBSCAN on real embedding projection is stable") {
+    val pts = graft.ops.Tables.embeddings(spark, sf).select(
+      col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val local = DBSCAN.local(
+      pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq, 0.02, 4)
+    val dist = DBSCAN.run(pts, 0.02, 4).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(partitions(dist) == partitions(local))
+  }
+}

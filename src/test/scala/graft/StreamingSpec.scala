@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.EventStream
+
+/** Structured-Streaming ETL (SURVEY §2.9): MemoryStream-driven T2 chain,
+  * watermarked dedup, empty-batch-skipping parquet sink. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def eventJson(id: String, created: String, severity: String = "MINOR"): String =
+    s"""{"events":[{"id":"$id","headline":"INCIDENT","status":"ACTIVE",
+       |"created":"$created","updated":"$created","event_type":"INCIDENT",
+       |"event_subtypes":["HAZARD"],"severity":"$severity",
+       |"geography":{"type":"Point","coordinates":[-122.5,49.1]},
+       |"roads":[],"areas":[]}]}""".stripMargin.replaceAll("\n", "")
+
+  test("parse → clean chain over a memory stream, empty batch skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cleaned = EventStream.cleanEvents(
+      EventStream.parseEvents(mem.toDF().withColumnRenamed("value", "data")))
+    val q = EventStream.parquetSink(cleaned, s"$dir/out", s"$ckpt/cp").start()
+    try {
+      mem.addData(eventJson("EV-A", "2024-09-05T08:00:00-07:00"),
+        eventJson("EV-B", "2024-09-05T09:00:00-07:00", "MAJOR"))
+      q.processAllAvailable()
+      mem.addData("{\"events\":[]}") // parses to zero rows → batch skipped
+      q.processAllAvailable()
+      mem.addData(eventJson("EV-C", "2024-09-05T10:00:00-07:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === "EV-A").first().getAs[Double]("longitude") == -122.5)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated ids in-stream") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val deduped = EventStream.dedupWithinWatermark(
+      EventStream.cleanEvents(EventStream.parseEvents(
+        mem.toDF().withColumnRenamed("value", "data"))))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(eventJson("EV-X", "2024-09-05T08:00:00-07:00"))
+      q.processAllAvailable()
+      mem.addData(eventJson("EV-X", "2024-09-05T08:10:00-07:00"), // dup id within watermark
+        eventJson("EV-Y", "2024-09-05T08:20:00-07:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("EV-X", "EV-Y"))
+  }
+
+  test("windowed severity counts aggregate within hour buckets") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = EventStream.hourlySeverityCounts(
+      EventStream.cleanEvents(EventStream.parseEvents(
+        mem.toDF().withColumnRenamed("value", "data"))))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(
+        eventJson("E1", "2024-09-05T08:05:00-07:00", "MINOR"),
+        eventJson("E2", "2024-09-05T08:25:00-07:00", "MINOR"),
+        eventJson("E3", "2024-09-05T09:25:00-07:00", "MAJOR"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_out")
+      .select(col("severity"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("MINOR" -> 2L, "MAJOR" -> 1L))
+  }
+}
