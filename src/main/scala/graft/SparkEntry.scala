@@ -124,6 +124,19 @@ object SparkEntry {
           numTrees = 20, maxDepth = 5)
         .fit(feats)
       graft.ml.DurationPipeline.predict(model, feats, "event_id").orderBy(col("event_id"))
+    }),
+    // north-star: multimodal binary-column plumbing (stubbed decode)
+    "q66_multimodal_decode" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.synthesizeFromDocuments(Tables.documents(s, d))
+      graft.multimodal.Multimodal.decodeFeatures(media, 224, 224).toDF()
+        .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
+          size(col("feature")).cast("long").as("feat_dim"))
+        .orderBy(col("media_id"))
+    }),
+    "q67_multimodal_frames" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.synthesizeFromDocuments(Tables.documents(s, d)).toDF()
+      graft.multimodal.Multimodal.sampleFrames(media, 1000L)
+        .orderBy(col("media_id"), col("frame_no"))
     })
   )
 
@@ -348,6 +361,12 @@ object SparkEntry {
         |  CAST(hour(ts) AS BIGINT) AS h, CAST(day(ts) AS BIGINT) AS d,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  value AS label
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q67_multimodal_frames" ->
+      """SELECT media_id, CAST(ts_ms // 1000 AS BIGINT) AS frame_no, ts_ms FROM (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, n_chars * 100 + 1, 1000)) AS ts_ms
+        |  FROM documents WHERE doc_id % 3 = 2) t
+        |ORDER BY media_id, frame_no""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Remaining source operators from SURVEY.md §2.1.
+  *
+  * S2 schema-on-read parquet (`/root/reference/cluster.py:34`), S4
+  * glob/multi-file union scan (`lambda-run-clustering.py:25` — the
+  * reference merged historical + streaming outputs by co-writing one S3
+  * prefix), S7 external-table DDL (`athena.sql:5-16` — Athena's
+  * `CREATE EXTERNAL TABLE ... STORED AS PARQUET` becomes a Spark
+  * catalog table `USING parquet LOCATION`).
+  */
+object Catalog {
+
+  /** S2: parquet scan with an explicit schema — column projection at the
+    * reader level; mismatched columns come back null, exactly the
+    * trusted-re-read contract the reference relied on. */
+  def readParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S4: glob scan — one logical table over many file prefixes. */
+  def readGlob(spark: SparkSession, glob: String): DataFrame =
+    spark.read.parquet(glob)
+
+  /** S4 (explicit form): schema-evolution-safe union of sources. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S7: register an external parquet table in the session catalog —
+    * the Spark-native `athena.sql` DDL. Partition columns give dynamic
+    * partition pruning on reads (the gap called out in SURVEY §4). */
+  def createExternalTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+
+  /** K1-analog managed write with partition columns — the
+    * `partitionBy("year","month")` upgrade SURVEY §4 prescribes for the
+    * events sink so downstream scans prune partitions. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

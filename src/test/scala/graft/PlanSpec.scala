@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the 100 TB design assertions
+  * (builder prompt: "iterate until it's the plan you'd want").
+  * These fail if a refactor silently loses predicate pushdown, column
+  * pruning, broadcast joins, or partial aggregation.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter+project pushes predicate and prunes columns at the scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThanOrEqual(l_quantity"), s"no pushdown:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dimension joins broadcast (no fact-table shuffle)") {
+    assert(planOf("q10_join_segment").contains("BroadcastHashJoin"))
+    assert(planOf("q11_join_brand").contains("BroadcastHashJoin"))
+    assert(planOf("q15_join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial+final hash aggregates") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "missing partial aggregation")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    // AQE finalizes codegen stages only at execution: run, then inspect
+    // the final plan (codegen'd nodes carry the "*(n)" prefix).
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen span in final plan:\n$p")
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(planOf("q13_join_semi").contains("LeftSemi"))
+    assert(planOf("q14_join_anti").contains("LeftAnti"))
+  }
+
+  test("band (theta) join broadcasts the tiny band table") {
+    val p = planOf("q36_events_bands")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"band join must broadcast:\n$p")
+  }
+
+  test("brute-force knn broadcasts the query side, not the corpus") {
+    val p = planOf("q50_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "corpus must never cartesian-shuffle")
+  }
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.keys.filterNot(_.startsWith("q6")).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}
