@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Custom sketch aggregators (SURVEY.md §7.3's "optional
+  * TypedImperativeAggregate" extension point, via the public
+  * `Aggregator` API).
+  *
+  * Why custom: the composed-operator forms in [[graft.dedup.Dedup]]
+  * compute a k-hash MinHash as k separate `min(hash(...))` aggregates and
+  * a SimHash as 64 conditional sums — correct, but k/64 aggregation
+  * buffers per group. These one-pass aggregators keep a single primitive
+  * array buffer per group: less shuffle payload, one pass, same result
+  * (bit-for-bit — asserted in tests against the composed forms).
+  *
+  * Hashes reuse Spark's own Murmur3_x86_32 over UTF8 bytes so
+  * `minhash_agg(shingle, k)` equals `min(hash(shingle, seed))` per seed.
+  */
+object Sketches {
+
+  /** Identical to Spark's `hash(col, lit(seed))` on a string column:
+    * `hash(...)` folds murmur3 over its children starting at seed 42 —
+    * bytes of the string first, then the literal seed int. */
+  private[graft] def murmur3(s: String, seed: Int): Int = {
+    val u = UTF8String.fromString(s)
+    val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42)
+    Murmur3_x86_32.hashInt(seed, h)
+  }
+
+  /** One-pass k-permutation MinHash over a group of shingle strings. */
+  class MinHashAgg(numHashes: Int) extends Aggregator[String, Array[Int], Seq[Int]] {
+    def zero: Array[Int] = Array.fill(numHashes)(Int.MaxValue)
+    def reduce(buf: Array[Int], shingle: String): Array[Int] = {
+      var i = 0
+      while (i < numHashes) {
+        val h = murmur3(shingle, i)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Column form: `minhash_agg(shingleCol)` → array<int> signature. */
+  def minhashAgg(shingle: Column, numHashes: Int): Column =
+    udaf(new MinHashAgg(numHashes)).apply(shingle)
+
+  /** One-pass 64-bit SimHash over a group of token strings: per-bit
+    * +1/-1 vote by the token's xxhash64 bits, sign-packed at finish. */
+  class SimHashAgg extends Aggregator[String, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], token: String): Array[Int] = {
+      val u = UTF8String.fromString(token)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) != 0L) buf(i) += 1 else buf(i) -= 1
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def simhashAgg(token: Column): Column = udaf(new SimHashAgg).apply(token)
+}

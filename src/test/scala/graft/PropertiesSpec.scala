@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+import graft.dedup.Dedup
+
+/** ScalaCheck-generated properties (SURVEY.md §5.3) + sketch-aggregator
+  * equivalence with the composed-operator forms. Raw Gen sampling with
+  * fixed seeds (scalatest-scalacheck bridge is not on the classpath). */
+class PropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("one-pass MinHash aggregator == composed min(hash) signatures") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val a = Dedup.minhashSignatures(docs, 3, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val b = Dedup.minhashSignaturesOnePass(docs, 3, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(a == b, "aggregator must replicate composed signatures bit-for-bit")
+  }
+
+  test("one-pass SimHash aggregator == composed 64-sum simhash") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val a = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashOnePass(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("property: dedup is idempotent on generated keyed data") {
+    samples(Gen.listOfN(60, Gen.chooseNum(0L, 15L)), 5).foreach { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (s"id$k", i) }.toDF("id", "v")
+      val once = Clean.dedupById(df)
+      assert(once.count() == keys.distinct.size)
+      assert(Clean.dedupById(once).count() == once.count())
+    }
+  }
+
+  test("property: union-then-rollup == sum of rollups") {
+    val gen = Gen.listOfN(40, Gen.oneOf("a", "b", "c"))
+    samples(Gen.zip(gen, gen), 5).foreach { case (l1, l2) =>
+      val d1 = l1.toDF("k"); val d2 = l2.toDF("k")
+      val merged = Rollups.countBy(d1.unionByName(d2), Seq("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val r1 = Rollups.countBy(d1, Seq("k")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val r2 = Rollups.countBy(d2, Seq("k")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val summed = (r1.keySet ++ r2.keySet)
+        .map(k => k -> (r1.getOrElse(k, 0L) + r2.getOrElse(k, 0L))).toMap
+      assert(merged == summed)
+    }
+  }
+
+  test("property: DBSCAN local is permutation-invariant and minPts-monotone in noise") {
+    val base = (0 until 15).map(i => (i.toLong, (i % 4) * 0.05, (i / 4) * 0.05)) ++
+      Seq((100L, 10.0, 10.0))
+    def parts(m: Map[Long, Long]) =
+      m.filter(_._2 >= 0).groupBy(_._2).values.map(_.keySet).toSet
+    val l1 = graft.cluster.DBSCAN.local(base, 0.12, 3)
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val shuffled = rnd.shuffle(base.toList)
+      assert(parts(graft.cluster.DBSCAN.local(shuffled, 0.12, 3)) == parts(l1))
+    }
+    val noiseAt = (2 to 6).map(mp =>
+      graft.cluster.DBSCAN.local(base, 0.12, mp).count(_._2 == -1L))
+    assert(noiseAt == noiseAt.sorted, s"noise not monotone in minPts: $noiseAt")
+  }
+
+  test("property: centroid of a single-vertex LineString equals that point") {
+    samples(Gen.zip(Gen.chooseNum(-179.0, 179.0), Gen.chooseNum(-89.0, 89.0)), 10)
+      .foreach { case (lon, lat) =>
+        val df = Seq((s"""[[$lon, $lat]]""", "LineString")).toDF("coords", "t")
+        val p = df.select(Geo.lonLat(col("t"), col("coords")).as("p")).first().getStruct(0)
+        assert(math.abs(p.getDouble(0) - lon) < 1e-9 && math.abs(p.getDouble(1) - lat) < 1e-9)
+      }
+  }
+}
