@@ -30,8 +30,15 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + d(v) * d(v)))
 
-  /** Cosine similarity. */
+  /** Cosine similarity — composed HOF form (kept as the readable
+    * reference semantics; bit-identical to [[cosineFast]]). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine similarity — native codegen expression
+    * ([[graft.functions.CosineSimilarity]]): single fused loop, no
+    * intermediate arrays. Used on the top-k hot paths. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Per-vector norms/dims table. */
   def norms(embeddings: DataFrame): DataFrame =
@@ -47,7 +54,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qe"), col("ne")), 6))
+      .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -108,7 +115,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("sim", round(cosine(col("qe"), col("ne")), 6))
+    cands.withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSimilarity
+import graft.sim.Similarity
+import graft.ops.Tables
+
+/** Native expression + SQL registration: bit-identity with the HOF
+  * forms (oracle contract) and SQL-surface availability. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native cosine_sim == HOF cosine bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b")).limit(500)
+    val diff = pairs.select(
+        Similarity.cosine(col("ea"), col("eb")).as("hof"),
+        CosineSimilarity.cosineSim(col("ea"), col("eb")).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diff == 0, "native expression must be bit-identical to the HOF form")
+  }
+
+  test("cosine_sim is callable from SQL via session extensions") {
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_ext")
+    val self = spark.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_ext")
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("haversine_km and severity_ordinal callable from SQL") {
+    import spark.implicits._
+    val d = spark.sql("SELECT haversine_km(49.28, -123.12, 49.89, -119.50) AS km")
+      .first().getDouble(0)
+    assert(math.abs(d - 272) < 5)
+    // SQL twin must equal the Column-DSL form exactly on double inputs
+    // (bare SQL literals parse as DECIMAL, so cast explicitly)
+    val dSql = spark.sql(
+      """SELECT haversine_km(CAST(49.28 AS DOUBLE), CAST(-123.12 AS DOUBLE),
+        |CAST(49.89 AS DOUBLE), CAST(-119.50 AS DOUBLE)) AS km""".stripMargin)
+      .first().getDouble(0)
+    val dsl = Seq(1).toDF("x").select(graft.ops.Geo.haversineKm(
+      lit(49.28), lit(-123.12), lit(49.89), lit(-119.50))).first().getDouble(0)
+    assert(dSql == dsl)
+    val s = spark.sql(
+      "SELECT severity_ordinal('MAJOR') AS a, severity_ordinal('garbage') AS b").first()
+    assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 1.0)
+  }
+}
