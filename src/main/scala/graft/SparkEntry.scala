@@ -97,6 +97,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       graft.sim.Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
     }),
+    "q52_embed_neardup" -> ((s, d) =>
+      graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)),
     // Open511 reference parity (fixture-driven; golden-tested, rows-only)
     "q60_open511_ml_etl" -> ((s, _) =>
       Clean.mlTable(Ingest.readEvents(s, Ingest.fixturePath)).orderBy(col("id"))),

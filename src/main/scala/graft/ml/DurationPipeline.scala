@@ -83,6 +83,20 @@ object DurationPipeline {
   def predict(model: PipelineModel, df: DataFrame, idCol: String): DataFrame =
     model.transform(df).select(col(idCol), col("prediction"))
 
+  /** Metrics report in the reference's format (K6 driver text report,
+    * `model_performance.txt` / `ml-sparkml.py:80-105`). */
+  def formatMetrics(name: String, metrics: Map[String, Double]): String =
+    s"""$name Performance Metrics:
+       |RMSE: ${metrics("rmse")}
+       |MAE: ${metrics("mae")}
+       |MSE: ${metrics("mse")}
+       |R2: ${metrics("r2")}
+       |""".stripMargin
+
+  def writeReport(path: String, sections: Seq[String]): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      sections.mkString("\n"))
+
   /** A duration-regression-shaped feature table from the `events`
     * testdata (label = value; features = type ordinal, calendar, payload
     * key) — SQL-expressible, so oracle-checkable. */

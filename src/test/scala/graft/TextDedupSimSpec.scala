@@ -61,6 +61,12 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall (bucketing too lossy)")
   }
 
+  test("embedding near-dups are symmetric-free, above threshold, LSH-found") {
+    val nd = Dedup.embeddingNearDups(emb, 0.4).collect()
+    assert(nd.forall(r => r.getLong(0) < r.getLong(1)), "pairs emitted once, a<b")
+    assert(nd.forall(_.getDouble(2) >= 0.4))
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = emb.limit(10)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
