@@ -119,11 +119,15 @@ object SparkEntry {
     "q64_ml_features" -> ((s, d) =>
       graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))),
     "q65_ml_predict" -> ((s, d) => {
+      // Bounded demo of U4/U5 through the driver contract: the real
+      // pipeline (reference hyperparameters) lives in DurationPipeline
+      // and is exercised in MLSpec; here a small seeded RF keeps the
+      // bench query cheap at any SF.
       val feats = graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))
-        .limit(2000).cache()
+        .limit(1000).cache()
       val model = graft.ml.DurationPipeline
         .rfPipeline(Seq("event_type"), Seq("type_code", "h", "d", "k"), "label",
-          numTrees = 20, maxDepth = 5)
+          numTrees = 10, maxDepth = 4)
         .fit(feats)
       graft.ml.DurationPipeline.predict(model, feats, "event_id").orderBy(col("event_id"))
     }),

@@ -104,15 +104,22 @@ object Similarity {
           bits.reduce((a, b) => a.bitwiseOR(b))
         }: _*)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    // Candidate generation carries ONLY ids — embeddings re-attach after
+    // dedup, so the bucket-join/dedup shuffles never move vector payloads
+    // (at scale the candidate set dwarfs the corpus; this is the
+    // difference between shuffling ids and shuffling the dataset).
     val q = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-      "query_id", "qe")
+      "query_id", "qe").select("query_id", "table", "bucket")
     val n = bucketed(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-      "neighbor_id", "ne")
-    val cands = n.as("n").join(broadcast(q.as("q")),
+      "neighbor_id", "ne").select("neighbor_id", "table", "bucket")
+    val candIds = n.as("n").join(broadcast(q.as("q")),
         col("n.table") === col("q.table") && col("n.bucket") === col("q.bucket") &&
           col("q.query_id") =!= col("n.neighbor_id"))
-      .select(col("q.query_id"), col("n.neighbor_id"), col("q.qe"), col("n.ne"))
+      .select(col("q.query_id"), col("n.neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nEmb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val cands = candIds.join(broadcast(qEmb), "query_id").join(nEmb, "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))

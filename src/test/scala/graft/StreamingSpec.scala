@@ -40,6 +40,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("id") === "EV-A").first().getAs[Double]("longitude") == -122.5)
   }
 
+  test("checkpoint resume: restart continues without reprocessing") {
+    val dir = java.nio.file.Files.createTempDirectory("resume_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("resume_ckpt").toString
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def startQuery() = EventStream.parquetSink(
+      EventStream.cleanEvents(EventStream.parseEvents(
+        mem.toDF().withColumnRenamed("value", "data"))),
+      s"$dir/out", s"$ckpt/cp").start()
+    val q1 = startQuery()
+    try {
+      mem.addData(eventJson("EV-R1", "2024-09-05T08:00:00-07:00"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the same checkpoint: prior batch must not replay
+    val q2 = startQuery()
+    try {
+      mem.addData(eventJson("EV-R2", "2024-09-05T09:00:00-07:00"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2, "each event written exactly once across restart")
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("EV-R1", "EV-R2"))
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated ids in-stream") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
