@@ -40,6 +40,8 @@ object SparkEntry {
     "q07_topn" -> ((s, d) => Rollups.topNOrders(Tables.orders(s, d))),
     "q08_histogram" -> ((s, d) =>
       Rollups.histogram(Tables.lineitem(s, d), "l_extendedprice", 10000)),
+    "q09_grouping_sets" -> ((s, d) => Rollups.ordersGroupingSets(Tables.orders(s, d))),
+    "q23_approx_distinct" -> ((s, d) => Rollups.approxDistinctParts(Tables.lineitem(s, d))),
     // §2.4 joins ----------------------------------------------------------
     "q10_join_segment" -> ((s, d) =>
       Joins.revenueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
@@ -99,6 +101,10 @@ object SparkEntry {
     }),
     "q52_embed_neardup" -> ((s, d) =>
       graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)),
+    "q53_docs_tfidf" -> ((s, d) =>
+      graft.text.TextOps.tfidf(Tables.documents(s, d)).filter(col("tf") >= 2)),
+    "q54_docs_topterms" -> ((s, d) =>
+      graft.text.TextOps.topTermsPerDoc(Tables.documents(s, d), 3)),
     // Open511 reference parity (fixture-driven; golden-tested, rows-only)
     "q60_open511_ml_etl" -> ((s, _) =>
       Clean.mlTable(Ingest.readEvents(s, Ingest.fixturePath)).orderBy(col("id"))),
@@ -185,6 +191,11 @@ object SparkEntry {
     "q08_histogram" ->
       """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket, COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q09_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${m("o_totalprice")} AS total_price
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q10_join_segment" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${m("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -360,6 +371,28 @@ object SparkEntry {
         |  FROM dots)
         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
+    "q53_docs_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, tf.token AS token, tf, df.df AS df,
+        |  ROUND(tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |WHERE tf >= 2 ORDER BY doc_id, token""".stripMargin,
+    "q54_docs_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, tf.token AS token,
+        |    ROUND(tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |ranked AS (SELECT doc_id, token, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tfidf, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "q64_ml_features" ->
       """SELECT event_id, event_type,
         |  CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 3

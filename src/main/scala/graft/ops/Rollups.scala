@@ -58,6 +58,25 @@ object Rollups {
       .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS — per-status, per-priority, and grand-total rows in
+    * one pass (SURVEY §2.5 north-star addition alongside rollup/cube). */
+  def ordersGroupingSets(orders: DataFrame): DataFrame =
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Approximate distinct counting (HLL++) next to the exact count —
+    * the cardinality-sketch member of the aggregate family. Error bound
+    * asserted in tests; not oracle-comparable (engine-specific sketch). */
+  def approxDistinctParts(lineitem: DataFrame, rsd: Double = 0.05): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact distinct-count rollup (the `StringIndexer`-style distinct
     * collection of SURVEY §2.5 A7, generalized). */
   def distinctCounts(lineitem: DataFrame): DataFrame =

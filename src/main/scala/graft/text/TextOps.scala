@@ -93,6 +93,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF per (doc, token): tf = raw in-doc count, idf = ln(N/df).
+    * Integer counts throughout; the single ln/multiply is rounded to 6dp
+    * for cross-engine exactness (SURVEY §7.1 text/ tf-idf). Two hash
+    * aggregations + one broadcast-able join on token — no cross product,
+    * scales linearly in corpus size. */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val n = documents.count() // small scalar; computed once, folded as literal
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF (rounded-score
+    * ranking with token tiebreak → engine-deterministic). */
+  def topTermsPerDoc(documents: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tfidf(documents)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Token-frequency table (corpus vocabulary with counts) — the
     * StringIndexer-style distinct collection over exploded tokens. */
   def vocabulary(documents: DataFrame, minCount: Long = 1): DataFrame =

@@ -80,6 +80,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(d.agg(sum("n_copies")).first().getLong(0) == docs.count())
   }
 
+  test("tfidf: ubiquitous tokens score ~0, tf sums to token count") {
+    val t = TextOps.tfidf(docs).cache()
+    val n = docs.count()
+    // a token present in every doc has idf = ln(N/N) = 0
+    val ubiquitous = t.filter(col("df") === n)
+    assert(ubiquitous.filter(abs(col("tfidf")) > 1e-9).count() == 0)
+    val totalTf = t.agg(sum("tf")).first().getLong(0)
+    val totalTokens = TextOps.tokenCounts(docs).agg(sum("n_tokens")).first().getLong(0)
+    assert(totalTf == totalTokens)
+    assert(t.filter(col("tfidf") < -1e-9).count() == 0, "idf >= 0 since df <= N")
+  }
+
+  test("approx_count_distinct within declared rsd of exact") {
+    val r = graft.ops.Rollups.approxDistinctParts(
+      graft.ops.Tables.lineitem(spark, sf)).collect()
+    r.foreach { row =>
+      val exact = row.getLong(1).toDouble
+      val approx = row.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"approx $approx vs exact $exact for ${row.getString(0)}")
+    }
+  }
+
   test("langId predicts a valid language with non-negative score") {
     val l = TextOps.langId(docs)
     assert(l.filter(!col("predicted").isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0)
