@@ -68,6 +68,15 @@ class Open511Spec extends AnyFunSuite {
     assert(r == Map("MINOR" -> 2L, "MODERATE" -> 2L, "MAJOR" -> 2L, "UNKNOWN" -> 1L))
   }
 
+  test("typed Dataset[CleanedEvent] view: schema-checked, typed transforms work") {
+    val ds = graft.schema.CleanedEvent.view(Clean.mlTable(events))
+    val majors = ds.filter(e => e.severity.contains("MAJOR")).collect()
+    assert(majors.length == 2)
+    assert(majors.forall(_.severity_numeric.contains(3.0)))
+    val withCoords = ds.filter(_.longitude.isDefined).count()
+    assert(withCoords == 5) // EV-4 (null geography) and EV-5 (garbage) excluded
+  }
+
   test("haversine: Vancouver→Kelowna ≈ 272 km") {
     import spark.implicits._
     val d = Seq((49.28, -123.12, 49.89, -119.50)).toDF("lat1", "lon1", "lat2", "lon2")
