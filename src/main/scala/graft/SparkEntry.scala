@@ -152,6 +152,41 @@ object SparkEntry {
     })
   )
 
+  /** Queries whose oracle references the documents/embeddings tables —
+    * TESTDATA.md's table list predates them, so the driver's DuckDB may
+    * not register views for them. [[oracleSqlFor]] prepends
+    * self-contained read_parquet CTEs for these. */
+  private val extraTableDeps: Map[String, Seq[String]] = Map(
+    "q40_docs_tokens" -> Seq("documents"),
+    "q41_docs_quality" -> Seq("documents"),
+    "q42_docs_fingerprint" -> Seq("documents"),
+    "q44_docs_vocab" -> Seq("documents"),
+    "q45_dedup_exact" -> Seq("documents"),
+    "q46_dedup_jaccard" -> Seq("documents"),
+    "q49_vec_norms" -> Seq("embeddings"),
+    "q50_knn_brute" -> Seq("embeddings"),
+    "q53_docs_tfidf" -> Seq("documents"),
+    "q54_docs_topterms" -> Seq("documents"),
+    "q67_multimodal_frames" -> Seq("documents"))
+
+  /** Oracle SQL resolved against a concrete sf directory: documents/
+    * embeddings references become read_parquet CTEs so the SQL runs
+    * whether or not the driver registered views for them (a CTE shadows
+    * a same-named view, same data either way). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql.map { case (name, sql) =>
+      name -> (extraTableDeps.get(name) match {
+        case None => sql
+        case Some(tables) =>
+          val ctes = tables.map(t =>
+            s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))").mkString(", ")
+          val trimmed = sql.trim
+          if (trimmed.toUpperCase.startsWith("WITH"))
+            s"WITH $ctes, ${trimmed.drop(4).trim}"
+          else s"WITH $ctes\n$trimmed"
+      })
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
