@@ -42,6 +42,17 @@ object SparkEntry {
       Rollups.histogram(Tables.lineitem(s, d), "l_extendedprice", 10000)),
     "q09_grouping_sets" -> ((s, d) => Rollups.ordersGroupingSets(Tables.orders(s, d))),
     "q23_approx_distinct" -> ((s, d) => Rollups.approxDistinctParts(Tables.lineitem(s, d))),
+    "q24_percentiles" -> ((s, d) => Rollups.quantityPercentiles(Tables.lineitem(s, d))),
+    "q25_salted_join" -> ((s, d) => {
+      // same rollup as q11 but through the salted join path (semantics
+      // must match the plain broadcast join — also asserted in tests)
+      val j = Skew.saltedJoin(
+        Tables.lineitem(s, d).withColumnRenamed("l_partkey", "pk"),
+        Tables.part(s, d).withColumnRenamed("p_partkey", "pk"), "pk", "l_orderkey", 8)
+      j.groupBy(col("p_brand"))
+        .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
     // §2.4 joins ----------------------------------------------------------
     "q10_join_segment" -> ((s, d) =>
       Joins.revenueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
@@ -290,6 +301,17 @@ object SparkEntry {
       """SELECT o_custkey AS ck FROM orders
         |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
         |ORDER BY ck""".stripMargin,
+    "q24_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_salted_join" ->
+      s"""SELECT p_brand, ${m("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q30_events_buckets" ->
       """SELECT CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, event_type,
         |  COUNT(*) AS cnt

@@ -96,6 +96,18 @@ object Rollups {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(n)
 
+  /** Exact interpolated percentiles (median + quartiles) per group.
+    * Rounded to 4dp: Spark and DuckDB share the interpolation
+    * definition but may associate the fp arithmetic differently. */
+  def quantityPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+      .orderBy(col("l_returnflag"))
+
   /** Value-histogram: fixed-width bucket counts via integer arithmetic
     * (no fp ambiguity). */
   def histogram(df: DataFrame, valueCol: String, width: Int): DataFrame =

@@ -73,6 +73,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(both.count() <= 25)
   }
 
+  test("salted join is semantically identical to the plain join") {
+    val li = Tables.lineitem(spark, sf); val p = Tables.part(spark, sf)
+    val plain = Joins.brandVolume(li, p).collect().map(_.toSeq).toSeq
+    val salted = SparkEntry.queries("q25_salted_join")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(plain == salted)
+  }
+
   test("rollup has subtotal and grand-total rows") {
     val r = Rollups.ordersRollup(Tables.orders(spark, sf))
     assert(r.filter(col("o_orderstatus").isNull && col("o_orderpriority").isNull).count() == 1)
