@@ -112,6 +112,8 @@ object SparkEntry {
     }),
     "q52_embed_neardup" -> ((s, d) =>
       graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)),
+    "q55_curate" -> ((s, d) =>
+      graft.text.Curation.curate(Tables.documents(s, d))),
     "q53_docs_tfidf" -> ((s, d) =>
       graft.text.TextOps.tfidf(Tables.documents(s, d)).filter(col("tf") >= 2)),
     "q54_docs_topterms" -> ((s, d) =>

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** End-to-end training-data curation: the composite pipeline the
+  * north-star operators exist for. Each stage is one of the verified
+  * operators; this wires them in the canonical order a 100 TB corpus
+  * pass would use:
+  *
+  *  1. quality gate — token count + stopword-ratio bounds (TextOps);
+  *  2. language filter — keep an allow-list (declared label here; swap
+  *     in [[TextOps.langId]] predictions when labels are absent);
+  *  3. exact dedup — fingerprint min-representative (Dedup);
+  *  4. near-dup removal — MinHash-LSH pairs, drop the higher doc_id of
+  *     each pair (deterministic survivor);
+  *  5. token budget — running token count cap in doc_id order.
+  *
+  * Every stage is a hash aggregation or equi-join — the whole pipeline
+  * is shuffle-bounded by the dedup joins and never collects to the
+  * driver. Stage-by-stage row counts are exposed via [[curationReport]].
+  */
+object Curation {
+
+  case class Config(
+      minTokens: Long = 5,
+      maxTokens: Long = 10000,
+      maxStopwordRatio: Double = 0.9,
+      langs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
+      nearDupEstJaccard: Double = 0.5,
+      tokenBudget: Long = Long.MaxValue)
+
+  /** The curated corpus: survivors with their quality stats. */
+  def curate(documents: DataFrame, cfg: Config = Config()): DataFrame = {
+    val quality = TextOps.qualityScores(documents)
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("lang").isin(cfg.langs: _*))
+      .select("doc_id", "lang", "n_tokens")
+    val pass = documents.join(quality.select("doc_id"), "doc_id")
+
+    val exactKeep = Dedup.exactDedup(pass).select(col("keep_doc").as("doc_id"))
+    val afterExact = pass.join(exactKeep, "doc_id")
+
+    val nearDupLosers = Dedup.minhashLsh(afterExact, 3, 8, 4, cfg.nearDupEstJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    afterNear.select("doc_id").join(quality, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= cfg.tokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  /** Funnel report: rows surviving each stage. */
+  def curationReport(documents: DataFrame, cfg: Config = Config()): Map[String, Long] = {
+    val total = documents.count()
+    val quality = TextOps.qualityScores(documents)
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("lang").isin(cfg.langs: _*))
+    val nQuality = quality.count()
+    val pass = documents.join(quality.select("doc_id"), "doc_id")
+    val nExact = Dedup.exactDedup(pass).count()
+    val curated = curate(documents, cfg).count()
+    Map("input" -> total, "after_quality" -> nQuality,
+      "after_exact_dedup" -> nExact, "curated" -> curated)
+  }
+}

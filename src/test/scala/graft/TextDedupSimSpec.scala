@@ -103,6 +103,20 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel is monotone and drops exact+near dups") {
+    import graft.text.Curation
+    val report = Curation.curationReport(docs)
+    assert(report("input") >= report("after_quality"))
+    assert(report("after_quality") >= report("after_exact_dedup"))
+    assert(report("after_exact_dedup") >= report("curated"))
+    assert(report("curated") > 0)
+    // survivors are unique by fingerprint
+    val curated = Curation.curate(docs)
+    val joined = docs.join(curated.select("doc_id"), "doc_id")
+    val fps = joined.select(TextOps.fingerprint(col("text"))).distinct().count()
+    assert(fps == curated.count())
+  }
+
   test("langId predicts a valid language with non-negative score") {
     val l = TextOps.langId(docs)
     assert(l.filter(!col("predicted").isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0)
