@@ -142,8 +142,11 @@ object SparkEntry {
       // pipeline (reference hyperparameters) lives in DurationPipeline
       // and is exercised in MLSpec; here a small seeded RF keeps the
       // bench query cheap at any SF.
+      // coalesce(4): ML fit launches ~40 tiny jobs over this 1000-row
+      // table — 32 near-empty tasks per job is pure scheduler overhead
       val feats = graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))
-        .limit(1000).cache()
+        .limit(1000).coalesce(4).cache()
+      feats.count() // materialize once so every fit stage hits the cache
       val model = graft.ml.DurationPipeline
         .rfPipeline(Seq("event_type"), Seq("type_code", "h", "d", "k"), "label",
           numTrees = 10, maxDepth = 4)

@@ -34,6 +34,17 @@ object Catalog {
   def createExternalTable(spark: SparkSession, name: String, path: String): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
 
+  /** Bucketed managed table: co-locates rows by hash(bucketCol) so an
+    * equi-join of two tables bucketed the same way needs NO shuffle —
+    * the pre-shuffle is paid once at write time. The scale tool for a
+    * fact-fact join that repeats across many queries (builder-prompt
+    * checklist: "bucketing for co-located joins"; absence of shuffle
+    * asserted in SourcesMultimodalSpec). */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(name)
+
   /** K1-analog managed write with partition columns — the
     * `partitionBy("year","month")` upgrade SURVEY §4 prescribes for the
     * events sink so downstream scans prune partitions. */

@@ -36,6 +36,30 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(ev.count() == spark.read.parquet(s"$dir/events").count())
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Catalog.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    Catalog.writeBucketed(o, "o_bkt", "l_orderkey", 8)
+    try {
+      val joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+      // disable broadcast so the test exercises the co-located path
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
   test("union-by-name tolerates missing columns") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "extra")
