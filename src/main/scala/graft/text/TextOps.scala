@@ -55,9 +55,22 @@ object TextOps {
   }
 
   /** Canonical document fingerprint: md5 of whitespace-normalized,
-    * lowercased text (rolling-hash family; md5 keeps it oracle-portable). */
+    * lowercased text (md5 keeps it oracle-portable). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Order-sensitive rolling (Karp-Rabin-style) fingerprint: left fold
+    * of `h = h*B + xxhash64(token)` over the token sequence, wrapping in
+    * long arithmetic. Unlike the bag-of-words SimHash, a token
+    * permutation changes this hash — the sequence-identity complement to
+    * [[fingerprint]]. Pure HOF fold, codegen'd. */
+  def rollingHash(text: Column): Column = {
+    // mod-p arithmetic keeps h*B + t within long range (ANSI mode
+    // rejects wrapping overflow): p = 2^31-1, B = 1000003
+    val p = lit(2147483647L)
+    aggregate(transform(tokens(text), t => pmod(xxhash64(t), p)),
+      lit(0L), (acc, h) => pmod(acc * lit(1000003L) + h, p))
+  }
 
   /** Fingerprint every doc; duplicate fingerprints share a canonical
     * min-doc representative. */

@@ -117,6 +117,24 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(fps == curated.count())
   }
 
+  test("regex tokenizer splits words, numbers, punctuation") {
+    import spark.implicits._
+    val got = Seq("Hello, world! 42x").toDF("text")
+      .select(TextOps.regexTokens(col("text"))).first().getSeq[String](0)
+    assert(got == Seq("hello", ",", "world", "!", "42", "x"))
+  }
+
+  test("rolling hash is order-sensitive, equal on equal sequences") {
+    import spark.implicits._
+    val h = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L), "permutation must change the rolling hash")
+  }
+
   test("langId predicts a valid language with non-negative score") {
     val l = TextOps.langId(docs)
     assert(l.filter(!col("predicted").isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0)
