@@ -134,6 +134,16 @@ object SparkEntry {
         element_at(col("embedding"), 2).cast("double").as("y"))
       graft.cluster.DBSCAN.run(pts, 0.02, 4).orderBy(col("id"))
     }),
+    // reference's 3-D coords⊕severity DBSCAN variant (cluster.py:50-58)
+    "q68_dbscan_severity" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(
+        col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("lat"),
+        element_at(col("embedding"), 2).cast("double").as("lon"),
+        (col("label") % 3 + 1).cast("double").as("sev"))
+      graft.cluster.DBSCAN.severityCoordsDbscan(pts, "lat", "lon", "sev", 25.0, 4)
+        .orderBy(col("id"))
+    }),
     // ML surface: oracle-checkable feature prep + seeded RF inference
     "q64_ml_features" -> ((s, d) =>
       graft.ml.DurationPipeline.eventFeatures(Tables.events(s, d))),

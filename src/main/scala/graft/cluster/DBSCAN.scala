@@ -41,6 +41,81 @@ object DBSCAN {
       .withColumn("y", col(latCol) * kmPerDegLat)
   }
 
+  /** N-dimensional distributed DBSCAN over `dims` columns. Same grid
+    * strategy generalized: cells are per-dimension eps-boxes, candidate
+    * pairs come from the 3^d neighbor-cell equi-join on the cell-array
+    * key. Returns input columns + `cluster`. Supports the reference's
+    * 3-D coords⊕severity variant (`cluster.py:50-58`). */
+  def runND(points: DataFrame, dims: Seq[String], eps: Double, minPts: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cellArr = array(dims.map(d => floor(col(d) / eps).cast("long")): _*)
+    val pts = points.select(
+      (col("id").cast("long") +: dims.map(d => col(d).cast("double"))): _*)
+      .withColumn("__cell", cellArr)
+
+    // 3^d neighbor-cell probes per point
+    val offsetCombos: Seq[Seq[Long]] =
+      dims.indices.foldLeft(Seq(Seq.empty[Long])) { (acc, _) =>
+        acc.flatMap(c => Seq(-1L, 0L, 1L).map(o => c :+ o))
+      }
+    val probeCells = array(offsetCombos.map { combo =>
+      array(combo.zipWithIndex.map { case (o, i) =>
+        col("__cell").getItem(i) + o }: _*)
+    }: _*)
+    val aCols = dims.zipWithIndex.map { case (d, i) => col(d).as(s"__a$i") }
+    val probes = pts.select(
+        (col("id").as("a_id") +: aCols :+ explode(probeCells).as("__cell")): _*)
+    val bCols = dims.zipWithIndex.map { case (d, i) => col(d).as(s"__b$i") }
+    val bSide = pts.select((col("id").as("b_id") +: bCols :+ col("__cell")): _*)
+
+    val dist2 = dims.indices.map(i =>
+      pow(col(s"__a$i") - col(s"__b$i"), 2)).reduce(_ + _)
+    val pairs = probes.join(bSide, Seq("__cell"))
+      .filter(dist2 <= eps * eps)
+      .select(col("a_id"), col("b_id"))
+
+    val degrees = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
+    val cores = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
+    val coreSet = cores.withColumn("is_core", lit(true))
+    val coreEdges = pairs
+      .join(coreSet.select(col("id").as("a_id")), "a_id")
+      .join(coreSet.select(col("id").as("b_id")), "b_id")
+      .filter(col("a_id") < col("b_id"))
+    val edgeRdd = coreEdges.select("a_id", "b_id").as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
+    val components =
+      if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
+      else Graph(vertexRdd, edgeRdd).connectedComponents()
+        .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster")
+    val borderAssign = pairs
+      .join(coreSet.select(col("id").as("b_id")), "b_id")
+      .join(components.select(col("id").as("b_id"), col("cluster")), "b_id")
+      .groupBy(col("a_id").as("id")).agg(min(col("cluster")).as("border_cluster"))
+
+    points.join(components, Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(points.columns.map(col) :+
+        coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"): _*)
+  }
+
+  /** The reference's coords⊕severity euclidean variant
+    * (`cluster.py:50-58`): 3-D DBSCAN over (radians(lat), radians(lon),
+    * severity ordinal). With eps ≈ 25 km/R⊕ ≈ 0.004 and severity steps
+    * of 1.0, differing severities can never be neighbors — the metric
+    * the reference chose effectively stratifies clusters by severity,
+    * and this replicates that exactly. */
+  def severityCoordsDbscan(df: DataFrame, latCol: String, lonCol: String,
+                           severityNumCol: String, epsKm: Double, minPts: Int): DataFrame =
+    runND(
+      df.withColumn("__rlat", radians(col(latCol)))
+        .withColumn("__rlon", radians(col(lonCol)))
+        .withColumn("__sev", col(severityNumCol).cast("double")),
+      Seq("__rlat", "__rlon", "__sev"),
+      epsKm / graft.ops.Geo.EarthRadiusKm, minPts)
+      .drop("__rlat", "__rlon", "__sev")
+
   /** Distributed DBSCAN. Returns (id, x, y, cluster). */
   def run(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
     val spark = points.sparkSession
@@ -97,6 +172,31 @@ object DBSCAN {
       .join(borderAssign, Seq("id"), "left")
       .select(col("id"), col("x"), col("y"),
         coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** N-dimensional exact local DBSCAN (test oracle for [[runND]]). */
+  def localND(points: Seq[(Long, Seq[Double])], eps: Double, minPts: Int): Map[Long, Long] = {
+    val arr = points.toArray
+    val idx = arr.indices
+    def d2(i: Int, j: Int): Double =
+      arr(i)._2.zip(arr(j)._2).map { case (a, b) => (a - b) * (a - b) }.sum
+    val neighbors = idx.map(i => idx.filter(j => d2(i, j) <= eps * eps)).toArray
+    val core = idx.map(i => neighbors(i).length >= minPts).toArray
+    val label = Array.fill(arr.length)(-2L)
+    var cid = -1L
+    for (i <- idx if core(i) && label(i) == -2L) {
+      cid += 1
+      label(i) = cid
+      var frontier = List(i)
+      while (frontier.nonEmpty) {
+        val cur = frontier.head; frontier = frontier.tail
+        for (n <- neighbors(cur) if label(n) < 0) {
+          label(n) = cid
+          if (core(n)) frontier = n :: frontier
+        }
+      }
+    }
+    idx.map(i => arr(i)._1 -> (if (label(i) == -2L) -1L else label(i))).toMap
   }
 
   /** Exact single-node reference implementation (classic DBSCAN) — the

@@ -64,6 +64,35 @@ class DBSCANSpec extends AnyFunSuite {
     assert(math.abs(dist - 272) < 8, s"projected distance $dist km")
   }
 
+  test("runND with 2 dims matches the 2D implementation") {
+    val pts = (0 until 30).map(i => (i.toLong, (i % 6) * 0.04, (i / 6) * 0.04)) ++
+      Seq((200L, 9.0, 9.0))
+    val df = pts.toDF("id", "x", "y")
+    val d2 = DBSCAN.run(df, 0.1, 4).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val dn = DBSCAN.runND(df, Seq("x", "y"), 0.1, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    assert(partitions(d2) == partitions(dn))
+  }
+
+  test("coords+severity variant stratifies clusters by severity (reference semantics)") {
+    // one tight geographic blob, half MINOR (1.0) half MAJOR (3.0):
+    // severity distance 2.0 >> eps, so two clusters must emerge
+    val rows = (0 until 10).map(i =>
+      (i.toLong, 49.0 + (i % 5) * 1e-4, -123.0 + (i / 5) * 1e-4, if (i < 5) 1.0 else 3.0))
+    val df = rows.toDF("id", "lat", "lon", "sev")
+    val out = DBSCAN.severityCoordsDbscan(df, "lat", "lon", "sev", epsKm = 25.0, minPts = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val minorClusters = (0 until 5).map(i => out(i.toLong)).toSet
+    val majorClusters = (5 until 10).map(i => out(i.toLong)).toSet
+    assert(minorClusters.size == 1 && majorClusters.size == 1)
+    assert(minorClusters != majorClusters, "severities must not co-cluster")
+    // oracle cross-check in 3D
+    val local = DBSCAN.localND(rows.map { case (id, la, lo, s) =>
+      (id, Seq(math.toRadians(la), math.toRadians(lo), s)) },
+      25.0 / graft.ops.Geo.EarthRadiusKm, 3)
+    assert(partitions(out) == partitions(local))
+  }
+
   test("distributed DBSCAN on real embedding projection is stable") {
     val pts = graft.ops.Tables.embeddings(spark, sf).select(
       col("vec_id").as("id"),
