@@ -110,6 +110,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       graft.sim.Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
     }),
+    "q69_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, 5, nlist = 16, nprobe = 6)
+    }),
     "q52_embed_neardup" -> ((s, d) =>
       graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)),
     "q55_curate" -> ((s, d) =>

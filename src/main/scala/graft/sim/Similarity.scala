@@ -64,6 +64,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN: k-means partitions the corpus into `nlist`
+    * cells at index time; a query probes its `nprobe` nearest centroids
+    * and exhaustively re-ranks only those cells — the classic
+    * coarse-quantizer scale path next to LSH. Centroids are tiny and
+    * broadcast; the only corpus-sized operation is the equi-join of
+    * probed cells against the cell assignments.
+    *
+    * Recall/cost dial: nprobe/nlist (tested against brute force). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), array_to_vector(col("embedding")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(corpusVec)
+    val assigned = km.transform(corpusVec).select(col("neighbor_id"), col("ne"), col("cell"))
+    // centroid table: tiny (nlist × dim), broadcast to score query→cell
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineFast(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * a splitmix64-style integer mix mapped to (-1, 1). Generated on the
     * fly inside codegen; no driver-side matrix to broadcast. */

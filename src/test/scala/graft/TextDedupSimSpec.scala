@@ -67,6 +67,17 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(nd.forall(_.getDouble(2) >= 0.4))
   }
 
+  test("IVF ANN recall vs brute-force top-5") {
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = emb.limit(10)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
