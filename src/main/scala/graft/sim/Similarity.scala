@@ -132,8 +132,17 @@ object Similarity {
    * ~0.15 collision probability for true neighbors, 16 tables lifts
    * recall to ~0.9. For tightly clustered embeddings raise `planes` to
    * cut candidate volume. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planes: Int = 4, tables: Int = 16): DataFrame = {
+  /** LSH candidate-pair generation: distinct (query_id, neighbor_id)
+    * pairs sharing at least one (table, bucket). Carries ONLY ids —
+    * embeddings re-attach after dedup, so the bucket-join/dedup shuffles
+    * never move vector payloads (at scale the candidate set dwarfs the
+    * corpus; this is the difference between shuffling ids and shuffling
+    * the dataset). Set `broadcastQueries=false` when the query side is
+    * corpus-sized (e.g. all-pairs near-dup) — the bucket key is then an
+    * ordinary shuffled equi-join. */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                    planes: Int, tables: Int,
+                    broadcastQueries: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, eCol: String): DataFrame =
       df.select(col(idCol), col(eCol),
         posexplode(array((0 until tables).map { t =>
@@ -146,19 +155,21 @@ object Similarity {
           bits.reduce((a, b) => a.bitwiseOR(b))
         }: _*)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    // Candidate generation carries ONLY ids — embeddings re-attach after
-    // dedup, so the bucket-join/dedup shuffles never move vector payloads
-    // (at scale the candidate set dwarfs the corpus; this is the
-    // difference between shuffling ids and shuffling the dataset).
     val q = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe").select("query_id", "table", "bucket")
     val n = bucketed(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
       "neighbor_id", "ne").select("neighbor_id", "table", "bucket")
-    val candIds = n.as("n").join(broadcast(q.as("q")),
+    val qSide = if (broadcastQueries) broadcast(q.as("q")) else q.as("q")
+    n.as("n").join(qSide,
         col("n.table") === col("q.table") && col("n.bucket") === col("q.bucket") &&
           col("q.query_id") =!= col("n.neighbor_id"))
       .select(col("q.query_id"), col("n.neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 16): DataFrame = {
+    val candIds = lshCandidates(queries, corpus, planes, tables)
     val qEmb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val nEmb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val cands = candIds.join(broadcast(qEmb), "query_id").join(nEmb, "neighbor_id")
