@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.GraftBridge
+
+/** Native Catalyst expression computing ALL random-hyperplane LSH table
+  * buckets for an `array<float>` embedding in one fused pass.
+  *
+  * The HOF form ([[graft.sim.Similarity.lshBucket]]) evaluates
+  * `tables × planes` separate `zip_with`+`aggregate` folds — each
+  * allocating an index `sequence` and a product array per row. This
+  * expression keeps one running projection per plane and visits each
+  * vector element once; hyperplane components are the same
+  * `xxhash64(plane, idx) / Long.MaxValue` pseudo-random values (seed 42,
+  * int hashing — replicated via [[XXH64]] so the buckets are
+  * bit-identical to the HOF form, asserted in tests).
+  *
+  * Returns `array<long>` of length `tables`; element `t` packs `planes`
+  * sign bits for global plane ids `t*planes + p`.
+  */
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+
+  require(planes > 0 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(tables > 0, s"tables must be positive, got $tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    LshBuckets.compute(v.asInstanceOf[ArrayData], planes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBuckets.compute($c, $planes, $tables)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+
+  /** One pass over the vector: accumulate every plane's projection, then
+    * pack sign bits per table. Per-plane accumulation order is ascending
+    * element index — identical to the HOF fold, so results match
+    * bit-for-bit. */
+  def compute(e: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val total = planes * tables
+    val proj = new Array[Double](total)
+    val n = e.numElements()
+    var i = 0
+    while (i < n) {
+      val x = e.getFloat(i).toDouble
+      var p = 0
+      while (p < total) {
+        // xxhash64(lit(plane), idx): seed 42, ints hashed in child order
+        val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+        proj(p) += x * (h.toDouble / Long.MaxValue.toDouble)
+        p += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < planes) {
+        if (proj(t * planes + p) > 0) b |= (1L << p)
+        p += 1
+      }
+      buckets(t) = b
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(buckets)
+  }
+
+  /** Column DSL form. */
+  def lshBuckets(e: Column, planes: Int, tables: Int): Column =
+    GraftBridge.column(LshBuckets(GraftBridge.expression(e), planes, tables))
+}

@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("severity_ordinal"),
       info("severity_ordinal", "severity_ordinal(s) - MINOR/MODERATE/MAJOR -> 1/2/3, else 1"),
       (exprs: Seq[Expression]) => severityExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(embedding, planes, tables) - hyperplane LSH bucket per table"),
+      (exprs: Seq[Expression]) => graft.functions.LshBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -144,16 +144,8 @@ object Similarity {
                     planes: Int, tables: Int,
                     broadcastQueries: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, eCol: String): DataFrame =
-      df.select(col(idCol), col(eCol),
-        posexplode(array((0 until tables).map { t =>
-          val bits = (0 until planes).map { p =>
-            val plane = t * planes + p
-            val proj = aggregate(zip_with(col(eCol), sequence(lit(0), size(col(eCol)) - 1),
-              (x, i) => d(x) * planeComponent(plane, i)), lit(0.0), (acc, v) => acc + v)
-            when(proj > 0, lit(1L << p)).otherwise(0L)
-          }
-          bits.reduce((a, b) => a.bitwiseOR(b))
-        }: _*)))
+      df.select(col(idCol),
+        posexplode(graft.functions.LshBuckets.lshBuckets(col(eCol), planes, tables)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val q = bucketed(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe").select("query_id", "table", "bucket")

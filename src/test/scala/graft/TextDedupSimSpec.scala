@@ -51,6 +51,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("native lsh_buckets is bit-identical to the HOF hyperplane fold") {
+    val planes = 4; val tables = 3
+    // rebuild the HOF form lshCandidates used before the native expression
+    val hofBuckets = array((0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val plane = t * planes + p
+        val proj = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x.cast("double") *
+              (xxhash64(lit(plane), i).cast("double") / lit(Long.MaxValue.toDouble))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(0L)
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+    val mismatches = emb
+      .withColumn("hof", hofBuckets)
+      .withColumn("native",
+        graft.functions.LshBuckets.lshBuckets(col("embedding"), planes, tables))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("LSH ANN recall vs brute-force top-5") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
