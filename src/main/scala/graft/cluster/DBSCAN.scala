@@ -71,12 +71,17 @@ object DBSCAN {
 
     val dist2 = dims.indices.map(i =>
       pow(col(s"__a$i") - col(s"__b$i"), 2)).reduce(_ + _)
+    // pairs feeds the degree count, the core-core edge build, AND the
+    // border assignment — materialize the probe join once instead of
+    // re-running the 3^d-cell shuffle per consumer (see ngramJaccard).
     val pairs = probes.join(bSide, Seq("__cell"))
       .filter(dist2 <= eps * eps)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
 
     val degrees = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
     val cores = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
+      .localCheckpoint()
     val coreSet = cores.withColumn("is_core", lit(true))
     val coreEdges = pairs
       .join(coreSet.select(col("id").as("a_id")), "a_id")
@@ -86,9 +91,10 @@ object DBSCAN {
       .rdd.map { case (a, b) => Edge(a, b, ()) }
     val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
     val components =
-      if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
-      else Graph(vertexRdd, edgeRdd).connectedComponents()
-        .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster")
+      (if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
+       else Graph(vertexRdd, edgeRdd).connectedComponents()
+         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster"))
+        .localCheckpoint() // consumed by border assignment + final join
     val borderAssign = pairs
       .join(coreSet.select(col("id").as("b_id")), "b_id")
       .join(components.select(col("id").as("b_id"), col("cluster")), "b_id")
@@ -137,13 +143,18 @@ object DBSCAN {
       .select(col("a_id"), col("ax"), col("ay"),
         col("pc.px").as("cx"), col("pc.py").as("cy"))
 
+    // pairs feeds the degree count, the core-core edge build, AND the
+    // border assignment — materialize the probe join once instead of
+    // re-running the 9-cell shuffle per consumer (see ngramJaccard).
     val pairs = probes.join(pts.select(col("id").as("b_id"), col("x").as("bx"),
         col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
       .filter(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2) <= eps * eps)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
 
     val degrees = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
     val cores = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
+      .localCheckpoint()
 
     // Core-core edges → connected components (GraphX, checkpoint-free
     // pregel loop; the battle-tested scale path for CC).
@@ -156,9 +167,10 @@ object DBSCAN {
       .rdd.map { case (a, b) => Edge(a, b, ()) }
     val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
     val components =
-      if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
-      else Graph(vertexRdd, edgeRdd).connectedComponents()
-        .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster")
+      (if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
+       else Graph(vertexRdd, edgeRdd).connectedComponents()
+         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster"))
+        .localCheckpoint() // consumed by border assignment + final join
 
     // Border points: non-core with a core neighbor — attach to the min
     // component among core neighbors (deterministic).

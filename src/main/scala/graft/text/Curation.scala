@@ -31,7 +31,14 @@ object Curation {
       nearDupEstJaccard: Double = 0.5,
       tokenBudget: Long = Long.MaxValue)
 
-  /** The curated corpus: survivors with their quality stats. */
+  /** The curated corpus: survivors with their quality stats.
+    *
+    * Survivor ids after near-dup removal are pure id-set algebra
+    * (exactKeep minus losers) — never a rescan of the corpus. The small
+    * quality/keep tables stay as logical plans: Catalyst sees their true
+    * size estimates and broadcast-joins them; materializing them (cache
+    * or checkpoint) measured slower here because the downstream joins
+    * lose the broadcast and the recomputed branch is scan-cheap. */
   def curate(documents: DataFrame, cfg: Config = Config()): DataFrame = {
     val quality = TextOps.qualityScores(documents)
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
@@ -45,11 +52,12 @@ object Curation {
 
     val nearDupLosers = Dedup.minhashLsh(afterExact, 3, 8, 4, cfg.nearDupEstJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // afterExact's id set IS exactKeep — survivors need no corpus rescan
+    val survivors = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
-    afterNear.select("doc_id").join(quality, Seq("doc_id"))
+    survivors.join(quality, Seq("doc_id"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= cfg.tokenBudget)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
