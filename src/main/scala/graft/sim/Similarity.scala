@@ -77,8 +77,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"), array_to_vector(col("embedding")).as("features"))
+    // a coarse quantizer only needs roughly-spread centroids, not
+    // convergence — cap the iterations (standard IVF practice; recall
+    // is governed by nprobe, which the recall test exercises)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      .setK(nlist).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
       .fit(corpusVec)
     val assigned = km.transform(corpusVec).select(col("neighbor_id"), col("ne"), col("cell"))
     // centroid table: tiny (nlist × dim), broadcast to score query→cell

@@ -36,6 +36,28 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(ev.count() == spark.read.parquet(s"$dir/events").count())
   }
 
+  test("dimension filter dynamically prunes fact partitions (DPP)") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp_out").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("d", dayofmonth(col("event_ts")))
+    Catalog.writePartitioned(ev, s"$dir/events", Seq("d"))
+    val fact = spark.read.parquet(s"$dir/events")
+    // dim's filter is on a NON-join column, so the fact-side partition
+    // filter cannot be inferred statically — it must be injected at
+    // runtime from the dim's broadcast result (true DPP). A filter
+    // directly on the join key would be constant-propagated instead
+    // (static pruning, also correct but not what this gate checks).
+    import spark.implicits._
+    val dim = ev.select(col("d")).distinct()
+      .withColumn("tag", when(col("d") === 5, "keep").otherwise("drop"))
+    dim.write.mode("overwrite").parquet(s"$dir/dim")
+    val joined = fact.join(
+      spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep"), "d")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), s"no DPP in plan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
