@@ -82,6 +82,7 @@ object SparkEntry {
     "q32_events_case" -> ((s, d) => EventOps.ordinalStats(Tables.events(s, d))),
     "q33_events_dedup" -> ((s, d) => EventOps.firstEventPerUser(Tables.events(s, d))),
     "q34_events_sessions" -> ((s, d) => EventOps.sessionize(Tables.events(s, d), 30)),
+    "q56_events_session_window" -> ((s, d) => EventOps.sessionWindows(Tables.events(s, d), 30)),
     "q35_events_stats" -> ((s, d) => EventOps.statsByType(Tables.events(s, d))),
     "q36_events_bands" -> ((s, d) => EventOps.valueBands(Tables.events(s, d))),
     "q37_events_pivot" -> ((s, d) => EventOps.cohortTypePivot(Tables.events(s, d))),
@@ -355,6 +356,18 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
         |  THEN 1 ELSE 0 END AS new_sess FROM events) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // session_window semantics: an event exactly `gap` after the previous
+    // one starts a NEW session (Spark windows are [start, end)); hence
+    // >= in the break predicate. end = last event + gap.
+    "q56_events_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER (
+        |    PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |y AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM x)
+        |SELECT user_id, MIN(us) AS session_start_us, MAX(us) + 1800000000 AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, grp ORDER BY user_id, session_start_us""".stripMargin,
     "q35_events_stats" ->
       s"""SELECT event_type, COUNT(*) AS cnt, MIN(value) AS min_value, MAX(value) AS max_value,
          |  ${m("value")} / COUNT(*) AS avg_value

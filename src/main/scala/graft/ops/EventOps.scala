@@ -79,6 +79,22 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Gap-based session windows via the built-in `session_window` — the
+    * batch twin of [[graft.stream.Sessions]], one row per session with
+    * micro-second bounds (session end = last event + gap, per Spark's
+    * session-window definition). Complementary to [[sessionize]], which
+    * only counts sessions per user. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("event_ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** min/max/avg rollup per event type (exact decimal avg). */
   def statsByType(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

@@ -84,6 +84,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq("EV-X", "EV-Y"))
   }
 
+  test("session_window closes a session once the watermark passes the gap") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val sessions = graft.stream.Sessions.sessionWindowCounts(
+      mem.toDF().toDF("user_id", "ts"), gap = "10 minutes", lateness = "5 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      mem.addData((1L, t(0)), (1L, t(5)), (2L, t(1)))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes both sessions' ends
+      mem.addData((3L, t(120)))
+      q.processAllAvailable()
+      mem.addData((3L, t(180))) // one more batch so closed sessions flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sw_out")
+      .select("user_id", "n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.get(1L).contains(2L), s"user 1 session missing: $rows")
+    assert(rows.get(2L).contains(1L), s"user 2 session missing: $rows")
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) emits closed sessions") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val sessions = graft.stream.Sessions.sessionizeStateful(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 10, latenessMinutes = 5)
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fs_out").start()
+    try {
+      mem.addData((1L, t(0)), (1L, t(5)), (2L, t(1)))
+      q.processAllAvailable()
+      // event-time jump advances the watermark past end+gap for both
+      mem.addData((3L, t(120)))
+      q.processAllAvailable()
+      mem.addData((3L, t(180))) // next batch processes the fired timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fs_out")
+      .select("user_id", "n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.get(1L).contains(2L), s"user 1 session missing: $rows")
+    assert(rows.get(2L).contains(1L), s"user 2 session missing: $rows")
+  }
+
   test("windowed severity counts aggregate within hour buckets") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
