@@ -66,6 +66,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[ngramJaccard]] with a document-frequency cap — the corpus-scale
+    * variant. Shingles appearing in more than `maxDf` documents
+    * ("stop-shingles": boilerplate, templates) are dropped from the
+    * inverted index BEFORE the self-join; without this, a shingle shared
+    * by df documents contributes df² candidate pairs and a handful of
+    * ubiquitous shingles dominate the join at corpus scale (the SCALE.md
+    * hazard). Jaccard is still computed against FULL shingle-set sizes,
+    * so scores are exact for every surviving pair; pairs whose overlap
+    * is only stop-shingles are the (deliberate) recall loss. */
+  def ngramJaccardCapped(documents: DataFrame, n: Int, minJaccard: Double,
+                         maxDf: Long): DataFrame = {
+    val sh = shingles(documents, n).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val indexed = sh.join(rare, "shingle")
+    val common = indexed.as("a").join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common_indexed"))
+    // n_common must count ALL shared shingles (incl. capped ones) for the
+    // exact Jaccard of surviving pairs: recount via a semi-join of the
+    // full index restricted to candidate pairs
+    val cand = common.select("doc_a", "doc_b")
+    val full = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    full
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sh_a") + col("sh_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"), col("sh_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded murmur3 functions,
     * the min hash over the document's shingle set. One aggregation —
     * signatures never leave the executors un-reduced. */

@@ -51,6 +51,22 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("df-capped jaccard: equal when cap loose, exact-score subset when tight") {
+    val exact = Dedup.ngramJaccard(docs, 3, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // cap far above any shingle's df → identical result
+    val loose = Dedup.ngramJaccardCapped(docs, 3, 0.2, maxDf = 1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(loose == exact)
+    // tight cap: surviving pairs must be a subset with EXACT jaccard
+    val tight = Dedup.ngramJaccardCapped(docs, 3, 0.2, maxDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    tight.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"capped emitted a pair exact did not: $pair")
+      assert(math.abs(exact(pair) - j) < 1e-12, s"score drift for $pair")
+    }
+  }
+
   test("native lsh_buckets is bit-identical to the HOF hyperplane fold") {
     val planes = 4; val tables = 3
     // rebuild the HOF form lshCandidates used before the native expression
