@@ -101,6 +101,8 @@ object SparkEntry {
     "q47_dedup_minhash" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(Tables.documents(s, d), 3, 8, 4, 0.3)),
     "q48_dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), 3)),
+    "q57_dedup_groups" -> ((s, d) =>
+      graft.dedup.Dedup.minhashDedupGroups(Tables.documents(s, d), 3, 8, 4)),
     // north-star: similarity search --------------------------------------
     "q49_vec_norms" -> ((s, d) => graft.sim.Similarity.norms(Tables.embeddings(s, d))),
     "q50_knn_brute" -> ((s, d) => {

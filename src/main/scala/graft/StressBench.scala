@@ -66,6 +66,72 @@ object StressBench {
           .withColumn("doc_id", col("doc_id") * factor + col("__rep")).drop("__rep")
         graft.dedup.Dedup.exactDedup(docsN).count()
       })
+
+    // Dedup/similarity family. Replicas get DECORRELATED content — an
+    // unperturbed copy would be a true duplicate of its original, so the
+    // pair OUTPUT itself would grow quadratically (factor² pairs per
+    // group) and the slope would measure the data's duplicate structure,
+    // not the algorithm. (A first attempt that only appended one token /
+    // added small noise measured slopes of 8–61 for exactly this reason:
+    // replicas stayed near-dups of each other.) Text: a replica-unique
+    // token is injected between EVERY pair of words, so every n-gram
+    // shingle contains it and replicas share no shingles. Vectors:
+    // per-(element, replica) pseudo-random sign flips drive expected
+    // cosine between replicas to ~0 (scaling alone would be invisible
+    // to cosine).
+    val docs1 = Tables.documents(spark, sf)
+    val docsN = docs1
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .withColumn("text", when(col("__rep") === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit(" "),
+          concat(lit(" u"), col("__rep").cast("string"), lit(" ")))))
+      .drop("__rep")
+    run("minhash_lsh",
+      graft.dedup.Dedup.minhashLsh(docs1, 3, 8, 4, 0.3).count(),
+      graft.dedup.Dedup.minhashLsh(docsN, 3, 8, 4, 0.3).count())
+    run("jaccard_capped",
+      graft.dedup.Dedup.ngramJaccardCapped(docs1, 3, 0.2, 100).count(),
+      graft.dedup.Dedup.ngramJaccardCapped(docsN, 3, 0.2, 100).count())
+
+    val emb1 = Tables.embeddings(spark, sf)
+    val embN = emb1
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("vec_id", col("vec_id") * factor + col("__rep"))
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        when(pmod(xxhash64(i, col("__rep")), lit(2)) === 0, x).otherwise(-x)))
+      .drop("__rep")
+    run("lsh_neardup",
+      graft.dedup.Dedup.embeddingNearDups(emb1, 0.4).count(),
+      graft.dedup.Dedup.embeddingNearDups(embN, 0.4).count())
+    // Fixed plane count makes RANDOM-pair candidates grow ~n²/2^planes —
+    // the parameter must scale with log₂(corpus) to hold the candidate
+    // set linear. Same run with planes += log₂(factor) demonstrates the
+    // mitigation (true near-dups at cosine≥0.9 still collide ~39%/table
+    // at 11 planes, so recall stays high while random collisions drop 8×).
+    val scaledPlanes = 8 + (math.log(factor) / math.log(2)).round.toInt
+    run(s"neardup_planes$scaledPlanes",
+      graft.dedup.Dedup.embeddingNearDups(emb1, 0.4).count(),
+      graft.dedup.Dedup.embeddingNearDups(embN, 0.4, planes = scaledPlanes).count())
+    val q20 = emb1.filter(col("vec_id") < 20)
+    run("lsh_topk_corpusN",
+      graft.sim.Similarity.lshTopK(q20, emb1, 5).count(),
+      graft.sim.Similarity.lshTopK(q20, embN, 5).count())
+
+    // DBSCAN: replicas shifted a whole grid-neighborhood away per
+    // replica, so clusters replicate independently (linear structure)
+    def pts(df: DataFrame) = df.select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val eps = 0.02
+    val ptsN = pts(emb1)
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("id", col("id") * factor + col("__rep"))
+      .withColumn("x", col("x") + col("__rep") * lit(1000 * eps))
+      .drop("__rep")
+    run("dbscan_grid",
+      graft.cluster.DBSCAN.run(pts(emb1), eps, 4).count(),
+      graft.cluster.DBSCAN.run(ptsN, eps, 4).count())
     spark.stop()
   }
 }

@@ -151,6 +151,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-CLUSTER assignment at corpus scale: MinHash-LSH buckets →
+    * star edges (every doc links to its bucket's min doc) → connected
+    * components → `(doc_id, group_id)` with `group_id` = the component's
+    * min doc id (the canonical survivor).
+    *
+    * This is the shape that survives data with huge duplicate groups: a
+    * template duplicated d× produces d² pairs under [[minhashLsh]] /
+    * [[embeddingNearDups]] (inherent to emit-every-pair semantics), but
+    * only d star edges here — edge count is O(n · bands) regardless of
+    * duplicate structure. Within a bucket the star reaches every member
+    * through the hub, so bucket-level connectivity (and therefore the
+    * final components) is identical to the all-pairs edge set.
+    *
+    * Trade-off vs pair emission: no per-pair similarity is computed, so
+    * components are "shared at least one LSH band" transitive closures —
+    * the standard corpus-dedup semantics, not threshold-verified pairs. */
+  def minhashDedupGroups(documents: DataFrame, n: Int, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sig = minhashSignaturesOnePass(documents, n, bands * rowsPerBand)
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hubs = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("hub"))
+    val starEdges = banded.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub"), col("doc_id")).distinct()
+    val edgeRdd = starEdges.as[(Long, Long)]
+      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val vertexRdd = documents.select(col("doc_id")).as[Long].rdd.map(id => (id, ()))
+    val components = org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("doc_id", "group_id")
+    components.orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the signature is the sign
     * of sum over tokens of (+1 if token-hash bit i else -1). Computed as
     * 64 codegen'd conditional sums in one aggregation pass. */

@@ -51,6 +51,31 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("minhash dedup groups: copies cluster to min id; pairs never cross groups") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different text about spark catalyst optimizer rules"),
+      (5L, "completely different text about spark catalyst optimizer rules"),
+      (6L, "a singleton document with unique content nothing else shares")
+    ).toDF("doc_id", "text")
+    val g = Dedup.minhashDedupGroups(d, 3, 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(3L) == 1L)
+    assert(g(4L) == 4L && g(5L) == 4L)
+    assert(g(6L) == 6L)
+    // consistency with pair emission: any LSH pair shares a band bucket,
+    // so its endpoints must land in the same component
+    val groups = Dedup.minhashDedupGroups(docs, 3, 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.minhashLsh(docs, 3, 8, 4, 0.3).collect().foreach { r =>
+      assert(groups(r.getLong(0)) == groups(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses groups")
+    }
+  }
+
   test("df-capped jaccard: equal when cap loose, exact-score subset when tight") {
     val exact = Dedup.ngramJaccard(docs, 3, 0.2).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
