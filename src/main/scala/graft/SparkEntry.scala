@@ -53,6 +53,9 @@ object SparkEntry {
         .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
         .orderBy(col("p_brand"))
     }),
+    "q26_distinct_agg" -> ((s, d) => EventOps.distinctCounts(Tables.events(s, d))),
+    "q27_filtered_agg" -> ((s, d) => EventOps.conditionalAggs(Tables.events(s, d))),
+    "q58_window_range" -> ((s, d) => Windows.trailingWeekSpend(Tables.orders(s, d))),
     // §2.4 joins ----------------------------------------------------------
     "q10_join_segment" -> ((s, d) =>
       Joins.revenueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
@@ -334,6 +337,25 @@ object SparkEntry {
       s"""SELECT p_brand, ${m("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q26_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_filtered_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'purchase')
+        |    AS DOUBLE) AS purchase_value,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q58_window_range" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q30_events_buckets" ->
       """SELECT CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, event_type,
         |  COUNT(*) AS cnt

@@ -104,6 +104,27 @@ object EventOps {
         Num.avgMoney(col("value")).as("avg_value"))
       .orderBy(col("event_type"))
 
+  /** Multiple DISTINCT aggregates in one pass — Spark plans this with
+    * Expand (row replication per distinct group), keeping it a single
+    * shuffle instead of one job per distinct column. */
+  def distinctCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(expr("ts div 86400000000000")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Conditional (FILTER-clause style) aggregates in one pass: per-user
+    * event counts split by type plus exact-decimal purchase value. */
+  def conditionalAggs(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", Num.dec2(col("value"))))
+          .cast("double").as("purchase_value"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .orderBy(col("user_id"))
+
   /** Per-user activity profile. */
   def userStats(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -52,6 +52,22 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE-frame trailing 7-day spend per customer — the interval frame
+    * (all orders within the previous 6 days + today, however many rows)
+    * that rows-frames can't express. Ordered by epoch-day so the frame
+    * bound is integer arithmetic in both engines. */
+  def trailingWeekSpend(orders: DataFrame): DataFrame = {
+    val dayN = datediff(to_date(col("o_orderdate")),
+      lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayN)
+      .rangeBetween(-6, 0)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        sum(Num.dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_7d_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** rank/dense_rank over value within a group (supplier balances per
     * nation). */
   def supplierBalanceRanks(supplier: DataFrame): DataFrame = {
