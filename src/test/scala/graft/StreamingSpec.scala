@@ -132,6 +132,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.get(2L).contains(1L), s"user 2 session missing: $rows")
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val joined = graft.stream.StreamJoins.clickPurchaseAttribution(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      windowMinutes = 30, latenessMinutes = 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData((1L, t(0)), (1L, t(20)), (2L, t(5)))
+      purchases.addData((1L, t(25), 9.99))   // clicks at 0 and 20 in window
+      purchases.addData((2L, t(50), 5.00))   // click at 5 is 45 min old: out
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(rows == Set((1L, t(0).getTime), (1L, t(20).getTime)),
+      s"unexpected attribution rows: ${rows.mkString(",")}")
+  }
+
   test("windowed severity counts aggregate within hour buckets") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
