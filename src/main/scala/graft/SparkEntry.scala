@@ -106,6 +106,8 @@ object SparkEntry {
     "q48_dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), 3)),
     "q57_dedup_groups" -> ((s, d) =>
       graft.dedup.Dedup.minhashDedupGroups(Tables.documents(s, d), 3, 8, 4)),
+    "q59_embed_groups" -> ((s, d) =>
+      graft.dedup.Dedup.embeddingDedupGroups(Tables.embeddings(s, d), 0.9)),
     // north-star: similarity search --------------------------------------
     "q49_vec_norms" -> ((s, d) => graft.sim.Similarity.norms(Tables.embeddings(s, d))),
     "q50_knn_brute" -> ((s, d) => {

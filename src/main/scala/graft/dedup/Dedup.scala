@@ -242,6 +242,45 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding twin of [[minhashDedupGroups]]: hyperplane-LSH buckets →
+    * star edges to each bucket's min vec, VERIFIED by exact cosine →
+    * connected components → `(vec_id, group_id)`.
+    *
+    * Unlike minhash bands (a band collision already implies similarity),
+    * hyperplane buckets are coarse — 2^planes values per table — so raw
+    * bucket-mates include random pairs and unverified star edges would
+    * chain the corpus into giant components. Verifying each candidate
+    * edge keeps the count at O(n · tables) exact-cosine checks (never
+    * pairwise), and false merges at zero: components are single-linkage
+    * closures over verified-similar hub chains. A template duplicated d×
+    * still costs d edges, not d². */
+  def embeddingDedupGroups(embeddings: DataFrame, minCosine: Double,
+                           planes: Int = 8, tables: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = embeddings.select(col("vec_id"),
+        posexplode(graft.functions.LshBuckets.lshBuckets(col("embedding"), planes, tables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val hubs = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(min(col("vec_id")).as("hub"))
+    val candEdges = bucketed.join(hubs, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("hub"))
+      .select(col("hub"), col("vec_id")).distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val starEdges = candEdges
+      .join(e.toDF("hub", "he"), "hub")
+      .join(e.toDF("vec_id", "ve"), "vec_id")
+      .filter(round(graft.sim.Similarity.cosineFast(col("he"), col("ve")), 6) >= minCosine)
+      .select(col("hub"), col("vec_id"))
+    val edgeRdd = starEdges.as[(Long, Long)]
+      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val vertexRdd = embeddings.select(col("vec_id")).as[Long].rdd.map(id => (id, ()))
+    org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("vec_id", "group_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -64,44 +64,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** IVF (inverted-file) ANN: k-means partitions the corpus into `nlist`
-    * cells at index time; a query probes its `nprobe` nearest centroids
-    * and exhaustively re-ranks only those cells — the classic
-    * coarse-quantizer scale path next to LSH. Centroids are tiny and
-    * broadcast; the only corpus-sized operation is the equi-join of
-    * probed cells against the cell assignments.
-    *
-    * Recall/cost dial: nprobe/nlist (tested against brute force). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** A built IVF index: tiny centroid table (broadcast at query time)
+    * plus per-vector cell assignments. Build once, serve many query
+    * batches — in production both sides are persisted tables, with
+    * assignments written bucketed by `cell` so a probe is a
+    * partition-pruned read. */
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** IVF index build: k-means coarse quantizer over the corpus.
+    * A coarse quantizer only needs roughly-spread centroids, not
+    * convergence — iterations are capped (standard IVF practice; recall
+    * is governed by nprobe, which the recall test exercises). */
+  def ivfBuild(corpus: DataFrame, nlist: Int = 16): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"), array_to_vector(col("embedding")).as("features"))
-    // a coarse quantizer only needs roughly-spread centroids, not
-    // convergence — cap the iterations (standard IVF practice; recall
-    // is governed by nprobe, which the recall test exercises)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(corpusVec)
     val assigned = km.transform(corpusVec).select(col("neighbor_id"), col("ne"), col("cell"))
-    // centroid table: tiny (nlist × dim), broadcast to score query→cell
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = km.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toDF("cell", "centroid")
+    IvfIndex(centroids, assigned)
+  }
+
+  /** IVF query phase: probe the `nprobe` nearest centroids, exhaustively
+    * re-rank only those cells' members. Centroids broadcast; the only
+    * corpus-sized operation is the equi-join of probed cells against the
+    * assignments. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+                nprobe: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
+    val probed = q.crossJoin(broadcast(index.centroids))
       .withColumn("cdist", cosineFast(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probed.join(assigned, "cell")
+    probed.join(index.assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -109,6 +116,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** IVF (inverted-file) ANN, build + search in one call — the classic
+    * coarse-quantizer scale path next to LSH.
+    * Recall/cost dial: nprobe/nlist (tested against brute force). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(ivfBuild(corpus, nlist), queries, k, nprobe)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * a splitmix64-style integer mix mapped to (-1, 1). Generated on the

@@ -132,6 +132,37 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(nd.forall(_.getDouble(2) >= 0.4))
   }
 
+  test("IVF index built once serves multiple query batches identically") {
+    val idx = Similarity.ivfBuild(emb, nlist = 16)
+    val q1 = emb.filter(col("vec_id") < 10)
+    val q2 = emb.filter(col("vec_id").between(10, 19))
+    val viaIndex = Similarity.ivfSearch(idx, q1, 5, nprobe = 8).collect() ++
+      Similarity.ivfSearch(idx, q2, 5, nprobe = 8).collect()
+    val oneShot = Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 5,
+      nlist = 16, nprobe = 8).collect()
+    assert(viaIndex.map(_.toString).sorted.toSeq == oneShot.map(_.toString).sorted.toSeq)
+  }
+
+  test("embedding dedup groups: verified star edges cluster duplicates only") {
+    import spark.implicits._
+    // three exact copies + two unrelated vectors
+    val base = Seq.tabulate(8)(i => (i * 37 % 5 - 2).toFloat)
+    val other = Seq.tabulate(8)(i => ((i * 13 + 3) % 7 - 3).toFloat * (if (i % 2 == 0) 1 else -1))
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, other), (5L, other.map(x => -x))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val g = Dedup.embeddingDedupGroups(d, 0.95).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(3L) == 1L, s"copies split: $g")
+    assert(g(4L) == 4L, s"vector 4 merged wrongly: $g")
+    assert(g(5L) == 5L, s"anti-parallel vector merged (cosine -1): $g")
+    // corpus run: groups partition the id space, never lose a vector
+    val all = Dedup.embeddingDedupGroups(emb, 0.9).collect()
+    assert(all.length == emb.count())
+  }
+
   test("IVF ANN recall vs brute-force top-5") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5).select("query_id", "neighbor_id")
