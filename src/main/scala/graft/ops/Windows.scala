@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,41 @@ object Windows {
         to_date(col("o_orderdate")).as("order_date"),
         sum(Num.dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_7d_spend"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Scalable GLOBAL running sum over a unique order column — the
+    * two-phase replacement for `Window.orderBy(...)` with no partition
+    * key, which collapses the whole dataset into one task. Phase 1:
+    * bucket rows by approx-quantile boundaries of the order column and
+    * running-sum WITHIN each bucket (partitioned window). Phase 2:
+    * per-bucket totals (tiny — `nBuckets` rows) get prefix offsets via a
+    * driver-safe global window, broadcast back, and added to the local
+    * sums. Results are identical to the single-partition form when
+    * `orderCol` is unique (ties at a bucket boundary would otherwise
+    * split nondeterministically — same caveat the naive form has for tie
+    * ORDER). */
+  def globalRunningSum(df: DataFrame, orderCol: String, valueCol: Column,
+                       out: String, nBuckets: Int = 64): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // ascending fold: the outermost `when` checks the largest boundary,
+    // so a row falls into the highest bucket whose bound it exceeds
+    val bucketExpr = bounds.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (b, i)) => when(col(orderCol) > b, i + 1).otherwise(acc)
+    }
+    val withB = df.withColumn("__b", bucketExpr)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB.withColumn("__local", sum(valueCol).over(wIn))
+    val totals = withB.groupBy(col("__b")).agg(sum(valueCol).as("__t"))
+    val wPre = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__t")).over(wPre), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), "__b")
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__b", "__local")
   }
 
   /** rank/dense_rank over value within a group (supplier balances per

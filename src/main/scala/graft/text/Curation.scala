@@ -55,16 +55,15 @@ object Curation {
     // afterExact's id set IS exactKeep — survivors need no corpus rescan
     val survivors = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
-    survivors.join(quality, Seq("doc_id"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // token budget = global running sum in doc_id order — two-phase
+    // (bucketed) so no single task ever sees the whole corpus
+    graft.ops.Windows.globalRunningSum(
+        survivors.join(quality, Seq("doc_id")),
+        "doc_id", col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= cfg.tokenBudget)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
   }
-
-  private val Window = org.apache.spark.sql.expressions.Window
 
   /** Funnel report: rows surviving each stage. */
   def curationReport(documents: DataFrame, cfg: Config = Config()): Map[String, Long] = {

@@ -51,6 +51,23 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("two-phase global running sum equals the single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+    val naive = toks.withColumn("cum",
+        sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoPhase = graft.ops.Windows.globalRunningSum(toks, "doc_id", col("n_tokens"), "cum")
+      .select("doc_id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPhase == naive)
+    // and the plan never runs an unpartitioned window over the data rows:
+    // the only global window is over the nBuckets-row totals table
+    val plan = graft.ops.Windows.globalRunningSum(toks, "doc_id", col("n_tokens"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected window nodes in plan")
+  }
+
   test("minhash dedup groups: copies cluster to min id; pairs never cross groups") {
     import spark.implicits._
     val d = Seq(
