@@ -33,6 +33,44 @@ class PropertiesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("property: two-phase running sum == sequential prefix sum on random data") {
+    samples(Gen.listOfN(200, Gen.chooseNum(0L, 5000L)), 4).foreach { values =>
+      // unique, non-contiguous, unordered ids
+      val rows = values.zipWithIndex.map { case (v, i) => (i * 37L % 9973L, v) }
+        .distinctBy(_._1)
+      val df = rows.toDF("id", "v")
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }.drop(1).toMap
+      val got = Windows.globalRunningSum(df, "id", col("v"), "cum", nBuckets = 7)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("property: native lsh_buckets == HOF fold on random float vectors") {
+    val gen = Gen.listOfN(24, Gen.chooseNum(-5.0f, 5.0f))
+    val vecs = samples(gen, 40).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val planes = 5; val tables = 2
+    val hof = array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val plane = t * planes + p
+        val proj = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x.cast("double") *
+              (xxhash64(lit(plane), i).cast("double") / lit(Long.MaxValue.toDouble))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(0L)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+    val bad = df.withColumn("hof", hof)
+      .withColumn("native",
+        graft.functions.LshBuckets.lshBuckets(col("embedding"), planes, tables))
+      .filter(col("hof") =!= col("native")).count()
+    assert(bad == 0)
+  }
+
   test("property: dedup is idempotent on generated keyed data") {
     samples(Gen.listOfN(60, Gen.chooseNum(0L, 15L)), 5).foreach { keys =>
       val df = keys.zipWithIndex.map { case (k, i) => (s"id$k", i) }.toDF("id", "v")
