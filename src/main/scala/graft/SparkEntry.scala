@@ -73,6 +73,13 @@ object SparkEntry {
     // §2.7 windows --------------------------------------------------------
     "q16_window_topn" -> ((s, d) => Windows.topOrdersPerCustomer(Tables.orders(s, d))),
     "q17_window_mom" -> ((s, d) => Windows.monthlyOrderDeltas(Tables.orders(s, d))),
+    // q16's semantics through the custom TopKPerKey LogicalPlan/Strategy/
+    // SparkPlan (bounded heap per key, no partition sort) — same oracle
+    "q28_topk_native" -> ((s, d) =>
+      graft.plans.TopK.topKPerKey(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .orderBy(col("o_custkey"), col("rn"))),
     "q18_window_running" -> ((s, d) => Windows.runningSpendPerCustomer(Tables.orders(s, d))),
     "q19_window_rank" -> ((s, d) => Windows.supplierBalanceRanks(Tables.supplier(s, d))),
     // §2.7 set ops --------------------------------------------------------
@@ -297,6 +304,12 @@ object SparkEntry {
          |  JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q16_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q28_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn

@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (EqualTo(s, Literal("MAJOR")), Literal(3.0))), Some(Literal(1.0)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

@@ -48,4 +48,25 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT severity_ordinal('MAJOR') AS a, severity_ordinal('garbage') AS b").first()
     assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 1.0)
   }
+
+  test("custom TopKPerKey operator == window top-N, without sorting partitions") {
+    val o = graft.ops.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    def custom = graft.plans.TopK.topKPerKey(o, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val viaWindow = graft.ops.Windows.topOrdersPerCustomer(
+        graft.ops.Tables.orders(spark, sf), 3)
+      .collect().map(_.toSeq).toSet
+    val viaCustom = custom
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(viaCustom == viaWindow,
+      "custom operator must reproduce the window top-N exactly")
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"strategy did not plan the custom exec:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "required distribution must insert the key shuffle")
+    assert(!plan.contains("+- Sort"),
+      s"custom top-k must not sort partitions:\n$plan")
+  }
 }
