@@ -145,6 +145,10 @@ object SparkEntry {
         .orderBy(col("id"), col("event_subtype"), col("road"), col("area"))),
     "q62_open511_severity" -> ((s, _) =>
       Clean.severityRollup(Ingest.readEvents(s, Ingest.fixturePath))),
+    "q29_open511_subtypes" -> ((s, _) =>
+      Clean.subtypeRollup(Ingest.readEvents(s, Ingest.fixturePath))),
+    "q70_open511_monthly" -> ((s, _) =>
+      Clean.monthlyRollup(Ingest.readEvents(s, Ingest.fixturePath))),
     // custom algorithm: distributed DBSCAN over embedding 2D projection
     "q63_dbscan" -> ((s, d) => {
       val pts = Tables.embeddings(s, d).select(

@@ -72,4 +72,19 @@ object Clean {
     events.transform(dedupById)
       .groupBy(col("severity")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("severity"))
+
+  /** Subtype rollup (`athena.sql:22-24`) over the exploded time-series
+    * table (the Athena external table's shape). */
+  def subtypeRollup(events: DataFrame): DataFrame =
+    timeSeriesTable(events)
+      .groupBy(col("event_subtype")).agg(count(col("id")).as("cnt"))
+      .orderBy(col("event_subtype"))
+
+  /** Month/year rollup (`athena.sql:26-29`). */
+  def monthlyRollup(events: DataFrame): DataFrame =
+    timeSeriesTable(events)
+      .groupBy(year(col("event_timestamp")).cast("long").as("y"),
+        month(col("event_timestamp")).cast("long").as("m"))
+      .agg(count(col("id")).as("cnt"))
+      .orderBy(col("y"), col("m"))
 }

@@ -77,6 +77,16 @@ class Open511Spec extends AnyFunSuite {
     assert(withCoords == 5) // EV-4 (null geography) and EV-5 (garbage) excluded
   }
 
+  test("athena rollups: subtype and month/year counts partition the time-series table") {
+    val ts = Clean.timeSeriesTable(events)
+    val n = ts.count()
+    assert(Clean.subtypeRollup(events).agg(sum("cnt")).first().getLong(0) == n)
+    val mon = Clean.monthlyRollup(events).collect()
+    assert(mon.map(_.getLong(2)).sum == n)
+    val ym = mon.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ym == ym.sorted, "month/year rollup must be ordered (athena.sql:29)")
+  }
+
   test("haversine: Vancouver→Kelowna ≈ 272 km") {
     import spark.implicits._
     val d = Seq((49.28, -123.12, 49.89, -119.50)).toDF("lat1", "lon1", "lat2", "lon2")
