@@ -78,7 +78,12 @@ object Windows {
     * sums. Results are identical to the single-partition form when
     * `orderCol` is unique (ties at a bucket boundary would otherwise
     * split nondeterministically — same caveat the naive form has for tie
-    * ORDER). */
+    * ORDER).
+    *
+    * NOTE: calling this EXECUTES the input pipeline immediately (the
+    * quantile probe is an action and the input is checkpointed for its
+    * three consumers) — unlike most operators here, the returned
+    * DataFrame is not a fully lazy plan. */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: Column,
                        out: String, nBuckets: Int = 64): DataFrame = {
     // three consumers (quantile probe, bucket totals, local sums) —
