@@ -58,6 +58,11 @@ object StressBench {
       Joins.brandVolume(li1, part).count(), Joins.brandVolume(liN, part).count())
     run("window_topn",
       Windows.topOrdersPerCustomer(o1).count(), Windows.topOrdersPerCustomer(oN).count())
+    def topkNative(df: DataFrame) = graft.plans.TopK.topKPerKey(
+      df.select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    run("topk_native",
+      topkNative(o1).count(), topkNative(oN).count())
     run("sessionize",
       EventOps.sessionize(ev1, 30).count(), EventOps.sessionize(evN, 30).count())
     run("asof_join",
