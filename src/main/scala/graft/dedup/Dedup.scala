@@ -178,12 +178,19 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val hubs = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("hub"))
+    // connectedComponents is iterative Pregel: its vertex/edge RDDs are
+    // consumed once per round, and un-materialized DataFrame lineage
+    // would re-run the whole shingle→minhash→banding pipeline each time
+    // (measured 81 s vs ~5 s at sf0.1). localCheckpoint truncates to RDD
+    // blocks exactly as DBSCAN.run does for its GraphX inputs.
     val starEdges = banded.join(hubs, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub"), col("doc_id")).distinct()
+      .localCheckpoint()
     val edgeRdd = starEdges.as[(Long, Long)]
       .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val vertexRdd = documents.select(col("doc_id")).as[Long].rdd.map(id => (id, ()))
+    val vertexRdd = documents.select(col("doc_id")).localCheckpoint()
+      .as[Long].rdd.map(id => (id, ()))
     val components = org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
       .connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("doc_id", "group_id")
@@ -267,14 +274,18 @@ object Dedup {
       .filter(col("vec_id") =!= col("hub"))
       .select(col("hub"), col("vec_id")).distinct()
     val e = embeddings.select(col("vec_id"), col("embedding"))
+    // localCheckpoint before GraphX for the same reason as
+    // [[minhashDedupGroups]]: Pregel re-consumes its inputs per round.
     val starEdges = candEdges
       .join(e.toDF("hub", "he"), "hub")
       .join(e.toDF("vec_id", "ve"), "vec_id")
       .filter(round(graft.sim.Similarity.cosineFast(col("he"), col("ve")), 6) >= minCosine)
       .select(col("hub"), col("vec_id"))
+      .localCheckpoint()
     val edgeRdd = starEdges.as[(Long, Long)]
       .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val vertexRdd = embeddings.select(col("vec_id")).as[Long].rdd.map(id => (id, ()))
+    val vertexRdd = embeddings.select(col("vec_id")).localCheckpoint()
+      .as[Long].rdd.map(id => (id, ()))
     org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
       .connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("vec_id", "group_id")

@@ -18,6 +18,20 @@ object Clean {
     * (see [[EventOps.firstEventPerUser]]). */
   def dedupById(df: DataFrame): DataFrame = df.dropDuplicates("id")
 
+  /** Deterministic dedup by id: keep, per id, the row sorting first by
+    * (updated, description) — SURVEY §7.4 trap 8's canonical-
+    * representative refinement of `dropDuplicates`, so every downstream
+    * table is oracle-comparable (an arbitrary representative would make
+    * row contents — e.g. exploded road counts — nondeterministic).
+    * Same single shuffle on id as `dropDuplicates`; the k-per-key sort
+    * is bounded by the duplicate multiplicity. */
+  def dedupByIdCanonical(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("updated").asc_nulls_first, col("description").asc_nulls_first)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Null-drop on required keys (`etl-historical.py:58,71` etc.). */
   def requireFields(df: DataFrame, fields: Seq[String]): DataFrame =
     df.na.drop("any", fields)
@@ -39,7 +53,7 @@ object Clean {
     * events with empty arrays). */
   def timeSeriesTable(events: DataFrame): DataFrame =
     events
-      .transform(dedupById)
+      .transform(dedupByIdCanonical)
       .transform(withTimestamps)
       .select(col("id"), col("event_type"), col("created_ts").as("event_timestamp"),
         col("severity"), col("event_subtypes"), col("roads"), col("areas"))
@@ -53,7 +67,7 @@ object Clean {
     * `+ivr_message`). */
   def mlTable(events: DataFrame): DataFrame =
     events
-      .transform(dedupById)
+      .transform(dedupByIdCanonical)
       .transform(df => requireFields(df, Seq("id", "created", "updated")))
       .transform(withTimestamps)
       .transform(withDuration)
@@ -69,7 +83,7 @@ object Clean {
   /** The severity rollup flagship (`athena.sql:18-20` ≡
     * `simple-analyses.py:27`). */
   def severityRollup(events: DataFrame): DataFrame =
-    events.transform(dedupById)
+    events.transform(dedupByIdCanonical)
       .groupBy(col("severity")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("severity"))
 

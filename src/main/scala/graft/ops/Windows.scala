@@ -105,8 +105,13 @@ object Windows {
     val totals = withB.groupBy(col("__b")).agg(sum(valueCol).as("__t"))
     val wPre = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the coalesce zero is cast to the bucket-sum's own type so the
+    // output type never depends on bigint-literal coercion (decimal
+    // inputs would otherwise resolve through coercion rules and could
+    // diverge from the single-partition window form's type)
+    val sumType = totals.schema("__t").dataType
     val offsets = totals
-      .withColumn("__off", coalesce(sum(col("__t")).over(wPre), lit(0L)))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wPre), lit(0).cast(sumType)))
       .select(col("__b"), col("__off"))
     local.join(broadcast(offsets), "__b")
       .withColumn(out, col("__local") + col("__off"))

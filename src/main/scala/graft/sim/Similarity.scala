@@ -124,6 +124,28 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(ivfBuild(corpus, nlist), queries, k, nprobe)
 
+  /** Session-scoped IVF index cache: build once per (session, corpus key,
+    * nlist), serve many query batches — the build/serve split made
+    * concrete for repeated callers. The cached tables are
+    * localCheckpointed so a cache hit never re-runs KMeans or the corpus
+    * scan; the (tiny) centroid table is explicitly re-broadcast by
+    * [[ivfSearch]], so the checkpoint's stat loss is irrelevant. In
+    * production the same split is a bucketed-by-cell table write plus a
+    * partition-pruned probe read. Keyed by applicationId so entries from
+    * a stopped SparkContext are never served to a new session. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), IvfIndex]()
+
+  def ivfTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
+                    k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val appId = corpus.sparkSession.sparkContext.applicationId
+    val idx = ivfCache.computeIfAbsent((appId, corpusKey, nlist), _ => {
+      val b = ivfBuild(corpus, nlist)
+      IvfIndex(b.centroids.localCheckpoint(), b.assigned.localCheckpoint())
+    })
+    ivfSearch(idx, queries, k, nprobe)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * a splitmix64-style integer mix mapped to (-1, 1). Generated on the
     * fly inside codegen; no driver-side matrix to broadcast. */

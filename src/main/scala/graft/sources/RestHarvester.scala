@@ -67,9 +67,15 @@ object RestHarvester {
       }
 
     @tailrec def loop(): Unit = {
+      val skippedBefore = skipped
       val page = fetchWindow(offset, limit, maxRetries)
       pages += 1
-      if (page.nonEmpty) {
+      // Terminate only on a genuinely empty page FROM THE SERVER. A
+      // window whose records were all poisoned (every one skipped via
+      // bisection) also comes back empty, but the harvest must advance
+      // past it — terminating there would silently drop the remainder,
+      // breaking the "skip only the poisoned record" contract.
+      if (page.nonEmpty || skipped > skippedBefore) {
         out ++= page
         offset += limit
         loop()

@@ -25,6 +25,31 @@ import graft.ops.{Clean, Geo}
   */
 object EventStream {
 
+  /** Production stream sources (SURVEY §2.1 S5). The reference ran
+    * Kinesis on EMR (`etl-events.py:70-76`); both adapters below emit the
+    * same one-record-per-payload `data` column that [[parseEvents]]
+    * consumes, so tests (MemoryStream), Kafka, and Kinesis share the
+    * pipeline unchanged. Zero-egress sandbox: compile-tested only — the
+    * connector jar supplies the named format at runtime
+    * (`spark-sql-kafka-0-10` / `spark-streaming-kinesis-asl`). */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest") // reference used LATEST
+      .load()
+      .select(col("value").as("data"))
+
+  def kinesisSource(spark: org.apache.spark.sql.SparkSession,
+                    streamName: String, region: String): DataFrame =
+    spark.readStream.format("aws-kinesis")
+      .option("kinesis.streamName", streamName)
+      .option("kinesis.region", region)
+      .option("kinesis.startingposition", "LATEST") // etl-events.py:74
+      .load()
+      .select(col("data"))
+
   /** Payload parse: one JSON document (`{"events":[...]}`) per record in
     * a binary/string `data` column → one row per event
     * (`etl-events.py:79-88`: cast, from_json, explode, star-expand). */

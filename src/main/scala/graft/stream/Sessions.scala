@@ -68,23 +68,37 @@ object Sessions {
             Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
               new java.sql.Timestamp(s.endMs), s.n))
           } else {
-            val ts = rows.map(_._2.getTime).toArray
-            // an event past the gap closes the open session even before
-            // the timeout fires (the timeout only covers quiet users)
-            val (closed, merged) = state.getOption match {
-              case Some(s) if ts.min > s.endMs + gapMs =>
-                (Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
-                  new java.sql.Timestamp(s.endMs), s.n)),
-                  SessionBuf(ts.min, ts.max, ts.length.toLong))
-              case Some(s) => (Iterator.empty[ClosedSession],
-                SessionBuf(math.min(s.startMs, ts.min),
-                  math.max(s.endMs, ts.max), s.n + ts.length))
-              case None => (Iterator.empty[ClosedSession],
-                SessionBuf(ts.min, ts.max, ts.length.toLong))
+            // A micro-batch can carry SEVERAL sessions for one user.
+            // Split the sorted batch into gap-separated runs, merge the
+            // open-session buffer in as one more interval, then emit
+            // every run but the last as a closed session (the last stays
+            // open under the event-time timeout). The gap break is >=,
+            // matching session_window's [start, end) semantics: an event
+            // exactly `gap` after the previous one starts a NEW session.
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val runs = ts.foldLeft(Vector.empty[SessionBuf]) { (acc, t) =>
+              acc.lastOption match {
+                case Some(r) if t - r.endMs < gapMs =>
+                  acc.init :+ SessionBuf(r.startMs, t, r.n + 1)
+                case _ => acc :+ SessionBuf(t, t, 1L)
+              }
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.endMs + gapMs)
-            closed
+            // interval-merge the existing open session with the runs
+            // (late events can place it anywhere among them, or spanning)
+            val merged = (state.getOption.toVector ++ runs).sortBy(_.startMs)
+              .foldLeft(Vector.empty[SessionBuf]) { (acc, r) =>
+                acc.lastOption match {
+                  case Some(p) if r.startMs - p.endMs < gapMs =>
+                    acc.init :+ SessionBuf(p.startMs, math.max(p.endMs, r.endMs), p.n + r.n)
+                  case _ => acc :+ r
+                }
+              }
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            merged.init.iterator.map(s =>
+              ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+                new java.sql.Timestamp(s.endMs), s.n))
           }
       }
   }
