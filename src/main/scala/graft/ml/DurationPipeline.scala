@@ -51,18 +51,36 @@ object DurationPipeline {
   }
 
   /** 3-fold CV over the reference's RF grid shape (`ml-sparkml.py:51-62`),
-    * scaled-down grid by default to keep tests tractable. */
+    * scaled-down grid by default to keep tests tractable; pass
+    * [[ReferenceGrid]] values for the full 3×3×2 reference grid. */
   def crossValidatedRf(catCols: Seq[String], numCols: Seq[String], labelCol: String,
                        numTrees: Array[Int] = Array(20, 50),
-                       maxDepth: Array[Int] = Array(3, 5)): CrossValidator = {
+                       maxDepth: Array[Int] = Array(3, 5),
+                       maxBins: Array[Int] = Array(32)): CrossValidator = {
     val pipeline = rfPipeline(catCols, numCols, labelCol)
     val rf = pipeline.getStages.last.asInstanceOf[RandomForestRegressor]
     val grid = new ParamGridBuilder()
-      .addGrid(rf.numTrees, numTrees).addGrid(rf.maxDepth, maxDepth).build()
+      .addGrid(rf.numTrees, numTrees).addGrid(rf.maxDepth, maxDepth)
+      .addGrid(rf.maxBins, maxBins).build()
     new CrossValidator().setEstimator(pipeline)
       .setEvaluator(new RegressionEvaluator().setLabelCol(labelCol).setMetricName("rmse"))
       .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
   }
+
+  /** The reference's full tuning grid — numTrees [50,100,150] × maxDepth
+    * [5,10,15] × maxBins [16,32] = 18 candidates × 3 folds
+    * (`ml-sparkml.py:56-62`). Run via [[graft.ml.CvGridRun]]; results
+    * recorded in `CV_METRICS.md` next to BASELINE.md's numbers. */
+  object ReferenceGrid {
+    val numTrees: Array[Int] = Array(50, 100, 150)
+    val maxDepth: Array[Int] = Array(5, 10, 15)
+    val maxBins: Array[Int] = Array(16, 32)
+  }
+
+  def crossValidatedRfReferenceGrid(catCols: Seq[String], numCols: Seq[String],
+                                    labelCol: String): CrossValidator =
+    crossValidatedRf(catCols, numCols, labelCol,
+      ReferenceGrid.numTrees, ReferenceGrid.maxDepth, ReferenceGrid.maxBins)
 
   /** rmse/mae/mse/r2 — the reference's metric quadruple
     * (`ml-sparkml.py:66-78`). */

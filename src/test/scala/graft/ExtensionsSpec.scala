@@ -69,4 +69,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("+- Sort"),
       s"custom top-k must not sort partitions:\n$plan")
   }
+
+  test("global top-k (empty keys) is exact — AllTuples forces one partition") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val topGlobal = graft.plans.TopK.topKPerKey(o, Seq.empty,
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+    val expected = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect().map(_.toSeq).toSeq
+    val got = topGlobal.orderBy(col("rn")).collect().map(_.toSeq.init).toSeq
+    assert(got == expected,
+      s"global top-k must equal the global sort+limit, got $got vs $expected")
+    assert(topGlobal.count() == 5,
+      "a per-partition heap would emit up to k rows per partition")
+  }
 }

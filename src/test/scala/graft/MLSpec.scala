@@ -63,4 +63,17 @@ class MLSpec extends AnyFunSuite {
     val m = cv.fit(small)
     assert(m.bestModel != null && m.avgMetrics.nonEmpty)
   }
+
+  test("full reference grid builds 3×3×2 = 18 candidates (ml-sparkml.py:56-62)") {
+    val cv = DurationPipeline.crossValidatedRfReferenceGrid(cat, num, "label")
+    val maps = cv.getEstimatorParamMaps
+    assert(maps.length == 18, s"expected 18 param maps, got ${maps.length}")
+    val rf = cv.getEstimator.asInstanceOf[org.apache.spark.ml.Pipeline]
+      .getStages.last.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressor]
+    val trees = maps.map(_.apply(rf.numTrees)).toSet
+    val depths = maps.map(_.apply(rf.maxDepth)).toSet
+    val bins = maps.map(_.apply(rf.maxBins)).toSet
+    assert(trees == Set(50, 100, 150) && depths == Set(5, 10, 15) && bins == Set(16, 32))
+    assert(cv.getNumFolds == 3)
+  }
 }

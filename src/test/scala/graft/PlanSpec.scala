@@ -65,4 +65,36 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("partitioned events sink: static + dynamic partition pruning") {
+    // SURVEY §4's named gap vs the reference's flat glob
+    // (lambda-run-clustering.py:25): write the events table partitioned
+    // by month via Catalog.writePartitioned, then assert both pruning
+    // modes reach the scan.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_events").toString
+    val ev = graft.ops.Tables.events(spark, sf)
+      .withColumn("m", month(col("event_ts")))
+    graft.sources.Catalog.writePartitioned(ev, dir, Seq("m"))
+    val re = spark.read.parquet(dir)
+
+    // static pruning: a literal partition predicate appears as a
+    // PartitionFilter on the scan, not a post-scan Filter
+    val static = re.filter(col("m") === 1).queryExecution.executedPlan.toString
+    assert(static.contains("PartitionFilters:") && static.contains("(m#"),
+      s"partition filter not pushed to the scan:\n$static")
+
+    // dynamic pruning: joining on the partition column against a
+    // filtered dim inserts a dynamicpruning subquery into the scan's
+    // partition filters, so only the dim's months are read. The dim must
+    // not collapse to a LocalTableScan (constant folding would erase the
+    // selective predicate DPP looks for), so build it over range().
+    val dim = spark.range(1, 13).select(col("id").cast("int").as("m"),
+      concat(lit("month-"), col("id")).as("label"))
+    val dpp = re.join(broadcast(dim.filter(col("label") === "month-1")), "m")
+      .queryExecution.executedPlan.toString
+    assert(dpp.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$dpp")
+  }
 }

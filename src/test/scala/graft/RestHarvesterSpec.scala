@@ -54,6 +54,15 @@ class RestHarvesterSpec extends AnyFunSuite {
     assert(stats.bisections > 0 && stats.bisections <= 10, "log2(limit) bisections")
   }
 
+  test("fully poisoned window advances instead of terminating the harvest") {
+    val data = corpus(1500)
+    val (got, stats) = harvest(pagedFetch(data, poisoned = (500 until 1000).toSet),
+      limit = 500, backoff = () => ())
+    assert(got == data.take(500) ++ data.drop(1000),
+      "records after an all-poisoned window must still be harvested")
+    assert(stats.skipped == 500)
+  }
+
   test("persistent rate limiting eventually throws") {
     val data = corpus(10)
     assertThrows[IllegalStateException] {

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.get(2L).contains(1L), s"user 2 session missing: $rows")
   }
 
+  test("stateful sessionize splits gap-separated runs within one micro-batch") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val sessions = graft.stream.Sessions.sessionizeStateful(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 10, latenessMinutes = 5)
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fs_runs_out").start()
+    try {
+      // ONE batch carries three sessions for user 1: {0,5}, {30}, {40} —
+      // 30 is >gap after 5, and 40 is EXACTLY gap after 30 (the >= break
+      // matching session_window's [start, end) semantics)
+      mem.addData((1L, t(0)), (1L, t(5)), (1L, t(30)), (1L, t(40)))
+      q.processAllAvailable()
+      mem.addData((9L, t(200))) // watermark jump fires the open timeout
+      q.processAllAvailable()
+      mem.addData((9L, t(300))) // next batch processes the fired timeout
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fs_runs_out").filter(col("user_id") === 1L)
+      .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 1L, 2L),
+      s"expected three sessions with (2,1,1) events for user 1, got $rows")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sctx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
