@@ -222,7 +222,19 @@ object SparkEntry {
       val media = graft.multimodal.Multimodal.synthesizeFromDocuments(Tables.documents(s, d)).toDF()
       graft.multimodal.Multimodal.sampleFrames(media, 1000L)
         .orderBy(col("media_id"), col("frame_no"))
-    })
+    }),
+    // north-star additions round 2: chunking, PII scrub, deterministic
+    // split, collocations — the remaining training-data-prep surface
+    "q71_docs_chunks" -> ((s, d) =>
+      graft.text.TextOps.chunkDocs(Tables.documents(s, d), 16)),
+    "q72_docs_redact" -> ((s, d) =>
+      graft.text.TextOps.redactPii(Tables.documents(s, d))),
+    "q73_docs_hashsplit" -> ((s, d) =>
+      graft.ops.Sampling.hashSplit(Tables.documents(s, d), "doc_id", "s42", 0.8)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+    "q74_docs_bigrams" -> ((s, d) =>
+      graft.text.TextOps.bigramVocab(Tables.documents(s, d), 5))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -241,7 +253,12 @@ object SparkEntry {
     "q50_knn_brute" -> Seq("embeddings"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
-    "q67_multimodal_frames" -> Seq("documents"))
+    "q66_multimodal_decode" -> Seq("documents"),
+    "q67_multimodal_frames" -> Seq("documents"),
+    "q71_docs_chunks" -> Seq("documents"),
+    "q72_docs_redact" -> Seq("documents"),
+    "q73_docs_hashsplit" -> Seq("documents"),
+    "q74_docs_bigrams" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -664,6 +681,51 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    unnest(range(0, n_chars * 100 + 1, 1000)) AS ts_ms
         |  FROM documents WHERE doc_id % 3 = 2) t
-        |ORDER BY media_id, frame_no""".stripMargin
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // the decode stub's surrounding plumbing is exact arithmetic: kind
+    // assignment, aspect-preserving resize, fixed feature width — all
+    // SQL-expressible, so the multimodal path gets a real oracle
+    "q66_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    CAST(n_chars % 640 + 16 AS INTEGER) AS w,
+        |    CAST(n_chars % 480 + 16 AS INTEGER) AS h
+        |  FROM documents),
+        |s AS (SELECT media_id, kind, w, h,
+        |    least(224.0 / greatest(w, 1), 224.0 / greatest(h, 1)) AS sc FROM m)
+        |SELECT media_id, kind,
+        |  CAST(greatest(1, CAST(trunc(w * sc) AS INTEGER)) AS INTEGER) AS out_width,
+        |  CAST(greatest(1, CAST(trunc(h * sc) AS INTEGER)) AS INTEGER) AS out_height,
+        |  CAST(16 AS BIGINT) AS feat_dim
+        |FROM s ORDER BY media_id""".stripMargin,
+    "q71_docs_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_no FROM t)
+        |SELECT doc_id, chunk_no,
+        |  array_to_string(w[CAST(chunk_no * 16 + 1 AS BIGINT) : CAST(chunk_no * 16 + 16 AS BIGINT)], ' ') AS chunk_text,
+        |  CAST(least(16, len(w) - chunk_no * 16) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "q72_docs_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q73_docs_hashsplit" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 'cccccccc' THEN 'train' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), '|s42')), 1, 8) AS bucket
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q74_docs_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 2 AS BIGINT)], ' ') AS bigram
+        |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i FROM t) u)
+        |SELECT bigram, COUNT(*) AS cnt FROM b
+        |GROUP BY bigram HAVING COUNT(*) >= 5 ORDER BY cnt DESC, bigram""".stripMargin
   )
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting by content hash — the
+  * reproducible sibling of `randomSplit` (SURVEY §2.7 W2) for
+  * training-data pipelines: the same row lands in the same split on
+  * every engine, every run, every cluster size, because the assignment
+  * is a pure function of the row's id (+ salt), not of partitioning or
+  * RNG state.
+  *
+  * Mechanics: the first 8 hex chars of `md5(id || '|' || salt)` are a
+  * uniform 32-bit value; comparing against a fraction-scaled hex
+  * threshold buckets rows with no shuffle at all (a narrow projection).
+  * md5 hex is identical across engines, so the assignment is
+  * oracle-checkable — unlike murmur3/xxhash which are engine-specific.
+  */
+object Sampling {
+
+  /** First-8-hex-chars md5 bucket of (id, salt) — uniform over 2^32. */
+  def hashBucketHex(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 8)
+
+  /** Hex threshold such that P(bucket < threshold) ≈ frac. */
+  def thresholdHex(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    f"${(frac * 0xFFFFFFFFL).toLong}%08x"
+  }
+
+  /** Add a deterministic train/test `split` column. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                trainFrac: Double): DataFrame =
+    df.withColumn("bucket", hashBucketHex(col(idCol), salt))
+      .withColumn("split",
+        when(col("bucket") < lit(thresholdHex(trainFrac)), "train")
+          .otherwise("test"))
+
+  /** Deterministic `frac` subsample (keep iff bucket under threshold). */
+  def sampleByHash(df: DataFrame, idCol: String, salt: String,
+                   frac: Double): DataFrame =
+    df.filter(hashBucketHex(col(idCol), salt) < lit(thresholdHex(frac)))
+}

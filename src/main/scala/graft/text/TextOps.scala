@@ -143,4 +143,61 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token"))
+
+  /** Bigram (collocation) vocabulary with raw counts — the n=2
+    * non-distinct sibling of [[graft.dedup.Dedup.shingles]]. Same
+    * shuffle shape as [[vocabulary]]: explode + one hash aggregation. */
+  def bigramVocab(documents: DataFrame, minCount: Long = 1): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array())
+    documents.select(explode(bg).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("bigram"))
+  }
+
+  /** Fixed-size token chunking for training-data preparation: split each
+    * document into `chunkTokens`-token pieces, one row per chunk, keeping
+    * (doc_id, chunk_no) lineage. Pure plan arithmetic — sequence +
+    * slice + posexplode inside codegen; rejoining
+    * `concat_ws(' ', collect chunks in order)` restores the exact text
+    * (property-tested). At corpus scale this is a narrow map — no
+    * shuffle at all until a downstream aggregation. */
+  def chunkDocs(documents: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val k = chunkTokens
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("__w"),
+        ceil(size(toks).cast("double") / k).cast("int").as("__n"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => concat_ws(" ", slice(col("__w"), i * k + 1, lit(k))))))
+      .withColumnRenamed("pos", "chunk_no").withColumnRenamed("col", "chunk_text")
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        col("chunk_text"),
+        least(lit(k.toLong),
+          size(col("__w")).cast("long") - col("chunk_no").cast("long") * k).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** Portable PII patterns (same semantics under Java regex and RE2, so
+    * oracle-checkable): emails and NNN-NNN-NNNN phone shapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** PII scrub for training corpora: per-document redaction counts plus
+    * the md5 fingerprint of the redacted text (emails → `[EMAIL]`,
+    * phones → `[PHONE]`). Counts stay meaningful (and the fingerprint
+    * equals [[fingerprint]]-style identity) on already-clean corpora. */
+  def redactPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Sampling, Tables}
+import graft.text.TextOps
+
+/** Round-2 training-data-prep operators: chunking, PII redaction,
+  * deterministic hash split, bigram vocabulary. */
+class CorpusPrepSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("chunking reassembles to the exact original text") {
+    val rejoined = TextOps.chunkDocs(docs, 16)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_no"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val mismatches = docs.join(rejoined, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(mismatches == 0, "concatenating ordered chunks must restore the document")
+  }
+
+  test("chunk sizes: k tokens everywhere except the last chunk; totals add up") {
+    val c = TextOps.chunkDocs(docs, 16).cache()
+    val perDoc = c.groupBy(col("doc_id"))
+      .agg(max(col("chunk_no")).as("last"), sum(col("n_tokens")).as("total"))
+    // non-terminal chunks are exactly k tokens
+    val short = c.join(perDoc, "doc_id")
+      .filter(col("chunk_no") < col("last") && col("n_tokens") =!= 16).count()
+    assert(short == 0, "only the final chunk may be short")
+    // token totals match the tokenizer
+    val bad = perDoc.join(
+        docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n")),
+        "doc_id")
+      .filter(col("total") =!= col("n")).count()
+    assert(bad == 0, "chunk token counts must sum to the document token count")
+    c.unpersist()
+  }
+
+  test("PII redaction: emails and phones replaced, counts exact") {
+    val pii = Seq(
+      (1L, "contact me at jane.doe+x@example-mail.com or 604-555-1234 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c.d@e.org and 555 123 4567 phone")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(pii).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((0L, 0L)) && out(3L) == ((2L, 1L)))
+    val redacted = pii.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), TextOps.EmailRe, "[EMAIL]"),
+        TextOps.PhoneRe, "[PHONE]").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) == "contact me at [EMAIL] or [PHONE] thanks")
+    assert(redacted(3L).contains("[EMAIL] [EMAIL] and [PHONE] phone"))
+  }
+
+  test("hash split is deterministic, exhaustive, and ~trainFrac") {
+    val a = Sampling.hashSplit(docs, "doc_id", "s42", 0.8).select("doc_id", "split")
+    val b = Sampling.hashSplit(docs, "doc_id", "s42", 0.8).select("doc_id", "split")
+    assert(a.exceptAll(b).count() == 0, "same salt must give identical assignment")
+    val n = docs.count().toDouble
+    val train = a.filter(col("split") === "train").count().toDouble
+    assert(math.abs(train / n - 0.8) < 0.08, s"train fraction ${train / n} far from 0.8")
+    // different salt reshuffles the assignment
+    val c = Sampling.hashSplit(docs, "doc_id", "other", 0.8).select("doc_id", "split")
+    assert(a.exceptAll(c).count() > 0, "salt must change the assignment")
+  }
+
+  test("sampleByHash(frac) is a subset of hashSplit train at the same salt/frac") {
+    val sampled = Sampling.sampleByHash(docs, "doc_id", "s42", 0.8).select("doc_id")
+    val train = Sampling.hashSplit(docs, "doc_id", "s42", 0.8)
+      .filter(col("split") === "train").select("doc_id")
+    assert(sampled.exceptAll(train).count() == 0)
+    assert(sampled.count() == train.count())
+  }
+
+  test("bigram vocabulary: golden counts on a tiny corpus") {
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextOps.bigramVocab(tiny, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc1: "a b","b a","a b","b c"; doc2: "a b"; doc3 too short
+    assert(rows == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+}
