@@ -234,7 +234,18 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))),
     "q74_docs_bigrams" -> ((s, d) =>
-      graft.text.TextOps.bigramVocab(Tables.documents(s, d), 5))
+      graft.text.TextOps.bigramVocab(Tables.documents(s, d), 5)),
+    "q75_docs_repetition" -> ((s, d) =>
+      graft.text.TextOps.repetitionStats(Tables.documents(s, d))),
+    // decontamination: src0 plays the held-out benchmark; the rest is
+    // the training corpus checked for 3-gram overlap against it
+    "q76_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.contamination(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"), 3)
+    }),
+    "q77_docs_logprob" -> ((s, d) =>
+      graft.text.TextOps.unigramLogProb(Tables.documents(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -258,7 +269,10 @@ object SparkEntry {
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
-    "q74_docs_bigrams" -> Seq("documents"))
+    "q74_docs_bigrams" -> Seq("documents"),
+    "q75_docs_repetition" -> Seq("documents"),
+    "q76_decontaminate" -> Seq("documents"),
+    "q77_docs_logprob" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -726,6 +740,51 @@ object SparkEntry {
         |b AS (SELECT array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 2 AS BIGINT)], ' ') AS bigram
         |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i FROM t) u)
         |SELECT bigram, COUNT(*) AS cnt FROM b
-        |GROUP BY bigram HAVING COUNT(*) >= 5 ORDER BY cnt DESC, bigram""".stripMargin
+        |GROUP BY bigram HAVING COUNT(*) >= 5 ORDER BY cnt DESC, bigram""".stripMargin,
+    "q75_docs_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |ts AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 2 AS BIGINT)], ' ') AS bigram
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i FROM t) u),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        |  FROM bc GROUP BY 1)
+        |SELECT ts.doc_id AS doc_id, n_tokens, n_distinct,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+        |  COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN bs.n_bigrams IS NOT NULL
+        |    THEN ROUND(CAST(top_bigram_cnt AS DOUBLE) / bs.n_bigrams, 6) END AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q76_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE source = 'src0'),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 3 AS BIGINT)], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM corpus) u),
+        |esh AS (SELECT DISTINCT array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 3 AS BIGINT)], ' ') AS shingle
+        |  FROM (SELECT w, unnest(range(0, len(w) - 2)) AS i FROM ev) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+        |  FROM sh JOIN esh USING (shingle) GROUP BY 1)
+        |SELECT sizes.doc_id AS doc_id, n_shingles,
+        |  COALESCE(n_contaminated, 0) AS n_contaminated,
+        |  ROUND(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles, 6) AS contamination_frac
+        |FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q77_docs_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+        |lp AS (SELECT doc_id,
+        |    CAST(ROUND(LN(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM tok JOIN c USING (token) CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -197,6 +197,26 @@ object Dedup {
     components.orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct n-gram shingles appear anywhere in `evalSet` (the
+    * train-set hygiene check every LLM pipeline runs before training).
+    * The eval shingle set is small by nature → broadcast; the corpus
+    * side is one shingle explode + equi-join + hash agg — never a
+    * cross product, linear in corpus size at any scale. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(corpus, n)
+    val evalSh = shingles(evalSet, n).select(col("shingle")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over token hashes: bit i of the signature is the sign
     * of sum over tokens of (+1 if token-hash bit i else -1). Computed as
     * 64 codegen'd conditional sums in one aggregation pass. */

@@ -184,6 +184,57 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_no"))
   }
 
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction and top-bigram fraction — the classic "low-quality by
+    * repetition" filters for training corpora. Two hash aggregations
+    * (token stats, bigram stats) joined on doc_id; fractions integer-
+    * exact until the final division, rounded 6dp for the oracle. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tokStats = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct"))
+    val toks = tokens(col("text"))
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array())
+    val bigStats = documents.select(col("doc_id"), explode(bg).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        max(col("cnt")).as("top_bigram_cnt"), sum(col("cnt")).as("n_bigrams"))
+    tokStats.join(bigStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram log-probability quality score (the KenLM-perplexity proxy):
+    * p(token) from corpus counts, per-document mean ln p. The per-token
+    * ln is rounded to 6dp THEN summed as DECIMAL so the aggregation is
+    * order-insensitive — a raw double sum would be nondeterministic
+    * under partial aggregation and could never hash-match an oracle.
+    * NOTE: like [[tfidf]], computes one scalar action (total tokens) at
+    * construction. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.count().toDouble
+    tok.join(counts, "token")
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / total), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable PII patterns (same semantics under Java regex and RE2, so
     * oracle-checkable): emails and NNN-NNN-NNNN phone shapes. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

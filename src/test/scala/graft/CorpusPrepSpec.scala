@@ -83,4 +83,40 @@ class CorpusPrepSpec extends AnyFunSuite {
     // doc1: "a b","b a","a b","b c"; doc2: "a b"; doc3 too short
     assert(rows == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
   }
+
+  test("repetition stats: golden fractions on known documents") {
+    val tiny = Seq(
+      (1L, "a a a a"),       // 4 tokens, 1 distinct; bigrams: "a a" x3
+      (2L, "a b c d"),       // all distinct; top bigram 1/3
+      (3L, "x")).toDF("doc_id", "text") // single token: no bigrams
+    val rows = TextOps.repetitionStats(tiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Double]("dup_token_frac") == 0.75)
+    assert(rows(1L).getAs[Long]("top_bigram_cnt") == 3L)
+    assert(rows(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(rows(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(math.abs(rows(2L).getAs[Double]("top_bigram_frac") - 0.333333) < 1e-9)
+    assert(rows(3L).getAs[Long]("n_bigrams") == 0L &&
+      rows(3L).isNullAt(rows(3L).fieldIndex("top_bigram_frac")))
+  }
+
+  test("contamination: overlapping shingles found, clean docs zero") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares "the quick brown"+"quick brown fox"
+      (2L, "totally unrelated text goes here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val rows = graft.dedup.Dedup.contamination(corpus, eval, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((4L, 2L)), s"doc 1: 4 shingles, 2 contaminated: $rows")
+    assert(rows(2L) == ((3L, 0L)))
+  }
+
+  test("unigram logprob: uniform corpus scores ln(1/V) everywhere") {
+    // 4 tokens, each appearing once → p = 1/4 for every token
+    val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val rows = TextOps.unigramLogProb(tiny).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    val expected = BigDecimal(math.log(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.values.forall(v => math.abs(v - expected) < 1e-9), s"$rows vs $expected")
+  }
 }
