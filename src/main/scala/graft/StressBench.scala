@@ -130,6 +130,34 @@ object StressBench {
       graft.sim.Similarity.lshTopK(q20, emb1, 5).count(),
       graft.sim.Similarity.lshTopK(q20, embN, 5).count())
 
+    // Round-2 corpus-prep family. These are aggregation/projection
+    // shapes, not pair emitters, so duplicate structure cannot go
+    // quadratic — replicate with UNCHANGED text (decorrelation would
+    // double document length and explode key cardinality, measuring the
+    // perturbation instead of the operator). Contamination holds the
+    // eval side CONSTANT while the corpus replicates — the realistic
+    // regime (the benchmark set doesn't grow with the training corpus).
+    val docsPlainN = docs1
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .drop("__rep")
+    run("chunk_docs",
+      graft.text.TextOps.chunkDocs(docs1, 16).count(),
+      graft.text.TextOps.chunkDocs(docsPlainN, 16).count())
+    run("bigram_vocab",
+      graft.text.TextOps.bigramVocab(docs1, 5).count(),
+      graft.text.TextOps.bigramVocab(docsPlainN, 5).count())
+    run("hash_split",
+      graft.ops.Sampling.hashSplit(docs1, "doc_id", "s42", 0.8).count(),
+      graft.ops.Sampling.hashSplit(docsPlainN, "doc_id", "s42", 0.8).count())
+    run("unigram_logprob",
+      graft.text.TextOps.unigramLogProb(docs1).count(),
+      graft.text.TextOps.unigramLogProb(docsPlainN).count())
+    val evalSet = docs1.filter(col("source") === "src0")
+    run("contamination",
+      graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),
+      graft.dedup.Dedup.contamination(docsPlainN.filter(col("source") =!= "src0"), evalSet, 3).count())
+
     // DBSCAN: replicas shifted a whole grid-neighborhood away per
     // replica, so clusters replicate independently (linear structure)
     def pts(df: DataFrame) = df.select(col("vec_id").as("id"),
