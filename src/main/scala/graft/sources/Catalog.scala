@@ -50,4 +50,14 @@ object Catalog {
     * events sink so downstream scans prune partitions. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** JSONL (one JSON object per line) interchange — the de-facto corpus
+    * exchange format for training-data pipelines. Spark's json source IS
+    * line-delimited by default (the multiLine Open511 reads are the
+    * special case), so these are thin, schema-checked wrappers. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -90,6 +90,16 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(u.count() == 2 && u.columns.toSet == Set("id", "extra"))
   }
 
+  test("jsonl roundtrip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    Catalog.writeJsonl(docs, dir)
+    val back = Catalog.readJsonl(spark, dir, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    assert(docs.exceptAll(back).count() == 0, "jsonl roundtrip must be lossless")
+  }
+
   test("multimodal: decode batch shape, determinism, resize arithmetic") {
     val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, sf))
     val feats = Multimodal.decodeFeatures(media, 224, 224)
