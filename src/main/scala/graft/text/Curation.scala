@@ -50,7 +50,15 @@ object Curation {
     val exactKeep = Dedup.exactDedup(pass).select(col("keep_doc").as("doc_id"))
     val afterExact = pass.join(exactKeep, "doc_id")
 
-    val nearDupLosers = Dedup.minhashLsh(afterExact, 3, 8, 4, cfg.nearDupEstJaccard)
+    // the LSH branches consume their input lineage more than once;
+    // checkpointing the NARROW (doc_id, text) corpus side computes the
+    // quality+dedup joins exactly once (A/B warm-measured ~4.1s → 3.3s,
+    // cold 13s → 4s at sf0.1). Narrow = the checkpoint holds text only,
+    // and the big side never needed broadcast stats (cf. the
+    // materialization rules in SCALE.md).
+    val nearDupLosers = Dedup.minhashLsh(
+        afterExact.select("doc_id", "text").localCheckpoint(), 3, 8, 4,
+        cfg.nearDupEstJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     // afterExact's id set IS exactKeep — survivors need no corpus rescan
     val survivors = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
