@@ -272,7 +272,9 @@ object SparkEntry {
     "q74_docs_bigrams" -> Seq("documents"),
     "q75_docs_repetition" -> Seq("documents"),
     "q76_decontaminate" -> Seq("documents"),
-    "q77_docs_logprob" -> Seq("documents"))
+    "q77_docs_logprob" -> Seq("documents"),
+    "q63_dbscan" -> Seq("embeddings"),
+    "q68_dbscan_severity" -> Seq("embeddings"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -286,7 +288,9 @@ object SparkEntry {
           val ctes = tables.map(t =>
             s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))").mkString(", ")
           val trimmed = sql.trim
-          if (trimmed.toUpperCase.startsWith("WITH"))
+          if (trimmed.toUpperCase.startsWith("WITH RECURSIVE"))
+            s"WITH RECURSIVE $ctes, ${trimmed.drop("WITH RECURSIVE".length).trim}"
+          else if (trimmed.toUpperCase.startsWith("WITH"))
             s"WITH $ctes, ${trimmed.drop(4).trim}"
           else s"WITH $ctes\n$trimmed"
       })
@@ -776,6 +780,57 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles, 6) AS contamination_frac
         |FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // DBSCAN oracles: the full algorithm in SQL — brute-force eps
+    // pairs (fine at oracle scale), degree → cores, core-core
+    // connected components via a recursive min-label closure, border
+    // attach, noise -1. This makes the hardest custom operator
+    // hash-verified end-to-end, not just property-tested.
+    "q63_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id AS id,
+        |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |pairs AS (SELECT a.id AS a_id, b.id AS b_id FROM pts a JOIN pts b
+        |  ON power(a.x - b.x, 2) + power(a.y - b.y, 2) <= 0.02 * 0.02),
+        |deg AS (SELECT a_id, COUNT(*) AS deg FROM pairs GROUP BY 1),
+        |cores AS (SELECT a_id AS id FROM deg WHERE deg >= 4),
+        |ce AS (SELECT p.a_id, p.b_id FROM pairs p
+        |  JOIN cores c1 ON p.a_id = c1.id JOIN cores c2 ON p.b_id = c2.id
+        |  WHERE p.a_id <> p.b_id),
+        |r(a, b) AS (SELECT id, id FROM cores
+        |  UNION SELECT r.a, ce.b_id FROM r JOIN ce ON ce.a_id = r.b),
+        |comp AS (SELECT a AS id, MIN(b) AS cluster FROM r GROUP BY 1),
+        |border AS (SELECT p.a_id AS id, MIN(comp.cluster) AS bc FROM pairs p
+        |  JOIN cores c ON p.b_id = c.id JOIN comp ON comp.id = p.b_id GROUP BY 1)
+        |SELECT pts.id AS id, x, y, COALESCE(comp.cluster, border.bc, -1) AS cluster
+        |FROM pts LEFT JOIN comp ON pts.id = comp.id
+        |  LEFT JOIN border ON pts.id = border.id
+        |ORDER BY id""".stripMargin,
+    // 3-D coords⊕severity variant. radians replicated as x/180*pi() —
+    // Java's toRadians evaluation order — so boundary doubles match.
+    "q68_dbscan_severity" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id AS id,
+        |    CAST(embedding[1] AS DOUBLE) AS lat, CAST(embedding[2] AS DOUBLE) AS lon,
+        |    CAST(vec_label % 3 + 1 AS DOUBLE) AS sev
+        |  FROM (SELECT vec_id, embedding, label AS vec_label FROM embeddings) e),
+        |d AS (SELECT id, lat, lon, sev,
+        |    lat / 180.0 * pi() AS rlat, lon / 180.0 * pi() AS rlon FROM pts),
+        |pairs AS (SELECT a.id AS a_id, b.id AS b_id FROM d a JOIN d b
+        |  ON power(a.rlat - b.rlat, 2) + power(a.rlon - b.rlon, 2)
+        |     + power(a.sev - b.sev, 2) <= (25.0 / 6371.0088) * (25.0 / 6371.0088)),
+        |deg AS (SELECT a_id, COUNT(*) AS deg FROM pairs GROUP BY 1),
+        |cores AS (SELECT a_id AS id FROM deg WHERE deg >= 4),
+        |ce AS (SELECT p.a_id, p.b_id FROM pairs p
+        |  JOIN cores c1 ON p.a_id = c1.id JOIN cores c2 ON p.b_id = c2.id
+        |  WHERE p.a_id <> p.b_id),
+        |r(a, b) AS (SELECT id, id FROM cores
+        |  UNION SELECT r.a, ce.b_id FROM r JOIN ce ON ce.a_id = r.b),
+        |comp AS (SELECT a AS id, MIN(b) AS cluster FROM r GROUP BY 1),
+        |border AS (SELECT p.a_id AS id, MIN(comp.cluster) AS bc FROM pairs p
+        |  JOIN cores c ON p.b_id = c.id JOIN comp ON comp.id = p.b_id GROUP BY 1)
+        |SELECT d.id AS id, lat, lon, sev, COALESCE(comp.cluster, border.bc, -1) AS cluster
+        |FROM d LEFT JOIN comp ON d.id = comp.id
+        |  LEFT JOIN border ON d.id = border.id
+        |ORDER BY id""".stripMargin,
     "q77_docs_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
