@@ -32,10 +32,11 @@ import org.apache.spark.graphx.{Edge, Graph}
   */
 object DBSCAN {
 
-  /** Project (lat, lon) degrees to local km coordinates. */
+  /** Project (lat, lon) degrees to local km coordinates. Computes one
+    * [[graft.ops.Scalar]] (mean latitude) at construction. */
   def latLonToLocalXY(df: DataFrame, latCol: String, lonCol: String): DataFrame = {
     val kmPerDegLat = math.Pi * graft.ops.Geo.EarthRadiusKm / 180.0
-    val meanLat = df.agg(avg(col(latCol))).first().getDouble(0)
+    val meanLat: Double = graft.ops.Scalar.reduce(df, avg(col(latCol)))
     val kmPerDegLon = kmPerDegLat * math.cos(math.toRadians(meanLat))
     df.withColumn("x", col(lonCol) * kmPerDegLon)
       .withColumn("y", col(latCol) * kmPerDegLat)

@@ -83,7 +83,7 @@ object Windows {
     * NOTE: calling this EXECUTES the input pipeline immediately (the
     * quantile probe is an action and the input is checkpointed for its
     * three consumers) — unlike most operators here, the returned
-    * DataFrame is not a fully lazy plan. */
+    * DataFrame is not a fully lazy plan (the [[Scalar]] convention). */
   def globalRunningSum(df: DataFrame, orderCol: String, valueCol: Column,
                        out: String, nBuckets: Int = 64): DataFrame = {
     // three consumers (quantile probe, bucket totals, local sums) —

@@ -112,7 +112,7 @@ object TextOps {
     * aggregations + one broadcast-able join on token — no cross product,
     * scales linearly in corpus size. */
   def tfidf(documents: DataFrame): DataFrame = {
-    val n = documents.count() // small scalar; computed once, folded as literal
+    val n = graft.ops.Scalar.count(documents) // eager by convention — see Scalar
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("token"))
@@ -225,7 +225,7 @@ object TextOps {
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = tok.count().toDouble
+    val total = graft.ops.Scalar.count(tok).toDouble // eager — see Scalar
     tok.join(counts, "token")
       .withColumn("lp",
         round(log(col("cnt").cast("double") / total), 6).cast("decimal(18,6)"))
