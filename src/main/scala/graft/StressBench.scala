@@ -158,6 +158,22 @@ object StressBench {
       graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),
       graft.dedup.Dedup.contamination(docsPlainN.filter(col("source") =!= "src0"), evalSet, 3).count())
 
+    // Dedup GROUPS with PLAIN replicas — deliberately the opposite of
+    // the pair-family protocol: exact copies make every document's
+    // duplicate group grow with the factor, which is precisely the
+    // regime the star-edge design claims to survive (edges stay
+    // O(n·bands) while any pair-emitting operator would go factor²).
+    run("dedup_groups_star",
+      graft.dedup.Dedup.minhashDedupGroups(docs1, 3, 8, 4).count(),
+      graft.dedup.Dedup.minhashDedupGroups(docsPlainN, 3, 8, 4).count())
+    val embPlainN = emb1
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("vec_id", col("vec_id") * factor + col("__rep"))
+      .drop("__rep")
+    run("embed_groups_star",
+      graft.dedup.Dedup.embeddingDedupGroups(emb1, 0.9).count(),
+      graft.dedup.Dedup.embeddingDedupGroups(embPlainN, 0.9).count())
+
     // DBSCAN: replicas shifted a whole grid-neighborhood away per
     // replica, so clusters replicate independently (linear structure)
     def pts(df: DataFrame) = df.select(col("vec_id").as("id"),
