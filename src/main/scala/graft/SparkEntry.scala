@@ -245,7 +245,12 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"), 3)
     }),
     "q77_docs_logprob" -> ((s, d) =>
-      graft.text.TextOps.unigramLogProb(Tables.documents(s, d)))
+      graft.text.TextOps.unigramLogProb(Tables.documents(s, d))),
+    // skew DIAGNOSTIC (complement of q25's mitigation): hottest join
+    // keys with count/share/rank, planned as TakeOrdered not a global
+    // window (PlanSpec-gated)
+    "q78_skew_profile" -> ((s, d) =>
+      graft.ops.Skew.skewProfile(Tables.lineitem(s, d), "l_suppkey", 20))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -840,6 +845,13 @@ object SparkEntry {
         |  FROM tok JOIN c USING (token) CROSS JOIN n)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q78_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT l_suppkey, n, ROUND(n / (SELECT total FROM t), 6) AS share,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS BIGINT) AS "rank"
+        |  FROM c)
+        |SELECT l_suppkey, n, share, "rank" FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
   )
 }

@@ -30,4 +30,30 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew profile: the `topK` hottest keys with row count, share of
+    * the table, and rank — the diagnostic you run BEFORE choosing a
+    * mitigation (salt factor ≈ hot-key rows / target partition rows;
+    * AQE skew-join handles the long tail). Computes a [[Scalar]] (the
+    * table row count) at construction.
+    *
+    * Scale shape: one hash aggregation on the key (skew-tolerant — one
+    * row per distinct key survives the map-side partial agg), then
+    * `orderBy(...).limit(topK)`, which Spark plans as TakeOrdered:
+    * each partition keeps a local k-heap and only k rows per partition
+    * reach the driver-side merge — never a global single-partition
+    * window over billions of distinct keys. Rank is assigned on the
+    * k-row result. Share is rounded to 6dp and ties break on the key,
+    * so output is engine-portable (oracle-checked). */
+  def skewProfile(df: DataFrame, key: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = Scalar.count(df)
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+      .withColumn("share", round(col("n") / lit(total.toDouble), 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col(key))).cast("long"))
+      .orderBy(col("rank"))
+  }
 }

@@ -66,6 +66,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("skew profile plans global top-k as TakeOrdered, not a one-partition window") {
+    // groupBy(key).orderBy(n desc).limit(k) must become TakeOrdered
+    // (per-partition k-heaps, k rows to the driver merge) — the shape
+    // that survives billions of distinct keys. A global row_number
+    // window over the counts would single-partition them instead.
+    val p = planOf("q78_skew_profile")
+    assert(p.contains("TakeOrdered"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("selective dim filter reaches the fact side as a runtime bloom filter") {
+    // At 100 TB a fact-fact shuffle join with a selective filter on one
+    // side should semi-prune the other side's scan via a runtime bloom
+    // filter (Spark's InjectRuntimeFilter; on by default). Locally the
+    // fact scan is far below the 10 GB application-side threshold, so
+    // lower the thresholds to prove the rewrite fires on our join shape.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      import org.apache.spark.sql.functions._
+      val li  = graft.ops.Tables.lineitem(spark, sf)
+      val ord = graft.ops.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally restore.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("partitioned events sink: static + dynamic partition pruning") {
     // SURVEY §4's named gap vs the reference's flat glob
     // (lambda-run-clustering.py:25): write the events table partitioned
