@@ -250,7 +250,17 @@ object SparkEntry {
     // keys with count/share/rank, planned as TakeOrdered not a global
     // window (PlanSpec-gated)
     "q78_skew_profile" -> ((s, d) =>
-      graft.ops.Skew.skewProfile(Tables.lineitem(s, d), "l_suppkey", 20))
+      graft.ops.Skew.skewProfile(Tables.lineitem(s, d), "l_suppkey", 20)),
+    // z-order curve value (Layout.zValue) — the bit-interleave behind
+    // zorderWrite's multi-dimensional data skipping, oracle-checked
+    // bit-for-bit; the layout effect itself is asserted in LayoutSpec
+    "q79_zorder_curve" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zValue(Seq(
+          pmod(col("l_partkey"), lit(1024L)),
+          pmod(col("l_suppkey"), lit(1024L))), 10).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -852,6 +862,11 @@ object SparkEntry {
         |r AS (SELECT l_suppkey, n, ROUND(n / (SELECT total FROM t), 6) AS share,
         |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS BIGINT) AS "rank"
         |  FROM c)
-        |SELECT l_suppkey, n, share, "rank" FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
+        |SELECT l_suppkey, n, share, "rank" FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+    "q79_zorder_curve" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0,10), i -> (((l_partkey % 1024) >> i) & 1) << (2*i))) +
+        |       list_sum(list_transform(range(0,10), i -> (((l_suppkey % 1024) >> i) & 1) << (2*i + 1))) AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

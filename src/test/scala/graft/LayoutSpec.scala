@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Layout
+
+/** Z-order layout: the interleave is a bijection, the written files
+  * cover compact boxes in EVERY z-dimension, and the resulting min/max
+  * stats prune files for a predicate on the non-leading dimension —
+  * where a single-column sort layout prunes nothing.
+  */
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // 64x64 grid in a scrambled row order (so layout, not input order,
+  // determines file contents)
+  private def grid = spark.range(64 * 64)
+    .select(col("id"), (col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
+    .orderBy(md5(col("id").cast("string")))
+
+  test("zValue interleave is a bijection on the quantized grid") {
+    val z = grid.select(Layout.zValue(Seq(col("x"), col("y")), 6).as("z"))
+    assert(z.distinct().count() == 64 * 64)
+    assert(z.agg(min(col("z")), max(col("z"))).first() match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == 64L * 64 - 1
+    })
+  }
+
+  test("z-ordered files are compact in both dimensions; x-sorted files are not") {
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+           min(col("y")).as("y0"), max(col("y")).as("y1"))
+      .collect()
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.zorderWrite(grid, Seq("x", "y"), zDir, numFiles = 16)
+    val xDir = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+
+    val zBoxes = boxes(zDir)
+    val xBoxes = boxes(xDir)
+    assert(zBoxes.length == 16 && xBoxes.length == 16)
+
+    // 4096 rows / 16 files = 256 rows per file: a compact z-tile is
+    // ~16x16. Allow slack for range-boundary ties; the x-sorted layout
+    // meanwhile spans the FULL y range in every file.
+    val zYSpanAvg = zBoxes.map(r => r.getLong(4) - r.getLong(3)).sum.toDouble / zBoxes.length
+    val xYSpanAvg = xBoxes.map(r => r.getLong(4) - r.getLong(3)).sum.toDouble / xBoxes.length
+    assert(zYSpanAvg <= 24, s"z files not compact in y: avg span $zYSpanAvg")
+    assert(xYSpanAvg >= 60, s"x-sorted control unexpectedly compact: $xYSpanAvg")
+
+    // File-level skipping for `y BETWEEN 20 AND 24` — exactly the
+    // min/max intersection test parquet row-group pruning (and any
+    // file-stats index) applies. Z-order touches a minority of files;
+    // the x-sorted layout must read every file.
+    def touched(bs: Array[org.apache.spark.sql.Row]) =
+      bs.count(r => r.getLong(3) <= 24 && r.getLong(4) >= 20)
+    assert(touched(zBoxes) <= 8, s"z-order touched ${touched(zBoxes)}/16 files")
+    assert(touched(xBoxes) == 16, "x-sorted control should intersect every file")
+
+    // layout changes bytes on disk, never content
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == 4096 &&
+      back.agg(sum(col("x") * col("y"))).first().getLong(0) ==
+      grid.agg(sum(col("x") * col("y"))).first().getLong(0))
+  }
+}
