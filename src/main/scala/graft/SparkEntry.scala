@@ -260,7 +260,18 @@ object SparkEntry {
         graft.sources.Layout.zValue(Seq(
           pmod(col("l_partkey"), lit(1024L)),
           pmod(col("l_suppkey"), lit(1024L))), 10).as("z"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // domain-mixture reweighting: keep-all / fractional / drop / default
+    // weights all exercised; assignment is md5(id|salt) so the drawn
+    // mixture is engine-portable
+    "q80_mixture_sample" -> ((s, d) =>
+      graft.ops.Sampling.mixtureSample(Tables.documents(s, d), "source", "doc_id", "mix",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0), default = 0.75)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    // token-budget training-shard manifest (greedy first-fit per source)
+    "q81_pack_shards" -> ((s, d) =>
+      graft.text.TextOps.packShards(Tables.documents(s, d), 512L))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -288,6 +299,8 @@ object SparkEntry {
     "q75_docs_repetition" -> Seq("documents"),
     "q76_decontaminate" -> Seq("documents"),
     "q77_docs_logprob" -> Seq("documents"),
+    "q80_mixture_sample" -> Seq("documents"),
+    "q81_pack_shards" -> Seq("documents"),
     "q63_dbscan" -> Seq("embeddings"),
     "q68_dbscan_severity" -> Seq("embeddings"))
 
@@ -867,6 +880,23 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum(list_transform(range(0,10), i -> (((l_partkey % 1024) >> i) & 1) << (2*i))) +
         |       list_sum(list_transform(range(0,10), i -> (((l_suppkey % 1024) >> i) & 1) << (2*i + 1))) AS BIGINT) AS z
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q80_mixture_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    substring(md5(concat(CAST(doc_id AS VARCHAR), '|mix')), 1, 8) AS bucket,
+        |    CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0 ELSE 0.75 END AS DOUBLE) AS w
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE w >= 1.0
+        |   OR bucket < lpad(lower(to_hex(CAST(floor(w * 4294967295) AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
+    "q81_pack_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard
+        |FROM t ORDER BY source, doc_id""".stripMargin
   )
 }

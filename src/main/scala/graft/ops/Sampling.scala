@@ -40,4 +40,23 @@ object Sampling {
   def sampleByHash(df: DataFrame, idCol: String, salt: String,
                    frac: Double): DataFrame =
     df.filter(hashBucketHex(col(idCol), salt) < lit(thresholdHex(frac)))
+
+  /** Domain-mixture sampling: keep each row with the probability its
+    * group's weight prescribes — how a training corpus is re-weighted
+    * to target proportions (web 30%, code 100%, …). Same determinism
+    * contract as [[hashSplit]]: assignment is a pure function of
+    * (id, salt), so the drawn mixture is reproducible across engines
+    * and cluster sizes, and is oracle-checkable. The weights map is a
+    * literal in the plan (domains are few); groups absent from it fall
+    * back to `default`. Weight ≥ 1.0 keeps every row. Narrow
+    * projection + filter — no shuffle, no RNG. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String, salt: String,
+                    weights: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0), "weights must be in [0,1]")
+    val w = coalesce(
+      element_at(typedlit(weights), col(groupCol)), lit(default))
+    // per-row hex threshold, same scaling as thresholdHex
+    val threshold = lpad(lower(hex(floor(w * lit(4294967295.0)).cast("long"))), 8, "0")
+    df.filter(w >= 1.0 || hashBucketHex(col(idCol), salt) < threshold)
+  }
 }

@@ -251,4 +251,25 @@ object TextOps {
         md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]")).as("redacted_fp"))
       .orderBy(col("doc_id"))
+
+  /** Training-shard assignment by token budget: within each source,
+    * documents (in doc_id order) fill shards of `budgetTokens` — shard
+    * index = floor(tokens-before-this-doc / budget). Deterministic,
+    * engine-portable, and the per-shard manifest downstream loaders need
+    * (a doc straddling a boundary belongs to the shard it starts in —
+    * the greedy first-fit rule). One window per source: sources are few
+    * and bounded, so the per-key window is safe; a single giant domain
+    * would use the two-phase bucketed form
+    * ([[graft.ops.Windows.globalRunningSum]]) instead. */
+  def packShards(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }

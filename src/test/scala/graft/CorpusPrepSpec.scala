@@ -119,4 +119,35 @@ class CorpusPrepSpec extends AnyFunSuite {
     val expected = BigDecimal(math.log(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rows.values.forall(v => math.abs(v - expected) < 1e-9), s"$rows vs $expected")
   }
+
+  test("mixture sample: weight-1 domains survive whole, weight-0 vanish, rest thin out") {
+    val weights = Map("src0" -> 1.0, "src3" -> 0.0, "src1" -> 0.5)
+    val kept = Sampling.mixtureSample(docs, "source", "doc_id", "mix", weights, default = 0.75)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = docs.groupBy(col("source")).count().first().getLong(1)
+    assert(kept("src0") == per, "weight 1.0 must keep every row")
+    assert(!kept.contains("src3"), "weight 0.0 must drop the domain")
+    assert(kept("src1") > 0 && kept("src1") < per, "fractional weight must thin, not empty")
+    // deterministic: the same call draws the same rows
+    val a = Sampling.mixtureSample(docs, "source", "doc_id", "mix", weights).select("doc_id")
+    assert(a.exceptAll(Sampling.mixtureSample(docs, "source", "doc_id", "mix", weights)
+      .select("doc_id")).count() == 0)
+  }
+
+  test("pack shards: greedy first-fit invariant holds for every document") {
+    val budget = 512L
+    val packed = TextOps.packShards(docs, budget).cache()
+    assert(packed.count() == docs.count(), "every document gets a shard")
+    // recompute the running sum locally per source and check the rule
+    packed.collect().groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / budget,
+          s"doc ${r.getLong(0)}: shard ${r.getLong(3)} != ${cum / budget}")
+        cum += r.getLong(2)
+      }
+    }
+    packed.unpersist()
+  }
 }
