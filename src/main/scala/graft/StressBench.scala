@@ -153,6 +153,18 @@ object StressBench {
     run("unigram_logprob",
       graft.text.TextOps.unigramLogProb(docs1).count(),
       graft.text.TextOps.unigramLogProb(docsPlainN).count())
+    val mixWeights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+    run("mixture_sample",
+      graft.ops.Sampling.mixtureSample(docs1, "source", "doc_id", "mix", mixWeights, 0.75).count(),
+      graft.ops.Sampling.mixtureSample(docsPlainN, "source", "doc_id", "mix", mixWeights, 0.75).count())
+    run("pack_shards",
+      graft.text.TextOps.packShards(docs1, 512L).count(),
+      graft.text.TextOps.packShards(docsPlainN, 512L).count())
+    run("zorder_value",
+      docs1.select(graft.sources.Layout.zValue(
+        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count(),
+      docsPlainN.select(graft.sources.Layout.zValue(
+        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count())
     val evalSet = docs1.filter(col("source") === "src0")
     run("contamination",
       graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),
