@@ -26,6 +26,21 @@ class LayoutSpec extends AnyFunSuite {
     })
   }
 
+  test("quantize: constant columns map to 0; range maps onto [0, 2^bits)") {
+    val const = grid.select(lit(7).as("c"), col("x"))
+    assert(const.select(Layout.quantize(const, "c", 8)).distinct().count() == 1)
+    val q = grid.select(Layout.quantize(grid, "x", 4).as("q"))
+      .agg(min(col("q")), max(col("q"))).first()
+    assert(q.getLong(0) == 0L && q.getLong(1) == 15L, s"quantized range $q")
+  }
+
+  test("zValue on one column is the identity on its low bits") {
+    val ids = spark.range(256)
+    val bad = ids.select(col("id"), Layout.zValue(Seq(col("id")), 8).as("z"))
+      .filter(col("id") =!= col("z")).count()
+    assert(bad == 0, "single-column interleave must be the identity")
+  }
+
   test("z-ordered files are compact in both dimensions; x-sorted files are not") {
     def boxes(path: String) = spark.read.parquet(path)
       .groupBy(input_file_name())
