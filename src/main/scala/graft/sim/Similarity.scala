@@ -146,6 +146,48 @@ object Similarity {
     ivfSearch(idx, queries, k, nprobe)
   }
 
+  /** Persist a built index as the SERVING layout: centroids as one tiny
+    * parquet, assignments partitioned by `cell` — each inverted list is
+    * its own partition directory, so a probe reads exactly the probed
+    * cells and nothing else. This is the durable sibling of
+    * [[ivfTopKCached]]: build once on the cluster that owns the corpus,
+    * serve from any session that can read the path. */
+  def ivfWriteIndex(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.Catalog.writePartitioned(index.assigned, s"$path/assigned", Seq("cell"))
+  }
+
+  /** Probe a persisted index. The probed cell set (≤ |Q|·nprobe values,
+    * bounded by nlist — a [[graft.ops.Scalar]]-class reduction, never
+    * corpus-sized) is collected and applied as a STATIC partition filter
+    * on the assignments read, so the scan provably touches only the
+    * probed inverted lists (PartitionFilters in the plan, asserted in
+    * tests); only those cells' members are re-ranked. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineFast(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val cells = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(cells: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
     * a splitmix64-style integer mix mapped to (-1, 1). Generated on the
     * fly inside codegen; no driver-side matrix to broadcast. */

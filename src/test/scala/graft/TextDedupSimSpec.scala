@@ -160,6 +160,25 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(viaIndex.map(_.toString).sorted.toSeq == oneShot.map(_.toString).sorted.toSeq)
   }
 
+  test("persisted IVF index serves partition-pruned probes with identical results") {
+    val idx = Similarity.ivfBuild(emb, nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfWriteIndex(idx, dir)
+    val q = emb.filter(col("vec_id") < 10)
+
+    val served = Similarity.ivfSearchIndexed(spark, dir, q, 5, nprobe = 4)
+    val inMem  = Similarity.ivfSearch(idx, q, 5, nprobe = 4)
+    assert(served.collect().map(_.toString).toSeq ==
+      inMem.collect().map(_.toString).toSeq, "serving path must equal in-memory path")
+
+    // the probed cell set must reach the assignments scan as a STATIC
+    // partition filter (cell IN (...)) — the scan lists only the probed
+    // inverted-list directories, never the whole index
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"no cell IN (...) partition filter on the assignments scan:\n$plan")
+  }
+
   test("embedding dedup groups: verified star edges cluster duplicates only") {
     import spark.implicits._
     // three exact copies + two unrelated vectors
