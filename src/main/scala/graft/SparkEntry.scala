@@ -271,7 +271,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // token-budget training-shard manifest (greedy first-fit per source)
     "q81_pack_shards" -> ((s, d) =>
-      graft.text.TextOps.packShards(Tables.documents(s, d), 512L))
+      graft.text.TextOps.packShards(Tables.documents(s, d), 512L)),
+    // ingestion-time dedup: a new batch admitted against the corpus
+    "q82_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -301,6 +307,7 @@ object SparkEntry {
     "q77_docs_logprob" -> Seq("documents"),
     "q80_mixture_sample" -> Seq("documents"),
     "q81_pack_shards" -> Seq("documents"),
+    "q82_incremental_dedup" -> Seq("documents"),
     "q63_dbscan" -> Seq("embeddings"),
     "q68_dbscan_severity" -> Seq("embeddings"))
 
@@ -897,6 +904,13 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard
-        |FROM t ORDER BY source, doc_id""".stripMargin
+        |FROM t ORDER BY source, doc_id""".stripMargin,
+    "q82_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+        |SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_batch_copies
+        |FROM f WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM known)
+        |GROUP BY fp ORDER BY keep_doc""".stripMargin
   )
 }

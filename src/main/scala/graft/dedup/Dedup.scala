@@ -28,6 +28,23 @@ object Dedup {
       .orderBy(col("keep_doc"))
   }
 
+  /** Incremental exact dedup — the ingestion-time form: admit only
+    * incoming documents whose fingerprint is BOTH new to the existing
+    * corpus (left_anti against its fingerprint set) and first within the
+    * incoming batch (min-doc_id representative). At corpus scale the
+    * existing side reduces to its distinct fingerprint table (an id-free
+    * hash agg that in production is a maintained table, appended on
+    * every admit — the corpus text is never rescanned per batch). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val fp = TextOps.fingerprint(col("text"))
+    val known = existing.select(fp.as("fp")).distinct()
+    incoming.select(col("doc_id"), fp.as("fp"))
+      .join(known, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_batch_copies"))
+      .orderBy(col("keep_doc"))
+  }
+
   /** Word n-gram shingles (distinct) per document. Documents with fewer
     * than n tokens contribute no shingles (a descending `sequence` would
     * otherwise produce negative slice indices and crash the job). */

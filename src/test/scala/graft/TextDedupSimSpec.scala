@@ -217,6 +217,19 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("incremental dedup: known text rejected, batch dup collapsed, new admitted") {
+    import spark.implicits._
+    val corpus = Seq((1L, "already in the corpus")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Already  in the CORPUS"),   // same after normalization → rejected
+      (11L, "brand new document"),
+      (12L, "brand new document"),       // batch-internal dup → one survivor
+      (13L, "another new one")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L), s"got $out")
+  }
+
   test("exact dedup keeps every distinct fingerprint once") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("fp").distinct().count())
