@@ -165,6 +165,14 @@ object StressBench {
         Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count(),
       docsPlainN.select(graft.sources.Layout.zValue(
         Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count())
+    // Incremental dedup: the corpus side is FIXED (its fingerprint set
+    // doesn't grow with the batch); the incoming batch replicates —
+    // the ingestion-time regime. Plain replicas: copies all collapse
+    // onto existing fingerprints, the worst case for the anti-join.
+    val corpusHalf = docs1.filter(col("doc_id") % 2 === 0)
+    run("incremental_dedup",
+      graft.dedup.Dedup.incrementalDedup(corpusHalf, docs1.filter(col("doc_id") % 2 === 1)).count(),
+      graft.dedup.Dedup.incrementalDedup(corpusHalf, docsPlainN.filter(col("doc_id") % 2 === 1)).count())
     val evalSet = docs1.filter(col("source") === "src0")
     run("contamination",
       graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),
