@@ -84,6 +84,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq("EV-X", "EV-Y"))
   }
 
+  test("streaming corpus ingestion drops duplicate texts across micro-batches") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val deduped = graft.stream.CorpusStream.ingestDedup(
+      mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("corpus_out").start()
+    try {
+      mem.addData((1L, "a fresh document", t(0)), (2L, "another document", t(1)))
+      q.processAllAvailable()
+      // doc 3 normalizes to doc 1's fingerprint (case + whitespace); drops
+      mem.addData((3L, "A  FRESH   document", t(5)), (4L, "genuinely new", t(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("corpus_out").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L), s"got ${ids.toSeq}")
+  }
+
   test("session_window closes a session once the watermark passes the gap") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
