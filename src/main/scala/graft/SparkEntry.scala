@@ -277,7 +277,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.incrementalDedup(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-    })
+    }),
+    // substring-level dedup: exact duplicated 8-token spans corpus-wide
+    "q83_dup_spans" -> ((s, d) =>
+      graft.dedup.Dedup.duplicatedSpans(Tables.documents(s, d), 8)),
+    // per-doc duplicated-span fraction (boilerplate filter signal)
+    "q84_dup_span_ratio" -> ((s, d) =>
+      graft.dedup.Dedup.dupSpanRatio(Tables.documents(s, d), 8))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -308,6 +314,8 @@ object SparkEntry {
     "q80_mixture_sample" -> Seq("documents"),
     "q81_pack_shards" -> Seq("documents"),
     "q82_incremental_dedup" -> Seq("documents"),
+    "q83_dup_spans" -> Seq("documents"),
+    "q84_dup_span_ratio" -> Seq("documents"),
     "q63_dbscan" -> Seq("embeddings"),
     "q68_dbscan_severity" -> Seq("embeddings"))
 
@@ -911,6 +919,31 @@ object SparkEntry {
         |known AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
         |SELECT fp, MIN(doc_id) AS keep_doc, COUNT(*) AS n_batch_copies
         |FROM f WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM known)
-        |GROUP BY fp ORDER BY keep_doc""".stripMargin
+        |GROUP BY fp ORDER BY keep_doc""".stripMargin,
+    "q83_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |  FROM toks)
+        |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM pos GROUP BY gram HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, gram""".stripMargin,
+    "q84_dup_span_ratio" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |  FROM toks),
+        |occ AS (SELECT gram, COUNT(*) AS n_occ FROM pos GROUP BY gram),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |  FROM pos JOIN occ USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+        |  CASE WHEN n_spans IS NOT NULL
+        |    THEN round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) END AS dup_span_frac
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -353,4 +353,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Every k-token span position in every document — positional, unlike
+    * [[shingles]] (which are distinct per doc): substring-level dedup
+    * needs occurrence counts, not set membership. Documents shorter than
+    * k tokens contribute nothing (the `when` guard keeps `sequence` from
+    * going descending on a negative bound). */
+  private def spanPositions(documents: DataFrame, k: Int): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val spans = when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => array_join(slice(t, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    documents.select(col("doc_id"), explode(spans).as("gram"))
+  }
+
+  /** Exact duplicated k-token spans across the corpus — the
+    * substring-level duplication exact whole-doc dedup cannot see
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"). One explode + one hash aggregation; spans
+    * occurring at >= minOcc positions corpus-wide come back with their
+    * document spread and occurrence count. At 100 TB, group on
+    * xxhash64(gram) instead so shuffle rows are 8 bytes, not k words —
+    * [[dupSpanRatio]]'s hashed form does exactly that; the string form
+    * here is for the report and the oracle. */
+  def duplicatedSpans(documents: DataFrame, k: Int, minOcc: Long = 2L): DataFrame =
+    spanPositions(documents, k)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .orderBy(col("n_occ").desc, col("gram"))
+
+  /** Per-document duplicated-span fraction: of a document's k-token span
+    * positions, the fraction whose span text occurs at >= 2 positions
+    * anywhere in the corpus (other documents or self-repetition) — the
+    * corpus-level twin of [[graft.text.TextOps.repetitionStats]]'s
+    * intra-document signals, used to drop boilerplate-heavy documents.
+    * Plan: explode, self-agg on the span, one join back, per-doc agg —
+    * all equi-key, never pairwise. `hashSpans=true` replaces the span
+    * string with xxhash64 for the join/agg key (the at-scale form: 8-byte
+    * shuffle rows; identical output short of a 64-bit hash collision —
+    * equality is tested). Short documents keep a row with 0 spans and a
+    * null fraction. */
+  def dupSpanRatio(documents: DataFrame, k: Int,
+                   hashSpans: Boolean = false): DataFrame = {
+    val pos0 = spanPositions(documents, k)
+    val pos = if (hashSpans) pos0.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+              else pos0
+    val occ = pos.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = pos.join(occ, "gram")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans").isNotNull,
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+          .as("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

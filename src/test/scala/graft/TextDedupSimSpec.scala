@@ -296,4 +296,36 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(l.filter(!col("predicted").isin(TextOps.LangMarkers.keys.toSeq: _*)).count() == 0)
     assert(l.filter(col("best_score") < 0).count() == 0)
   }
+
+  test("duplicatedSpans finds the shared span, skips short docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d x1 y1 z1"),   // shares "a b c d" with doc 2
+      (2L, "a b c d x2 y2 z2"),
+      (3L, "p q r"),              // shorter than k=4: no spans
+      (4L, "u u u u u")           // self-repeating: "u u u u" occurs twice
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(spans.contains(("a b c d", 2L, 2L)), s"got ${spans.toSeq}")
+    assert(spans.contains(("u u u u", 1L, 2L)), "intra-doc repeat must count")
+    assert(!spans.exists(_._1.contains("p")), "short doc contributes no span")
+  }
+
+  test("dupSpanRatio is total over docs; hashed form is identical") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "a b c d x2 y2 z2"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanRatio(d, 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // docs 1/2: 4 span positions each, exactly one ("a b c d") duplicated
+    assert(r(1L) == (4L, 1L) && r(2L) == (4L, 1L), s"got $r")
+    assert(r(3L) == (0L, 0L), "short doc keeps a zero row")
+    val s = Dedup.dupSpanRatio(docs, 8).collect().toSeq
+    val h = Dedup.dupSpanRatio(docs, 8, hashSpans = true).collect().toSeq
+    assert(s == h, "hashed span key must not change the output")
+  }
 }
