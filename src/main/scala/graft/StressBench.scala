@@ -177,6 +177,20 @@ object StressBench {
     run("contamination",
       graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),
       graft.dedup.Dedup.contamination(docsPlainN.filter(col("source") =!= "src0"), evalSet, 3).count())
+    // Span-level dedup with PLAIN replicas: every span position is
+    // duplicated factor× — the worst case for the occurrence agg, while
+    // the distinct-gram key space stays fixed. Ratio uses the hashed
+    // key, the declared at-scale form (8-byte shuffle rows).
+    run("dup_spans",
+      graft.dedup.Dedup.duplicatedSpans(docs1, 8).count(),
+      graft.dedup.Dedup.duplicatedSpans(docsPlainN, 8).count())
+    // Action must consume the join output: a bare count() lets Catalyst
+    // eliminate the entire ratio subtree (left join against distinct
+    // keys preserves cardinality) and measures nothing.
+    def ratioWork(df: DataFrame): Long =
+      graft.dedup.Dedup.dupSpanRatio(df, 8, hashSpans = true)
+        .agg(sum(col("n_dup_spans"))).head.getLong(0)
+    run("dup_span_ratio_hashed", ratioWork(docs1), ratioWork(docsPlainN))
 
     // Dedup GROUPS with PLAIN replicas — deliberately the opposite of
     // the pair-family protocol: exact copies make every document's
