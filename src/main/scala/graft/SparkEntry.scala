@@ -283,7 +283,11 @@ object SparkEntry {
       graft.dedup.Dedup.duplicatedSpans(Tables.documents(s, d), 8)),
     // per-doc duplicated-span fraction (boilerplate filter signal)
     "q84_dup_span_ratio" -> ((s, d) =>
-      graft.dedup.Dedup.dupSpanRatio(Tables.documents(s, d), 8))
+      graft.dedup.Dedup.dupSpanRatio(Tables.documents(s, d), 8)),
+    // SemDeDup: k-means-cell semantic dedup, centroid-atypical keeper
+    // (seeded KMeans — deterministic but not SQL-expressible; rows-only)
+    "q85_semantic_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.semanticDedup(Tables.embeddings(s, d), 0.9))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —

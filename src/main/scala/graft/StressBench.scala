@@ -207,6 +207,12 @@ object StressBench {
     run("embed_groups_star",
       graft.dedup.Dedup.embeddingDedupGroups(emb1, 0.9).count(),
       graft.dedup.Dedup.embeddingDedupGroups(embPlainN, 0.9).count())
+    // SemDeDup: nlist scales with the corpus (cell size held constant —
+    // the in-cell pairwise cost law); decorrelated replicas, since plain
+    // copies measure the d² duplicate-group hazard the doc declares.
+    run("semantic_dedup",
+      graft.dedup.Dedup.semanticDedup(emb1, 0.9, nlist = 16).count(),
+      graft.dedup.Dedup.semanticDedup(embN, 0.9, nlist = 16 * factor).count())
 
     // DBSCAN: replicas shifted a whole grid-neighborhood away per
     // replica, so clusters replicate independently (linear structure)

@@ -329,6 +329,57 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
+    * as the candidate generator — the published curation recipe for
+    * web-scale corpora, next to the hyperplane-LSH path
+    * ([[embeddingDedupGroups]]). Seeded capped-iteration k-means assigns
+    * each vector to a cell; within-cell pairs are verified by exact
+    * cosine; connected components over verified edges give semantic
+    * groups. Per the paper, the kept representative is the group member
+    * LEAST similar to its cell centroid (keeps the most atypical copy;
+    * ties break to min vec_id).
+    *
+    * Cost shape: within-cell pairing is O(n · cellSize), so `nlist`
+    * must scale with the corpus to hold cellSize bounded — the same
+    * parameter law as `planes` in [[embeddingNearDups]] (measured in
+    * SCALE.md). Cross-cell near-dups are missed by design — the paper's
+    * stated trade for never going corpus-pairwise. A template
+    * duplicated d× costs d²/2 in-cell pairs; for that regime (huge
+    * exact-duplicate groups) run [[exactDedup]] first or use the
+    * star-edge [[embeddingDedupGroups]].
+    *
+    * Returns (vec_id, group_id, centroid_sim, keep) ordered by vec_id. */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double,
+                    nlist: Int = 16): DataFrame = {
+    import graft.sim.Similarity
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val idx = Similarity.ivfBuild(embeddings.select(col("vec_id"), col("embedding")), nlist)
+    val assigned = idx.assigned
+      .select(col("neighbor_id").as("vec_id"), col("ne").as("embedding"), col("cell"))
+      .join(broadcast(idx.centroids), "cell")
+      .withColumn("centroid_sim", round(Similarity.cosineFast(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("centroid_sim"))
+      // k-means + GraphX both re-consume lineage; one materialization here
+      .localCheckpoint()
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(Similarity.cosineFast(col("a.embedding"), col("b.embedding")), 6) >= minCosine)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val edgeRdd = pairs.as[(Long, Long)]
+      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val vertexRdd = assigned.select(col("vec_id")).as[Long].rdd.map(id => (id, ()))
+    val groups = org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("vec_id", "group_id")
+    val wKeep = Window.partitionBy(col("group_id"))
+      .orderBy(col("centroid_sim").asc, col("vec_id").asc)
+    groups.join(assigned.select(col("vec_id"), col("centroid_sim")), "vec_id")
+      .withColumn("keep", row_number().over(wKeep) === 1)
+      .select(col("vec_id"), col("group_id"), col("centroid_sim"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -328,4 +328,22 @@ class TextDedupSimSpec extends AnyFunSuite {
     val h = Dedup.dupSpanRatio(docs, 8, hashSpans = true).collect().toSeq
     assert(s == h, "hashed span key must not change the output")
   }
+
+  test("semanticDedup groups exact duplicates, keeps exactly one per group, deterministic") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val firstIds = base.orderBy(col("vec_id")).limit(2).select("vec_id").as[Long].collect()
+    val dups = base.filter(col("vec_id").isin(firstIds: _*))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val all = base.unionByName(dups)
+    val r = Dedup.semanticDedup(all, 0.95)
+    val rows = r.collect()
+    val perGroup = rows.groupBy(_.getLong(1)).values
+    assert(perGroup.forall(_.count(_.getBoolean(3)) == 1), "exactly one keep per group")
+    val g = rows.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    firstIds.foreach { id =>
+      assert(g(id) == g(id + 100000L), s"identical vector $id not grouped with its copy")
+    }
+    assert(rows.toSeq == Dedup.semanticDedup(all, 0.95).collect().toSeq, "must be deterministic")
+  }
 }
