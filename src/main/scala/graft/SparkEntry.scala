@@ -287,7 +287,10 @@ object SparkEntry {
     // SemDeDup: k-means-cell semantic dedup, centroid-atypical keeper
     // (seeded KMeans — deterministic but not SQL-expressible; rows-only)
     "q85_semantic_dedup" -> ((s, d) =>
-      graft.dedup.Dedup.semanticDedup(Tables.embeddings(s, d), 0.9))
+      graft.dedup.Dedup.semanticDedup(Tables.embeddings(s, d), 0.9)),
+    // the substring-dedup ACTION: rewrite docs minus duplicated spans
+    "q86_span_scrub" -> ((s, d) =>
+      graft.dedup.Dedup.scrubDuplicatedSpans(Tables.documents(s, d), 8))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -320,6 +323,7 @@ object SparkEntry {
     "q82_incremental_dedup" -> Seq("documents"),
     "q83_dup_spans" -> Seq("documents"),
     "q84_dup_span_ratio" -> Seq("documents"),
+    "q86_span_scrub" -> Seq("documents"),
     "q63_dbscan" -> Seq("embeddings"),
     "q68_dbscan_severity" -> Seq("embeddings"))
 
@@ -948,6 +952,30 @@ object SparkEntry {
         |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
         |  CASE WHEN n_spans IS NOT NULL
         |    THEN round(n_dup_spans / CAST(n_spans AS DOUBLE), 6) END AS dup_span_frac
-        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q86_span_scrub" ->
+      """WITH src AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id,
+        |    unnest(range(1, len(t) - 6)) AS start,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |  FROM src),
+        |marked AS (SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rk,
+        |    COUNT(*) OVER (PARTITION BY gram) AS n_occ
+        |  FROM pos),
+        |covered AS (SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest(range(start, start + 8)) AS idx
+        |    FROM marked WHERE n_occ >= 2 AND rk > 1)),
+        |toks AS (SELECT doc_id, unnest(t) AS tok,
+        |    unnest(range(1, len(t) + 1)) AS idx FROM src),
+        |kept AS (SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(k.tok ORDER BY k.idx), ' ') AS scrubbed
+        |  FROM toks k LEFT JOIN covered c
+        |    ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.doc_id IS NULL GROUP BY k.doc_id)
+        |SELECT s.doc_id, COALESCE(scrubbed, '') AS scrubbed_text,
+        |  CAST(len(t) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed
+        |FROM src s LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id""".stripMargin
   )
 }

@@ -329,6 +329,45 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** The dedup ACTION at substring level (Lee et al. 2022): rewrite
+    * each document with every corpus-duplicated k-token span removed,
+    * keeping only the span's global first occurrence (min doc_id, then
+    * min start — deterministic). Overlapping duplicated spans union
+    * their covered positions. Plan: span positions ranked per gram
+    * (window on the span key — high cardinality, perfectly spread),
+    * loser occurrences explode to covered token indices, tokens
+    * anti-join coverage, and the survivors reassemble via
+    * array_sort (collect_list alone is order-nondeterministic under
+    * partial aggregation and could never hash-match an oracle).
+    * Returns (doc_id, scrubbed_text, n_removed) ordered by doc_id. */
+  def scrubDuplicatedSpans(documents: DataFrame, k: Int): DataFrame = {
+    val pos = spanPositions(documents, k)
+    val wFirst = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("start"))
+    val marked = pos
+      .withColumn("rk", row_number().over(wFirst))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val covered = marked.filter(col("n_occ") >= 2 && col("rk") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
+      .distinct()
+    val toks = documents
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("scrubbed"))
+    documents
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_orig"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed_text"),
+        (col("n_orig") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
     * as the candidate generator — the published curation recipe for
     * web-scale corpora, next to the hyperplane-LSH path
@@ -416,7 +455,8 @@ object Dedup {
       transform(sequence(lit(0), size(t) - k),
         i => array_join(slice(t, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    documents.select(col("doc_id"), explode(spans).as("gram"))
+    documents.select(col("doc_id"), posexplode(spans))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("gram"))
   }
 
   /** Exact duplicated k-token spans across the corpus — the

@@ -329,6 +329,22 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(s == h, "hashed span key must not change the output")
   }
 
+  test("scrubDuplicatedSpans keeps the global first occurrence, covers self-overlap") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d x1"),    // "a b c d" first occurrence — kept intact
+      (2L, "a b c d x2"),    // later copy — span scrubbed, "x2" survives
+      (3L, "p q r"),         // shorter than k — untouched
+      (4L, "u u u u u")      // self-overlapping repeat: one "u" survives
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDuplicatedSpans(d, 4).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) == ("a b c d x1", 0L), s"got ${r(1L)}")
+    assert(r(2L) == ("x2", 4L), s"got ${r(2L)}")
+    assert(r(3L) == ("p q r", 0L))
+    assert(r(4L) == ("u", 4L), s"got ${r(4L)}")
+  }
+
   test("semanticDedup groups exact duplicates, keeps exactly one per group, deterministic") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
