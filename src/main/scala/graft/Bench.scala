@@ -35,7 +35,13 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop sink, not count(): count() lets Catalyst prune projections
+        // and eliminate cardinality-preserving joins (a grouped-unique-key
+        // left join or a pure-projection query would time near zero
+        // without doing its work). The noop write materializes every row
+        // and column — what the driver's Verify dump actually costs,
+        // minus parquet encoding.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"

@@ -141,9 +141,16 @@ object StressBench {
       .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
       .drop("__rep")
+    // mat(): full materialization through the noop sink — count() lets
+    // Catalyst prune unreferenced projections, window expressions, and
+    // aggregate values, so projection/window-shaped operators would time
+    // near zero without doing their work.
+    def mat(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
     run("chunk_docs",
-      graft.text.TextOps.chunkDocs(docs1, 16).count(),
-      graft.text.TextOps.chunkDocs(docsPlainN, 16).count())
+      mat(graft.text.TextOps.chunkDocs(docs1, 16)),
+      mat(graft.text.TextOps.chunkDocs(docsPlainN, 16)))
     run("bigram_vocab",
       graft.text.TextOps.bigramVocab(docs1, 5).count(),
       graft.text.TextOps.bigramVocab(docsPlainN, 5).count())
@@ -151,20 +158,20 @@ object StressBench {
       graft.ops.Sampling.hashSplit(docs1, "doc_id", "s42", 0.8).count(),
       graft.ops.Sampling.hashSplit(docsPlainN, "doc_id", "s42", 0.8).count())
     run("unigram_logprob",
-      graft.text.TextOps.unigramLogProb(docs1).count(),
-      graft.text.TextOps.unigramLogProb(docsPlainN).count())
+      mat(graft.text.TextOps.unigramLogProb(docs1)),
+      mat(graft.text.TextOps.unigramLogProb(docsPlainN)))
     val mixWeights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
     run("mixture_sample",
       graft.ops.Sampling.mixtureSample(docs1, "source", "doc_id", "mix", mixWeights, 0.75).count(),
       graft.ops.Sampling.mixtureSample(docsPlainN, "source", "doc_id", "mix", mixWeights, 0.75).count())
     run("pack_shards",
-      graft.text.TextOps.packShards(docs1, 512L).count(),
-      graft.text.TextOps.packShards(docsPlainN, 512L).count())
+      mat(graft.text.TextOps.packShards(docs1, 512L)),
+      mat(graft.text.TextOps.packShards(docsPlainN, 512L)))
     run("zorder_value",
-      docs1.select(graft.sources.Layout.zValue(
-        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count(),
-      docsPlainN.select(graft.sources.Layout.zValue(
-        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10)).count())
+      mat(docs1.select(graft.sources.Layout.zValue(
+        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10))),
+      mat(docsPlainN.select(graft.sources.Layout.zValue(
+        Seq(pmod(col("doc_id"), lit(1024L)), pmod(col("n_chars"), lit(1024L))), 10))))
     // Incremental dedup: the corpus side is FIXED (its fingerprint set
     // doesn't grow with the batch); the incoming batch replicates —
     // the ingestion-time regime. Plain replicas: copies all collapse
@@ -184,13 +191,11 @@ object StressBench {
     run("dup_spans",
       graft.dedup.Dedup.duplicatedSpans(docs1, 8).count(),
       graft.dedup.Dedup.duplicatedSpans(docsPlainN, 8).count())
-    // Action must consume the join output: a bare count() lets Catalyst
-    // eliminate the entire ratio subtree (left join against distinct
-    // keys preserves cardinality) and measures nothing.
-    def ratioWork(df: DataFrame): Long =
-      graft.dedup.Dedup.dupSpanRatio(df, 8, hashSpans = true)
-        .agg(sum(col("n_dup_spans"))).head.getLong(0)
-    run("dup_span_ratio_hashed", ratioWork(docs1), ratioWork(docsPlainN))
+    // mat, not count: the final left join against distinct keys preserves
+    // cardinality, so count() would eliminate the entire ratio subtree.
+    run("dup_span_ratio_hashed",
+      mat(graft.dedup.Dedup.dupSpanRatio(docs1, 8, hashSpans = true)),
+      mat(graft.dedup.Dedup.dupSpanRatio(docsPlainN, 8, hashSpans = true)))
 
     // Dedup GROUPS with PLAIN replicas — deliberately the opposite of
     // the pair-family protocol: exact copies make every document's
