@@ -24,10 +24,18 @@ object Layout {
 
   /** Morton (z-curve) value: interleave the low `bits` bits of each of
     * `cols` (non-negative integral columns) into one BIGINT. Bit `i` of
-    * column `j` lands at position `i * cols.size + j` — contributions
-    * are disjoint, so SUM composes them. Bits beyond `bits` are ignored
-    * (callers quantize first). `cols.size * bits` must fit in 63 bits. */
-  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    * column `j` lands at position `i * cols.size + j`. Bits beyond
+    * `bits` are ignored (callers quantize first); `cols.size * bits`
+    * must fit in 63 bits. Native fused expression
+    * ([[graft.functions.ZValue]]); bit-identical to [[zValueHof]]. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column =
+    graft.functions.ZValue.zValue(cols, bits)
+
+  /** The composed built-ins form zValue replaces: per column, fold a
+    * `sequence(0, bits-1)` with column-arg shifts. Contributions are
+    * disjoint bits, so SUM composes them. Kept as the reference
+    * implementation the native expression is equality-tested against. */
+  def zValueHof(cols: Seq[Column], bits: Int = 16): Column = {
     val n = cols.size
     require(n >= 1 && n * bits <= 63, s"$n cols x $bits bits exceeds BIGINT")
     cols.zipWithIndex.map { case (c, j) =>

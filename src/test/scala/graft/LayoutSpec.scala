@@ -18,6 +18,23 @@ class LayoutSpec extends AnyFunSuite {
     .select(col("id"), (col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
     .orderBy(md5(col("id").cast("string")))
 
+  test("native zValue is bit-identical to the HOF form (incl. 3 cols, odd bits)") {
+    val probe = spark.range(5000).select(
+      col("id"),
+      (col("id") * 2654435761L % 65521L).as("a"),
+      (col("id") * 40503L % 131071L).as("b"),
+      (col("id") % 7L).as("c"))
+    for ((cols, bits) <- Seq(
+        (Seq(col("a"), col("b")), 10),
+        (Seq(col("a"), col("b"), col("c")), 7),
+        (Seq(col("a")), 16))) {
+      val diff = probe.select(
+          Layout.zValue(cols, bits).as("zn"), Layout.zValueHof(cols, bits).as("zh"))
+        .filter(col("zn") =!= col("zh")).count()
+      assert(diff == 0, s"native/HOF mismatch for ${cols.size} cols, $bits bits")
+    }
+  }
+
   test("zValue interleave is a bijection on the quantized grid") {
     val z = grid.select(Layout.zValue(Seq(col("x"), col("y")), 6).as("z"))
     assert(z.distinct().count() == 64 * 64)
