@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * the stream runs. Dedup across horizons (against the full historical
   * corpus) is the batch job's responsibility — the standard
   * stream/batch split for corpus ingestion at scale.
+  *
+  * At production state sizes set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `RocksDBStateStoreProvider` (off-heap, spillable — the in-memory
+  * HDFS-backed default holds every fingerprint on-heap); StreamingSpec
+  * runs this pipeline on RocksDB to prove the env supports it.
   */
 object CorpusStream {
 

@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 4L), s"got ${ids.toSeq}")
   }
 
+  test("corpus ingestion dedup runs on the RocksDB state store (production backend)") {
+    implicit val sctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+      val q = graft.stream.CorpusStream.ingestDedup(
+          mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("corpus_rocks").start()
+      try {
+        mem.addData((1L, "rocksdb doc one", t(0)), (2L, "rocksdb doc one", t(1)))
+        q.processAllAvailable()
+        mem.addData((3L, "rocksdb doc two", t(2)), (4L, "ROCKSDB  doc one", t(3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.table("corpus_rocks").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), s"got ${ids.toSeq}")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("session_window closes a session once the watermark passes the gap") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
