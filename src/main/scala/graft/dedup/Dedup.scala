@@ -333,20 +333,31 @@ object Dedup {
     * each document with every corpus-duplicated k-token span removed,
     * keeping only the span's global first occurrence (min doc_id, then
     * min start — deterministic). Overlapping duplicated spans union
-    * their covered positions. Plan: span positions ranked per gram
-    * (window on the span key — high cardinality, perfectly spread),
-    * loser occurrences explode to covered token indices, tokens
-    * anti-join coverage, and the survivors reassemble via
-    * array_sort (collect_list alone is order-nondeterministic under
-    * partial aggregation and could never hash-match an oracle).
+    * their covered positions. Plan: rank + occurrence-count in ONE
+    * window over the span key — span positions are computed and
+    * shuffled exactly once (the agg+join-back alternative consumes the
+    * position set twice, re-running the span explode for the join side:
+    * measured ~40% slower warm at sf0.1). Loser occurrences explode to
+    * covered token indices, tokens anti-join coverage, and the
+    * survivors reassemble via array_sort (collect_list alone is
+    * order-nondeterministic under partial aggregation and could never
+    * hash-match an oracle). `hashSpans` (default on) replaces the
+    * k-word span string with xxhash64 as the window key — 8-byte
+    * shuffle rows and a long sort instead of a string sort; the span
+    * text never surfaces in the output, so the result is identical
+    * short of a 64-bit collision (equality tested).
     * Returns (doc_id, scrubbed_text, n_removed) ordered by doc_id. */
-  def scrubDuplicatedSpans(documents: DataFrame, k: Int): DataFrame = {
-    val pos = spanPositions(documents, k)
+  def scrubDuplicatedSpans(documents: DataFrame, k: Int,
+                           hashSpans: Boolean = true): DataFrame = {
+    val pos0 = spanPositions(documents, k)
+    val pos = if (hashSpans)
+      pos0.select(col("doc_id"), col("start"), xxhash64(col("gram")).as("gram"))
+    else pos0
     val wFirst = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("start"))
-    val marked = pos
+    val covered = pos
       .withColumn("rk", row_number().over(wFirst))
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
-    val covered = marked.filter(col("n_occ") >= 2 && col("rk") > 1)
+      .filter(col("n_occ") >= 2 && col("rk") > 1)
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
       .distinct()

@@ -343,6 +343,9 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(r(2L) == ("x2", 4L), s"got ${r(2L)}")
     assert(r(3L) == ("p q r", 0L))
     assert(r(4L) == ("u", 4L), s"got ${r(4L)}")
+    val hashed = Dedup.scrubDuplicatedSpans(docs, 8).collect().toSeq
+    val strung = Dedup.scrubDuplicatedSpans(docs, 8, hashSpans = false).collect().toSeq
+    assert(hashed == strung, "hashed span key must not change the scrub output")
   }
 
   test("semanticDedup groups exact duplicates, keeps exactly one per group, deterministic") {
