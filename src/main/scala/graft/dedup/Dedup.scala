@@ -491,9 +491,12 @@ object Dedup {
     * anywhere in the corpus (other documents or self-repetition) — the
     * corpus-level twin of [[graft.text.TextOps.repetitionStats]]'s
     * intra-document signals, used to drop boilerplate-heavy documents.
-    * Plan: explode, self-agg on the span, one join back, per-doc agg —
-    * all equi-key, never pairwise. `hashSpans=true` replaces the span
-    * string with xxhash64 for the join/agg key (the at-scale form: 8-byte
+    * Plan: occurrence count as ONE window over the span key, then the
+    * per-doc agg — positions are computed and shuffled once (the
+    * self-agg + join-back alternative consumes the position set twice,
+    * re-running the span explode; same measured lesson as
+    * [[scrubDuplicatedSpans]]). `hashSpans=true` replaces the span
+    * string with xxhash64 for the window key (the at-scale form: 8-byte
     * shuffle rows; identical output short of a 64-bit hash collision —
     * equality is tested). Short documents keep a row with 0 spans and a
     * null fraction. */
@@ -502,8 +505,8 @@ object Dedup {
     val pos0 = spanPositions(documents, k)
     val pos = if (hashSpans) pos0.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
               else pos0
-    val occ = pos.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
-    val perDoc = pos.join(occ, "gram")
+    val perDoc = pos
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_spans"),
         sum(when(col("n_occ") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_spans"))
