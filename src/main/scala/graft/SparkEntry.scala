@@ -290,7 +290,14 @@ object SparkEntry {
       graft.dedup.Dedup.semanticDedup(Tables.embeddings(s, d), 0.9)),
     // the substring-dedup ACTION: rewrite docs minus duplicated spans
     "q86_span_scrub" -> ((s, d) =>
-      graft.dedup.Dedup.scrubDuplicatedSpans(Tables.documents(s, d), 8))
+      graft.dedup.Dedup.scrubDuplicatedSpans(Tables.documents(s, d), 8)),
+    // ingestion-time near-dup admission vs the existing corpus (LSH
+    // banding — not SQL-expressible; rows-only)
+    "q87_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —

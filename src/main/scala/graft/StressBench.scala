@@ -180,6 +180,12 @@ object StressBench {
     run("incremental_dedup",
       graft.dedup.Dedup.incrementalDedup(corpusHalf, docs1.filter(col("doc_id") % 2 === 1)).count(),
       graft.dedup.Dedup.incrementalDedup(corpusHalf, docsPlainN.filter(col("doc_id") % 2 === 1)).count())
+    // Near-dup admission: fixed corpus, replicating batch of PLAIN
+    // copies — every copy band-collides with the corpus, the candidate
+    // join's worst case; cost must track the batch, not the corpus.
+    run("incremental_neardup",
+      graft.dedup.Dedup.incrementalNearDup(corpusHalf, docs1.filter(col("doc_id") % 2 === 1)).count(),
+      graft.dedup.Dedup.incrementalNearDup(corpusHalf, docsPlainN.filter(col("doc_id") % 2 === 1)).count())
     val evalSet = docs1.filter(col("source") === "src0")
     run("contamination",
       graft.dedup.Dedup.contamination(docs1.filter(col("source") =!= "src0"), evalSet, 3).count(),

@@ -140,6 +140,16 @@ object Dedup {
     shingles(documents, n).groupBy(col("doc_id"))
       .agg(graft.functions.Sketches.minhashAgg(col("shingle"), numHashes).as("signature"))
 
+  /** (band, bucket, signature) rows per document: the LSH banding key
+    * table both pair generation and corpus-admission probe against. */
+  private def bandedSignatures(documents: DataFrame, n: Int,
+                               bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignaturesOnePass(documents, n, bands * rowsPerBand)
+      .select(col("doc_id"), col("signature"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** MinHash + LSH banding: split signatures into `bands` bands of
     * `rowsPerBand`, bucket by (band, slice-hash), equi-join buckets for
     * candidate pairs, then estimate similarity as matching-minhash
@@ -148,11 +158,7 @@ object Dedup {
   def minhashLsh(documents: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                  minEstJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignaturesOnePass(documents, n, numHashes)
-    val banded = sig.select(col("doc_id"), col("signature"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedSignatures(documents, n, bands, rowsPerBand)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -188,11 +194,8 @@ object Dedup {
                          rowsPerBand: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val sig = minhashSignaturesOnePass(documents, n, bands * rowsPerBand)
-    val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedSignatures(documents, n, bands, rowsPerBand)
+      .drop("signature")
     val hubs = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("hub"))
     // connectedComponents is iterative Pregel: its vertex/edge RDDs are
@@ -231,6 +234,38 @@ object Dedup {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("contamination_frac",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Ingestion-time NEAR-dup admission — the LSH twin of
+    * [[incrementalDedup]]: an incoming batch is screened against the
+    * EXISTING corpus only. Both sides band their signatures; an
+    * incoming document whose band collides with a corpus band and whose
+    * signature agreement >= minEstJaccard is rejected, the rest are
+    * admitted. The corpus side reduces to its (band, bucket, signature)
+    * table — in production a MAINTAINED table appended on every admit
+    * (the corpus text is never re-shingled per batch; persist it
+    * bucketed by (band, bucket) via [[graft.sources.Catalog]] for a
+    * shuffle-free probe). Candidate volume is O(batch · bands) under
+    * uniform buckets — never corpus-pairwise. Batch-internal near-dups
+    * are then the (small) admitted batch's own [[minhashLsh]] pass, not
+    * this operator's job — mirroring [[incrementalDedup]]'s split.
+    * Returns admitted incoming doc_ids, ordered. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+                         n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                         minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val corpusBands = bandedSignatures(existing, n, bands, rowsPerBand)
+    val batchBands = bandedSignatures(incoming, n, bands, rowsPerBand)
+    val rejected = batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("b.signature"), col("c.signature"),
+          (x, y) => x === y), p => p)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    incoming.select(col("doc_id"))
+      .join(rejected, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 

@@ -348,6 +348,25 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(hashed == strung, "hashed span key must not change the scrub output")
   }
 
+  test("incrementalNearDup rejects corpus copies/near-copies, admits novel docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact copy → reject
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),   // near copy → reject
+      (12L, "wholly novel content unlike anything seen before") // novel → admit
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNearDup(corpus, batch, minEstJaccard = 0.4)
+      .as[Long].collect().toSeq
+    assert(admitted == Seq(12L), s"got $admitted")
+    // batch-only run (empty corpus) admits everything
+    val all = Dedup.incrementalNearDup(corpus.limit(0), batch).as[Long].collect().toSeq
+    assert(all == Seq(10L, 11L, 12L))
+  }
+
   test("semanticDedup groups exact duplicates, keeps exactly one per group, deterministic") {
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
