@@ -82,4 +82,30 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. Micro-batch appends (the K2 sink) leave
+    * one file per batch per partition; at 100 TB a scan of that layout
+    * is throttled by file-open overhead and the driver's file index, not
+    * I/O. File count = ceil(current bytes / target), sized from the
+    * actual footprint — no bytes-per-row guessing. The rewrite goes to
+    * `path + ".compact"` first, then swaps via two FS renames (Spark
+    * cannot overwrite a path it is reading; on object stores use a
+    * manifest/table format for the atomic variant — this is the plain-
+    * parquet form). Round-robin repartition, content otherwise
+    * untouched. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
+    require(fs.rename(hPath, old), s"compact: could not move $path aside")
+    require(fs.rename(tmp, hPath), s"compact: could not install $tmp")
+    fs.delete(old, true)
+  }
 }

@@ -18,6 +18,24 @@ class LayoutSpec extends AnyFunSuite {
     .select(col("id"), (col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
     .orderBy(md5(col("id").cast("string")))
 
+  test("compact rewrites a fragmented table into fewer files, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate micro-batch appends: 12 tiny files
+    for (b <- 0 until 12)
+      spark.range(b * 100, (b + 1) * 100).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 12)
+    Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(parquetFiles == 1, s"expected 1 file, got $parquetFiles")
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 1200)
+    assert(rows.agg(sum(col("id"))).first().getLong(0) == 1200L * 1199 / 2)
+    assert(!new java.io.File(dir + ".precompact").exists)
+    assert(!new java.io.File(dir + ".compact").exists)
+  }
+
   test("native zValue is bit-identical to the HOF form (incl. 3 cols, odd bits)") {
     val probe = spark.range(5000).select(
       col("id"),
