@@ -253,9 +253,17 @@ object Dedup {
     * Returns admitted incoming doc_ids, ordered. */
   def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
                          n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                         minEstJaccard: Double = 0.5): DataFrame = {
+                         minEstJaccard: Double = 0.5): DataFrame =
+    admitAgainst(bandedSignatures(existing, n, bands, rowsPerBand),
+      incoming, n, bands, rowsPerBand, minEstJaccard)
+
+  /** The admission probe shared by the derive-per-call and persisted-
+    * index forms: batch bands equi-join the corpus band table, collided
+    * candidates verify by signature agreement, survivors are admitted. */
+  private def admitAgainst(corpusBands: DataFrame, incoming: DataFrame,
+                           n: Int, bands: Int, rowsPerBand: Int,
+                           minEstJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val corpusBands = bandedSignatures(existing, n, bands, rowsPerBand)
     val batchBands = bandedSignatures(incoming, n, bands, rowsPerBand)
     val rejected = batchBands.as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
@@ -268,6 +276,32 @@ object Dedup {
       .join(rejected, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Persist the corpus band table in its serving layout — the
+    * MAINTAINED table [[incrementalNearDup]]'s contract refers to.
+    * After this, admission never re-shingles the corpus: probes read
+    * (band, bucket, signature, doc_id) rows directly, and every admit
+    * appends the new documents' bands ([[appendBandIndex]]) instead of
+    * rebuilding. Same build/serve split as the IVF index (R21). */
+  def writeBandIndex(existing: DataFrame, path: String, n: Int = 3,
+                     bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    graft.sources.Catalog.writePartitioned(
+      bandedSignatures(existing, n, bands, rowsPerBand), path, Seq("band"))
+
+  /** Maintenance half of the admission loop: append the ADMITTED batch
+    * documents' band rows. Only the batch is shingled — O(batch) work. */
+  def appendBandIndex(admitted: DataFrame, path: String, n: Int = 3,
+                      bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    bandedSignatures(admitted, n, bands, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /** Admission against the persisted band index: identical decisions to
+    * [[incrementalNearDup]] (tested) with zero corpus-side compute. */
+  def incrementalNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+                                path: String, incoming: DataFrame,
+                                n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                                minEstJaccard: Double = 0.5): DataFrame =
+    admitAgainst(spark.read.parquet(path), incoming, n, bands, rowsPerBand, minEstJaccard)
 
   /** 64-bit SimHash over token hashes: bit i of the signature is the sign
     * of sum over tokens of (+1 if token-hash bit i else -1). Computed as

@@ -365,6 +365,19 @@ class TextDedupSimSpec extends AnyFunSuite {
     // batch-only run (empty corpus) admits everything
     val all = Dedup.incrementalNearDup(corpus.limit(0), batch).as[Long].collect().toSeq
     assert(all == Seq(10L, 11L, 12L))
+
+    // persisted band index: identical decisions, and appends maintain it
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString + "/idx"
+    Dedup.writeBandIndex(corpus, dir)
+    val indexed = Dedup.incrementalNearDupIndexed(spark, dir, batch, minEstJaccard = 0.4)
+      .as[Long].collect().toSeq
+    assert(indexed == Seq(12L), s"indexed admission diverged: $indexed")
+    Dedup.appendBandIndex(batch.filter(col("doc_id").isin(indexed: _*)), dir)
+    val resent = Seq((20L, "wholly novel content unlike anything seen before"))
+      .toDF("doc_id", "text")
+    val second = Dedup.incrementalNearDupIndexed(spark, dir, resent, minEstJaccard = 0.4)
+      .as[Long].collect().toSeq
+    assert(second.isEmpty, "re-sent copy of an admitted doc must now be rejected")
   }
 
   test("semanticDedup groups exact duplicates, keeps exactly one per group, deterministic") {
