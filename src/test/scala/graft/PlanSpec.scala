@@ -66,6 +66,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("span scrub explodes positions once: exactly 3 Generates, windows share one exchange") {
+    val p = planOf("q86_span_scrub")
+    val generates = "(?m)^[^\\n]*\\bGenerate\\b".r.findAllIn(p).size
+    // span positions, token positions, coverage ranges — a 4th Generate
+    // means some consumer re-derived the span explode (the measured ~40%
+    // regression this plan shape exists to prevent)
+    assert(generates == 3, s"expected 3 Generate nodes, got $generates:\n$p")
+    val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(p).size
+    assert(gramExchanges == 1,
+      s"span positions must shuffle exactly once on the span key, got $gramExchanges")
+  }
+
   test("skew profile plans global top-k as TakeOrdered, not a one-partition window") {
     // groupBy(key).orderBy(n desc).limit(k) must become TakeOrdered
     // (per-partition k-heaps, k rows to the driver merge) — the shape
