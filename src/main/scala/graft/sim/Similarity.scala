@@ -139,6 +139,14 @@ object Similarity {
   def ivfTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val appId = corpus.sparkSession.sparkContext.applicationId
+    // Evict entries left behind by stopped SparkContexts: the appId key
+    // prevents SERVING a stale index but not RETAINING it, and a
+    // long-lived JVM that cycles sessions would otherwise accumulate dead
+    // checkpointed-DataFrame references for its lifetime. Any entry whose
+    // appId differs from the current one belongs to a stopped context
+    // (one JVM runs one local SparkContext at a time), so drop it here —
+    // its RDD blocks died with the context; this releases the references.
+    ivfCache.keySet.removeIf(_._1 != appId)
     val idx = ivfCache.computeIfAbsent((appId, corpusKey, nlist), _ => {
       val b = ivfBuild(corpus, nlist)
       IvfIndex(b.centroids.localCheckpoint(), b.assigned.localCheckpoint())

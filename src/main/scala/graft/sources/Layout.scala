@@ -98,12 +98,30 @@ object Layout {
               targetFileBytes: Long = 128L << 20): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery BEFORE touching anything. A prior run can strand:
+    //  - `.precompact` with `path` ABSENT — it died between the two
+    //    renames; the original table is intact under `.precompact`, so
+    //    roll it back (restores the pre-compact state, then proceed).
+    //  - `.precompact` with `path` present — it died after installing
+    //    the rewrite but before the cleanup delete; the live table is
+    //    already the compacted one, the leftover is garbage: delete it.
+    //  - `.compact` — a partial rewrite from any crash; always garbage
+    //    (mode("overwrite") would clobber it anyway): delete it.
+    // Without this, a stale `.precompact` makes fs.rename return false
+    // and compact is unusable until manual cleanup.
+    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
+    val tmpStale = new org.apache.hadoop.fs.Path(path + ".compact")
+    if (fs.exists(old)) {
+      if (!fs.exists(hPath)) require(fs.rename(old, hPath),
+        s"compact: crash recovery could not restore $old to $path")
+      else fs.delete(old, true)
+    }
+    if (fs.exists(tmpStale)) fs.delete(tmpStale, true)
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
     require(fs.rename(hPath, old), s"compact: could not move $path aside")
     require(fs.rename(tmp, hPath), s"compact: could not install $tmp")
     fs.delete(old, true)

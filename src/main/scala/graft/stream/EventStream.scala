@@ -30,8 +30,13 @@ object EventStream {
     * same one-record-per-payload `data` column that [[parseEvents]]
     * consumes, so tests (MemoryStream), Kafka, and Kinesis share the
     * pipeline unchanged. Zero-egress sandbox: compile-tested only — the
-    * connector jar supplies the named format at runtime
-    * (`spark-sql-kafka-0-10` / `spark-streaming-kinesis-asl`). */
+    * connector jar supplies the named format at runtime:
+    * `spark-sql-kafka-0-10` for Kafka, and AWS's Structured Streaming
+    * Kinesis connector (`spark-streaming-sql-kinesis-connector`, which
+    * registers the `aws-kinesis` source) for Kinesis. NOTE:
+    * `spark-streaming-kinesis-asl` is the legacy DStream receiver and
+    * registers NO Structured Streaming source — deploying with it would
+    * fail with "Failed to find data source: aws-kinesis". */
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
                   bootstrapServers: String, topic: String): DataFrame =
     spark.readStream.format("kafka")

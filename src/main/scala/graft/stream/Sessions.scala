@@ -28,6 +28,15 @@ object Sessions {
   /** Open-session buffer: epoch-millis bounds + event count. */
   case class SessionBuf(startMs: Long, endMs: Long, n: Long)
 
+  /** Per-user state: EVERY gap-separated run the watermark has not yet
+    * passed, not just the newest. A run can only be emitted once the
+    * watermark exceeds its end + gap — before that, a late event (still
+    * inside the lateness horizon) may arrive in a later micro-batch and
+    * extend or bridge it; emitting early would split a session that the
+    * batch `session_window` oracle merges, and append mode cannot
+    * retract. Bounded: at most lateness/gap + 1 open runs per user. */
+  case class OpenRuns(runs: Seq[SessionBuf])
+
   /** One closed session. */
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
@@ -44,37 +53,56 @@ object Sessions {
         col("session_window.end").as("session_end"), col("n_events"))
 
   /** Custom-state gap-sessionization via `flatMapGroupsWithState`:
-    * accumulates an open-session buffer per user and emits it once the
-    * event-time timeout (session end + gap, bounded by the watermark)
-    * fires. Late events within the watermark extend the open session. */
+    * buffers every not-yet-closeable run per user ([[OpenRuns]]) and
+    * emits each once the watermark passes its end + gap (driven by the
+    * event-time timeout on the earliest pending close). Late events
+    * within the watermark extend, split, or bridge buffered runs. */
   def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30,
                          latenessMinutes: Int = 30): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    // Shared close rule: a run is CLOSED once the watermark passes its
+    // end + gap — only then can no in-horizon late event extend it (any
+    // surviving event has ts >= watermark >= end + gap, which starts a
+    // new session under the >= break). Runs still inside the horizon stay
+    // buffered in state; the earliest pending close point drives the
+    // event-time timeout. This matches session_window's emission timing
+    // exactly, not just its bounds.
+    def emit(uid: Long, s: SessionBuf): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n)
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
       .withWatermark("ts", s"$latenessMinutes minutes")
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+      .flatMapGroupsWithState[OpenRuns, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[SessionBuf]) =>
+         state: GroupState[OpenRuns]) =>
+          val wm = state.getCurrentWatermarkMs()
+          def settle(runs: Vector[SessionBuf]): Iterator[ClosedSession] = {
+            val (closed, open) = runs.partition(_.endMs + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(OpenRuns(open))
+              // min close point > wm by construction of `open`, as
+              // setTimeoutTimestamp requires
+              state.setTimeoutTimestamp(open.map(_.endMs + gapMs).min)
+            }
+            closed.sortBy(_.startMs).iterator.map(emit(uid, _))
+          }
           if (state.hasTimedOut) {
-            // watermark passed session end + gap → close and emit
-            val s = state.get
-            state.remove()
-            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.n))
+            // watermark passed the earliest pending close point: emit
+            // every run it has now passed, keep the rest buffered
+            settle(state.get.runs.toVector)
           } else {
             // A micro-batch can carry SEVERAL sessions for one user.
-            // Split the sorted batch into gap-separated runs, merge the
-            // open-session buffer in as one more interval, then emit
-            // every run but the last as a closed session (the last stays
-            // open under the event-time timeout). The gap break is >=,
-            // matching session_window's [start, end) semantics: an event
-            // exactly `gap` after the previous one starts a NEW session.
+            // Split the sorted batch into gap-separated runs. The gap
+            // break is >=, matching session_window's [start, end)
+            // semantics: an event exactly `gap` after the previous one
+            // starts a NEW session.
             val ts = rows.map(_._2.getTime).toArray.sorted
             val runs = ts.foldLeft(Vector.empty[SessionBuf]) { (acc, t) =>
               acc.lastOption match {
@@ -83,9 +111,11 @@ object Sessions {
                 case _ => acc :+ SessionBuf(t, t, 1L)
               }
             }
-            // interval-merge the existing open session with the runs
-            // (late events can place it anywhere among them, or spanning)
-            val merged = (state.getOption.toVector ++ runs).sortBy(_.startMs)
+            // interval-merge ALL buffered open runs with the new ones —
+            // an in-horizon late event can extend any of them, land
+            // between two, or bridge them into one session
+            val merged = (state.getOption.map(_.runs.toVector)
+              .getOrElse(Vector.empty) ++ runs).sortBy(_.startMs)
               .foldLeft(Vector.empty[SessionBuf]) { (acc, r) =>
                 acc.lastOption match {
                   case Some(p) if r.startMs - p.endMs < gapMs =>
@@ -93,12 +123,7 @@ object Sessions {
                   case _ => acc :+ r
                 }
               }
-            val open = merged.last
-            state.update(open)
-            state.setTimeoutTimestamp(open.endMs + gapMs)
-            merged.init.iterator.map(s =>
-              ClosedSession(uid, new java.sql.Timestamp(s.startMs),
-                new java.sql.Timestamp(s.endMs), s.n))
+            settle(merged)
           }
       }
   }

@@ -36,6 +36,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact").exists)
   }
 
+  test("compact recovers from a crash stranded between the two swap renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_cr").toString
+    val dir = base + "/t"
+    spark.range(0, 500).toDF("id").write.parquet(dir)
+    val fsDir = new java.io.File(dir)
+    // Simulate the mid-swap crash: table moved aside, rewrite never
+    // installed — `path` absent, everything stranded at `.precompact`.
+    assert(fsDir.renameTo(new java.io.File(dir + ".precompact")))
+    // Plus a stale partial rewrite from the same crashed run.
+    new java.io.File(dir + ".compact").mkdirs()
+    Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 500, "crash recovery lost rows")
+    assert(!new java.io.File(dir + ".precompact").exists)
+    assert(!new java.io.File(dir + ".compact").exists)
+
+    // Crash AFTER install but before cleanup: live table present, stale
+    // `.precompact` left behind — must be deleted, table untouched.
+    new java.io.File(dir + ".precompact").mkdirs()
+    Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == 500)
+    assert(!new java.io.File(dir + ".precompact").exists)
+  }
+
   test("native zValue is bit-identical to the HOF form (incl. 3 cols, odd bits)") {
     val probe = spark.range(5000).select(
       col("id"),

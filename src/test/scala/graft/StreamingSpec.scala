@@ -202,6 +202,37 @@ class StreamingSpec extends AnyFunSuite {
       s"expected three sessions with (2,1,1) events for user 1, got $rows")
   }
 
+  test("stateful sessionize holds runs for late bridging until the watermark passes") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(min: Int) = new java.sql.Timestamp(1725500000000L + min * 60000L)
+    val sessions = graft.stream.Sessions.sessionizeStateful(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 10, latenessMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("fs_late_out").start()
+    try {
+      // Batch 1: two gap-separated runs {0} and {18}. Neither may be
+      // emitted yet — the watermark (18 - 30 lateness) has not passed
+      // end + gap for either, and a late event could still bridge them.
+      mem.addData((1L, t(0)), (1L, t(18)))
+      q.processAllAvailable()
+      // Batch 2: late event at t(9), inside the horizon — 9-0 < gap and
+      // 18-9 < gap, so it BRIDGES both runs into ONE 3-event session.
+      // An early-emitting implementation already split off {0} and can
+      // never retract it (append mode) — this is the regression gate.
+      mem.addData((1L, t(9)))
+      q.processAllAvailable()
+      mem.addData((9L, t(100))) // watermark jump: 100-30=70 > 18+10
+      q.processAllAvailable()
+      mem.addData((9L, t(200))) // next batch processes the fired timeout
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fs_late_out").filter(col("user_id") === 1L)
+      .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(3L),
+      s"expected one merged 3-event session for user 1, got $rows")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sctx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
