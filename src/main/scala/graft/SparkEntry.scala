@@ -135,9 +135,14 @@ object SparkEntry {
     "q69_knn_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // cached build/serve split: KMeans runs once per session+corpus,
-      // each call measures the probe path (the serving-time cost)
+      // each call measures the probe path (the serving-time cost).
+      // nprobe = nlist probes every cell, which makes IVF provably
+      // EXACT (every neighbor is re-ranked) — so the brute-force kNN
+      // oracle hash-checks the whole build/assign/probe/re-rank
+      // plumbing. The selective-probe recall/cost dial (nprobe < nlist)
+      // is exercised by SimilaritySpec's recall tests.
       graft.sim.Similarity.ivfTopKCached(d, e.filter(col("vec_id") < 8), e, 5,
-        nlist = 16, nprobe = 6)
+        nlist = 16, nprobe = 16)
     }),
     "q52_embed_neardup" -> ((s, d) =>
       graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)),
@@ -297,7 +302,33 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.incrementalNearDup(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-    })
+    }),
+    // §R21+ data-quality + sampling + heavy-hitters (round 3) ------------
+    // deterministic n-per-stratum sample / per-domain cap, through the
+    // bounded-heap TopKPerKey operator (no stratum sort, skew-immune)
+    "q88_stratified_sample" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(Tables.documents(s, d),
+          Seq("lang", "source"), "doc_id", "strat", 5)
+        .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+        .orderBy(col("lang"), col("source"), col("rn"))),
+    // exact column profile of the documents table (one agg pass + inline)
+    "q89_profile" -> ((s, d) =>
+      graft.quality.Profiler.profile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // admission-gate constraint checks on lineitem (row-level rules in
+    // one agg pass; uniqueness as one hash agg)
+    "q90_expectations" -> ((s, d) =>
+      graft.quality.Expectations.check(Tables.lineitem(s, d), Seq(
+        graft.quality.Expectations.NotNull("l_shipdate"),
+        graft.quality.Expectations.InSet("l_returnflag", Seq("A", "N", "R")),
+        graft.quality.Expectations.InRange("l_quantity", 1.0, 50.0),
+        graft.quality.Expectations.Matches("l_linestatus", "^[OF]$"),
+        graft.quality.Expectations.Unique(Seq("l_orderkey", "l_linenumber"))))),
+    // bounded-memory heavy hitters: Misra-Gries candidates + exact
+    // candidate counts; provably equal to exact top-k when the counts
+    // clear the N/capacity bound (they do here — oracle hash-checks it)
+    "q91_heavy_hitters" -> ((s, d) =>
+      graft.text.HeavyHitters.topKTokens(Tables.documents(s, d), 20, 4096))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -314,6 +345,10 @@ object SparkEntry {
     "q46_dedup_jaccard" -> Seq("documents"),
     "q49_vec_norms" -> Seq("embeddings"),
     "q50_knn_brute" -> Seq("embeddings"),
+    "q69_knn_ivf" -> Seq("embeddings"),
+    "q88_stratified_sample" -> Seq("documents"),
+    "q89_profile" -> Seq("documents"),
+    "q91_heavy_hitters" -> Seq("documents"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
@@ -385,7 +420,79 @@ object SparkEntry {
       |    unnest(CASE WHEN area_names IS NULL OR len(area_names) = 0
       |      THEN [CAST(NULL AS VARCHAR)] ELSE area_names END) AS area FROM x2)""".stripMargin
 
+  /** Exact cosine top-k in DuckDB (unnest-zip dot products, 6-dp round,
+    * id tiebreak). Shared by q50 (brute force) and q69 (IVF at
+    * nprobe = nlist, which re-ranks every neighbor and is therefore
+    * exactly this query by construction). */
+  private val knnExactSql: String =
+    """WITH pairs AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.embedding AS qe,
+      |    n.embedding AS ne
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8),
+      |flat AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
+      |dots AS (SELECT qid, nid,
+      |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dxy,
+      |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS dxx,
+      |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS dyy
+      |  FROM flat GROUP BY qid, nid),
+      |ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+      |    ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) AS sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) DESC, nid) AS BIGINT) AS rn
+      |  FROM dots)
+      |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q69_knn_ivf" -> knnExactSql,
+    "q88_stratified_sample" ->
+      """WITH ranked AS (SELECT doc_id, lang, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 8),
+        |               doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rn FROM ranked WHERE rn <= 5
+        |ORDER BY lang, source, rn""".stripMargin,
+    "q89_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT($c) AS BIGINT) AS non_null,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_cnt,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value,
+           |  CAST(MAX(LENGTH(CAST($c AS VARCHAR))) AS BIGINT) AS max_len
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q90_expectations" ->
+      """WITH rl AS (SELECT
+        |    CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+        |      AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+        |  FROM lineitem),
+        |uq AS (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber) g),
+        |rows_out AS (
+        |  SELECT 'in_range(l_quantity)' AS rule, v_range AS violations FROM rl
+        |  UNION ALL SELECT 'in_set(l_returnflag)', v_set FROM rl
+        |  UNION ALL SELECT 'matches(l_linestatus)', v_re FROM rl
+        |  UNION ALL SELECT 'not_null(l_shipdate)', v_null FROM rl
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v FROM uq)
+        |SELECT rule, violations, violations = 0 AS passed FROM rows_out
+        |ORDER BY rule""".stripMargin,
+    "q91_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |t2 AS (SELECT token FROM tok WHERE LENGTH(token) > 0),
+        |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t2),
+        |ranked AS (SELECT token, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rn
+        |  FROM cnt)
+        |SELECT token, cnt, rn, (cnt * 4096 > n.n_total) AS guaranteed_exact
+        |FROM ranked CROSS JOIN n WHERE rn <= 20 ORDER BY rn""".stripMargin,
     "q61_open511_timeseries" ->
       s"""WITH $open511Cte
          |SELECT id, event_type, event_ts_us, severity, event_subtype, road, area
@@ -705,23 +812,7 @@ object SparkEntry {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q50_knn_brute" ->
-      """WITH pairs AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.embedding AS qe,
-        |    n.embedding AS ne
-        |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8),
-        |flat AS (SELECT qid, nid, unnest(qe) AS x, unnest(ne) AS y FROM pairs),
-        |dots AS (SELECT qid, nid,
-        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dxy,
-        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS dxx,
-        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS dyy
-        |  FROM flat GROUP BY qid, nid),
-        |ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |    ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) AS sim,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY ROUND(dxy / (SQRT(dxx) * SQRT(dyy)), 6) DESC, nid) AS BIGINT) AS rn
-        |  FROM dots)
-        |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin,
+    "q50_knn_brute" -> knnExactSql,
     "q53_docs_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

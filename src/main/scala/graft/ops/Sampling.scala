@@ -41,6 +41,27 @@ object Sampling {
                    frac: Double): DataFrame =
     df.filter(hashBucketHex(col(idCol), salt) < lit(thresholdHex(frac)))
 
+  /** Deterministic n-per-stratum sample (equivalently: a per-key CAP —
+    * the C4/RefinedWeb-style "at most n documents per domain" rule).
+    * Rows within each stratum are ranked by the content hash of their
+    * id (uniform, engine-portable md5), so the kept set is a uniform
+    * without-replacement sample of the stratum that is identical on
+    * every engine and cluster size; `rn` (1-based) is the sample index.
+    *
+    * Scale shape: routes through the custom [[graft.plans.TopKPerKey]]
+    * operator — one shuffle of the narrow projection clustered by the
+    * strata, an O(n) bounded heap per stratum, NO partition sort. A
+    * window row_number would sort each stratum's full extent; a skewed
+    * stratum (one domain = half the corpus) makes that sort the
+    * straggler, while the heap stays O(n) regardless of skew. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       salt: String, n: Int): DataFrame = {
+    val ranked = df.withColumn("__rk", hashBucketHex(col(idCol), salt))
+    graft.plans.TopK.topKPerKey(ranked, strataCols,
+        Seq(("__rk", true), (idCol, true)), n)
+      .drop("__rk")
+  }
+
   /** Domain-mixture sampling: keep each row with the probability its
     * group's weight prescribes — how a training corpus is re-weighted
     * to target proportions (web 30%, code 100%, …). Same determinism

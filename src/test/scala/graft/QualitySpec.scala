@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.quality.{Expectations, Profiler}
+import graft.text.HeavyHitters
+
+/** Data-quality operators (round 3): column profiler, expectation
+  * checks, bounded-memory heavy hitters, stratified sampling.
+  */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c", "en", "s1"),
+    (2L, "a b", "en", "s1"),
+    (3L, null.asInstanceOf[String], "en", "s2"),
+    (4L, "d", "fr", "s2"),
+    (5L, "a", "fr", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("profile: exact per-column null/distinct/min/max/max_len") {
+    val p = Profiler.profile(docs, Seq("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), r.getLong(6))).toMap
+    assert(p("doc_id") == ((5L, 0L, 5L, "1", "5", 1L)))
+    assert(p("text") == ((4L, 1L, 4L, "a", "d", 5L)))
+    assert(p("lang") == ((5L, 0L, 2L, "en", "fr", 2L)))
+  }
+
+  test("profile: approx variant has the same shape; exact counts for tiny input") {
+    val p = Profiler.profileApprox(docs, Seq("lang")).collect()
+    assert(p.length == 1 && p.head.getString(0) == "lang")
+    // HLL++ is exact at cardinality 2
+    assert(p.head.getLong(3) == 2L)
+  }
+
+  test("expectations: clean rules pass, violations counted per rule") {
+    val df = Seq(
+      (1L, 1, "A", Some(5.0)),
+      (1L, 2, "A", Some(60.0)),   // range violation
+      (2L, 1, "X", Some(10.0)),   // set violation
+      (2L, 1, "A", None)          // dup key (and a null qty)
+    ).toDF("k", "ln", "flag", "qty")
+    val out = Expectations.check(df, Seq(
+      Expectations.NotNull("qty"),
+      Expectations.InSet("flag", Seq("A", "B")),
+      Expectations.InRange("qty", 0.0, 50.0),
+      Expectations.Unique(Seq("k", "ln"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("not_null(qty)") == ((1L, false)))
+    assert(out("in_set(flag)") == ((1L, false)))
+    assert(out("in_range(qty)") == ((1L, false)))
+    assert(out("unique(k,ln)") == ((1L, false)))
+    val clean = Expectations.check(df.filter(col("k") === 999),
+      Seq(Expectations.NotNull("qty"), Expectations.Unique(Seq("k"))))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(clean.forall(_ == ((0L, true))), "empty input must pass all rules")
+  }
+
+  test("misraGries: survivors contain every token above the n/m bound") {
+    // adversarial stream: 3 heavy tokens among 200 distinct light ones,
+    // capacity far below the vocabulary
+    val heavy = Seq.fill(50)("H1") ++ Seq.fill(40)("H2") ++ Seq.fill(30)("H3")
+    val light = (0 until 200).map(i => s"t$i")
+    val stream = new scala.util.Random(7).shuffle(heavy ++ light ++ light)
+    val m = 20
+    val survivors = HeavyHitters.misraGries(stream.iterator, m).toSet
+    val n = stream.size
+    for (t <- Seq("H1", "H2", "H3")) {
+      val freq = stream.count(_ == t)
+      assert(freq > n / m, s"test setup: $t must clear the bound")
+      assert(survivors.contains(t), s"$t (freq $freq > $n/$m) must survive")
+    }
+    assert(survivors.size <= m, "summary must stay within capacity")
+  }
+
+  test("topKTokens matches the exact top-k when counts clear the bound") {
+    // 40 docs over a 500-word vocabulary with a skewed head; capacity 64
+    // forces evictions inside partitions (vocab >> m) while the head
+    // still clears n/m — result must equal the exact top-k.
+    val words = (0 until 500).map(i => s"w$i")
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 40).map { d =>
+      val body = (0 until 300).map { _ =>
+        val r = rnd.nextInt(10)
+        if (r < 6) words(rnd.nextInt(8))        // heavy head
+        else words(8 + rnd.nextInt(492))        // long tail
+      }
+      (d.toLong, body.mkString(" "))
+    }.toDF("doc_id", "text").repartition(8)
+    val got = HeavyHitters.topKTokens(corpus, 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // exact reference by plain groupBy
+    val exact = corpus.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(x => (x._1, x._2)).toSeq == exact.toSeq,
+      s"MG top-k diverged: got ${got.toSeq} exact ${exact.toSeq}")
+    assert(got.forall(_._4), "head counts must clear the n/m bound here")
+    assert(got.map(_._3).toSeq == (1L to 5L), "ranks must be 1..k")
+  }
+
+  test("stratifiedSample caps every stratum at n, deterministically") {
+    val many = (0 until 400).map(i => (i.toLong, s"lang${i % 2}", s"src${i % 5}"))
+      .toDF("doc_id", "lang", "source")
+    val s1 = graft.ops.Sampling.stratifiedSample(many, Seq("lang", "source"),
+      "doc_id", "salty", 7).select("doc_id", "lang", "source", "rn")
+    val rows = s1.collect()
+    val perStratum = rows.groupBy(r => (r.getString(1), r.getString(2)))
+    assert(perStratum.size == 10)
+    assert(perStratum.values.forall(_.length == 7), "each stratum capped at 7")
+    perStratum.values.foreach { g =>
+      assert(g.map(_.getLong(3)).sorted.toSeq == (1L to 7L)) }
+    // determinism: same salt → same picks; different salt → different picks
+    val s2 = graft.ops.Sampling.stratifiedSample(many, Seq("lang", "source"),
+      "doc_id", "salty", 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == s2)
+    val s3 = graft.ops.Sampling.stratifiedSample(many, Seq("lang", "source"),
+      "doc_id", "other", 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 != s3, "different salt should draw a different sample")
+  }
+}
