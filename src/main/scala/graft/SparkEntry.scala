@@ -328,7 +328,15 @@ object SparkEntry {
     // candidate counts; provably equal to exact top-k when the counts
     // clear the N/capacity bound (they do here — oracle hash-checks it)
     "q91_heavy_hitters" -> ((s, d) =>
-      graft.text.HeavyHitters.topKTokens(Tables.documents(s, d), 20, 4096))
+      graft.text.HeavyHitters.topKTokens(Tables.documents(s, d), 20, 4096)),
+    // IVF-PQ: product-quantized ANN at realistic probe/refine settings —
+    // approximate by design (recall-tested in SimPQSpec), so no SQL
+    // oracle; the exact-identity plumbing check is q69.
+    "q92_knn_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.PQ.pqTopKCached(d, e.filter(col("vec_id") < 8), e, 5,
+        nlist = 16, m = 8, ksub = 32, nprobe = 6, refine = 64)
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.{PQ, Similarity}
+
+/** IVF-PQ: encoding invariants + recall against exact brute force. */
+class SimPQSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("pqBuild encodes every vector with m in-range codes") {
+    val idx = PQ.pqBuild(emb, nlist = 8, m = 4, ksub = 16)
+    assert(idx.codebooks.length == 4)
+    assert(idx.codebooks.forall(_.length == 16))
+    assert(idx.codebooks.forall(_.forall(_.length == 16))) // 64/4 dims
+    val bad = idx.codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0, "all codes must be in [0, ksub)")
+    assert(idx.codes.count() == emb.count())
+  }
+
+  test("pq search is deterministic across runs") {
+    val q = emb.filter(col("vec_id") < 4)
+    val r1 = PQ.pqTopK(q, emb, 5, nprobe = 4, refine = 32).collect().toSeq
+    val r2 = PQ.pqTopK(q, emb, 5, nprobe = 4, refine = 32).collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("ADC ranking recall: full probe isolates quantization loss") {
+    // sf0.01 (500 vectors). With nprobe = nlist the coarse probe misses
+    // nothing, so any recall loss is the PQ approximation itself (ADC
+    // ordering deciding which `refine` candidates reach the exact
+    // re-rank). This is the quantity PQ controls; assert it is small.
+    val emb01 = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb01.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(q, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = PQ.pqTopK(q, emb01, 5, nlist = 16, m = 8, ksub = 32,
+        nprobe = 16, refine = 96).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85, s"ADC recall@5 $recall below 0.85 " +
+      s"(hit ${(exact & approx).size} of ${exact.size})")
+  }
+
+  test("probe-limited recall matches the IVF operator's own bar") {
+    // At nprobe < nlist recall is bounded by which cells get probed —
+    // identical to plain IVF (same coarse quantizer). The synthetic
+    // embeddings cluster weakly, so mirror TextDedupSimSpec's IVF
+    // threshold rather than pretending PQ could beat its own probe.
+    val emb01 = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = emb01.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(q, emb01, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = PQ.pqTopK(q, emb01, 5, nlist = 16, m = 4, ksub = 16,
+        nprobe = 6, refine = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"probe-limited recall@5 $recall below 0.5")
+  }
+
+  test("full probe + full refine reproduces exact brute-force top-k") {
+    val q = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect().toSeq
+    val full = PQ.pqTopK(q, emb, 5, nlist = 8, m = 4, ksub = 16,
+      nprobe = 8, refine = n).collect().toSeq
+    assert(full == exact, "exhaustive PQ must equal brute force")
+  }
+}
