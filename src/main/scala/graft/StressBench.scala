@@ -225,6 +225,47 @@ object StressBench {
       graft.dedup.Dedup.semanticDedup(emb1, 0.9, nlist = 16).count(),
       graft.dedup.Dedup.semanticDedup(embN, 0.9, nlist = 16 * factor).count())
 
+    // Round-3 family: quality gates, bounded-summary mining, PQ serve.
+    // Aggregation/summary shapes — plain replicas (same rationale as the
+    // corpus-prep family above).
+    run("stratified_sample",
+      mat(Sampling.stratifiedSample(docs1, Seq("lang", "source"), "doc_id", "s", 50)),
+      mat(Sampling.stratifiedSample(docsPlainN, Seq("lang", "source"), "doc_id", "s", 50)))
+    run("profile_exact",
+      mat(graft.quality.Profiler.profile(docs1,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+      mat(graft.quality.Profiler.profile(docsPlainN,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))))
+    def expectRules = Seq[graft.quality.Expectations.Rule](
+      graft.quality.Expectations.NotNull("l_shipdate"),
+      graft.quality.Expectations.InSet("l_returnflag", Seq("A", "N", "R")),
+      graft.quality.Expectations.InRange("l_quantity", 1.0, 50.0),
+      graft.quality.Expectations.Unique(Seq("l_orderkey", "l_linenumber")))
+    run("expectations",
+      mat(graft.quality.Expectations.check(li1, expectRules)),
+      mat(graft.quality.Expectations.check(liN, expectRules)))
+    run("heavy_hitters",
+      mat(graft.text.HeavyHitters.topKTokens(docs1, 20, 4096)),
+      mat(graft.text.HeavyHitters.topKTokens(docsPlainN, 20, 4096)))
+    // PQ serve path: index built (and materialized) OUTSIDE the timing —
+    // the build/serve split is the operator's contract; the serve cost is
+    // the ADC scan over codes + bounded-heap refine, which is what must
+    // track the corpus linearly.
+    def pqIdxOf(e: DataFrame) = {
+      val b = graft.sim.PQ.pqBuild(e, nlist = 16, m = 8, ksub = 32)
+      graft.sim.PQ.PqIndex(b.centroids.localCheckpoint(),
+        b.codes.localCheckpoint(), b.codebooks, b.dim)
+    }
+    val pqQ = emb1.filter(col("vec_id") < 8)
+    if (only.forall(_.exists("ivfpq_search".startsWith))) {
+      // eager localCheckpoint → both builds complete HERE, not in the timing
+      val pqIdx1 = pqIdxOf(emb1)
+      val pqIdxN = pqIdxOf(embPlainN)
+      run("ivfpq_search",
+        mat(graft.sim.PQ.pqSearch(pqIdx1, emb1, pqQ, 5, nprobe = 6, refine = 64)),
+        mat(graft.sim.PQ.pqSearch(pqIdxN, embPlainN, pqQ, 5, nprobe = 6, refine = 64)))
+    }
+
     // DBSCAN: replicas shifted a whole grid-neighborhood away per
     // replica, so clusters replicate independently (linear structure)
     def pts(df: DataFrame) = df.select(col("vec_id").as("id"),
