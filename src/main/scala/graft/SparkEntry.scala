@@ -336,7 +336,28 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       graft.sim.PQ.pqTopKCached(d, e.filter(col("vec_id") < 8), e, 5,
         nlist = 16, m = 8, ksub = 32, nprobe = 6, refine = 64)
-    })
+    }),
+    // snapshot diff between two synthetic corpus versions: v1 = 80% of
+    // ids, v2 = a shifted 80% with every 7th document edited — added/
+    // removed/changed only, unchanged rows never leave the join
+    "q93_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 < 8)
+      val v2 = docs.filter(col("doc_id") % 10 >= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.SetOps.snapshotDiff(v1, v2, "doc_id", "text")
+    }),
+    // bigram PMI collocation mining (exact integer counts, one final ln)
+    "q94_bigram_pmi" -> ((s, d) =>
+      graft.text.TextOps.bigramPmi(Tables.documents(s, d), minCount = 3)),
+    // distribution-relative curation filter: keep documents inside the
+    // corpus's own [p10, p90] length band (Scalar-class boundary agg)
+    "q95_quantile_band" -> ((s, d) =>
+      graft.quality.Filters.quantileBand(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", 0.1, 0.9)
+        .orderBy(col("doc_id")))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -357,6 +378,9 @@ object SparkEntry {
     "q88_stratified_sample" -> Seq("documents"),
     "q89_profile" -> Seq("documents"),
     "q91_heavy_hitters" -> Seq("documents"),
+    "q93_snapshot_diff" -> Seq("documents"),
+    "q94_bigram_pmi" -> Seq("documents"),
+    "q95_quantile_band" -> Seq("documents"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
@@ -491,6 +515,40 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v FROM uq)
         |SELECT rule, violations, violations = 0 AS passed FROM rows_out
         |ORDER BY rule""".stripMargin,
+    "q93_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id AS id, md5(text) AS fp1 FROM documents
+        |  WHERE doc_id % 10 < 8),
+        |v2 AS (SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp2
+        |  FROM documents WHERE doc_id % 10 >= 2),
+        |j AS (SELECT COALESCE(v1.id, v2.id) AS id, fp1, fp2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id)
+        |SELECT id, CASE WHEN fp1 IS NULL THEN 'added'
+        |  WHEN fp2 IS NULL THEN 'removed' ELSE 'changed' END AS change
+        |FROM j WHERE fp1 IS NULL OR fp2 IS NULL OR fp1 <> fp2
+        |ORDER BY id""".stripMargin,
+    "q94_bigram_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT unnest(w) AS tk FROM t),
+        |uni AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c_w FROM tok GROUP BY 1),
+        |n1t AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n1 FROM uni),
+        |bgp AS (SELECT w[CAST(i + 1 AS BIGINT)] AS w1, w[CAST(i + 2 AS BIGINT)] AS w2
+        |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i FROM t) u),
+        |n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bgp),
+        |cab AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bgp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT w1, w2, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |  ROUND(LN(CAST(c_ab AS DOUBLE) * n1 * n1 /
+        |    (CAST(n2 AS DOUBLE) * ua.c_w * ub.c_w)), 6) AS pmi
+        |FROM cab JOIN uni ua ON cab.w1 = ua.tk JOIN uni ub ON cab.w2 = ub.tk
+        |CROSS JOIN n1t CROSS JOIN n2t
+        |ORDER BY pmi DESC, w1, w2""".stripMargin,
+    "q95_quantile_band" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.1) AS lo,
+        |    quantile_cont(n_chars, 0.9) AS hi FROM documents)
+        |SELECT doc_id, n_chars FROM documents, q
+        |WHERE CAST(n_chars AS DOUBLE) >= lo AND CAST(n_chars AS DOUBLE) <= hi
+        |ORDER BY doc_id""".stripMargin,
     "q91_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |t2 AS (SELECT token FROM tok WHERE LENGTH(token) > 0),

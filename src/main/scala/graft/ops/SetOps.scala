@@ -32,4 +32,30 @@ object SetOps {
     orders.select(col("o_custkey").as("ck"))
       .except(orders.filter(col("o_totalprice") > minTotal).select(col("o_custkey").as("ck")))
       .orderBy(col("ck"))
+
+  /** Corpus snapshot diff: what changed between two versions of a table
+    * (the CommonCrawl-refresh question — which documents are new, gone,
+    * or edited — answered without rescanning content downstream).
+    * Compares md5 content fingerprints under a full outer join on the
+    * id; emits ONLY differences, tagged `added` / `removed` / `changed`
+    * (unchanged rows — the overwhelming majority between adjacent
+    * snapshots — never leave the join).
+    *
+    * Scale shape: one shuffle per side on the id (or zero with both
+    * snapshots bucketed by id, the natural layout for versioned
+    * corpora); fingerprints are computed in the scan projection, so the
+    * join carries (id, 32-byte hex), not document bodies. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("id"), md5(col(contentCol)).as("fp1"))
+    val b = v2.select(col(idCol).as("id"), md5(col(contentCol)).as("fp2"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("id"), col("change"))
+      .orderBy(col("id"))
+  }
 }

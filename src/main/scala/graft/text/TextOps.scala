@@ -159,6 +159,46 @@ object TextOps {
       .orderBy(col("cnt").desc, col("bigram"))
   }
 
+  /** Bigram PMI (pointwise mutual information) — the collocation score
+    * that separates real phrases from frequency accidents; corpus
+    * pipelines use it for phrase mining and junk-boilerplate discovery
+    * where raw bigram counts just echo stopwords.
+    *
+    * pmi(a,b) = ln( (c_ab / N₂) / ((c_a / N₁)(c_b / N₁)) ), with N₁ =
+    * total tokens, N₂ = total bigrams. Every term is an exact integer
+    * count; ln + 6-dp round happen once at the end, so the result is
+    * engine-portable (oracle-checked).
+    *
+    * Scale shape: same class as [[bigramVocab]] — one shuffle keyed by
+    * bigram, one by token, then two equi-joins of bigrams against the
+    * (much smaller, broadcast-able) unigram table; totals are
+    * [[graft.ops.Scalar]]-class reductions riding a 1-row cross join. */
+  def bigramPmi(documents: DataFrame, minCount: Long = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array())
+    val pairs = documents.select(explode(bg).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = documents.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(sum(col("c_w")).as("n1")).crossJoin(
+      pairs.agg(count(lit(1)).as("n2")))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        // cast BEFORE multiplying: the integer product c_ab·N₁² overflows
+        // long at corpus scale; double left-assoc products are portable
+        round(log((col("c_ab").cast("double") * col("n1") * col("n1")) /
+          (col("n2").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   /** Fixed-size token chunking for training-data preparation: split each
     * document into `chunkTokens`-token pieces, one row per chunk, keeping
     * (doc_id, chunk_no) lineage. Pure plan arithmetic — sequence +

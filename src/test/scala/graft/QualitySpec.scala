@@ -102,6 +102,39 @@ class QualitySpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == (1L to 5L), "ranks must be 1..k")
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c EDITED"), (4L, "d")).toDF("doc_id", "text")
+    val out = graft.ops.SetOps.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"got $out") // 2 is unchanged and must not appear
+  }
+
+  test("bigramPmi: collocated pair scores above independent pair") {
+    // "x y" always together (perfect collocation); "a" pairs with many
+    val df = Seq(
+      (1L, "x y a p"), (2L, "x y a q"), (3L, "x y a r"), (4L, "a s x y")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.bigramPmi(df, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val pmiXY = out(("x", "y"))
+    // x appears 4x, y 4x, "x y" 4x of 12 bigrams; N1=16 tokens
+    // pmi = ln(4*16*16/(12*4*4)) = ln(16/3)
+    assert(math.abs(pmiXY - math.log(16.0 / 3.0)) < 1e-5, s"pmi(x,y)=$pmiXY")
+    // and it must outrank the incidental ("y","a") pair
+    assert(out.get(("y", "a")).forall(_ < pmiXY))
+  }
+
+  test("quantileBand keeps exactly the inner band, boundaries inclusive") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val kept = graft.quality.Filters.quantileBand(df, "v", 0.1, 0.9)
+      .collect().map(_.getLong(1)).sorted
+    // p10 of 1..100 (interpolated) = 10.9, p90 = 90.1 → keep 11..90
+    assert(kept.head == 11L && kept.last == 90L && kept.length == 80,
+      s"kept ${kept.length} rows [${kept.head}, ${kept.last}]")
+  }
+
   test("stratifiedSample caps every stratum at n, deterministically") {
     val many = (0 until 400).map(i => (i.toLong, s"lang${i % 2}", s"src${i % 5}"))
       .toDF("doc_id", "lang", "source")
