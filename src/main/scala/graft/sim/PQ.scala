@@ -50,42 +50,10 @@ object PQ {
         acc + diff * diff
       })
 
-  /** Seeded local Lloyd k-means — codebook training runs DRIVER-SIDE on
-    * a bounded sample, the classic PQ recipe (FAISS trains codebooks on
-    * a sample too): the codebook is k×dsub floats, a statistic, not a
-    * dataset; spending m distributed KMeans jobs on it costs more in
-    * job-launch overhead than the math. Deterministic: seeded init,
-    * stable argmin tiebreak, empty clusters keep their previous center. */
-  private[sim] def localKMeans(points: Array[Array[Double]], k: Int,
-                               iters: Int, seed: Long): Array[Array[Double]] = {
-    require(points.nonEmpty, "localKMeans: empty sample")
-    val rnd = new scala.util.Random(seed)
-    val dim = points.head.length
-    val centers = Array.tabulate(k)(_ => points(rnd.nextInt(points.length)).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          var dd = 0.0; var t = 0
-          while (t < dim) { val df = p(t) - centers(c)(t); dd += df * df; t += 1 }
-          if (dd < bestD) { bestD = dd; best = c }
-          c += 1
-        }
-        var t = 0
-        while (t < dim) { sums(best)(t) += p(t); t += 1 }
-        counts(best) += 1
-      }
-      for (c <- 0 until k if counts(c) > 0; t <- 0 until dim)
-        centers(c)(t) = sums(c)(t) / counts(c)
-    }
-    centers
-  }
-
   /** Train per-subspace codebooks and encode the corpus. `trainSample`
     * bounds the driver-collected training set (sampled by the portable
-    * content hash, so the sample is deterministic and unbiased). */
+    * content hash, so the sample is deterministic and unbiased — the
+    * classic PQ recipe; see [[graft.ml.LocalKMeans]]). */
   def pqBuild(corpus: DataFrame, nlist: Int = 16, m: Int = 4,
               ksub: Int = 16, trainSample: Int = 16384): PqIndex = {
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
@@ -94,14 +62,11 @@ object PQ {
     // coarse quantizer (cells) — same build as IVF
     val ivf = Similarity.ivfBuild(corpus, nlist)
     // bounded, deterministic training sample → m local Lloyd fits
-    val sample: Array[Array[Double]] = corpus
-      .select(col("embedding"), md5(col("vec_id").cast("string")).as("__h"))
-      .orderBy(col("__h")).limit(trainSample)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample: Array[Array[Double]] = graft.ml.LocalKMeans.sampleVectors(
+      corpus, "embedding", "vec_id", trainSample)
     val codebooks: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
       val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
-      localKMeans(sub, ksub, iters = 10, seed = 42L + j)
+      graft.ml.LocalKMeans.fit(sub, ksub, iters = 10, seed = 42L + j)
         .toSeq.map(_.toSeq.map(_.toFloat))
     }
     val cbLit = typedlit(codebooks) // m × ksub × dsub plan literal

@@ -74,20 +74,26 @@ object Similarity {
   /** IVF index build: k-means coarse quantizer over the corpus.
     * A coarse quantizer only needs roughly-spread centroids, not
     * convergence — iterations are capped (standard IVF practice; recall
-    * is governed by nprobe, which the recall test exercises). */
-  def ivfBuild(corpus: DataFrame, nlist: Int = 16): IvfIndex = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusVec = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"), array_to_vector(col("embedding")).as("features"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(corpusVec)
-    val assigned = km.transform(corpusVec).select(col("neighbor_id"), col("ne"), col("cell"))
+    * is governed by nprobe, which the recall test exercises).
+    *
+    * The quantizer trains DRIVER-SIDE on a bounded hash-deterministic
+    * sample ([[graft.ml.LocalKMeans]]): centroids are nlist×dim floats,
+    * a statistic — a distributed fit pays job-launch overhead for no
+    * accuracy the serve path could use. Assignment (the corpus-sized
+    * work) is a codegen'd argmin over the centroid literal — one narrow
+    * projection, no ML pipeline, no vector-UDT conversion. */
+  def ivfBuild(corpus: DataFrame, nlist: Int = 16,
+               trainSample: Int = 16384): IvfIndex = {
+    val sample = graft.ml.LocalKMeans.sampleVectors(
+      corpus, "embedding", "vec_id", trainSample)
+    val centers = graft.ml.LocalKMeans.fit(sample, nlist, iters = 10, seed = 42L)
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"),
+      graft.ml.LocalKMeans.assignCol(col("embedding"), centers).as("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = km.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    val centroids = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
       .toDF("cell", "centroid")
     IvfIndex(centroids, assigned)
   }
