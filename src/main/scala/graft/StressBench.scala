@@ -247,6 +247,23 @@ object StressBench {
     run("heavy_hitters",
       mat(graft.text.HeavyHitters.topKTokens(docs1, 20, 4096)),
       mat(graft.text.HeavyHitters.topKTokens(docsPlainN, 20, 4096)))
+    run("snapshot_diff", {
+      val v1 = docs1.filter(col("doc_id") % 10 < 8)
+      val v2 = docs1.filter(col("doc_id") % 10 >= 2)
+      mat(SetOps.snapshotDiff(v1, v2, "doc_id", "text"))
+    }, {
+      val v1 = docsPlainN.filter(col("doc_id") % 10 < 8)
+      val v2 = docsPlainN.filter(col("doc_id") % 10 >= 2)
+      mat(SetOps.snapshotDiff(v1, v2, "doc_id", "text"))
+    })
+    run("bigram_pmi",
+      mat(graft.text.TextOps.bigramPmi(docs1, 3)),
+      mat(graft.text.TextOps.bigramPmi(docsPlainN, 3)))
+    run("quantile_band",
+      mat(graft.quality.Filters.quantileBand(docs1, "n_chars", 0.1, 0.9,
+        exact = false)),
+      mat(graft.quality.Filters.quantileBand(docsPlainN, "n_chars", 0.1, 0.9,
+        exact = false)))
     // PQ serve path: index built (and materialized) OUTSIDE the timing —
     // the build/serve split is the operator's contract; the serve cost is
     // the ADC scan over codes + bounded-heap refine, which is what must

@@ -114,6 +114,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample routes through the bounded-heap TopKPerKeyExec") {
+    // the skew-immunity claim: a per-stratum CAP must be the custom
+    // heap operator (O(n) per stratum), not a window sort of each
+    // stratum's full extent
+    val p = planOf("q88_stratified_sample")
+    assert(p.contains("TopKPerKey"), s"cap not the bounded-heap exec:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      "cap fell back to a window sort")
+  }
+
+  test("heavy hitters: candidate set broadcasts, vocabulary never shuffles whole") {
+    // stage-2 exact counts join the token stream against the SMALL
+    // candidate set — that side must broadcast; the only hash-agg
+    // shuffle keys are candidate tokens (bounded by capacity×partitions)
+    val p = planOf("q91_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
+  }
+
+  test("profiler plans one scan: a single Expand feeds the multi-distinct agg") {
+    // exact multi-distinct must be Spark's one-scan Expand rewrite —
+    // one pass over the data replicated per column — not one scan (and
+    // one shuffle) per profiled column
+    val p = planOf("q89_profile")
+    val expands = "(?m)^[^\\n]*\\bExpand\\b".r.findAllIn(p).size
+    assert(expands == 1, s"expected exactly 1 Expand, got $expands:\n$p")
+    val scans = "(?m)Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profiler should scan the table once, got $scans")
+  }
+
+  test("quantile band folds boundaries to literals that push to the scan") {
+    val df = SparkEntry.queries("q95_quantile_band")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the band filter must reach the parquet scan as pushed predicates
+    // on n_chars — proof the Scalar boundaries became plan literals
+    assert(p.contains("PushedFilters") && p.contains("n_chars"),
+      s"band predicate did not push down:\n$p")
+  }
+
   test("partitioned events sink: static + dynamic partition pruning") {
     // SURVEY §4's named gap vs the reference's flat glob
     // (lambda-run-clustering.py:25): write the events table partitioned
