@@ -357,7 +357,28 @@ object SparkEntry {
       graft.quality.Filters.quantileBand(
           Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
           "n_chars", 0.1, 0.9)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // CDC changelog apply: deterministic synthetic delta over documents —
+    // deletes (%11), updates (%7, higher seq: wins over a same-id
+    // delete at %77), inserts (%13, remapped ids); winner-per-key via
+    // the bounded heap, base anti-joined against the broadcast delta ids
+    "q96_apply_changes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def payload(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), col("seq"), col("op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      val dels = payload(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("D")))
+      val upds = payload(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" updated")))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+      val ins = payload(docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I")))
+      graft.ops.Upsert.applyChangelog(docs,
+          dels.unionByName(upds).unionByName(ins), "doc_id", "seq", "op")
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -381,6 +402,7 @@ object SparkEntry {
     "q93_snapshot_diff" -> Seq("documents"),
     "q94_bigram_pmi" -> Seq("documents"),
     "q95_quantile_band" -> Seq("documents"),
+    "q96_apply_changes" -> Seq("documents"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
@@ -548,6 +570,26 @@ object SparkEntry {
         |    quantile_cont(n_chars, 0.9) AS hi FROM documents)
         |SELECT doc_id, n_chars FROM documents, q
         |WHERE CAST(n_chars AS DOUBLE) >= lo AND CAST(n_chars AS DOUBLE) <= hi
+        |ORDER BY doc_id""".stripMargin,
+    "q96_apply_changes" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op, text, lang, source, n_chars
+        |    FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', text || ' updated', lang, source, n_chars
+        |    FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'I', text, lang, source, n_chars
+        |    FROM documents WHERE doc_id % 13 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC, op) AS rn FROM ch),
+        |winner AS (SELECT doc_id, op, text, lang, source, n_chars
+        |  FROM w WHERE rn = 1),
+        |untouched AS (SELECT b.* FROM documents b
+        |  LEFT JOIN winner ww ON b.doc_id = ww.doc_id WHERE ww.doc_id IS NULL)
+        |SELECT doc_id, text, lang, source, n_chars FROM untouched
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM winner WHERE op <> 'D'
         |ORDER BY doc_id""".stripMargin,
     "q91_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -60,4 +60,56 @@ object Catalog {
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Idempotent backfill: overwrite ONLY the partitions present in `df`,
+    * leaving every other partition untouched (dynamic partition
+    * overwrite). This is how a pipeline re-runs one bad day out of a
+    * year-partitioned 100 TB table — a static overwrite would drop the
+    * other 364 days; an append would double-count the re-run. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Schema-evolution read: one logical table over files written with
+    * DIFFERENT (compatible) schemas — `mergeSchema` unions the per-file
+    * footers; columns absent in older files come back null. The read
+    * side of the contract that lets a long-lived corpus add columns
+    * without rewriting history. (Footer merging costs a driver pass over
+    * file metadata — fine for a backfill read; for hot paths persist the
+    * merged schema in the catalog instead.) */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Quarantine ingest: PERMISSIVE JSONL read that ROUTES malformed
+    * records instead of dropping (DROPMALFORMED loses evidence) or
+    * aborting (FAILFAST loses the batch). Returns (clean rows, quarantine
+    * rows); the quarantine carries the raw line for replay after a
+    * parser fix. The corrupt-record column must be materialized via a
+    * filter on it — Spark only populates it for rows it actually failed
+    * to parse, and the required cache/filter dance is exactly what this
+    * wrapper encapsulates. */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan serves both routes; Spark requires an action
+               // boundary before filtering on the corrupt column
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
 }
