@@ -259,6 +259,20 @@ object StressBench {
     run("bigram_pmi",
       mat(graft.text.TextOps.bigramPmi(docs1, 3)),
       mat(graft.text.TextOps.bigramPmi(docsPlainN, 3)))
+    // CDC apply: the DELTA stays fixed while the base replicates — the
+    // design claim is that cost tracks the scan + delta, never a
+    // base-table shuffle.
+    def cdcDelta = {
+      def payload(df: DataFrame) = df.select(col("doc_id"), col("seq"),
+        col("op"), col("text"), col("lang"), col("source"), col("n_chars"))
+      payload(docs1.filter(col("doc_id") % 11 === 0)
+          .withColumn("seq", lit(1L)).withColumn("op", lit("D")))
+        .unionByName(payload(docs1.filter(col("doc_id") % 7 === 0)
+          .withColumn("seq", lit(2L)).withColumn("op", lit("U"))))
+    }
+    run("apply_changes",
+      mat(Upsert.applyChangelog(docs1, cdcDelta, "doc_id", "seq", "op")),
+      mat(Upsert.applyChangelog(docsPlainN, cdcDelta, "doc_id", "seq", "op")))
     run("quantile_band",
       mat(graft.quality.Filters.quantileBand(docs1, "n_chars", 0.1, 0.9,
         exact = false)),
