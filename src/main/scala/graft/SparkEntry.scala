@@ -378,6 +378,14 @@ object SparkEntry {
       graft.ops.Upsert.applyChangelog(docs,
           dels.unionByName(upds).unionByName(ins), "doc_id", "seq", "op")
         .orderBy(col("doc_id"))
+    }),
+    // PSI distribution drift between two corpus slices (base deciles →
+    // literal edges, bucket hash aggs, one final ln)
+    "q97_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.quality.Drift.psi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0), "n_chars", 10)
     })
   )
 
@@ -403,6 +411,7 @@ object SparkEntry {
     "q94_bigram_pmi" -> Seq("documents"),
     "q95_quantile_band" -> Seq("documents"),
     "q96_apply_changes" -> Seq("documents"),
+    "q97_drift_psi" -> Seq("documents"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
@@ -591,6 +600,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM winner WHERE op <> 'D'
         |ORDER BY doc_id""".stripMargin,
+    "q97_drift_psi" ->
+      """WITH v1 AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),
+        |e AS (SELECT list_transform(
+        |    quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 4)) AS edges FROM v1),
+        |b1 AS (SELECT len(list_filter((SELECT edges FROM e),
+        |    x -> CAST(n_chars AS DOUBLE) > x)) AS bucket FROM v1),
+        |b2 AS (SELECT len(list_filter((SELECT edges FROM e),
+        |    x -> CAST(n_chars AS DOUBLE) > x)) AS bucket FROM v2),
+        |c1 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_base FROM b1 GROUP BY 1),
+        |c2 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur FROM b2 GROUP BY 1),
+        |t1 AS (SELECT CAST(COUNT(*) AS BIGINT) + 10 AS nb FROM v1),
+        |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) + 10 AS nc FROM v2),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bucket),
+        |j AS (SELECT s.bucket, COALESCE(n_base, CAST(0 AS BIGINT)) AS n_base,
+        |    COALESCE(n_cur, CAST(0 AS BIGINT)) AS n_cur
+        |  FROM spine s LEFT JOIN c1 ON s.bucket = c1.bucket
+        |  LEFT JOIN c2 ON s.bucket = c2.bucket)
+        |SELECT bucket, n_base, n_cur,
+        |  ROUND((CAST(n_cur + 1 AS DOUBLE) / nc - CAST(n_base + 1 AS DOUBLE) / nb)
+        |    * LN((CAST(n_cur + 1 AS DOUBLE) / nc) /
+        |         (CAST(n_base + 1 AS DOUBLE) / nb)), 6) AS psi_term
+        |FROM j CROSS JOIN t1 CROSS JOIN t2 ORDER BY bucket""".stripMargin,
     "q91_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |t2 AS (SELECT token FROM tok WHERE LENGTH(token) > 0),

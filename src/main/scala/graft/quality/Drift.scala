@@ -1,0 +1,59 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution drift between two corpus versions — the population
+  * stability index (PSI), the standard "did this week's crawl change
+  * shape" alarm. Buckets come from the BASE distribution's quantiles
+  * (so every bucket holds ~1/buckets of the base); each side's bucket
+  * occupancy is Laplace-smoothed and the per-bucket PSI term is
+  * (p_cur − p_base)·ln(p_cur/p_base). Σterms < 0.1 is the conventional
+  * "stable" reading, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Determinism/portability: bucket edges are a [[graft.ops.Scalar]]
+  * reduction (exact interpolating percentiles, rounded to 4 dp — the
+  * q24-proven cross-engine contract) folded into the plan as a literal
+  * array; bucket assignment is a codegen'd HOF count of edges below
+  * the value; counts stay integers until one final double division +
+  * ln + 6-dp round. Oracle-checked (q97).
+  *
+  * Scale shape: one boundary agg over the base + one narrow
+  * projection + hash agg per side, keyed by bucket (≤ `buckets`
+  * distinct keys) — nothing corpus-sized ever shuffles.
+  */
+object Drift {
+
+  def psi(base: DataFrame, current: DataFrame, column: String,
+          buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val spark = base.sparkSession
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val edges: Seq[Double] = base
+      .agg(expr(s"percentile($column, array(${ps.mkString(",")}))"))
+      .first().getSeq[Double](0)
+      // HALF_UP, matching SQL ROUND semantics on both engines (rint's
+      // banker's rounding would diverge from the oracle at .5 edges)
+      .map(e => BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val eLit = typedlit(edges)
+    def counted(df: DataFrame, as: String) = df
+      .select(size(filter(eLit, e => col(column).cast("double") > e)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val spine = spark.range(buckets).select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counted(base, "n_base"), Seq("bucket"), "left")
+      .join(counted(current, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val nB = sum(col("n_base")).over() + lit(buckets.toLong)
+    val nC = sum(col("n_cur")).over() + lit(buckets.toLong)
+    // Laplace +1 smoothing keeps empty buckets finite; the window totals
+    // are over the `buckets`-row spine — a trivial single partition.
+    joined
+      .withColumn("p_base", (col("n_base") + 1L).cast("double") / nB)
+      .withColumn("p_cur", (col("n_cur") + 1L).cast("double") / nC)
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round((col("p_cur") - col("p_base")) * log(col("p_cur") / col("p_base")), 6)
+          .as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+}

@@ -28,4 +28,30 @@ object CorpusStream {
     docs.withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
       .withWatermark("ingest_ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming admission gate: every micro-batch is checked against the
+    * SAME [[graft.quality.Expectations]] rules the batch pipeline uses
+    * (one rule library, both planes — the T2 principle applied to data
+    * quality). A batch that passes every rule goes to `accept`; a batch
+    * with any violation goes WHOLE to `reject` (quarantine-and-replay
+    * beats admitting a poisoned batch, and keeps the gate idempotent
+    * under checkpoint-retry). Rule evaluation is the same single-pass
+    * hash agg as the batch gate — per batch it reduces to a handful of
+    * driver booleans, never a collect of the data.
+    *
+    * Returns the started query (checkpointed at `checkpoint`). */
+  def gatedSink(docs: DataFrame, rules: Seq[graft.quality.Expectations.Rule],
+                checkpoint: String)(
+      accept: DataFrame => Unit, reject: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val failed = graft.quality.Expectations.check(batch, rules)
+            .filter(!col("passed")).limit(1).count() > 0
+          if (failed) reject(batch) else accept(batch)
+        }
+      }
+      .start()
 }

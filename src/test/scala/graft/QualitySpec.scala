@@ -135,6 +135,21 @@ class QualitySpec extends AnyFunSuite {
       s"kept ${kept.length} rows [${kept.head}, ${kept.last}]")
   }
 
+  test("PSI drift: identical distributions score ~0, a shifted one scores high") {
+    val base = (1 to 1000).map(i => i.toLong % 100).toDF("v")
+    val same = (1 to 1000).map(i => (i + 7).toLong % 100).toDF("v")
+    val shifted = (1 to 1000).map(i => 60 + (i.toLong % 40)).toDF("v")
+    def total(cur: org.apache.spark.sql.DataFrame) =
+      graft.quality.Drift.psi(base, cur, "v", 10)
+        .agg(sum(col("psi_term"))).first().getDouble(0)
+    val psiSame = total(same)
+    val psiShift = total(shifted)
+    assert(math.abs(psiSame) < 0.05, s"A/A PSI should be ~0, got $psiSame")
+    assert(psiShift > 0.25, s"shifted PSI should alarm (>0.25), got $psiShift")
+    // spine always complete: one row per bucket even when empty
+    assert(graft.quality.Drift.psi(base, shifted, "v", 10).count() == 10)
+  }
+
   test("stratifiedSample caps every stratum at n, deterministically") {
     val many = (0 until 400).map(i => (i.toLong, s"lang${i % 2}", s"src${i % 5}"))
       .toDF("doc_id", "lang", "source")

@@ -233,6 +233,33 @@ class StreamingSpec extends AnyFunSuite {
       s"expected one merged 3-event session for user 1, got $rows")
   }
 
+  test("streaming admission gate: clean batches accepted, poisoned batches quarantined") {
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ck").toString
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rules = Seq[graft.quality.Expectations.Rule](
+      graft.quality.Expectations.InSet("lang", Seq("en", "fr")),
+      graft.quality.Expectations.Unique(Seq("doc_id")))
+    val q = graft.stream.CorpusStream.gatedSink(
+      mem.toDF().toDF("doc_id", "lang"), rules, ckpt)(
+      b => accepted.synchronized { accepted ++= b.select("doc_id").as[Long].collect() },
+      b => rejected.synchronized { rejected ++= b.select("doc_id").as[Long].collect() })
+    try {
+      mem.addData((1L, "en"), (2L, "fr"))          // clean batch
+      q.processAllAvailable()
+      mem.addData((3L, "xx"), (4L, "en"))          // lang violation → whole batch out
+      q.processAllAvailable()
+      mem.addData((5L, "en"), (5L, "en"))          // dup doc_id → quarantined
+      q.processAllAvailable()
+      mem.addData((6L, "fr"))                      // clean again
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.sorted.toSeq == Seq(1L, 2L, 6L), s"accepted $accepted")
+    assert(rejected.sorted.toSeq == Seq(3L, 4L, 5L, 5L), s"rejected $rejected")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sctx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp)]
