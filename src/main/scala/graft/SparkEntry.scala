@@ -386,6 +386,14 @@ object SparkEntry {
       graft.quality.Drift.psi(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 3 === 0), "n_chars", 10)
+    }),
+    // spatial radius self-join through the r-cell grid equi-join —
+    // provably equal to the cross-product filter the oracle runs
+    "q98_radius_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Geo.radiusPairs(e.select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y")), 0.1)
     })
   )
 
@@ -412,6 +420,7 @@ object SparkEntry {
     "q95_quantile_band" -> Seq("documents"),
     "q96_apply_changes" -> Seq("documents"),
     "q97_drift_psi" -> Seq("documents"),
+    "q98_radius_pairs" -> Seq("embeddings"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
@@ -600,6 +609,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM winner WHERE op <> 'D'
         |ORDER BY doc_id""".stripMargin,
+    "q98_radius_pairs" ->
+      """WITH p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  ROUND(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.1 * 0.1
+        |ORDER BY a_id, b_id""".stripMargin,
     "q97_drift_psi" ->
       """WITH v1 AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |v2 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),

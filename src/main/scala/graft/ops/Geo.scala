@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geospatial scalar operators (SURVEY.md §2.8 U1) — pure Catalyst
@@ -66,4 +66,50 @@ object Geo {
   def severityOrdinal(severity: Column): Column =
     when(severity === "MINOR", 1.0).when(severity === "MODERATE", 2.0)
       .when(severity === "MAJOR", 3.0).otherwise(1.0)
+
+  /** Spatial radius self-join: every unordered pair of points within
+    * distance `r` — "which incidents sit near each other", the
+    * road-network question the reference answered with driver-side
+    * DBSCAN, exposed as a standalone relational operator.
+    *
+    * Grid candidate generation (the [[graft.cluster.DBSCAN]] pattern as
+    * a reusable join): bucket points into r-sized cells, probe each
+    * point's 9-cell neighborhood with an EQUI-join on the cell key, then
+    * apply the exact distance predicate. Any pair within r differs by
+    * < r per axis, so it shares a 9-cell neighborhood — candidate
+    * generation is provably lossless and the output equals the naive
+    * cross-product filter (the DuckDB oracle) exactly; the cross product
+    * itself never materializes. a < b dedupes the unordered pair;
+    * distance is 6-dp rounded with the usual determinism contract.
+    *
+    * Scale: one narrow shuffle on the cell key; candidates per point are
+    * bounded by its 9-cell population — at 100 TB, cell-size skew (a
+    * dense metro) is AQE skew-split territory, and the knob is r itself:
+    * the operator stays equi-join-shaped at any scale. */
+  def radiusPairs(points: DataFrame, r: Double): DataFrame = {
+    val pts = points.select(col("id").cast("long"), col("x").cast("double"),
+        col("y").cast("double"))
+      .withColumn("cx", floor(col("x") / r).cast("long"))
+      .withColumn("cy", floor(col("y") / r).cast("long"))
+    val offsets = Seq(-1L, 0L, 1L)
+    val probeCells = array(
+      (for (dx <- offsets; dy <- offsets)
+        yield struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))): _*)
+    val probes = pts
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(probeCells).as("pc"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        col("pc.px").as("cx"), col("pc.py").as("cy"))
+    probes.join(pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      // plain multiplication, not pow(x, 2): both engines then do the
+      // identical IEEE multiply and the 6-dp distance is bit-portable
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") <= r * r)
+      .select(col("a_id"), col("b_id"), round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -103,4 +103,29 @@ class DBSCANSpec extends AnyFunSuite {
     val dist = DBSCAN.run(pts, 0.02, 4).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(partitions(dist) == partitions(local))
   }
+
+  test("radiusPairs: grid candidate generation is lossless vs brute force") {
+    // adversarial placements: pairs straddling cell boundaries, a pair
+    // at distance EXACTLY r (inclusive), a pair just over r, and
+    // negative coordinates (floor-division cells, not truncation)
+    val r = 1.0
+    val pts = Seq(
+      (1L, 0.95, 0.0), (2L, 1.05, 0.0),   // straddle x-cell boundary, d=0.1
+      (3L, 3.0, 3.0), (4L, 3.0, 4.0),     // d = exactly r → included
+      (5L, 6.0, 0.0), (6L, 6.0, 1.001),   // just over r → excluded
+      (7L, -0.5, -0.5), (8L, -1.4, -0.5), // negative coords, d=0.9
+      (9L, 10.0, 10.0)                    // isolated
+    ).toDF("id", "x", "y")
+    val got = graft.ops.Geo.radiusPairs(pts, r).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getDouble(1), rw.getDouble(2)))
+    val brute = (for {
+      a <- raw; b <- raw if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1)).toSet
+    assert(got == brute, s"grid join diverged: got $got, brute $brute")
+    assert(got.contains((3L, 4L)), "boundary pair at d == r must be included")
+    assert(!got.contains((5L, 6L)), "pair just over r must be excluded")
+  }
 }
