@@ -311,6 +311,19 @@ object StressBench {
     run("dbscan_grid",
       graft.cluster.DBSCAN.run(pts(emb1), eps, 4).count(),
       graft.cluster.DBSCAN.run(ptsN, eps, 4).count())
+    // radius join: same shifted-replica protocol (co-located plain
+    // copies would grow the pair OUTPUT quadratically — the data's
+    // structure, not the join's cost)
+    run("radius_pairs",
+      mat(Geo.radiusPairs(pts(emb1), 0.1)),
+      mat(Geo.radiusPairs(ptsN.withColumn("x", col("x") * lit(5.0)), 0.1)))
+    // PSI drift: both sides replicate plainly (bucket-keyed aggs; the
+    // bucket key space is fixed at `buckets`)
+    run("drift_psi",
+      mat(graft.quality.Drift.psi(docs1, docs1.filter(col("doc_id") % 3 === 0),
+        "n_chars", 10)),
+      mat(graft.quality.Drift.psi(docsPlainN,
+        docsPlainN.filter(col("doc_id") % 3 === 0), "n_chars", 10)))
     spark.stop()
   }
 }
