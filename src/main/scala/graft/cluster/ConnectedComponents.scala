@@ -1,0 +1,104 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list, as pure Catalyst plans.
+  *
+  * Implements the alternating large-star / small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014): each round rewires every vertex's neighbors toward the
+  * smallest id seen in its neighborhood, and the edge set provably
+  * converges to per-component stars rooted at the component minimum in
+  * O(log n) rounds — independent of graph diameter, unlike plain
+  * label propagation (and unlike GraphX Pregel CC, whose round count
+  * is the component diameter).
+  *
+  * Why this exists next to `graphx.Graph.connectedComponents` (which
+  * round-1/2 code used): each half-round here is one hash aggregation
+  * + one equi-join + one dedup — shapes Catalyst/AQE plan natively
+  * (broadcast when small, skew-split when not, whole-stage codegen
+  * throughout), with `localCheckpoint` truncating lineage between
+  * rounds. Nothing is pinned in executor memory between rounds, so a
+  * 100 TB edge set spills gracefully instead of OOMing a resident
+  * `Graph`; and on the near-dup star graphs the dedup pipeline emits
+  * (tiny diameter, huge fan-in) it converges in 2–3 rounds. Measured
+  * at sf0.1 it beats the GraphX path on every consumer (BENCH_r03 vs
+  * r02: q57/q59/q63/q68/q85), mostly by skipping Pregel's fixed
+  * per-iteration job overhead.
+  *
+  * Determinism: the component label is the MINIMUM vertex id of the
+  * component — a set property, independent of execution order — so
+  * results are stable across runs/partitionings (oracle-safe).
+  */
+object ConnectedComponents {
+
+  /** Star-contract the edge set until fixpoint. Input: undirected edges
+    * (u, v), self-loops ignored. Output: one row (id, component) per
+    * NON-ROOT vertex that appears in an edge — roots (component minima)
+    * and isolated vertices are absent (see [[components]] for the
+    * vertex-complete form). */
+  def contract(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .localCheckpoint()
+    var fp = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor larger than u is rewired to the
+      // minimum of u's closed neighborhood.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+        .localCheckpoint()
+      // small-star: every neighbor smaller than u (and u itself) is
+      // rewired to the minimum of u's smaller neighborhood.
+      val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val dir = symL.filter(col("v") < col("u"))
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val small = dir.join(mins2, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(mins2.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+        .localCheckpoint()
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp
+      fp = fp2
+      e = small
+      it += 1
+    }
+    require(converged, s"ConnectedComponents.contract: no fixpoint after $maxIter rounds")
+    // At fixpoint the edge set is a star per component: (member, root).
+    e.select(col("u").as("id"), col("v").as("component"))
+  }
+
+  /** Vertex-complete components: every id in `vertices` gets a row;
+    * vertices untouched by `edges` (and component roots) label
+    * themselves. `vertices`: single id column; `edges`: two id columns. */
+  def components(vertices: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val v = vertices.toDF("id").select(col("id").cast("long"))
+    val labeled = contract(edges, maxIter)
+    v.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Order-insensitive edge-set fingerprint: (count, sum of row hashes).
+    * One scalar action per round — the convergence test the driver can
+    * afford at any scale. Hashes sum as decimal(38,0): exact and
+    * overflow-free under ANSI mode at any row count. */
+  private def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+    val r = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(BigDecimal(0))).as("h")).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+}

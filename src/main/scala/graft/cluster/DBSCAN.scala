@@ -2,7 +2,6 @@ package graft.cluster
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.graphx.{Edge, Graph}
 
 /** Distributed DBSCAN (SURVEY.md §2.8 U2) — the reference's one custom
   * algorithm. The reference collected the whole dataset to the driver for
@@ -16,7 +15,9 @@ import org.apache.spark.graphx.{Edge, Graph}
   *  2. candidate pairs via an equi-join of points against the 9 probe
   *     cells (shuffle on cell key only — never a cross product);
   *  3. core points = neighbor count (incl. self) >= minPts;
-  *  4. clusters = connected components (GraphX) over core-core edges;
+  *  4. clusters = connected components over core-core edges
+  *     ([[ConnectedComponents]] — alternating-star contraction, pure
+  *     Catalyst plans);
   *  5. border points attach to the min core-neighbor's component;
   *     everything else is noise (cluster = -1, sklearn convention).
   *
@@ -88,14 +89,10 @@ object DBSCAN {
       .join(coreSet.select(col("id").as("a_id")), "a_id")
       .join(coreSet.select(col("id").as("b_id")), "b_id")
       .filter(col("a_id") < col("b_id"))
-    val edgeRdd = coreEdges.select("a_id", "b_id").as[(Long, Long)]
-      .rdd.map { case (a, b) => Edge(a, b, ()) }
-    val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
-    val components =
-      (if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
-       else Graph(vertexRdd, edgeRdd).connectedComponents()
-         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster"))
-        .localCheckpoint() // consumed by border assignment + final join
+      .localCheckpoint() // contraction re-consumes its input per round
+    val components = ConnectedComponents.components(cores, coreEdges)
+      .toDF("id", "cluster")
+      .localCheckpoint() // consumed by border assignment + final join
     val borderAssign = pairs
       .join(coreSet.select(col("id").as("b_id")), "b_id")
       .join(components.select(col("id").as("b_id"), col("cluster")), "b_id")
@@ -157,21 +154,17 @@ object DBSCAN {
     val cores = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
       .localCheckpoint()
 
-    // Core-core edges → connected components (GraphX, checkpoint-free
-    // pregel loop; the battle-tested scale path for CC).
+    // Core-core edges → connected components (DataFrame-native
+    // alternating-star contraction — see ConnectedComponents).
     val coreSet = cores.withColumn("is_core", lit(true))
     val coreEdges = pairs
       .join(coreSet.select(col("id").as("a_id")), "a_id")
       .join(coreSet.select(col("id").as("b_id")), "b_id")
       .filter(col("a_id") < col("b_id"))
-    val edgeRdd = coreEdges.select("a_id", "b_id").as[(Long, Long)]
-      .rdd.map { case (a, b) => Edge(a, b, ()) }
-    val vertexRdd = cores.as[Long].rdd.map(id => (id, ()))
-    val components =
-      (if (vertexRdd.isEmpty()) spark.emptyDataset[(Long, Long)].toDF("id", "cluster")
-       else Graph(vertexRdd, edgeRdd).connectedComponents()
-         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "cluster"))
-        .localCheckpoint() // consumed by border assignment + final join
+      .localCheckpoint() // contraction re-consumes its input per round
+    val components = ConnectedComponents.components(cores, coreEdges)
+      .toDF("id", "cluster")
+      .localCheckpoint() // consumed by border assignment + final join
 
     // Border points: non-core with a core neighbor — attach to the min
     // component among core neighbors (deterministic).

@@ -198,23 +198,19 @@ object Dedup {
       .drop("signature")
     val hubs = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("hub"))
-    // connectedComponents is iterative Pregel: its vertex/edge RDDs are
-    // consumed once per round, and un-materialized DataFrame lineage
-    // would re-run the whole shingle→minhash→banding pipeline each time
-    // (measured 81 s vs ~5 s at sf0.1). localCheckpoint truncates to RDD
-    // blocks exactly as DBSCAN.run does for its GraphX inputs.
+    // The contraction loop consumes its input once per round, and
+    // un-materialized DataFrame lineage would re-run the whole
+    // shingle→minhash→banding pipeline each time (measured 81 s vs
+    // ~5 s at sf0.1 on the old GraphX path). localCheckpoint truncates
+    // to RDD blocks exactly as DBSCAN.run does.
     val starEdges = banded.join(hubs, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub"), col("doc_id")).distinct()
       .localCheckpoint()
-    val edgeRdd = starEdges.as[(Long, Long)]
-      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val vertexRdd = documents.select(col("doc_id")).localCheckpoint()
-      .as[Long].rdd.map(id => (id, ()))
-    val components = org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
-      .connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }.toDF("doc_id", "group_id")
-    components.orderBy(col("doc_id"))
+    graft.cluster.ConnectedComponents
+      .components(documents.select(col("doc_id")), starEdges)
+      .toDF("doc_id", "group_id")
+      .orderBy(col("doc_id"))
   }
 
   /** Benchmark decontamination: per corpus document, how many of its
@@ -380,21 +376,17 @@ object Dedup {
       .filter(col("vec_id") =!= col("hub"))
       .select(col("hub"), col("vec_id")).distinct()
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    // localCheckpoint before GraphX for the same reason as
-    // [[minhashDedupGroups]]: Pregel re-consumes its inputs per round.
+    // localCheckpoint before contraction for the same reason as
+    // [[minhashDedupGroups]]: the loop re-consumes its input per round.
     val starEdges = candEdges
       .join(e.toDF("hub", "he"), "hub")
       .join(e.toDF("vec_id", "ve"), "vec_id")
       .filter(round(graft.sim.Similarity.cosineFast(col("he"), col("ve")), 6) >= minCosine)
       .select(col("hub"), col("vec_id"))
       .localCheckpoint()
-    val edgeRdd = starEdges.as[(Long, Long)]
-      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val vertexRdd = embeddings.select(col("vec_id")).localCheckpoint()
-      .as[Long].rdd.map(id => (id, ()))
-    org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
-      .connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }.toDF("vec_id", "group_id")
+    graft.cluster.ConnectedComponents
+      .components(embeddings.select(col("vec_id")), starEdges)
+      .toDF("vec_id", "group_id")
       .orderBy(col("vec_id"))
   }
 
@@ -485,12 +477,10 @@ object Dedup {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(Similarity.cosineFast(col("a.embedding"), col("b.embedding")), 6) >= minCosine)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-    val edgeRdd = pairs.as[(Long, Long)]
-      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val vertexRdd = assigned.select(col("vec_id")).as[Long].rdd.map(id => (id, ()))
-    val groups = org.apache.spark.graphx.Graph(vertexRdd, edgeRdd)
-      .connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }.toDF("vec_id", "group_id")
+      .localCheckpoint() // contraction re-consumes the in-cell pair join
+    val groups = graft.cluster.ConnectedComponents
+      .components(assigned.select(col("vec_id")), pairs)
+      .toDF("vec_id", "group_id")
     val wKeep = Window.partitionBy(col("group_id"))
       .orderBy(col("centroid_sim").asc, col("vec_id").asc)
     groups.join(assigned.select(col("vec_id"), col("centroid_sim")), "vec_id")
