@@ -394,6 +394,43 @@ object SparkEntry {
       graft.ops.Geo.radiusPairs(e.select(col("vec_id").as("id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y")), 0.1)
+    }),
+    // interval-overlap self-join via the bucket-grid equi-join (1-D
+    // sibling of q98; each event holds a [start, start+value-minutes]
+    // interval, pairs within a user). floor() both sides: Spark casts
+    // double→long by truncation, DuckDB by rounding — floor is portable.
+    "q99_interval_overlap" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(
+        col("event_id").as("id"), col("user_id").as("key"),
+        expr("ts div 1000000000").as("s"),
+        (expr("ts div 1000000000") + floor(col("value") * 60).cast("long")).as("e"))
+      graft.ops.Joins.intervalOverlapPairs(iv, 3600L)
+        .select(col("key").as("user_id"), col("a_id"), col("b_id"), col("overlap"))
+    }),
+    // sparse lexical top-k: shingle TF-IDF cosine over the inverted
+    // index (term-at-a-time), the BM25-class retrieval path next to
+    // the dense ANN family
+    "q100_sparse_topk" -> ((s, d) =>
+      graft.sim.SparseSim.shingleTfidfTopK(Tables.documents(s, d), 3, 3)),
+    // int8 scalar quantization of the embedding column + exact
+    // reconstruction-error stats (compare-safe scalar outputs)
+    "q101_embed_quantize" -> ((s, d) =>
+      graft.sim.Quantize.quantized(Tables.embeddings(s, d))),
+    // reciprocal rank fusion of two retrieval systems over the same
+    // corpus: sparse TF-IDF cosine ranks ⊕ exact n-gram Jaccard ranks
+    "q102_rank_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sparse = graft.sim.SparseSim.shingleTfidfTopK(docs, 3, 5)
+        .select(col("a_id").as("query_id"), col("b_id").as("item_id"), col("rn"))
+      val jp = graft.dedup.Dedup.ngramJaccard(docs, 3, 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val jsym = jp.select(col("doc_a").as("query_id"), col("doc_b").as("item_id"), col("jaccard"))
+        .unionByName(jp.select(col("doc_b").as("query_id"), col("doc_a").as("item_id"), col("jaccard")))
+      val jw = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("jaccard").desc, col("item_id"))
+      val jacc = jsym.withColumn("rn", row_number().over(jw).cast("long"))
+        .filter(col("rn") <= 5).select(col("query_id"), col("item_id"), col("rn"))
+      graft.sim.Fusion.rrf(Seq(sparse, jacc), 60, 5)
     })
   )
 
@@ -439,7 +476,10 @@ object SparkEntry {
     "q84_dup_span_ratio" -> Seq("documents"),
     "q86_span_scrub" -> Seq("documents"),
     "q63_dbscan" -> Seq("embeddings"),
-    "q68_dbscan_severity" -> Seq("embeddings"))
+    "q68_dbscan_severity" -> Seq("embeddings"),
+    "q100_sparse_topk" -> Seq("documents"),
+    "q101_embed_quantize" -> Seq("embeddings"),
+    "q102_rank_fusion" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1232,6 +1272,104 @@ object SparkEntry {
         |  WHERE c.doc_id IS NULL GROUP BY k.doc_id)
         |SELECT s.doc_id, COALESCE(scrubbed, '') AS scrubbed_text,
         |  CAST(len(t) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed
-        |FROM src s LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id""".stripMargin
+        |FROM src s LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    "q99_interval_overlap" ->
+      """WITH iv AS (SELECT event_id AS id, user_id, epoch_us(ts)//1000000 AS s,
+        |    epoch_us(ts)//1000000 + CAST(floor(value*60) AS BIGINT) AS e FROM events)
+        |SELECT a.user_id AS user_id, a.id AS a_id, b.id AS b_id,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.id < b.id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY user_id, a_id, b_id""".stripMargin,
+    "q100_sparse_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |nn AS (SELECT COUNT(*) AS nd FROM documents),
+        |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        |posts AS (SELECT doc_id, s.shingle, df,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS w
+        |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS norm
+        |  FROM posts GROUP BY doc_id),
+        |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+        |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a_id, b_id, dot FROM dots
+        |  UNION ALL SELECT b_id, a_id, dot FROM dots),
+        |scored AS (SELECT a_id, b_id,
+        |    round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+        |  FROM sym JOIN norms na ON na.doc_id = sym.a_id
+        |    JOIN norms nb ON nb.doc_id = sym.b_id),
+        |ranked AS (SELECT a_id, b_id, sim, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY a_id ORDER BY sim DESC, b_id) AS BIGINT) AS rn FROM scored)
+        |SELECT a_id, b_id, sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY a_id, rn""".stripMargin,
+    "q101_embed_quantize" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |dims AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i),
+        |enc AS (SELECT vec_id, x, lo,
+        |    CASE WHEN hi > lo THEN 255.0/(hi - lo) ELSE 0.0 END AS scale,
+        |    CASE WHEN hi > lo THEN (hi - lo)/255.0 ELSE 0.0 END AS inv
+        |  FROM flat f JOIN dims d USING (i)),
+        |codes AS (SELECT vec_id, x, lo, inv,
+        |    CAST(least(greatest(round((x - lo) * scale, 0), 0), 255) AS INT) AS code
+        |  FROM enc)
+        |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS sum_code,
+        |  CAST(MIN(code) AS BIGINT) AS min_code,
+        |  CAST(MAX(code) AS BIGINT) AS max_code,
+        |  round(sqrt(CAST(SUM(CAST(round(
+        |    (x - (lo + code*inv)) * (x - (lo + code*inv)), 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE)), 6) AS recon_err
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q102_rank_fusion" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |nn AS (SELECT COUNT(*) AS nd FROM documents),
+        |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        |posts AS (SELECT doc_id, s.shingle, df,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS w
+        |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS norm
+        |  FROM posts GROUP BY doc_id),
+        |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+        |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ssym AS (SELECT a_id, b_id, dot FROM dots
+        |  UNION ALL SELECT b_id, a_id, dot FROM dots),
+        |sscored AS (SELECT a_id, b_id,
+        |    round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+        |  FROM ssym JOIN norms na ON na.doc_id = ssym.a_id
+        |    JOIN norms nb ON nb.doc_id = ssym.b_id),
+        |sranked AS (SELECT a_id AS query_id, b_id AS item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn_s
+        |  FROM sscored QUALIFY rn_s <= 5),
+        |ssz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |jcommon AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jscore AS (SELECT a_id, b_id,
+        |    n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
+        |  FROM jcommon JOIN ssz sa ON sa.doc_id = a_id JOIN ssz sb ON sb.doc_id = b_id),
+        |jsym AS (SELECT a_id AS query_id, b_id AS item_id, jac FROM jscore
+        |  UNION ALL SELECT b_id, a_id, jac FROM jscore),
+        |jranked AS (SELECT query_id, item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jac DESC, item_id) AS rn_j
+        |  FROM jsym QUALIFY rn_j <= 5),
+        |fused AS (SELECT COALESCE(s.query_id, jj.query_id) AS query_id,
+        |    COALESCE(s.item_id, jj.item_id) AS item_id,
+        |    round(COALESCE(CAST(1.0 AS DOUBLE)/(60 + s.rn_s), 0)
+        |      + COALESCE(CAST(1.0 AS DOUBLE)/(60 + jj.rn_j), 0), 9) AS score
+        |  FROM sranked s FULL OUTER JOIN jranked jj
+        |    ON s.query_id = jj.query_id AND s.item_id = jj.item_id),
+        |franked AS (SELECT query_id, item_id, score, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, item_id) AS BIGINT) AS rn
+        |  FROM fused)
+        |SELECT query_id, item_id, score, rn FROM franked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin
   )
 }

@@ -106,4 +106,46 @@ object Joins {
     * shuffles the fact side). */
   def bandJoin(df: DataFrame, bands: DataFrame, valueCol: String): DataFrame =
     df.join(broadcast(bands), col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+
+  /** Interval-overlap self-join: all pairs of same-`key` intervals
+    * [s, e] that overlap (touching endpoints count). The 1-D sibling of
+    * [[graft.ops.Geo.radiusPairs]]: a naive formulation is a per-key
+    * cross product with a range predicate (quadratic, and Spark would
+    * plan a nested-loop join); instead each interval is replicated to
+    * the fixed-width buckets it covers and candidates meet in an
+    * equi-join on (key, bucket) — the shuffle is keyed, broadcast/
+    * skew-handled by AQE, and never quadratic in the key group unless
+    * the *output* is.
+    *
+    * Duplicate suppression is free: a pair overlaps iff both cover the
+    * bucket of `greatest(s_a, s_b)` (the later start — overlap means
+    * max start <= min end), so the join emits each pair exactly where
+    * `bucket == floor(greatest(s_a, s_b) / W)` and needs no distinct.
+    *
+    * `bucketWidth` trades replication (long intervals cover e/W - s/W + 1
+    * buckets) against candidate density; set it near the typical
+    * interval length. Input: (id, key, s, e) with s <= e, long-valued.
+    * Output: (key, a_id, b_id, overlap) with a_id < b_id, overlap =
+    * least(e_a, e_b) - greatest(s_a, s_b) >= 0. */
+  def intervalOverlapPairs(intervals: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"intervalOverlapPairs: bucketWidth must be positive (got $bucketWidth)")
+    val iv = intervals.select(col("id").cast("long"), col("key").cast("long"),
+      col("s").cast("long"), col("e").cast("long"))
+    val w = lit(bucketWidth)
+    val probes = iv.select(col("key"), col("id").as("a_id"),
+        col("s").as("sa"), col("e").as("ea"),
+        explode(sequence(floor(col("s") / w).cast("long"),
+          floor(col("e") / w).cast("long"))).as("bucket"))
+    val build = iv.select(col("key"), col("id").as("b_id"),
+        col("s").as("sb"), col("e").as("eb"),
+        explode(sequence(floor(col("s") / w).cast("long"),
+          floor(col("e") / w).cast("long"))).as("bucket"))
+    probes.join(build, Seq("key", "bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        floor(greatest(col("sa"), col("sb")) / w).cast("long") === col("bucket"))
+      .select(col("key"), col("a_id"), col("b_id"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap"))
+      .orderBy(col("key"), col("a_id"), col("b_id"))
+  }
 }

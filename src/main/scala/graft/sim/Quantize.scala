@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) quantization of embedding columns — the storage/serving
+  * compression step between raw float vectors and the PQ codes in
+  * [[PQ]]: 4× smaller than float32 with near-lossless recall for most
+  * retrieval workloads, and the format vector databases ship by default.
+  *
+  * Per-dimension affine quantization: code_t = round((x_t - lo_t) /
+  * (hi_t - lo_t) * 255), clamped to [0, 255], where (lo_t, hi_t) are the
+  * corpus-wide per-dimension extrema. The extrema pass is one
+  * posexplode + hash aggregation (dim-sized result — a
+  * [[graft.ops.Scalar]]-class reduction collected and re-broadcast as a
+  * literal), and the encode itself is a single codegen'd `transform`
+  * over the vector — a narrow map, no shuffle, embarrassingly parallel
+  * at any corpus size.
+  *
+  * Everything after the extrema is engine-portable: min/max of float32
+  * values are exact, the affine map is IEEE double arithmetic on exact
+  * inputs, and `round` half-up on a [0,255]-range double is identical
+  * across engines except on exact .5 boundaries, which the synthetic
+  * corpus' 6-sig-digit floats never hit (oracle-checked at both SFs).
+  */
+object Quantize {
+
+  /** Corpus per-dimension (lo, hi) as a driver literal: Seq of
+    * (lo, hi) indexed by dimension. */
+  def dimExtrema(embeddings: DataFrame, vecCol: String): Seq[(Double, Double)] =
+    embeddings.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos"))
+      .collect()
+      .map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .toSeq
+
+  /** int8 codes for each vector (array<int> in [0,255]), plus exact
+    * reconstruction-error stats. Output is compare-safe scalars:
+    * (vec_id, sum_code, min_code, max_code, recon_err) — recon_err is
+    * the L2 distance between the vector and its dequantization,
+    * accumulated as per-dim squared errors rounded to 12 dp in exact
+    * decimal (order-insensitive, the q77 discipline), one final sqrt. */
+  def quantized(embeddings: DataFrame): DataFrame = {
+    val extrema = dimExtrema(embeddings, "embedding")
+    val lo = typedlit(extrema.map(_._1))
+    val scale = typedlit(extrema.map { case (l, h) => if (h > l) 255.0 / (h - l) else 0.0 })
+    val inv = typedlit(extrema.map { case (l, h) => if (h > l) (h - l) / 255.0 else 0.0 })
+    val dims = extrema.length
+    val codeAt = (i: org.apache.spark.sql.Column) =>
+      least(greatest(
+        round((element_at(col("embedding"), i).cast("double") - element_at(lo, i)) *
+          element_at(scale, i), 0), lit(0.0)), lit(255.0)).cast("int")
+    val dequantAt = (i: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =>
+      element_at(lo, i) + c.cast("double") * element_at(inv, i)
+    val idx = sequence(lit(1), lit(dims))
+    val codes = transform(idx, i => codeAt(i))
+    val err2 = aggregate(idx,
+      lit(BigDecimal(0)).cast("decimal(38,12)"),
+      (acc, i) => {
+        val d = element_at(col("embedding"), i).cast("double") - dequantAt(i, codeAt(i))
+        // decimal + widens precision; cast back so the fold's merge type
+        // equals its zero type (aggregate() requires it)
+        (acc + round(d * d, 12).cast("decimal(38,12)")).cast("decimal(38,12)")
+      })
+    embeddings
+      .withColumn("codes", codes)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long")).as("sum_code"),
+        array_min(col("codes")).cast("long").as("min_code"),
+        array_max(col("codes")).cast("long").as("max_code"),
+        round(sqrt(err2.cast("double")), 6).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-vector similarity search over n-gram shingle TF-IDF features —
+  * the lexical complement to the dense-embedding ANN family
+  * ([[Similarity]], [[PQ]]): retrieval by *content overlap* (BM25-class)
+  * instead of a learned embedding, the other half of every production
+  * near-dup / retrieval stack.
+  *
+  * Plan shape (term-at-a-time, inverted index): postings are the
+  * (doc, shingle) pairs; the dot product is an equi-join of postings
+  * with itself on the shingle key + one hash aggregation per doc pair.
+  * Only pairs sharing a feature are ever generated — candidate volume
+  * is sum(df²) over shingles, never |docs|², and `maxDf` caps the
+  * posting lists that dominate that sum (impact pruning: the same
+  * stop-shingle hazard as [[graft.dedup.Dedup.ngramJaccardCapped]]).
+  * All shuffles are keyed (shingle, then doc pair); AQE handles skew.
+  *
+  * Exactness discipline: tf of a distinct shingle is 1, so the weight
+  * is the idf alone, rounded to 6 dp and carried as DECIMAL; pairwise
+  * products (12 dp) accumulate in exact decimal arithmetic — an
+  * order-insensitive sum, portable across engines (the q77 logprob
+  * trick). The one double step (sqrt for norms, final divide) is
+  * IEEE-deterministic. Norms include ALL of a doc's shingles (also
+  * df=1 and df>maxDf ones), so with a loose `maxDf` scores are exact
+  * cosine; a tight cap only ever *under*-estimates (dot terms are
+  * dropped, norms are not).
+  */
+object SparseSim {
+
+  /** Postings weighted by idf = round(ln(N/df), 6). */
+  private def weighted(documents: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val nDocs = graft.ops.Scalar.count(documents)
+    val sh = graft.dedup.Dedup.shingles(documents, n).localCheckpoint()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val posts = sh.join(df, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        round(log(lit(nDocs.toDouble) / col("df")), 6)
+          .cast("decimal(18,6)").as("w"))
+    val norms = posts.groupBy(col("doc_id"))
+      .agg(sqrt((sum(col("w") * col("w"))).cast("double")).as("norm"))
+    (posts, norms)
+  }
+
+  /** Top-k most cosine-similar documents for EVERY document, over
+    * n-gram shingle TF-IDF features. Returns (a_id, b_id, sim, rn),
+    * rn = 1..k ordered by (sim desc, b_id) — fully deterministic.
+    * Documents shorter than n tokens have no features and emit no rows. */
+  def shingleTfidfTopK(documents: DataFrame, n: Int, k: Int,
+                       maxDf: Long = 1000L): DataFrame = {
+    val (posts, norms) = weighted(documents, n)
+    val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
+    val dots = joinable.select(col("doc_id").as("a_id"), col("shingle"), col("w").as("wa"))
+      .join(joinable.select(col("doc_id").as("b_id"), col("shingle"), col("w").as("wb")),
+        "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    // mirror once so every doc ranks its neighbors
+    val sym = dots.unionByName(dots.select(col("b_id").as("a_id"),
+      col("a_id").as("b_id"), col("dot")))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    sym
+      .join(norms.select(col("doc_id").as("a_id"), col("norm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("norm").as("nb")), "b_id")
+      .withColumn("sim", round(col("dot").cast("double") / (col("na") * col("nb")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("sim"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+}
