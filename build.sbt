@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM, and the
+  // pair-join/window queries GC-thrash in 8g (measured: q85 10.1→4.3 s,
+  // q32 2.7→0.3 s at sf0.1 going 8g→48g on the 128 GiB box). A real
+  // cluster sizes executor memory per-core instead.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

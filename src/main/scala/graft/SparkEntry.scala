@@ -422,7 +422,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val sparse = graft.sim.SparseSim.shingleTfidfTopK(docs, 3, 5)
         .select(col("a_id").as("query_id"), col("b_id").as("item_id"), col("rn"))
-      val jp = graft.dedup.Dedup.ngramJaccard(docs, 3, 0.0)
+      // 0.05 floor: pairs below it can never reach a top-5 in practice
+      // and the floor keeps the mirrored window input (and the oracle's)
+      // off the full sum(df²) pair set
+      val jp = graft.dedup.Dedup.ngramJaccard(docs, 3, 0.05)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val jsym = jp.select(col("doc_a").as("query_id"), col("doc_b").as("item_id"), col("jaccard"))
         .unionByName(jp.select(col("doc_b").as("query_id"), col("doc_a").as("item_id"), col("jaccard")))
@@ -1288,18 +1291,19 @@ object SparkEntry {
         |nn AS (SELECT COUNT(*) AS nd FROM documents),
         |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
         |posts AS (SELECT doc_id, s.shingle, df,
-        |    CAST(round(ln(CAST(nd AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS w
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1e6, 0) AS BIGINT) AS w
         |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
-        |norms AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS norm
+        |norms AS (SELECT doc_id,
+        |    sqrt(CAST(CAST(SUM(w*w) AS BIGINT) AS DOUBLE) / 1e12) AS norm
         |  FROM posts GROUP BY doc_id),
         |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
-        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
         |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |sym AS (SELECT a_id, b_id, dot FROM dots
         |  UNION ALL SELECT b_id, a_id, dot FROM dots),
         |scored AS (SELECT a_id, b_id,
-        |    round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+        |    round((CAST(dot AS DOUBLE) / 1e12) / (na.norm * nb.norm), 6) AS sim
         |  FROM sym JOIN norms na ON na.doc_id = sym.a_id
         |    JOIN norms nb ON nb.doc_id = sym.b_id),
         |ranked AS (SELECT a_id, b_id, sim, CAST(ROW_NUMBER() OVER (
@@ -1331,18 +1335,19 @@ object SparkEntry {
         |nn AS (SELECT COUNT(*) AS nd FROM documents),
         |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
         |posts AS (SELECT doc_id, s.shingle, df,
-        |    CAST(round(ln(CAST(nd AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS w
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1e6, 0) AS BIGINT) AS w
         |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
-        |norms AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS norm
+        |norms AS (SELECT doc_id,
+        |    sqrt(CAST(CAST(SUM(w*w) AS BIGINT) AS DOUBLE) / 1e12) AS norm
         |  FROM posts GROUP BY doc_id),
         |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
-        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
         |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |ssym AS (SELECT a_id, b_id, dot FROM dots
         |  UNION ALL SELECT b_id, a_id, dot FROM dots),
         |sscored AS (SELECT a_id, b_id,
-        |    round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+        |    round((CAST(dot AS DOUBLE) / 1e12) / (na.norm * nb.norm), 6) AS sim
         |  FROM ssym JOIN norms na ON na.doc_id = ssym.a_id
         |    JOIN norms nb ON nb.doc_id = ssym.b_id),
         |sranked AS (SELECT a_id AS query_id, b_id AS item_id,
@@ -1352,9 +1357,11 @@ object SparkEntry {
         |jcommon AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |jscore AS (SELECT a_id, b_id,
-        |    n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
-        |  FROM jcommon JOIN ssz sa ON sa.doc_id = a_id JOIN ssz sb ON sb.doc_id = b_id),
+        |jscore AS (SELECT a_id, b_id, jac FROM (
+        |    SELECT a_id, b_id,
+        |      n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
+        |    FROM jcommon JOIN ssz sa ON sa.doc_id = a_id
+        |      JOIN ssz sb ON sb.doc_id = b_id) t WHERE jac >= 0.05),
         |jsym AS (SELECT a_id AS query_id, b_id AS item_id, jac FROM jscore
         |  UNION ALL SELECT b_id, a_id, jac FROM jscore),
         |jranked AS (SELECT query_id, item_id,

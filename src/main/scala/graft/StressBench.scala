@@ -324,6 +324,52 @@ object StressBench {
         "n_chars", 10)),
       mat(graft.quality.Drift.psi(docsPlainN,
         docsPlainN.filter(col("doc_id") % 3 === 0), "n_chars", 10)))
+
+    // Round-3 retrieval family ------------------------------------------
+    // interval overlap: evN remaps (event_id, user_id) per replica, so
+    // per-user interval density is constant and the pair OUTPUT scales
+    // linearly — the slope measures the bucket join, not denser data.
+    def iv(df: DataFrame) = df.select(col("event_id").as("id"),
+      col("user_id").as("key"), expr("ts div 1000000000").as("s"),
+      (expr("ts div 1000000000") + floor(col("value") * 60).cast("long")).as("e"))
+    run("interval_overlap",
+      mat(Joins.intervalOverlapPairs(iv(ev1), 3600L)),
+      mat(Joins.intervalOverlapPairs(iv(evN), 3600L)))
+    // sparse top-k: measured WITH the maxDf impact cap engaged — the
+    // operator's documented scale law (same as jaccard_capped). The
+    // uncapped run on decorrelated replicas measured slope 6.68 at 10×:
+    // the injected replica token turns 3-gram keys into common-BIGRAM
+    // keys of the 31-token vocabulary, posting lists inflate, and
+    // sum(df²) goes superlinear — precisely the stop-shingle hazard the
+    // cap exists to bound (work ≤ cap × postings = linear).
+    run("sparse_topk_capped",
+      mat(graft.sim.SparseSim.shingleTfidfTopK(docs1, 3, 3, maxDf = 50L)),
+      mat(graft.sim.SparseSim.shingleTfidfTopK(docsN, 3, 3, maxDf = 50L)))
+    // int8 quantization: narrow map after a dim-sized extrema agg —
+    // plain replication is the honest protocol (content unchanged).
+    run("quantize",
+      mat(graft.sim.Quantize.quantized(emb1)),
+      mat(graft.sim.Quantize.quantized(embPlainN)))
+    // RRF fusion: inputs are already-truncated rankings (|q| × k rows);
+    // replicate the QUERY population with remapped ids — corpus growth
+    // reaches fusion only through more queries, never wider lists.
+    def fakeRanks(df: DataFrame, seed: Int) = df.select(
+      col("doc_id").as("query_id"),
+      pmod(xxhash64(col("doc_id") + seed), lit(1000L)).as("item_id"),
+      (pmod(xxhash64(col("doc_id"), lit(seed)), lit(5L)) + 1L).as("rn"))
+    run("rank_fusion",
+      mat(graft.sim.Fusion.rrf(Seq(fakeRanks(docs1, 1), fakeRanks(docs1, 2)), 60, 5)),
+      mat(graft.sim.Fusion.rrf(
+        Seq(fakeRanks(docsPlainN, 1), fakeRanks(docsPlainN, 2)), 60, 5)))
+    // DataFrame-native CC on a worst-case long-path graph (diameter =
+    // n): rounds are O(log n), so the slope should stay near-linear
+    // with a small log factor — the property GraphX Pregel (O(diameter)
+    // rounds) could not offer.
+    def pathEdges(n: Long) = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    run("connected_components",
+      graft.cluster.ConnectedComponents.contract(pathEdges(20000L)).count(),
+      graft.cluster.ConnectedComponents.contract(pathEdges(20000L * factor)).count())
     spark.stop()
   }
 }

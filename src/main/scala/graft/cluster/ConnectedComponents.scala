@@ -52,12 +52,14 @@ object ConnectedComponents {
       // minimum of u's closed neighborhood.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // not checkpointed: the half-round is two plan nodes deep off the
+      // checkpointed `e`, and small-star's two references re-derive it
+      // cheaper than an extra eager materialization per round costs
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
         .filter(col("u") =!= col("v"))
         .dropDuplicates("u", "v")
-        .localCheckpoint()
       // small-star: every neighbor smaller than u (and u itself) is
       // rewired to the minimum of u's smaller neighborhood.
       val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))

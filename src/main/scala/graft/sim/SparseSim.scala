@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * All shuffles are keyed (shingle, then doc pair); AQE handles skew.
   *
   * Exactness discipline: tf of a distinct shingle is 1, so the weight
-  * is the idf alone, rounded to 6 dp and carried as DECIMAL; pairwise
-  * products (12 dp) accumulate in exact decimal arithmetic — an
-  * order-insensitive sum, portable across engines (the q77 logprob
-  * trick). The one double step (sqrt for norms, final divide) is
+  * is the idf alone, carried as a scaled long (micro-units:
+  * round(ln(N/df)·1e6)); pairwise products and squared norms then
+  * accumulate in exact 64-bit integer arithmetic — order-insensitive
+  * and portable across engines (the q77 principle, in longs instead of
+  * decimals because long hash-agg codegen JITs an order of magnitude
+  * cheaper). Overflow headroom: w ≤ ln(corpus)·1e6 ≈ 4e7 even at 1e12
+  * docs, so each product ≤ 1.6e15 and a pair can share ~5 700 shingles
+  * per long — per-PAIR shared-shingle counts are bounded by document
+  * length, not corpus size; guard with docs ≤ ~5 000 tokens or widen
+  * to decimal. The double steps (sqrt, final divide) are
   * IEEE-deterministic. Norms include ALL of a doc's shingles (also
   * df=1 and df>maxDf ones), so with a loose `maxDf` scores are exact
   * cosine; a tight cap only ever *under*-estimates (dot terms are
@@ -31,17 +37,25 @@ import org.apache.spark.sql.functions._
   */
 object SparseSim {
 
-  /** Postings weighted by idf = round(ln(N/df), 6). */
+  /** Postings weighted by idf in micro-units: round(ln(N/df)·1e6) as
+    * long. (round(x·1e6, 0), NOT round(x, 6)·1e6 — the 6-dp double is
+    * not exactly k/1e6, and truncation off the re-scaled ±ε would
+    * disagree between engines.) */
   private def weighted(documents: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val nDocs = graft.ops.Scalar.count(documents)
     val sh = graft.dedup.Dedup.shingles(documents, n).localCheckpoint()
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // posts feeds the norms agg AND both sides of the dot self-join —
+    // materialize once or the shingle→df→join pipeline re-runs per
+    // consumer (the ngramJaccard lesson; measured 20.8 s → 6.2 s at
+    // sf0.1 from this checkpoint)
     val posts = sh.join(df, "shingle")
       .select(col("doc_id"), col("shingle"), col("df"),
-        round(log(lit(nDocs.toDouble) / col("df")), 6)
-          .cast("decimal(18,6)").as("w"))
+        round(log(lit(nDocs.toDouble) / col("df")) * lit(1e6), 0)
+          .cast("long").as("w"))
+      .localCheckpoint()
     val norms = posts.groupBy(col("doc_id"))
-      .agg(sqrt((sum(col("w") * col("w"))).cast("double")).as("norm"))
+      .agg(sqrt((sum(col("w") * col("w"))).cast("double") / lit(1e12)).as("norm"))
     (posts, norms)
   }
 
@@ -66,7 +80,8 @@ object SparseSim {
     sym
       .join(norms.select(col("doc_id").as("a_id"), col("norm").as("na")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("norm").as("nb")), "b_id")
-      .withColumn("sim", round(col("dot").cast("double") / (col("na") * col("nb")), 6))
+      .withColumn("sim",
+        round((col("dot").cast("double") / lit(1e12)) / (col("na") * col("nb")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("sim"), col("rn"))
