@@ -152,6 +152,31 @@ class PlanSpec extends AnyFunSuite {
       s"band predicate did not push down:\n$p")
   }
 
+  test("interval overlap joins on the bucket key, never a nested loop") {
+    val p = planOf("q99_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate leaked into the join strategy:\n$p")
+    // two generators (one per replicated side), candidates meet in an
+    // equi-join keyed by (key, bucket)
+    assert("Generate explode".r.findAllIn(p).length === 2, s"explode shape changed:\n$p")
+  }
+
+  test("sparse top-k: postings equi-join, no nested loop, partial aggs") {
+    val p = planOf("q100_sparse_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "dot-product aggregation lost its map-side partial")
+  }
+
+  test("quantize encode is a narrow map: only the final sort exchanges") {
+    val p = planOf("q101_embed_quantize")
+    // one rangepartitioning Exchange for the deterministic orderBy; the
+    // encode itself must not shuffle (extrema ship as literals)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"encode stage shuffles ($exchanges exchanges):\n$p")
+    assert(!p.contains("Join"), s"encode should not join:\n$p")
+  }
+
   test("partitioned events sink: static + dynamic partition pruning") {
     // SURVEY §4's named gap vs the reference's flat glob
     // (lambda-run-clustering.py:25): write the events table partitioned
