@@ -434,6 +434,28 @@ object SparkEntry {
       val jacc = jsym.withColumn("rn", row_number().over(jw).cast("long"))
         .filter(col("rn") <= 5).select(col("query_id"), col("item_id"), col("rn"))
       graft.sim.Fusion.rrf(Seq(sparse, jacc), 60, 5)
+    }),
+    // materialized-view refresh: base STATE ⊕ agg(delta) — the base
+    // table never re-enters the plan; oracle recomputes from scratch
+    "q103_incremental_agg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 < 8)
+      val delta = docs.filter(col("doc_id") % 10 >= 8)
+      graft.ops.Incremental.refresh(
+        graft.ops.Incremental.aggState(base, Seq("lang", "source"), "n_chars"),
+        delta, Seq("lang", "source"), "n_chars")
+    }),
+    // CDC both ways: changelog(v1→v2) applied onto v1 must reproduce v2
+    // exactly — the oracle is simply v2
+    "q104_changelog_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 < 8)
+      val v2 = docs.filter(col("doc_id") % 10 >= 2)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")))
+      val cl = graft.ops.SetOps.changelog(v1, v2, "doc_id", "text", 1L)
+      graft.ops.Upsert.applyChangelog(v1, cl, "doc_id", "seq", "op")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -482,7 +504,9 @@ object SparkEntry {
     "q68_dbscan_severity" -> Seq("embeddings"),
     "q100_sparse_topk" -> Seq("documents"),
     "q101_embed_quantize" -> Seq("embeddings"),
-    "q102_rank_fusion" -> Seq("documents"))
+    "q102_rank_fusion" -> Seq("documents"),
+    "q103_incremental_agg" -> Seq("documents"),
+    "q104_changelog_roundtrip" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1377,6 +1401,18 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS BIGINT) AS rn
         |  FROM fused)
         |SELECT query_id, item_id, score, rn FROM franked WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+    "q103_incremental_agg" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_v,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_v,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_v
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q104_changelog_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents WHERE doc_id % 10 >= 2 ORDER BY doc_id""".stripMargin
   )
 }

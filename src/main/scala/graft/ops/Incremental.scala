@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (algebraic) aggregate maintenance — the materialized-view
+  * refresh pattern: a 100 TB base table's grouped aggregates are a tiny
+  * state table, and a new batch should update them by MERGING states,
+  * never by rescanning the base. Works for the algebraic aggregates
+  * (count/sum/min/max — and avg as sum/count at read time): the merge
+  * of two states is the same aggregation applied to the state union.
+  *
+  * Plan shape: aggregate the DELTA only (one hash agg over the batch),
+  * union with the key-grouped base STATE (grouped-cardinality rows, not
+  * base rows), and re-aggregate — the second agg runs over
+  * 2×|groups| rows. The base table never appears in the plan; with the
+  * state table and delta both small this is broadcast/AQE territory at
+  * any base size.
+  *
+  * [[aggState]] defines the state schema; [[mergeStates]] is
+  * associative + commutative (property-tested), so states can also
+  * merge hierarchically (hourly → daily → monthly rollup maintenance).
+  */
+object Incremental {
+
+  /** Build the aggregate state of `df` grouped by `keys` over `valueCol`:
+    * (keys..., n, sum_v, min_v, max_v). */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).cast("long").as("sum_v"),
+        min(col(valueCol)).cast("long").as("min_v"),
+        max(col(valueCol)).cast("long").as("max_v"))
+
+  /** Merge two aggregate states (same key/state schema). */
+  def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum_v")).cast("long").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Refresh: state(base) ⊕ agg(delta) == state(base ∪ delta), with the
+    * base appearing only through its state rows. Returns the merged
+    * state with a derived mean, ordered by keys for determinism. */
+  def refresh(baseState: DataFrame, delta: DataFrame, keys: Seq[String],
+              valueCol: String): DataFrame =
+    mergeStates(baseState, aggState(delta, keys, valueCol), keys)
+      .withColumn("mean_v",
+        round(col("sum_v").cast("double") / col("n"), 6))
+      .orderBy(keys.map(col): _*)
+}

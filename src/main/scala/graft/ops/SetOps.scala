@@ -58,4 +58,33 @@ object SetOps {
       .select(col("id"), col("change"))
       .orderBy(col("id"))
   }
+
+  /** Generate an APPLYABLE changelog from two snapshots — the inverse
+    * of [[graft.ops.Upsert.applyChangelog]]: upsert records (op `U`,
+    * full v2 payload) for added/changed ids, delete records (op `D`,
+    * null payload) for removed ids, all at sequence `seq`. Applying the
+    * result to v1 reproduces v2 exactly (oracle-checked end-to-end by
+    * q104's roundtrip). Together the pair turns any two table versions
+    * into a CDC feed and back — the export half of the merge story.
+    *
+    * Scale shape: [[snapshotDiff]]'s fingerprint join (ids + 32-byte
+    * hashes, never bodies) plus ONE join of the changed-id set back to
+    * v2 — the id set is |diff|-sized and broadcast-able in the common
+    * small-drift regime. */
+  def changelog(v1: DataFrame, v2: DataFrame, idCol: String,
+                contentCol: String, seq: Long): DataFrame = {
+    val payload = v2.columns.toSeq
+    val diff = snapshotDiff(v1, v2, idCol, contentCol)
+      .withColumnRenamed("id", idCol)
+      .localCheckpoint() // feeds both the upsert join and the delete arm
+    val upserts = v2.join(diff.filter(col("change") =!= "removed"), Seq(idCol))
+      .select(payload.map(col): _*)
+      .withColumn("seq", lit(seq)).withColumn("op", lit("U"))
+    val deletes = diff.filter(col("change") === "removed")
+      .select(col(idCol) +:
+        payload.filterNot(_ == idCol).map(c => lit(null).cast(
+          v2.schema(c).dataType).as(c)): _*)
+      .withColumn("seq", lit(seq)).withColumn("op", lit("D"))
+    upserts.unionByName(deletes)
+  }
 }

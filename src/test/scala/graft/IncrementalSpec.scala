@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Incremental, SetOps, Tables, Upsert}
+
+/** Incremental maintenance: algebraic aggregate-state merge and the
+  * changelog-generation/apply roundtrip. */
+class IncrementalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("refresh(state(base), delta) == full recompute") {
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val keys = Seq("lang", "source")
+    val inc = Incremental.refresh(
+      Incremental.aggState(base, keys, "n_chars"), delta, keys, "n_chars")
+    val full = Incremental.aggState(docs, keys, "n_chars")
+      .withColumn("mean_v", round(col("sum_v").cast("double") / col("n"), 6))
+      .orderBy(keys.map(col): _*)
+    assert(inc.collect().toSeq === full.collect().toSeq)
+  }
+
+  test("mergeStates is associative and commutative") {
+    val keys = Seq("lang")
+    val s = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)
+    ).map(Incremental.aggState(_, keys, "n_chars"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lang").collect().toSeq
+    val abc = Incremental.mergeStates(Incremental.mergeStates(s(0), s(1), keys), s(2), keys)
+    val cba = Incremental.mergeStates(s(2), Incremental.mergeStates(s(1), s(0), keys), keys)
+    assert(sorted(abc) === sorted(cba))
+    assert(sorted(abc) === sorted(Incremental.aggState(docs, keys, "n_chars")))
+  }
+
+  test("empty delta leaves the state unchanged (plus derived mean)") {
+    val keys = Seq("lang")
+    val state = Incremental.aggState(docs, keys, "n_chars")
+    val out = Incremental.refresh(state, docs.limit(0), keys, "n_chars")
+      .drop("mean_v").orderBy("lang")
+    assert(out.collect().toSeq === state.orderBy("lang").collect().toSeq)
+  }
+
+  test("changelog → apply roundtrip reproduces v2; deletes carried as D") {
+    val v1 = docs.filter(col("doc_id") % 10 < 8)
+    val v2 = docs.filter(col("doc_id") % 10 >= 2)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")))
+    val cl = SetOps.changelog(v1, v2, "doc_id", "text", 7L)
+    // ops present: U for added (8,9 buckets) + changed (%5==0), D for removed (0,1)
+    val ops = cl.groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet === Set("U", "D") && ops("D") > 0 && ops("U") > 0)
+    val applied = Upsert.applyChangelog(v1, cl, "doc_id", "seq", "op")
+      .orderBy("doc_id").collect().toSeq
+    assert(applied === v2.orderBy("doc_id").collect().toSeq)
+    // unchanged rows generate no changelog records
+    val unchangedIds = cl.select("doc_id").as[Long].collect().toSet
+    val trulyUnchanged = docs.filter(col("doc_id") % 10 >= 2 &&
+      col("doc_id") % 10 < 8 && col("doc_id") % 5 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(unchangedIds.intersect(trulyUnchanged).isEmpty)
+  }
+}
