@@ -1348,9 +1348,9 @@ object SparkEntry {
         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS sum_code,
         |  CAST(MIN(code) AS BIGINT) AS min_code,
         |  CAST(MAX(code) AS BIGINT) AS max_code,
-        |  round(sqrt(CAST(SUM(CAST(round(
-        |    (x - (lo + code*inv)) * (x - (lo + code*inv)), 12) AS DECIMAL(38,12)))
-        |    AS DOUBLE)), 6) AS recon_err
+        |  round(sqrt(CAST(CAST(SUM(CAST(round(
+        |    (x - (lo + code*inv)) * (x - (lo + code*inv)) * 1e12, 0) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1e12), 6) AS recon_err
         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q102_rank_fusion" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

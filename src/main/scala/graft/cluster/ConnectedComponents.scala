@@ -52,14 +52,16 @@ object ConnectedComponents {
       // minimum of u's closed neighborhood.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      // not checkpointed: the half-round is two plan nodes deep off the
-      // checkpointed `e`, and small-star's two references re-derive it
-      // cheaper than an extra eager materialization per round costs
+      // not checkpointed OR deduplicated: the half-round is two plan
+      // nodes deep off the checkpointed `e` (re-deriving it twice for
+      // small-star is cheaper than an eager materialization per round),
+      // and duplicate edges are harmless to small-star's min-aggregate —
+      // skipping the dedup saves an Exchange per round; small-star's own
+      // dedup bounds the carried edge set.
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
         .filter(col("u") =!= col("v"))
-        .dropDuplicates("u", "v")
       // small-star: every neighbor smaller than u (and u itself) is
       // rewired to the minimum of u's smaller neighborhood.
       val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
@@ -92,15 +94,18 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
-  /** Order-insensitive edge-set fingerprint: (count, sum of row hashes).
-    * One scalar action per round — the convergence test the driver can
-    * afford at any scale. Hashes sum as decimal(38,0): exact and
-    * overflow-free under ANSI mode at any row count. */
-  private def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+  /** Order-insensitive edge-set fingerprint: (count, XOR of row
+    * hashes). One scalar action per round — the convergence test the
+    * driver can afford at any scale. XOR over the DEDUPLICATED edge set
+    * is order-insensitive, overflow-free, and stays in plain long
+    * codegen (a decimal sum here was the single hottest JIT path of the
+    * whole loop); a false fixpoint needs two distinct edge sets with
+    * equal count AND equal 64-bit hash XOR — negligible against the
+    * hardware error rate. */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
     val r = e.agg(
       count(lit(1)).as("c"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(BigDecimal(0))).as("h")).head()
-    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
   }
 }
