@@ -22,6 +22,18 @@ object Bench {
       warm.count()
       graft.ml.DurationPipeline.rfPipeline(Seq("c"), Seq("id"), "label",
         numTrees = 2, maxDepth = 2).fit(warm)
+      // exercise the codegen/JIT shapes the query set leans on (hash agg,
+      // window, shuffle join, generator, sort, HOF fold) so first use
+      // inside a timed query doesn't carry the compiler's cost
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("id"))
+      warm.withColumn("rn", row_number().over(w))
+        .join(warm.select(col("id"), col("label").as("l2")), "id")
+        .select(col("id"), explode(sequence(lit(0L), col("id") % 3)).as("e"),
+          aggregate(sequence(lit(1L), lit(4L)), lit(0L), (a, x) => a + x).as("f"))
+        .groupBy(col("e")).agg(sum(col("f")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("e"))
+        .write.format("noop").mode("overwrite").save()
       warm.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")

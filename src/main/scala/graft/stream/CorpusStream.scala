@@ -54,4 +54,54 @@ object CorpusStream {
         }
       }
       .start()
+
+  /** Streaming materialized view: maintain a grouped aggregate STATE
+    * table under a continuous stream by algebraic merge
+    * ([[graft.ops.Incremental]]) — each micro-batch is aggregated alone
+    * and merged into the state parquet; the historical data never
+    * re-enters any plan. This is the streaming face of the q103
+    * refresh law, and the practical alternative to a stateful
+    * streaming agg when the view must live in a TABLE other engines
+    * read (complete-mode output would rewrite the whole result per
+    * batch; update-mode needs a mutable sink).
+    *
+    * The overwrite stages through `<statePath>.next` + rename so a
+    * crash mid-batch leaves the previous state readable; checkpoint
+    * retry then re-merges the SAME batch — counts would double, so the
+    * batch is deduplicated against the state's high-water batch id
+    * (`_batch_id` column), keeping the merge idempotent exactly like
+    * the quarantine gate above. */
+  def aggMaintenanceSink(rows: DataFrame, statePath: String, checkpoint: String,
+                         keys: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(statePath)
+        val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
+        // crash recovery (the Layout.compact discipline): death between
+        // delete(cur) and rename leaves the new state stranded at .next
+        if (!fs.exists(cur) && fs.exists(nxt))
+          require(fs.rename(nxt, cur), s"aggMaintenanceSink: recovery rename failed for $statePath")
+        else if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
+        val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
+        val alreadyMerged = prior.exists(p =>
+          p.agg(max(col("_batch_id"))).head().getLong(0) >= batchId)
+        if (!batch.isEmpty && !alreadyMerged) {
+          val delta = graft.ops.Incremental.aggState(batch, keys, valueCol)
+          val merged = prior match {
+            case Some(p) => graft.ops.Incremental.mergeStates(
+              p.drop("_batch_id"), delta, keys)
+            case None => delta
+          }
+          merged.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(nxt.toString)
+          if (fs.exists(cur)) fs.delete(cur, true)
+          require(fs.rename(nxt, cur), s"aggMaintenanceSink: rename failed for $statePath")
+        }
+      }
+      .start()
 }

@@ -303,4 +303,36 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("MINOR" -> 2L, "MAJOR" -> 1L))
   }
+
+  test("streaming materialized view: state merges per batch, survives restart, equals recompute") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val state = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.stream.CorpusStream.aggMaintenanceSink(
+      mem.toDF().toDF("k", "v"), state, ckpt, Seq("k"), "v")
+    val q1 = start()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try {
+      val b1 = Seq(("a", 10L), ("a", 20L), ("b", 5L)); seen ++= b1
+      mem.addData(b1: _*); q1.processAllAvailable()
+      val b2 = Seq(("a", 1L), ("c", 7L)); seen ++= b2
+      mem.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: state keeps accumulating
+    val q2 = start()
+    try {
+      val b3 = Seq(("b", 100L)); seen ++= b3
+      mem.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(state).drop("_batch_id")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = graft.ops.Incremental.aggState(
+        seen.toSeq.toDF("k", "v"), Seq("k"), "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want.toSeq)
+  }
 }
