@@ -48,7 +48,19 @@ object PlanDump {
     "q86_span_scrub" -> ("the scrub rewrite shuffles span positions ONCE (a single window " +
       "over the xxhash64 span key carries both rank and occurrence count); coverage " +
       "anti-joins the tokens and documents reassemble via array_sort — nowhere does " +
-      "the span explode run twice")
+      "the span explode run twice"),
+    "q99_interval_overlap" -> ("interval overlap is an equi-join on (key, bucket) after " +
+      "sequence-explode bucketing — the range predicate never reaches the join strategy, " +
+      "and the emit-once bucket filter replaces a distinct pass"),
+    "q100_sparse_topk" -> ("term-at-a-time sparse retrieval: postings self-join on the " +
+      "shingle key (from the checkpointed posting table), partial+final hash agg per doc " +
+      "pair in exact scaled-long arithmetic, window top-k"),
+    "q101_embed_quantize" -> ("encode is one codegen fold over the vector against literal " +
+      "extrema (no join, no shuffle before the final sort); stats read the materialized " +
+      "codes column — the serving artifact"),
+    "q103_incremental_agg" -> ("materialized-view refresh: the base table appears only as " +
+      "its grouped STATE rows unioned with the delta's aggregation — two hash aggs over " +
+      "group-cardinality + batch rows, never a base rescan")
   )
 
   def main(args: Array[String]): Unit = {
