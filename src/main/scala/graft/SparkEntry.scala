@@ -456,7 +456,15 @@ object SparkEntry {
       val cl = graft.ops.SetOps.changelog(v1, v2, "doc_id", "text", 1L)
       graft.ops.Upsert.applyChangelog(v1, cl, "doc_id", "seq", "op")
         .orderBy(col("doc_id"))
-    })
+    }),
+    // robust outlier fence: |x − median| <= 3·MAD — median/MAD fold to
+    // literals (Scalar-class exact percentiles), the fence pushes down
+    "q105_mad_outliers" -> ((s, d) =>
+      graft.quality.Filters.madOutliers(Tables.documents(s, d), "n_chars", 3.0)
+        .orderBy(col("doc_id"))),
+    // GPT-style fixed-length sequence packing with split lineage
+    "q106_pack_sequences" -> ((s, d) =>
+      graft.text.TextOps.packSequences(Tables.documents(s, d), 512L))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -506,7 +514,9 @@ object SparkEntry {
     "q101_embed_quantize" -> Seq("embeddings"),
     "q102_rank_fusion" -> Seq("documents"),
     "q103_incremental_agg" -> Seq("documents"),
-    "q104_changelog_roundtrip" -> Seq("documents"))
+    "q104_changelog_roundtrip" -> Seq("documents"),
+    "q105_mad_outliers" -> Seq("documents"),
+    "q106_pack_sequences" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1413,6 +1423,29 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
         |  lang, source, n_chars
-        |FROM documents WHERE doc_id % 10 >= 2 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 10 >= 2 ORDER BY doc_id""".stripMargin,
+    "q105_mad_outliers" ->
+      """WITH m AS (SELECT median(n_chars) AS med FROM documents),
+        |s AS (SELECT median(abs(CAST(n_chars AS DOUBLE) - (SELECT med FROM m))) AS mad
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE abs(CAST(n_chars AS DOUBLE) - (SELECT med FROM m))
+        |  <= 3.0 * (SELECT mad FROM s)
+        |ORDER BY doc_id""".stripMargin,
+    "q106_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |    CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) - n_toks AS start
+        |  FROM t),
+        |f AS (SELECT * FROM c WHERE n_toks > 0),
+        |e AS (SELECT doc_id, start, n_toks,
+        |    unnest(range(start//512, (start + n_toks - 1)//512 + 1)) AS pack_id FROM f)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+        |  CAST(greatest(pack_id*512, start) - pack_id*512 AS BIGINT) AS pack_off,
+        |  CAST(greatest(pack_id*512, start) - start AS BIGINT) AS doc_off,
+        |  CAST(least((pack_id+1)*512, start + n_toks)
+        |    - greatest(pack_id*512, start) AS BIGINT) AS n_slice
+        |FROM e ORDER BY pack_id, pack_off""".stripMargin
   )
 }

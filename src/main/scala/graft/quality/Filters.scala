@@ -34,4 +34,26 @@ object Filters {
     df.filter(col(column).cast("double") >= lo &&
       col(column).cast("double") <= hi)
   }
+
+  /** Robust (median/MAD) outlier filter — the curation-pipeline
+    * companion to [[quantileBand]]: quantile bands need a chosen
+    * percentile, MAD adapts to the data's own spread and is immune to
+    * the outliers it removes (mean/stddev fences are not — one 1 GB
+    * document drags the mean). Keeps rows with
+    * |x − median| <= k · MAD, MAD = median(|x − median|), k=3 ≈ the
+    * classic "3 sigma" for normal data (1 MAD ≈ 0.6745 σ).
+    *
+    * Two [[graft.ops.Scalar]]-class exact-percentile reductions at
+    * construction, then the fence folds to LITERALS — the filter pushes
+    * to the parquet scan exactly like quantileBand's (PlanSpec-gated).
+    * Exact `percentile` keeps it oracle-portable; at corpus scale
+    * substitute approx_percentile the same way quantileBand does. */
+  def madOutliers(df: DataFrame, column: String, k: Double = 3.0): DataFrame = {
+    val med = df.agg(expr(s"percentile($column, 0.5)").cast("double"))
+      .first().getDouble(0)
+    val mad = df.agg(
+        expr(s"percentile(abs(CAST($column AS DOUBLE) - $med), 0.5)").cast("double"))
+      .first().getDouble(0)
+    df.filter(abs(col(column).cast("double") - med) <= k * mad)
+  }
 }

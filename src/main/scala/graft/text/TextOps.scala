@@ -312,4 +312,41 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** Fixed-length SEQUENCE packing with split lineage — the GPT-style
+    * training layout, one level below [[packShards]]: documents
+    * concatenate (doc_id order) into one global token stream, the
+    * stream cuts into `seqLen`-token packs, and a document straddling a
+    * boundary SPLITS across packs. Emits one row per (pack, doc slice):
+    * (pack_id, doc_id, pack_off, doc_off, n_slice) — exactly the
+    * manifest a loader needs to assemble pack tensors from doc shards,
+    * and exact integer arithmetic end to end (oracle-checked).
+    *
+    * The only order-dependent step is the global exclusive cumsum of
+    * token counts, which runs through the two-phase bucketed
+    * [[graft.ops.Windows.globalRunningSum]] — no single-partition
+    * window at any size. Per-doc pack fan-out is
+    * ceil(n_toks / seqLen) + 1 rows via one sequence-explode: a narrow
+    * map. Like all globalRunningSum consumers this executes its input
+    * at construction (Scalar convention). */
+  def packSequences(documents: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive (got $seqLen)")
+    val base = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val cum = graft.ops.Windows.globalRunningSum(base, "doc_id", col("n_toks"), "cum")
+    val L = lit(seqLen)
+    val spans = cum
+      .withColumn("start", col("cum") - col("n_toks"))
+      .filter(col("n_toks") > 0)
+    spans.select(col("doc_id"), col("start"), col("n_toks"),
+        explode(sequence(floor(col("start") / L).cast("long"),
+          floor((col("start") + col("n_toks") - 1) / L).cast("long"))).as("pack_id"))
+      .withColumn("g0", greatest(col("pack_id") * L, col("start")))
+      .withColumn("g1", least((col("pack_id") + 1) * L, col("start") + col("n_toks")))
+      .select(col("pack_id"), col("doc_id"),
+        (col("g0") - col("pack_id") * L).cast("long").as("pack_off"),
+        (col("g0") - col("start")).cast("long").as("doc_off"),
+        (col("g1") - col("g0")).cast("long").as("n_slice"))
+      .orderBy(col("pack_id"), col("pack_off"))
+  }
 }

@@ -47,6 +47,52 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.collect().toSeq === state.orderBy("lang").collect().toSeq)
   }
 
+  test("mad outlier fence: extremes out, bulk in, robust to the outliers themselves") {
+    val base = (1L to 100L).map(i => (i, 100L + (i % 11))) // tight cluster 100..110
+    val spiked = (base :+ (900L, 100000L) :+ (901L, -50000L)).toDF("doc_id", "n_chars")
+    val kept = graft.quality.Filters.madOutliers(spiked, "n_chars", 3.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(900L) && !kept.contains(901L))
+    assert(base.map(_._1).toSet.subsetOf(kept))
+  }
+
+  test("packSequences: slices tile packs exactly and reassemble each doc") {
+    val seqLen = 7L
+    val docsDf = Seq(
+      (1L, "a b c d e"),          // 5 toks
+      (2L, "f g h i j k l m n"),  // 9 toks: straddles
+      (3L, "o p"),                // 2
+      (4L, "q r s t u v w x y z a2 b2")) // 12
+      .toDF("doc_id", "text")
+    val rows = graft.text.TextOps.packSequences(docsDf, seqLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = 5 + 9 + 2 + 12 // 28 tokens → packs 0..3
+    // per-doc slices reassemble the doc contiguously
+    for ((doc, slices) <- rows.groupBy(_._2)) {
+      val ordered = slices.sortBy(_._4)
+      assert(ordered.head._4 === 0L, s"doc $doc doesn't start at offset 0")
+      assert(ordered.map(_._5).sum === ordered.last._4 + ordered.last._5)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 === b._4, s"doc $doc gap")
+        case _ =>
+      }
+    }
+    // packs tile: every pack except the last is exactly seqLen tokens,
+    // slices within a pack are contiguous from offset 0
+    val byPack = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byPack.map(_._1) === (0L until (total + seqLen - 1) / seqLen))
+    for ((pack, slices) <- byPack) {
+      val ordered = slices.sortBy(_._3)
+      assert(ordered.head._3 === 0L)
+      val len = ordered.map(_._5).sum
+      if (pack < byPack.last._1) assert(len === seqLen, s"pack $pack not full")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 === b._3, s"pack $pack gap")
+        case _ =>
+      }
+    }
+  }
+
   test("changelog → apply roundtrip reproduces v2; deletes carried as D") {
     val v1 = docs.filter(col("doc_id") % 10 < 8)
     val v2 = docs.filter(col("doc_id") % 10 >= 2)
