@@ -370,6 +370,30 @@ object StressBench {
     run("connected_components",
       graft.cluster.ConnectedComponents.contract(pathEdges(20000L)).count(),
       graft.cluster.ConnectedComponents.contract(pathEdges(20000L * factor)).count())
+    // sequence packing: plain replicas (remapped ids) — the cumsum is
+    // the two-phase bucketed form, fan-out is ~1 row per doc per pack
+    run("pack_sequences",
+      mat(graft.text.TextOps.packSequences(docs1, 512L)),
+      mat(graft.text.TextOps.packSequences(docsPlainN, 512L)))
+    // incremental refresh: the BASE participates only through its
+    // grouped state (groups fixed) — replicate the DELTA, the only
+    // thing whose size should matter
+    val baseState = graft.ops.Incremental.aggState(
+      docs1, Seq("lang", "source"), "n_chars").localCheckpoint()
+    run("incremental_refresh",
+      mat(graft.ops.Incremental.refresh(baseState, docs1, Seq("lang", "source"), "n_chars")),
+      mat(graft.ops.Incremental.refresh(baseState, docsPlainN, Seq("lang", "source"), "n_chars")))
+    // changelog export: both snapshots replicate plainly with a fixed
+    // drift fraction — the fingerprint join carries ids+hashes only
+    run("changelog_export", {
+      val v1 = docs1.filter(col("doc_id") % 10 < 8)
+      val v2 = docs1.filter(col("doc_id") % 10 >= 2)
+      mat(SetOps.changelog(v1, v2, "doc_id", "text", 1L))
+    }, {
+      val v1 = docsPlainN.filter(col("doc_id") % 10 < 8)
+      val v2 = docsPlainN.filter(col("doc_id") % 10 >= 2)
+      mat(SetOps.changelog(v1, v2, "doc_id", "text", 1L))
+    })
     spark.stop()
   }
 }
