@@ -52,4 +52,32 @@ object Incremental {
       .withColumn("mean_v",
         round(col("sum_v").cast("double") / col("n"), 6))
       .orderBy(keys.map(col): _*)
+
+  // --- distinct-count maintenance ------------------------------------
+  // COUNT(DISTINCT) is not algebraic — per-group sets would have to be
+  // kept verbatim to merge exactly — so the maintainable state is a
+  // mergeable sketch: Apache DataSketches HLL via Spark's
+  // hll_sketch_agg / hll_union_agg / hll_sketch_estimate. Union of
+  // sketch states is the SAME final sketch as sketching the unioned
+  // data (deterministic, property-tested equality), so incremental
+  // maintenance loses nothing over recompute; accuracy is the sketch's
+  // usual ~1.6% at lgConfigK=12 (tested against exact).
+
+  /** Per-group HLL sketch state of `col`'s distinct values. */
+  def distinctState(df: DataFrame, keys: Seq[String], valueCol: String,
+                    lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("hll"))
+
+  /** Merge two distinct-count states (sketch union per group). */
+  def mergeDistinctStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(expr("hll_union_agg(hll, true)").as("hll"))
+
+  /** Read the maintained state as per-group approximate distinct counts. */
+  def distinctEstimate(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      expr("hll_sketch_estimate(hll)").as("approx_distinct"): _*)
+      .orderBy(keys.map(col): _*)
 }

@@ -47,6 +47,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.collect().toSeq === state.orderBy("lang").collect().toSeq)
   }
 
+  test("HLL distinct state: merged sketches == recompute, estimate near exact") {
+    val keys = Seq("lang")
+    val parts = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val merged = graft.ops.Incremental.mergeDistinctStates(
+      graft.ops.Incremental.distinctState(parts(0), keys, "source"),
+      graft.ops.Incremental.distinctState(parts(1), keys, "source"), keys)
+    val est = graft.ops.Incremental.distinctEstimate(merged, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sketch-of-union == union-of-sketches, exactly
+    val whole = graft.ops.Incremental.distinctEstimate(
+        graft.ops.Incremental.distinctState(docs, keys, "source"), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === whole)
+    // and near the exact answer (tiny cardinalities → exact here)
+    val exact = docs.groupBy("lang").agg(countDistinct("source").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)).toDouble / exact(k) <= 0.05, s"$k: $v vs ${exact(k)}")
+    }
+  }
+
   test("mad outlier fence: extremes out, bulk in, robust to the outliers themselves") {
     val base = (1L to 100L).map(i => (i, 100L + (i % 11))) // tight cluster 100..110
     val spiked = (base :+ (900L, 100000L) :+ (901L, -50000L)).toDF("doc_id", "n_chars")
