@@ -464,7 +464,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // GPT-style fixed-length sequence packing with split lineage
     "q106_pack_sequences" -> ((s, d) =>
-      graft.text.TextOps.packSequences(Tables.documents(s, d), 512L))
+      graft.text.TextOps.packSequences(Tables.documents(s, d), 512L)),
+    // Cavnar-Trenkle character-trigram language ID — integer evidence,
+    // fully oracle-checked (unlike the stopword variant q43)
+    "q107_langid_ngram" -> ((s, d) =>
+      graft.text.TextOps.langIdNgram(Tables.documents(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -516,7 +520,8 @@ object SparkEntry {
     "q103_incremental_agg" -> Seq("documents"),
     "q104_changelog_roundtrip" -> Seq("documents"),
     "q105_mad_outliers" -> Seq("documents"),
-    "q106_pack_sequences" -> Seq("documents"))
+    "q106_pack_sequences" -> Seq("documents"),
+    "q107_langid_ngram" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1432,6 +1437,26 @@ object SparkEntry {
         |WHERE abs(CAST(n_chars AS DOUBLE) - (SELECT med FROM m))
         |  <= 3.0 * (SELECT mad FROM s)
         |ORDER BY doc_id""".stripMargin,
+    "q107_langid_ngram" -> {
+      // generated from the SAME TrigramProfiles constant the operator
+      // uses, so profile edits can never desynchronize the oracle
+      val perLang = graft.text.TextOps.TrigramProfiles.toSeq.sortBy(_._1)
+        .map { case (lang, prof) =>
+          val inList = prof.map(g => s"'${g}'").mkString(", ")
+          s"""SELECT doc_id, label, '$lang' AS lang,
+             |    CAST(len(list_filter(list_transform(range(1, n - 1),
+             |      i -> substr(t, CAST(i AS INT), 3)), x -> x IN ($inList))) AS BIGINT) AS score
+             |  FROM g""".stripMargin
+        }.mkString("\n  UNION ALL ")
+      s"""WITH p AS (SELECT doc_id, lang AS label,
+         |    ' ' || lower(text) || ' ' AS t FROM documents),
+         |g AS (SELECT doc_id, label, t, len(t) AS n FROM p),
+         |s AS ($perLang),
+         |r AS (SELECT doc_id, label, lang, score, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
+         |SELECT doc_id, label, lang AS predicted, score AS trigram_hits
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "q106_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),

@@ -91,6 +91,42 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das"),
     "zh" -> Seq("的", "是", "了", "在"))
 
+  /** Character-trigram profiles for [[langIdNgram]] — the classic
+    * Cavnar–Trenkle n-gram-profile heuristic with tiny hand profiles
+    * (trigrams of each language's function words, space-padded).
+    * Deterministic integer evidence → oracle-portable, unlike model
+    * scores. */
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "and", "nd ", " an", " of", "of ", " is", "is "),
+    "es" -> Seq(" el", "el ", " la", "la ", " de", "de ", "que", " qu", "ue "),
+    "fr" -> Seq(" le", "le ", " la", "la ", " et", "et ", "les", "es "),
+    "de" -> Seq("der", "er ", " de", "die", "ie ", " di", "und", "nd ", " un"))
+
+  /** Language-ID by character-trigram profile overlap: score(lang) =
+    * number of the doc's trigram POSITIONS (space-padded, lowercased)
+    * matching the language's profile; argmax with lexicographic
+    * tiebreak. One narrow codegen projection per row — no shuffle, no
+    * UDF, and (unlike [[langId]]'s stopword scores) every step is an
+    * exact integer so the whole operator is DuckDB-oracle-checked
+    * (q107). */
+  def langIdNgram(documents: DataFrame,
+                  profiles: Map[String, Seq[String]] = TrigramProfiles): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      val arr = array(prof.map(lit): _*)
+      struct(
+        size(filter(transform(sequence(lit(1), length(padded) - 2),
+          i => padded.substr(i, lit(3))),
+          t => array_contains(arr, t))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    documents.select(
+        col("doc_id"), col("lang").as("label"),
+        greatest(scores: _*).getField("lang").as("predicted"),
+        greatest(scores: _*).getField("score").as("trigram_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   def langId(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
