@@ -49,12 +49,7 @@ object Dedup {
     * than n tokens contribute no shingles (a descending `sequence` would
     * otherwise produce negative slice indices and crash the job). */
   def shingles(documents: DataFrame, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
+    val sh = TextOps.ngrams(TextOps.tokens(col("text")), n, " ")
     documents.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
 
@@ -520,11 +515,7 @@ object Dedup {
     * k tokens contribute nothing (the `when` guard keeps `sequence` from
     * going descending on a negative bound). */
   private def spanPositions(documents: DataFrame, k: Int): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    val spans = when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k),
-        i => array_join(slice(t, i + 1, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val spans = TextOps.ngrams(TextOps.tokens(col("text")), k, " ")
     documents.select(col("doc_id"), posexplode(spans))
       .select(col("doc_id"), col("pos").as("start"), col("col").as("gram"))
   }

@@ -18,6 +18,26 @@ object TextOps {
   /** Exact whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Positional n-grams of an array column, elements joined by `sep`:
+    * ngrams([a,b,c,d], 2, " ") = ["a b", "b c", "c d"]; arrays shorter
+    * than n yield []. Built by zipping the array with its shifts so
+    * every HOF lambda touches ONLY its element arguments — indexing a
+    * captured expression from a lambda body (slice/element_at on the
+    * tokenization) re-evaluates that expression PER ELEMENT, which made
+    * the original form quadratic per document (the q107 lesson:
+    * 73 s → 2 s; this shared form measured 5× on shingles). `arr` is
+    * evaluated n times per row (once per shift) — keep n small or pass
+    * a materialized column. */
+  def ngrams(arr: Column, n: Int, sep: String): Column = {
+    require(n >= 1, s"ngrams: n must be >= 1 (got $n)")
+    val len = size(arr)
+    val joined = (2 to n).foldLeft(arr) { (acc, s) =>
+      zip_with(acc, slice(arr, lit(s), greatest(len - (s - 1), lit(0))),
+        (a, b) => concat(a, lit(sep), b))
+    }
+    slice(joined, lit(1), greatest(len - (n - 1), lit(0)))
+  }
+
   /** BPE-ish tokenizer for realistic text: lowercase word pieces,
     * numbers, and single punctuation marks. */
   def regexTokens(text: Column): Column =
@@ -205,11 +225,7 @@ object TextOps {
     * non-distinct sibling of [[graft.dedup.Dedup.shingles]]. Same
     * shuffle shape as [[vocabulary]]: explode + one hash aggregation. */
   def bigramVocab(documents: DataFrame, minCount: Long = 1): DataFrame = {
-    val toks = tokens(col("text"))
-    val bg = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array())
+    val bg = ngrams(tokens(col("text")), 2, " ")
     documents.select(explode(bg).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
@@ -232,12 +248,11 @@ object TextOps {
     * [[graft.ops.Scalar]]-class reductions riding a 1-row cross join. */
   def bigramPmi(documents: DataFrame, minCount: Long = 2): DataFrame = {
     val toks = tokens(col("text"))
-    val bg = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("w1"),
-          element_at(toks, i + 2).as("w2"))))
-      .otherwise(array())
-    val pairs = documents.select(explode(bg).as("p"))
+    val bg = zip_with(toks,
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = documents
+      .select(explode(slice(bg, lit(1), greatest(size(tokens(col("text"))) - 1, lit(0)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val uni = documents.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
@@ -291,11 +306,7 @@ object TextOps {
     val tokStats = tok.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("token")).as("n_distinct"))
-    val toks = tokens(col("text"))
-    val bg = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array())
+    val bg = ngrams(tokens(col("text")), 2, " ")
     val bigStats = documents.select(col("doc_id"), explode(bg).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
