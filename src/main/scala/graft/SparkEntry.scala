@@ -468,7 +468,9 @@ object SparkEntry {
     // Cavnar-Trenkle character-trigram language ID — integer evidence,
     // fully oracle-checked (unlike the stopword variant q43)
     "q107_langid_ngram" -> ((s, d) =>
-      graft.text.TextOps.langIdNgram(Tables.documents(s, d)))
+      graft.text.TextOps.langIdNgram(Tables.documents(s, d))),
+    // conversion funnel: ordered-subsequence stage reach per user
+    "q108_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1457,6 +1459,20 @@ object SparkEntry {
          |SELECT doc_id, label, lang AS predicted, score AS trigram_hits
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    "q108_funnel" ->
+      """WITH s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END AS BIGINT) AS reached_view,
+        |  CAST(CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
+        |  CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
+        |  CAST(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS funnel_stage
+        |FROM s ORDER BY user_id""".stripMargin,
     "q106_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),

@@ -171,4 +171,39 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("tsn"), col("asof_ts"))
       .orderBy(col("user_id"), col("tsn"), col("event_id"))
   }
+
+  /** Conversion-funnel analysis: how far each user progresses through an
+    * ORDERED stage sequence (default view → click → purchase), where a
+    * stage counts only if it happens after a match of the previous one —
+    * subsequence semantics, the standard funnel definition (and what
+    * dedicated engines ship as `windowFunnel`/`MATCH_RECOGNIZE`).
+    *
+    * Plan: one hash agg collects each user's time-ordered event-initial
+    * string (sort_array over (ts, event_id, initial) structs — ties
+    * deterministic), then stage reach is a greedy-subsequence regex
+    * (`v.*c.*p`) — regex .* IS the greedy-subsequence match, identical
+    * in DuckDB, so the whole operator is oracle-checked. Per-user state
+    * is one string of initials; the shuffle is the same single
+    * user-keyed agg every per-user rollup costs. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty && stages.map(_.head).distinct.size == stages.size,
+      s"funnel: stages need distinct initials (got $stages)")
+    val seqStr = array_join(transform(
+      sort_array(collect_list(struct(
+        expr("ts div 1000").as("tsn"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini")))),
+      x => x.getField("ini")), "")
+    val stageFlags = stages.indices.map { i =>
+      val pat = stages.take(i + 1).map(_.head).mkString(".*")
+      when(regexp_like(col("seq"), lit(pat)), 1L).otherwise(0L)
+        .as(s"reached_${stages(i)}")
+    }
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), seqStr.as("seq"))
+      .select(col("user_id") +: col("n_events") +: stageFlags: _*)
+      .withColumn("funnel_stage",
+        stages.indices.map(i => col(s"reached_${stages(i)}")).reduce(_ + _))
+      .orderBy(col("user_id"))
+  }
 }

@@ -49,4 +49,22 @@ class EventOpsSpec extends AnyFunSuite {
   test("json props parse: every row has k") {
     assert(EventOps.propsKeySum(ev).agg(sum("n_k")).first().getLong(0) == 1000)
   }
+
+  test("funnel: subsequence order matters; out-of-order stages don't count") {
+    import spark.implicits._
+    // user 1: view→click→purchase in order (stage 3)
+    // user 2: purchase BEFORE view→click (stage 2 — purchase must follow)
+    // user 3: click only, no view (stage 0 — click needs a preceding view)
+    val rows = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
+      (4L, 2L, "purchase", 1000L), (5L, 2L, "view", 2000L), (6L, 2L, "click", 3000L),
+      (7L, 3L, "click", 1000L)
+    ).toDF("event_id", "user_id", "event_type", "tsn")
+      .withColumn("ts", col("tsn") * 1000000L).drop("tsn") // fake nanos
+    val got = EventOps.funnel(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 3L)))
+    assert(got(2L) === ((1L, 1L, 0L, 2L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+  }
 }
