@@ -470,7 +470,28 @@ object SparkEntry {
     "q107_langid_ngram" -> ((s, d) =>
       graft.text.TextOps.langIdNgram(Tables.documents(s, d))),
     // conversion funnel: ordered-subsequence stage reach per user
-    "q108_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d)))
+    "q108_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
+    // classic OLAP reshaping + join/window family completion -------------
+    "q109_pivot" -> ((s, d) => Rollups.priorityStatusPivot(Tables.orders(s, d))),
+    "q110_unpivot" -> ((s, d) => Rollups.returnflagMetricsLong(Tables.lineitem(s, d))),
+    "q111_join_full" -> ((s, d) =>
+      Joins.acctbalBucketFullJoin(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q112_window_tiles" -> ((s, d) => Windows.customerBalanceTiles(Tables.customer(s, d))),
+    "q113_token_entropy" -> ((s, d) =>
+      graft.text.TextOps.tokenEntropy(Tables.documents(s, d))),
+    "q114_bloom_join" -> ((s, d) => {
+      // urgent orders: selective (~20%) but row-wise too big to treat as a
+      // broadcast dim in spirit — the bloom prefilter drops non-matching
+      // lineitem rows before the shuffle; result must equal the plain join.
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Joins.bloomPrefilteredJoin(Tables.lineitem(s, d), urgent,
+          "l_orderkey", "o_orderkey", expectedKeys = 1000000)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n_lines"), Num.sumMoney(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("y"))
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -498,6 +519,7 @@ object SparkEntry {
     "q97_drift_psi" -> Seq("documents"),
     "q98_radius_pairs" -> Seq("embeddings"),
     "q53_docs_tfidf" -> Seq("documents"),
+    "q113_token_entropy" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1487,6 +1509,53 @@ object SparkEntry {
         |  CAST(greatest(pack_id*512, start) - start AS BIGINT) AS doc_off,
         |  CAST(least((pack_id+1)*512, start + n_toks)
         |    - greatest(pack_id*512, start) AS BIGINT) AS n_slice
-        |FROM e ORDER BY pack_id, pack_off""".stripMargin
+        |FROM e ORDER BY pack_id, pack_off""".stripMargin,
+    "q109_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(${dec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+         |  CAST(SUM(${dec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+         |  CAST(SUM(${dec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS sum_p
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q110_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag,
+         |    ${m("l_quantity")} AS sum_qty,
+         |    ${m("l_extendedprice")} AS sum_price,
+         |    ${m("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+         |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q111_join_full" ->
+      """SELECT bucket, n_cust, n_supp
+        |FROM (SELECT CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bucket, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT CAST(FLOOR(s_acctbal / 100) AS BIGINT) AS bucket, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |USING (bucket) ORDER BY bucket""".stripMargin,
+    "q112_window_tiles" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q113_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, token, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(ROUND(c * LOG2(CAST(c AS DOUBLE)), 9) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / SUM(c), 6) AS entropy_bits
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q114_bloom_join" ->
+      s"""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, COUNT(*) AS n_lines,
+         |  ${m("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY y""".stripMargin
   )
 }

@@ -148,4 +148,47 @@ object Joins {
         (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap"))
       .orderBy(col("key"), col("a_id"), col("b_id"))
   }
+
+  /** Full outer join: customer vs supplier account-balance centile
+    * buckets (floor(acctbal/100)). The buckets only partially overlap at
+    * the tails, so both null sides are genuinely exercised. Both inputs
+    * pre-aggregate before the join — the full-outer shuffle moves
+    * bucket-cardinality rows, never the fact tables. */
+  def acctbalBucketFullJoin(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer
+      .groupBy(floor(col("c_acctbal") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier
+      .groupBy(floor(col("s_acctbal") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("bucket"), "full_outer").orderBy(col("bucket"))
+  }
+
+  /** Bloom-prefiltered equi-join: when the build side is too large to
+    * broadcast as ROWS but its key set fits in a Bloom filter's BITS,
+    * probe-side rows that cannot match are dropped BEFORE the shuffle.
+    * This is the hand-rollable form of Spark's own `InjectRuntimeFilter`
+    * rewrite, exposed as an operator so the prefilter applies even where
+    * the optimizer's cost gate declines (e.g. the selective side is an
+    * opaque pre-computed table, not a filtered scan).
+    *
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling only the ~matching fraction: the filter build is
+    * one pass over the (already small) build side, the probe is one
+    * codegen'd call per row ([[graft.functions.BloomMightContainLong]]),
+    * and false positives are removed by the real join that follows —
+    * semantics are exactly the plain join's (oracle-checked).
+    *
+    * `expectedKeys` sizes the filter; the builder is an eager scalar
+    * reduction on `small` (documented [[Scalar]]-style action). */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
+                           bigKey: String, smallKey: String,
+                           expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0, s"bloomPrefilteredJoin: expectedKeys must be positive (got $expectedKeys)")
+    val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val pred = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BloomMightContainLong(
+        org.apache.spark.sql.GraftBridge.expression(col(bigKey).cast("long")), bloom))
+    big.filter(pred).join(small, col(bigKey) === col(smallKey))
+  }
 }

@@ -114,4 +114,33 @@ object Rollups {
     df.groupBy(floor(col(valueCol) / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("bucket"))
+
+  /** Pivot (long → wide): order priorities × order status, exact money
+    * sums. The status domain is pinned explicitly — with pivot values
+    * supplied, Spark skips the distinct-collect pre-pass and plans ONE
+    * hash aggregation with per-status conditional partials (same shape as
+    * the FILTER-clause oracle), so the pivot costs exactly one shuffle of
+    * |priorities| × 3 cells. Empty cells stay NULL (both engines). */
+  def priorityStatusPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Num.sumMoney(col("o_totalprice")))
+      .withColumnsRenamed(Map("F" -> "sum_f", "O" -> "sum_o", "P" -> "sum_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (wide → long / melt): per-returnflag exact metric sums to
+    * (flag, metric, value) rows. The melt itself is a zero-shuffle
+    * `Expand` over the (tiny) aggregated wide table — the 100 TB shape:
+    * aggregate first, reshape after. */
+  def returnflagMetricsLong(lineitem: DataFrame): DataFrame = {
+    import Num._
+    val wide = lineitem.groupBy(col("l_returnflag"))
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        sumMoney(col("l_discount")).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
 }

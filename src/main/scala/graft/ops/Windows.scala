@@ -128,4 +128,21 @@ object Windows {
         rank().over(Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)).cast("long").as("rnk"))
       .orderBy(col("s_nationkey"), col("rn"))
   }
+
+  /** Distribution ranks — ntile / percent_rank / cume_dist over customer
+    * balances per market segment. The ordering carries a unique tiebreak
+    * (custkey), making all three rank functions total-order deterministic
+    * and hence engine-portable; fractional ranks round to 6dp (single
+    * division, identical in both engines given equal rn/n). Same shuffle
+    * shape as every window here: one exchange on the partition key. */
+  def customerBalanceTiles(customer: DataFrame, tiles: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer.select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(tiles).over(w).cast("long").as("tile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
 }

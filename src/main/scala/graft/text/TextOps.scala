@@ -323,6 +323,24 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document unigram (token) entropy in bits — the information-
+    * density quality signal: boilerplate and keyword-stuffed documents
+    * score low, natural prose high. H = log2(n) - (Σ c·log2 c)/n over
+    * per-doc token counts c. The Σ term is irrational per element, so
+    * each term rounds to 9dp and sums as DECIMAL(38,12) — exact, hence
+    * order-insensitive under partial aggregation (the [[unigramLogProb]]
+    * discipline); the final combine is single double ops, deterministic.
+    * Two hash aggregations, shuffles keyed on (doc_id, token) / doc_id. */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c") * log2(col("c")), 9).cast("decimal(38,12)")).as("clog"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        round(log2(col("n")) - col("clog").cast("double") / col("n"), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+
   /** Unigram log-probability quality score (the KenLM-perplexity proxy):
     * p(token) from corpus counts, per-document mean ln p. The per-token
     * ln is rounded to 6dp THEN summed as DECIMAL so the aggregation is

@@ -169,4 +169,17 @@ class QualitySpec extends AnyFunSuite {
       "doc_id", "other", 7).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s2 != s3, "different salt should draw a different sample")
   }
+
+  test("tokenEntropy: 0 bits for constant doc, log2(n) for all-distinct") {
+    val d = Seq(
+      (1L, "x x x x", "en", "s"),          // constant → 0 bits
+      (2L, "a b c d", "en", "s"),          // uniform distinct → log2(4) = 2
+      (3L, "a a b b", "en", "s")           // two symbols, balanced → 1 bit
+    ).toDF("doc_id", "text", "lang", "source")
+    val e = graft.text.TextOps.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(1L) == 0.0)
+    assert(e(2L) == 2.0)
+    assert(e(3L) == 1.0)
+  }
 }

@@ -86,4 +86,62 @@ class RelationalSpec extends AnyFunSuite {
     val grand = r.filter(col("o_orderstatus").isNull).agg(max("n_orders")).first().getLong(0)
     assert(grand == 1500)
   }
+
+  test("pivot cells sum to the unpivoted total; unpivot is 3 rows per flag") {
+    val o = Tables.orders(spark, sf)
+    val p = Rollups.priorityStatusPivot(o)
+    assert(p.count() == 5)
+    val cells = p.select(
+      (coalesce(col("sum_f"), lit(0.0)) + coalesce(col("sum_o"), lit(0.0)) +
+        coalesce(col("sum_p"), lit(0.0))).as("t"))
+      .agg(round(sum("t"), 2)).first().getDouble(0)
+    val total = o.agg(round(Num.sumMoney(col("o_totalprice")), 2)).first().getDouble(0)
+    assert(cells == total)
+
+    val li = Tables.lineitem(spark, sf)
+    val long = Rollups.returnflagMetricsLong(li)
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(long.count() == 3 * flags)
+    assert(long.select("metric").distinct().count() == 3)
+  }
+
+  test("full outer keeps buckets unique to either side, nulls on the other") {
+    val j = Joins.acctbalBucketFullJoin(Tables.customer(spark, sf), Tables.supplier(spark, sf))
+    // buckets form a superset of each side's bucket set
+    val cOnly = j.filter(col("n_supp").isNull).count()
+    val sOnly = j.filter(col("n_cust").isNull).count()
+    assert(cOnly + sOnly > 0, "expected at least one one-sided bucket at the tails")
+    assert(j.filter(col("n_cust").isNull && col("n_supp").isNull).count() == 0)
+    assert(j.select("bucket").distinct().count() == j.count())
+  }
+
+  test("bloom-prefiltered join is semantically identical to the plain join") {
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloomed = Joins.bloomPrefilteredJoin(li, urgent, "l_orderkey", "o_orderkey", 100000)
+      .agg(count(lit(1)), round(Num.sumMoney(col("l_extendedprice")), 2)).first()
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), round(Num.sumMoney(col("l_extendedprice")), 2)).first()
+    assert(bloomed == plain)
+    // and the prefilter really drops rows before the join at fpp=0.01
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val pred = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BloomMightContainLong(
+        org.apache.spark.sql.GraftBridge.expression(col("l_orderkey").cast("long")), bloom))
+    val kept = li.filter(pred).count()
+    assert(kept < li.count(), "bloom prefilter should drop non-matching rows")
+    assert(kept >= plain.getLong(0), "bloom must never drop a matching row")
+  }
+
+  test("window tiles: ntile balanced within 1, pct_rank/cume bounds hold") {
+    val t = Windows.customerBalanceTiles(Tables.customer(spark, sf))
+    assert(t.filter(col("tile") < 1 || col("tile") > 4).count() == 0)
+    assert(t.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    assert(t.filter(col("cume") <= 0 || col("cume") > 1).count() == 0)
+    val spread = t.groupBy("c_mktsegment", "tile").count()
+      .groupBy("c_mktsegment").agg((max("count") - min("count")).as("d"))
+    assert(spread.filter(col("d") > 1).count() == 0)
+  }
 }
