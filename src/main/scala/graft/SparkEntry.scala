@@ -491,7 +491,12 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).cast("long").as("y"))
         .agg(count(lit(1)).as("n_lines"), Num.sumMoney(col("l_extendedprice")).as("revenue"))
         .orderBy(col("y"))
-    })
+    }),
+    "q115_activity_islands" -> ((s, d) => EventOps.activityIslands(Tables.events(s, d))),
+    "q116_containment" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContainment(Tables.documents(s, d), 3, 0.5)),
+    "q117_rare_tokens" -> ((s, d) =>
+      graft.text.TextOps.rareTokenStats(Tables.documents(s, d), 2))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -520,6 +525,8 @@ object SparkEntry {
     "q98_radius_pairs" -> Seq("embeddings"),
     "q53_docs_tfidf" -> Seq("documents"),
     "q113_token_entropy" -> Seq("documents"),
+    "q116_containment" -> Seq("documents"),
+    "q117_rare_tokens" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1556,6 +1563,40 @@ object SparkEntry {
          |  ${m("l_extendedprice")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
-         |GROUP BY 1 ORDER BY y""".stripMargin
+         |GROUP BY 1 ORDER BY y""".stripMargin,
+    "q115_activity_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d)
+        |SELECT user_id,
+        |  CAST(DATE '1970-01-01' + CAST(MIN(day) AS INT) AS DATE) AS start_date,
+        |  CAST(DATE '1970-01-01' + CAST(MAX(day) AS INT) AS DATE) AS end_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, start_date""".stripMargin,
+    "q116_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS sh_a,
+        |  ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = doc_a
+        |WHERE ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q117_rare_tokens" ->
+      """WITH tc AS (SELECT doc_id, token, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY doc_id, token),
+        |rare AS (SELECT token FROM (SELECT token, SUM(c) AS cnt FROM tc GROUP BY token) v
+        |  WHERE cnt <= 2),
+        |nr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_rare
+        |  FROM tc JOIN rare USING (token) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(nr.n_rare, 0) AS n_rare,
+        |  ROUND(CAST(COALESCE(nr.n_rare, 0) AS DOUBLE)
+        |    / len(string_split(d.text, ' ')), 6) AS rare_frac
+        |FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -78,6 +78,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Directed n-gram containment: c(a→b) = |A∩B| / |A| over shingle
+    * sets. The asymmetric sibling of [[ngramJaccard]] — catches a short
+    * document embedded inside a long one (quotation, page-in-crawl,
+    * version supersets), where Jaccard stays low because the union is
+    * dominated by the long side. Same inverted-index candidate shape
+    * (co-shingled pairs only, never all-pairs); emits BOTH directions of
+    * a pair, each scored by its own left size. Scores round to 6dp
+    * before the threshold so the cut is engine-portable. */
+  def ngramContainment(documents: DataFrame, n: Int, minContainment: Double): DataFrame = {
+    val sh = shingles(documents, n).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .withColumn("containment", round(col("n_common").cast("double") / col("sh_a"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** [[ngramJaccard]] with a document-frequency cap — the corpus-scale
     * variant. Shingles appearing in more than `maxDf` documents
     * ("stop-shingles": boilerplate, templates) are dropped from the

@@ -206,4 +206,28 @@ object EventOps {
         stages.indices.map(i => col(s"reached_${stages(i)}")).reduce(_ + _))
       .orderBy(col("user_id"))
   }
+
+  /** Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per user
+    * (the classic retention/streak analysis). Day boundaries are pure
+    * integer arithmetic on epoch-micros (tz-free, engine-portable); the
+    * island key is the `day - row_number` trick — constant within a
+    * consecutive run, so islands fall out of one keyed window plus one
+    * hash aggregation. The window partitions on user_id (high
+    * cardinality), and the distinct pre-aggregation shrinks input to
+    * ≤ |users| × |days| rows before any sort. */
+  def activityIslands(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"), count(lit(1)).as("n_days"))
+      .select(col("user_id"),
+        date_add(lit("1970-01-01").cast("date"), col("d0").cast("int")).as("start_date"),
+        date_add(lit("1970-01-01").cast("date"), col("d1").cast("int")).as("end_date"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("start_date"))
+  }
 }

@@ -323,6 +323,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Rare-token ratio — fraction of a document's tokens whose CORPUS
+    * frequency is ≤ `maxCount` (hapax/dis legomena): the OCR-garbage /
+    * mojibake / random-string detector that complements [[tokenEntropy]]
+    * (gibberish is high-entropy AND rare-heavy; rich prose is
+    * high-entropy but rare-light). Shuffle shape: per-doc type counts
+    * (one hash agg) feed BOTH the corpus vocabulary and the probe side —
+    * localCheckpoint computes them once — and the rare join moves
+    * (doc, type) rows, never raw occurrences, so stopword hot keys
+    * never shuffle; docs with no rare tokens come back via the left
+    * join as 0. */
+  def rareTokenStats(documents: DataFrame, maxCount: Long = 2): DataFrame = {
+    val tc = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rare = tc.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+      .filter(col("cnt") <= maxCount).select("token")
+    val nRare = tc.join(rare, "token")
+      .groupBy(col("doc_id")).agg(sum(col("c")).cast("long").as("n_rare"))
+    documents.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(nRare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document unigram (token) entropy in bits — the information-
     * density quality signal: boilerplate and keyword-stuffed documents
     * score low, natural prose high. H = log2(n) - (Σ c·log2 c)/n over

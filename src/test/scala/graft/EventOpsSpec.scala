@@ -67,4 +67,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 1L, 0L, 2L)))
     assert(got(3L) === ((0L, 0L, 0L, 0L)))
   }
+
+  test("activity islands: consecutive days merge, gaps split, dups collapse") {
+    import spark.implicits._
+    val day = 86400000000000L // nanos per day
+    // user 1: days 0,1,2 (one island), then 5,6 (second island)
+    // user 2: day 10 twice (one 1-day island — distinct collapses dups)
+    val rows = Seq(
+      (1L, 0L * day), (2L, 1L * day), (3L, 2L * day + 5000000000L),
+      (4L, 5L * day), (5L, 6L * day),
+      (6L, 10L * day), (7L, 10L * day + 1L)
+    ).map { case (id, ts) => (id, if (id <= 5L) 1L else 2L, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.activityIslands(rows).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "1970-01-01", "1970-01-03", 3L),
+      (1L, "1970-01-06", "1970-01-07", 2L),
+      (2L, "1970-01-11", "1970-01-11", 1L)))
+  }
 }

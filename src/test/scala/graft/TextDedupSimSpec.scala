@@ -230,6 +230,39 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(out == Map(11L -> 2L, 13L -> 1L), s"got $out")
   }
 
+  test("containment: embedded doc scores 1.0 toward its host, host lower") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "en", "s"),                    // contained in 2
+      (2L, "w0 w1 w2 w3 w4 w5", "en", "s"),              // superset of 1
+      (3L, "z1 z2 z3 z4 z5", "en", "s")                  // unrelated
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.ngramContainment(d, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got((1L, 2L)) == 1.0)         // all of 1's shingles appear in 2
+    assert(got((2L, 1L)) == 0.5)         // 2 of 4 of 2's shingles in 1
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // asymmetry is the point: Jaccard on the same pair is only 2/4
+    val j = Dedup.ngramJaccard(d, 3, 0.0)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").first().getDouble(0)
+    assert(j == 0.5)
+  }
+
+  test("rare tokens: hapax-heavy doc flagged, common-token doc clean") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the the", "en", "s"),       // all common (freq 4+)
+      (2L, "the qzx vbn mlk", "en", "s"),       // 3 of 4 are corpus-unique
+      (3L, "the the qzx2 the", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.text.TextOps.rareTokenStats(d, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((4L, 3L, 0.75)))
+    assert(got(3L) == ((4L, 1L, 0.25)))
+  }
+
   test("exact dedup keeps every distinct fingerprint once") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() == d.select("fp").distinct().count())
