@@ -208,4 +208,40 @@ class PlanSpec extends AnyFunSuite {
     assert(dpp.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning in:\n$dpp")
   }
+
+  test("bloom prefilter probes inside codegen BEFORE the join exchange") {
+    val df = SparkEntry.queries("q114_bloom_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), s"no bloom probe in plan:\n$p")
+    // the probe must sit on the scan side (below any exchange/join), and
+    // the expression is codegen'd — the filter line carries the *(n) mark
+    val probeLine = p.linesIterator.find(_.contains("bloom_might_contain")).get
+    assert(probeLine.contains("Filter"), s"bloom probe not a Filter:\n$probeLine")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("bloom_might_contain")) ||
+      probeLine.trim.startsWith("*"), s"bloom filter outside codegen:\n$p")
+  }
+
+  test("pivot with pinned values plans one agg pass, no distinct pre-scan") {
+    val p = planOf("q109_pivot")
+    // exactly one scan of orders: pinned pivot values skip the
+    // distinct-collect; the pivot lowers to partial+final hash agg
+    assert("FileScan parquet".r.findAllIn(p).length == 1, s"pivot re-scans input:\n$p")
+    assert(p.contains("HashAggregate"), s"pivot not a hash agg:\n$p")
+  }
+
+  test("islands window partitions on user_id; distinct pre-shrinks input") {
+    val p = planOf("q115_activity_islands")
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage in islands plan:\n$p")
+  }
+
+  test("rare-token join moves (doc,type) rows, never raw occurrences") {
+    val q = SparkEntry.queries("q117_rare_tokens")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the probe side of the rare join is the checkpointed type-count
+    // table (a scan of an RDD), not a re-derived explode of documents
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalCheckpoint"),
+      s"type counts not materialized once:\n$p")
+  }
 }
