@@ -496,7 +496,10 @@ object SparkEntry {
     "q116_containment" -> ((s, d) =>
       graft.dedup.Dedup.ngramContainment(Tables.documents(s, d), 3, 0.5)),
     "q117_rare_tokens" -> ((s, d) =>
-      graft.text.TextOps.rareTokenStats(Tables.documents(s, d), 2))
+      graft.text.TextOps.rareTokenStats(Tables.documents(s, d), 2)),
+    "q118_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
+    "q119_chisq" -> ((s, d) =>
+      graft.quality.Drift.chiSquareCells(Tables.documents(s, d), "lang", "source"))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -527,6 +530,7 @@ object SparkEntry {
     "q113_token_entropy" -> Seq("documents"),
     "q116_containment" -> Seq("documents"),
     "q117_rare_tokens" -> Seq("documents"),
+    "q119_chisq" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1597,6 +1601,26 @@ object SparkEntry {
         |  COALESCE(nr.n_rare, 0) AS n_rare,
         |  ROUND(CAST(COALESCE(nr.n_rare, 0) AS DOUBLE)
         |    / len(string_split(d.text, ' ')), 6) AS rare_frac
-        |FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id ORDER BY d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN nr ON d.doc_id = nr.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q118_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |  CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN f ON wk.user_id = f.user_id
+        |GROUP BY cohort_wk, offset_wk ORDER BY cohort_wk, offset_wk""".stripMargin,
+    "q119_chisq" ->
+      """WITH ob AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, COUNT(*) AS ra FROM documents GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS cb FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT r.lang, c.source, COALESCE(ob.o, 0) AS o,
+        |  ROUND(CAST(ra AS DOUBLE) * cb / n, 6) AS expected,
+        |  ROUND(POW(COALESCE(ob.o, 0) - CAST(ra AS DOUBLE) * cb / n, 2)
+        |    / (CAST(ra AS DOUBLE) * cb / n), 6) AS contrib
+        |FROM r CROSS JOIN c
+        |LEFT JOIN ob ON ob.lang = r.lang AND ob.source = c.source
+        |CROSS JOIN t
+        |ORDER BY r.lang, c.source""".stripMargin
   )
 }

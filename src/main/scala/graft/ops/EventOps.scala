@@ -207,6 +207,25 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Weekly retention cohorts: users grouped by FIRST active week
+    * (epoch-week — tz-free integer arithmetic, like [[activityIslands]]);
+    * each (cohort, offset) cell counts distinct users from that cohort
+    * active `offset` weeks later — the classic retention triangle.
+    * Offset 0 is the cohort size by construction. Shuffle shape: one
+    * distinct agg, one min-per-user agg (both keyed on user_id), a
+    * user-keyed join, and a final cell agg — all high-cardinality keys
+    * until the final (small) cell table. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val wk = events
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    wk.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
   /** Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per user
     * (the classic retention/streak analysis). Day boundaries are pure
     * integer arithmetic on epoch-micros (tz-free, engine-portable); the

@@ -56,4 +56,36 @@ object Drift {
           .as("psi_term"))
       .orderBy(col("bucket"))
   }
+
+  /** Chi-square independence cells for two categorical columns — the
+    * "is language associated with source" audit behind mixture
+    * rebalancing decisions. Emits one row per observed (a, b) cell with
+    * observed count, expected count under independence (row·col/n) and
+    * the cell's χ² contribution (o−e)²/e; the statistic is the sum and
+    * the caller compares against the χ² quantile for (|a|−1)(|b|−1) dof.
+    *
+    * Determinism: counts are exact integers; expected/contrib are each
+    * ONE fixed-order double expression from those integers (no double
+    * summation), rounded 6 dp — portable by the same argument as q24.
+    *
+    * Scale shape: three hash aggs (cells, row margins, col margins) of
+    * which two are broadcast back; the 1-row total joins as a broadcast
+    * nested loop. Nothing larger than the cell table shuffles. */
+  def chiSquareCells(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val rows = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
+    val cols = df.groupBy(col(b)).agg(count(lit(1)).as("cb"))
+    val tot = df.agg(count(lit(1)).as("n"))
+    val e = col("ra").cast("double") * col("cb") / col("n")
+    // the margin cross product materializes the FULL contingency table:
+    // zero cells contribute e to the statistic and must not be dropped
+    rows.crossJoin(broadcast(cols))
+      .join(obs, Seq(a, b), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col(a), col(b), col("o"),
+        round(e, 6).as("expected"),
+        round(pow(col("o") - e, 2) / e, 6).as("contrib"))
+      .orderBy(col(a), col(b))
+  }
 }

@@ -86,4 +86,17 @@ class EventOpsSpec extends AnyFunSuite {
       (1L, "1970-01-06", "1970-01-07", 2L),
       (2L, "1970-01-11", "1970-01-11", 1L)))
   }
+
+  test("retention cohorts: offset 0 equals cohort size; counts never exceed it") {
+    val r = EventOps.retentionCohorts(ev).cache()
+    val size0 = r.filter(col("offset_wk") === 0)
+      .select(col("cohort_wk"), col("n_users").as("c0"))
+    // every cohort has an offset-0 row and no offset exceeds its size
+    val joined = r.join(size0, "cohort_wk")
+    assert(joined.count() == r.count(), "cohort missing its offset-0 row")
+    assert(joined.filter(col("n_users") > col("c0")).count() == 0)
+    // total cohort sizes = distinct users
+    val users = ev.select("user_id").distinct().count()
+    assert(size0.agg(sum("c0")).first().getLong(0) == users)
+  }
 }

@@ -170,6 +170,26 @@ class QualitySpec extends AnyFunSuite {
     assert(s2 != s3, "different salt should draw a different sample")
   }
 
+  test("chi-square cells: zero contrib under perfect independence, margins sum") {
+    import spark.implicits._
+    // 2x2 balanced: o == expected everywhere → every contrib is 0
+    val indep = Seq(
+      (1L, "a", "en", "s1"), (2L, "a", "en", "s2"),
+      (3L, "a", "fr", "s1"), (4L, "a", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cells = graft.quality.Drift.chiSquareCells(indep, "lang", "source").collect()
+    assert(cells.forall(_.getDouble(4) == 0.0))
+    assert(cells.map(_.getLong(2)).sum == 4L)
+    // a perfectly associated table scores the maximum n per diagonal cell
+    val assoc = Seq(
+      (1L, "a", "en", "s1"), (2L, "a", "en", "s1"),
+      (3L, "a", "fr", "s2"), (4L, "a", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val chi2 = graft.quality.Drift.chiSquareCells(assoc, "lang", "source")
+      .agg(sum("contrib")).first().getDouble(0)
+    assert(chi2 == 4.0, s"2x2 perfect association should give chi2 = n, got $chi2")
+  }
+
   test("tokenEntropy: 0 bits for constant doc, log2(n) for all-distinct") {
     val d = Seq(
       (1L, "x x x x", "en", "s"),          // constant → 0 bits
