@@ -101,6 +101,29 @@ object StressBench {
     run("jaccard_capped",
       graft.dedup.Dedup.ngramJaccardCapped(docs1, 3, 0.2, 100).count(),
       graft.dedup.Dedup.ngramJaccardCapped(docsN, 3, 0.2, 100).count())
+    run("containment",
+      graft.dedup.Dedup.ngramContainment(docs1, 3, 0.5).count(),
+      graft.dedup.Dedup.ngramContainment(docsN, 3, 0.5).count())
+    run("containment_capped",
+      graft.dedup.Dedup.ngramContainmentCapped(docs1, 3, 0.5, 100).count(),
+      graft.dedup.Dedup.ngramContainmentCapped(docsN, 3, 0.5, 100).count())
+    run("token_entropy",
+      graft.text.TextOps.tokenEntropy(docs1).count(),
+      graft.text.TextOps.tokenEntropy(docsN).count())
+    run("rare_tokens",
+      graft.text.TextOps.rareTokenStats(docs1, 2).count(),
+      graft.text.TextOps.rareTokenStats(docsN, 2).count())
+    // bloom join: the fact side replicates; the build side (and thus the
+    // filter) is fixed — the regime where the prefilter pays at scale
+    def urgentOf(o: DataFrame) = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    run("bloom_join",
+      Joins.bloomPrefilteredJoin(li1, urgentOf(o1), "l_orderkey", "o_orderkey", 1000000).count(),
+      Joins.bloomPrefilteredJoin(liN, urgentOf(o1), "l_orderkey", "o_orderkey", 1000000).count())
+    run("activity_islands",
+      EventOps.activityIslands(ev1).count(), EventOps.activityIslands(evN).count())
+    run("retention",
+      EventOps.retentionCohorts(ev1).count(), EventOps.retentionCohorts(evN).count())
 
     val emb1 = Tables.embeddings(spark, sf)
     val embN = emb1

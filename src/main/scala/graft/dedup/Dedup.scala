@@ -101,6 +101,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[ngramContainment]] with the [[ngramJaccardCapped]] df cap — the
+    * corpus-scale form. Candidates come from the rare-shingle inverted
+    * index only (stop-shingles never join); n_common then recounts ALL
+    * shared shingles for surviving candidates, so containment scores are
+    * exact for every emitted pair. Pairs whose only overlap is capped
+    * shingles are the deliberate recall loss (boilerplate-only overlap is
+    * exactly what containment should NOT fire on). */
+  def ngramContainmentCapped(documents: DataFrame, n: Int, minContainment: Double,
+                             maxDf: Long): DataFrame = {
+    val sh = shingles(documents, n).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val indexed = sh.join(rare, "shingle")
+    val cand = indexed.as("a").join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val full = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    full
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .withColumn("containment", round(col("n_common").cast("double") / col("sh_a"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** [[ngramJaccard]] with a document-frequency cap — the corpus-scale
     * variant. Shingles appearing in more than `maxDf` documents
     * ("stop-shingles": boilerplate, templates) are dropped from the

@@ -249,6 +249,15 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j == 0.5)
   }
 
+  test("capped containment: equal to uncapped when cap loose, exact subset when tight") {
+    val loose = Dedup.ngramContainmentCapped(docs, 3, 0.3, Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    val exact = Dedup.ngramContainment(docs, 3, 0.3).collect().map(_.toSeq).toSet
+    assert(loose == exact)
+    val tight = Dedup.ngramContainmentCapped(docs, 3, 0.3, 2).collect().map(_.toSeq).toSet
+    assert(tight.subsetOf(exact), "capped scores must be exact for surviving pairs")
+  }
+
   test("rare tokens: hapax-heavy doc flagged, common-token doc clean") {
     import spark.implicits._
     val d = Seq(
