@@ -499,7 +499,10 @@ object SparkEntry {
       graft.text.TextOps.rareTokenStats(Tables.documents(s, d), 2)),
     "q118_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     "q119_chisq" -> ((s, d) =>
-      graft.quality.Drift.chiSquareCells(Tables.documents(s, d), "lang", "source"))
+      graft.quality.Drift.chiSquareCells(Tables.documents(s, d), "lang", "source")),
+    "q120_corr" -> ((s, d) => Rollups.quantityPriceCorr(Tables.lineitem(s, d))),
+    "q121_mode" -> ((s, d) => Rollups.quantityModes(Tables.lineitem(s, d))),
+    "q122_means" -> ((s, d) => Rollups.priceMeans(Tables.lineitem(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1621,6 +1624,34 @@ object SparkEntry {
         |FROM r CROSS JOIN c
         |LEFT JOIN ob ON ob.lang = r.lang AND ob.source = c.source
         |CROSS JOIN t
-        |ORDER BY r.lang, c.source""".stripMargin
+        |ORDER BY r.lang, c.source""".stripMargin,
+    "q120_corr" ->
+      s"""WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sx,
+         |    CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sy,
+         |    CAST(SUM(${dec("l_quantity")} * ${dec("l_extendedprice")}) AS DOUBLE) AS sxy,
+         |    CAST(SUM(${dec("l_quantity")} * ${dec("l_quantity")}) AS DOUBLE) AS sxx,
+         |    CAST(SUM(${dec("l_extendedprice")} * ${dec("l_extendedprice")}) AS DOUBLE) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  ROUND((n * sxy - sx * sy)
+         |    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q121_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q122_means" ->
+      """WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND(LN(l_extendedprice), 9) AS DECIMAL(38,12))) AS sln,
+        |    SUM(CAST(ROUND(1.0 / l_extendedprice, 12) AS DECIMAL(38,14))) AS sinv
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND(EXP(CAST(sln AS DOUBLE) / n), 4) AS geo_mean,
+        |  ROUND(n / CAST(sinv AS DOUBLE), 4) AS harm_mean
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 }

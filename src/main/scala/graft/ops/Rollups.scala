@@ -128,6 +128,64 @@ object Rollups {
       .withColumnsRenamed(Map("F" -> "sum_f", "O" -> "sum_o", "P" -> "sum_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** Pearson correlation per group from EXACT decimal co-moments.
+    * `corr()` built-ins accumulate doubles and are order-sensitive under
+    * partial aggregation (and numerically different between engines);
+    * here Σx, Σy, Σxy, Σx², Σy², n are exact DECIMAL sums of 2-decimal
+    * inputs — order-insensitive, bit-identical to the oracle — and the
+    * textbook formula is ONE fixed-shape double expression over them.
+    * Same single-shuffle partial+final hash agg as any sum. */
+  def quantityPriceCorr(lineitem: DataFrame): DataFrame = {
+    import Num._
+    val x = dec2(col("l_quantity")); val y = dec2(col("l_extendedprice"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-group MODE (most frequent value, smallest-value tiebreak —
+    * total order, so engine-deterministic). Two hash aggregations and a
+    * group-keyed window over the (tiny) count table; the raw table
+    * shuffles once, on (group, value). */
+  def quantityModes(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Geometric and harmonic means per group — the multiplicative /
+    * rate-averaging complements of [[Num.avgMoney]]. Each per-row term
+    * (ln x, 1/x) is irrational, so it rounds to 9 dp and sums as
+    * DECIMAL(38,12) (order-insensitive, the [[graft.text.TextOps
+    * .tokenEntropy]] discipline); the final exp / division are single
+    * double ops. Values must be positive — enforced by the money
+    * columns' domain. */
+  def priceMeans(lineitem: DataFrame): DataFrame = {
+    val x = col("l_extendedprice")
+    val lnTerm = round(log(x), 9).cast("decimal(38,12)")
+    val invTerm = round(lit(1.0) / x, 12).cast("decimal(38,14)")
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(lnTerm).as("sln"), sum(invTerm).as("sinv"))
+      .select(col("l_returnflag"), col("n"),
+        round(exp(col("sln").cast("double") / col("n")), 4).as("geo_mean"),
+        round(col("n") / col("sinv").cast("double"), 4).as("harm_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Unpivot (wide → long / melt): per-returnflag exact metric sums to
     * (flag, metric, value) rows. The melt itself is a zero-shuffle
     * `Expand` over the (tiny) aggregated wide table — the 100 TB shape:

@@ -135,6 +135,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(kept >= plain.getLong(0), "bloom must never drop a matching row")
   }
 
+  test("corr bounded, mode maximal, and HM <= GM <= AM per group") {
+    val li = Tables.lineitem(spark, sf)
+    val c = Rollups.quantityPriceCorr(li)
+    assert(c.filter(abs(col("corr")) > 1.0).count() == 0)
+    val modes = Rollups.quantityModes(li).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val counts = li.groupBy("l_returnflag", "l_quantity").count().collect()
+    counts.foreach(r => assert(r.getLong(2) <= modes(r.getString(0))))
+    val m = Rollups.priceMeans(li)
+      .join(li.groupBy("l_returnflag").agg(avg("l_extendedprice").as("am")), "l_returnflag")
+    assert(m.filter(col("harm_mean") > col("geo_mean") ||
+      col("geo_mean") > col("am") + 0.001).count() == 0, "AM-GM-HM violated")
+  }
+
   test("window tiles: ntile balanced within 1, pct_rank/cume bounds hold") {
     val t = Windows.customerBalanceTiles(Tables.customer(spark, sf))
     assert(t.filter(col("tile") < 1 || col("tile") > 4).count() == 0)
