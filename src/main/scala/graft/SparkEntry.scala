@@ -502,7 +502,11 @@ object SparkEntry {
       graft.quality.Drift.chiSquareCells(Tables.documents(s, d), "lang", "source")),
     "q120_corr" -> ((s, d) => Rollups.quantityPriceCorr(Tables.lineitem(s, d))),
     "q121_mode" -> ((s, d) => Rollups.quantityModes(Tables.lineitem(s, d))),
-    "q122_means" -> ((s, d) => Rollups.priceMeans(Tables.lineitem(s, d)))
+    "q122_means" -> ((s, d) => Rollups.priceMeans(Tables.lineitem(s, d))),
+    "q123_window_bookends" -> ((s, d) => Windows.orderBookends(Tables.orders(s, d))),
+    "q124_cond_agg" -> ((s, d) => Rollups.lineStatusFlags(Tables.lineitem(s, d))),
+    "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
+    "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1652,6 +1656,34 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  ROUND(EXP(CAST(sln AS DOUBLE) / n), 4) AS geo_mean,
         |  ROUND(n / CAST(sinv AS DOUBLE), 4) AS harm_mean
-        |FROM s ORDER BY l_returnflag""".stripMargin
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q123_window_bookends" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q124_cond_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+        |  BOOL_AND(l_discount <= 0.1) AS all_low_disc,
+        |  BOOL_OR(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q125_listagg" ->
+      """WITH t AS (SELECT p_brand, p_name,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_name) AS rn
+        |  FROM part)
+        |SELECT p_brand, string_agg(p_name, ',' ORDER BY rn) AS top_parts
+        |FROM t WHERE rn <= 3 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q126_share" ->
+      s"""WITH per AS (SELECT o_orderpriority, ${m("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT ${m("o_totalprice")} AS total FROM orders)
+         |SELECT o_orderpriority, revenue, ROUND(revenue / total, 6) AS share
+         |FROM per CROSS JOIN t ORDER BY o_orderpriority""".stripMargin
   )
 }

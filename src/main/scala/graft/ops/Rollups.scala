@@ -186,6 +186,33 @@ object Rollups {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Conditional aggregates per group — count_if / bool_and / bool_or
+    * (ANSI FILTER-clause class, one agg pass, no self-joins). */
+  def lineStatusFlags(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") >= 25).as("n_bulk"),
+        bool_and(col("l_discount") <= 0.1).as("all_low_disc"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ordered string aggregation (LISTAGG class): top-3 parts per brand
+    * by retail price, joined into one csv cell. Order inside the cell is
+    * total (price desc, name) so the string is deterministic; the heavy
+    * table never sorts globally — TopK bounds each group first. */
+  def brandTopPartsCsv(part: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_name"))
+    part.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("p_brand"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("p_name")))),
+          x => x.getField("p_name")), ",").as("top_parts"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Unpivot (wide → long / melt): per-returnflag exact metric sums to
     * (flag, metric, value) rows. The melt itself is a zero-shuffle
     * `Expand` over the (tiny) aggregated wide table — the 100 TB shape:

@@ -129,6 +129,36 @@ object Windows {
       .orderBy(col("s_nationkey"), col("rn"))
   }
 
+  /** first_value / last_value / nth_value over each customer's order
+    * history (full-partition frame so last_value sees the true last row,
+    * not the running default frame — the classic frame-clause trap).
+    * Unique (date, key) ordering keeps all three deterministic. */
+  def orderBookends(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Share-of-total per group: one hash agg, then the percent-of-total
+    * division against the grand total — computed by a second tiny agg
+    * joined back (NOT an unpartitioned window over raw rows; over the
+    * ≤|groups| aggregate it would also be fine, but the broadcast join
+    * form keeps the plan shape obvious). */
+  def revenueShares(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_orderpriority"))
+      .agg(Num.sumMoney(col("o_totalprice")).as("revenue"))
+    val tot = orders.agg(Num.sumMoney(col("o_totalprice")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"), col("revenue"),
+        round(col("revenue") / col("total"), 6).as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Distribution ranks — ntile / percent_rank / cume_dist over customer
     * balances per market segment. The ordering carries a unique tiebreak
     * (custkey), making all three rank functions total-order deterministic

@@ -149,6 +149,21 @@ class RelationalSpec extends AnyFunSuite {
       col("geo_mean") > col("am") + 0.001).count() == 0, "AM-GM-HM violated")
   }
 
+  test("bookends frame sees whole partition; shares sum to 1") {
+    val o = Tables.orders(spark, sf)
+    val b = Windows.orderBookends(o)
+    // every row in a partition agrees on first/last
+    val disagree = b.groupBy("o_custkey")
+      .agg(countDistinct("first_price").as("nf"), countDistinct("last_price").as("nl"))
+      .filter(col("nf") =!= 1 || col("nl") =!= 1).count()
+    assert(disagree == 0)
+    // second_price is null exactly for single-order customers
+    val singles = o.groupBy("o_custkey").count().filter(col("count") === 1).count()
+    assert(b.filter(col("second_price").isNull).count() == singles)
+    val shareSum = Windows.revenueShares(o).agg(round(sum("share"), 4)).first().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+  }
+
   test("window tiles: ntile balanced within 1, pct_rank/cume bounds hold") {
     val t = Windows.customerBalanceTiles(Tables.customer(spark, sf))
     assert(t.filter(col("tile") < 1 || col("tile") > 4).count() == 0)
