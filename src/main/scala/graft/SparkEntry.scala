@@ -504,6 +504,8 @@ object SparkEntry {
     "q121_mode" -> ((s, d) => Rollups.quantityModes(Tables.lineitem(s, d))),
     "q122_means" -> ((s, d) => Rollups.priceMeans(Tables.lineitem(s, d))),
     "q123_window_bookends" -> ((s, d) => Windows.orderBookends(Tables.orders(s, d))),
+    "q127_bm25" -> ((s, d) =>
+      graft.sim.SparseSim.bm25TopK(Tables.documents(s, d), 3, 3)),
     "q124_cond_agg" -> ((s, d) => Rollups.lineStatusFlags(Tables.lineitem(s, d))),
     "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
     "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d)))
@@ -538,6 +540,7 @@ object SparkEntry {
     "q116_containment" -> Seq("documents"),
     "q117_rare_tokens" -> Seq("documents"),
     "q119_chisq" -> Seq("documents"),
+    "q127_bm25" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1684,6 +1687,34 @@ object SparkEntry {
          |  FROM orders GROUP BY 1),
          |t AS (SELECT ${m("o_totalprice")} AS total FROM orders)
          |SELECT o_orderpriority, revenue, ROUND(revenue / total, 6) AS share
-         |FROM per CROSS JOIN t ORDER BY o_orderpriority""".stripMargin
+         |FROM per CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
+    "q127_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |nn AS (SELECT COUNT(*) AS nd FROM documents),
+        |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        |posts AS (SELECT doc_id, s.shingle, df,
+        |    CAST(round(ln((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1e6, 0)
+        |      AS BIGINT) AS w
+        |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
+        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM posts GROUP BY doc_id),
+        |stats AS (SELECT CAST((SELECT COUNT(*) FROM posts) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM lens) AS avgdl),
+        |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
+        |dots AS (SELECT a.doc_id AS qa, b.doc_id AS qb, CAST(SUM(a.w) AS BIGINT) AS sidf
+        |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT qa AS query_id, qb AS doc_id, sidf FROM dots
+        |  UNION ALL SELECT qb, qa, sidf FROM dots),
+        |scored AS (SELECT query_id, sym.doc_id,
+        |    round((CAST(sidf AS DOUBLE) / 1e6) * CAST(2.2 AS DOUBLE)
+        |      / (1.0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * len / avgdl)), 6) AS score
+        |  FROM sym JOIN lens ON lens.doc_id = sym.doc_id CROSS JOIN stats),
+        |ranked AS (SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM scored)
+        |SELECT query_id, doc_id, score, rn FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, rn""".stripMargin
   )
 }

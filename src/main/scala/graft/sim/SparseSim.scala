@@ -87,4 +87,49 @@ object SparseSim {
       .select(col("a_id"), col("b_id"), col("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
+
+  /** BM25 top-k retrieval, documents-as-queries, over the same distinct-
+    * shingle inverted index as [[shingleTfidfTopK]]. With distinct
+    * shingles tf ≡ 1, so BM25 collapses to
+    * score(q→d) = (Σ_{t∈q∩d} idf(t)) · (k1+1)/(1 + k1·(1−b+b·|d|/avgdl)):
+    * a symmetric shared-idf sum (idf in micro-unit longs — exact,
+    * order-insensitive) times a per-DOC saturation factor, so one a<b
+    * dot join serves both directions and the asymmetry (short docs rank
+    * higher as targets) comes from the factor alone. idf is the BM25
+    * form ln((N−df+½)/(df+½)+1) — positive for all df, unlike the raw
+    * ln(N/df) at df=N. avgdl and N are Scalar-class reductions folded
+    * into the plan as literals. Same candidate bound as every inverted-
+    * index op here: sum over shingles of df², df capped at `maxDf`. */
+  def bm25TopK(documents: DataFrame, n: Int, k: Int, maxDf: Long = 1000L,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nDocs = graft.ops.Scalar.count(documents)
+    val sh = graft.dedup.Dedup.shingles(documents, n).localCheckpoint()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val posts = sh.join(df, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        round(log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * lit(1e6), 0).cast("long").as("w"))
+      .localCheckpoint()
+    val lens = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val avgdl = graft.ops.Scalar.count(posts).toDouble / graft.ops.Scalar.count(lens)
+    val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
+    // w depends on the shingle alone, so the shared-idf sum is symmetric
+    val dots = joinable.select(col("doc_id").as("qa"), col("shingle"), col("w"))
+      .join(joinable.select(col("doc_id").as("qb"), col("shingle")), "shingle")
+      .filter(col("qa") < col("qb"))
+      .groupBy(col("qa"), col("qb"))
+      .agg(sum(col("w")).as("sidf"))
+    val sym = dots.select(col("qa").as("query_id"), col("qb").as("doc_id"), col("sidf"))
+      .unionByName(dots.select(col("qb").as("query_id"), col("qa").as("doc_id"), col("sidf")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    sym
+      .join(lens.select(col("doc_id"), col("len").as("len_b")), "doc_id")
+      .withColumn("score",
+        round((col("sidf").cast("double") / lit(1e6)) * lit(k1 + 1.0) /
+          (lit(1.0) + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_b") / lit(avgdl))), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

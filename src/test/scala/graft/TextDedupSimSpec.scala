@@ -249,6 +249,23 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j == 0.5)
   }
 
+  test("bm25: scores positive, k respected, shorter target outranks longer on equal overlap") {
+    import spark.implicits._
+    // docs 2 and 3 share the same 2 shingles with doc 1 ("a b c d" core),
+    // but 3 is longer → BM25 length normalization must rank 2 above 3
+    val d = Seq(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b c d x1 y1", "en", "s"),
+      (3L, "a b c d x2 y2 z2 w2 v2 u2 t2 s2", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.sim.SparseSim.bm25TopK(d, 3, 3, 1000)
+    assert(r.filter(col("score") <= 0).count() == 0)
+    assert(r.groupBy("query_id").count().filter(col("count") > 3).count() == 0)
+    val q1 = r.filter(col("query_id") === 1).collect()
+      .map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(q1(2L) > q1(3L), s"shorter doc must outrank longer: $q1")
+  }
+
   test("capped containment: equal to uncapped when cap loose, exact subset when tight") {
     val loose = Dedup.ngramContainmentCapped(docs, 3, 0.3, Long.MaxValue)
       .collect().map(_.toSeq).toSet
