@@ -60,7 +60,15 @@ object PlanDump {
       "codes column — the serving artifact"),
     "q103_incremental_agg" -> ("materialized-view refresh: the base table appears only as " +
       "its grouped STATE rows unioned with the delta's aggregation — two hash aggs over " +
-      "group-cardinality + batch rows, never a base rescan")
+      "group-cardinality + batch rows, never a base rescan"),
+    "q114_bloom_join" -> ("the Bloom probe is a codegen'd Filter on the fact scan side, " +
+      "BELOW the join exchange — non-matching rows die before they shuffle; the join " +
+      "that follows restores exact semantics"),
+    "q109_pivot" -> ("pinned pivot values lower to ONE partial+final hash agg with " +
+      "per-status conditional partials — no distinct-collect pre-pass, one scan"),
+    "q127_bm25" -> ("BM25 = the same checkpointed-postings self-join as q100 with a " +
+      "shared-idf long sum; the per-doc saturation factor joins the tiny length table — " +
+      "asymmetry without a second pair pass")
   )
 
   def main(args: Array[String]): Unit = {
