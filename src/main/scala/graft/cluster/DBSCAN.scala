@@ -100,7 +100,7 @@ object DBSCAN {
 
     points.join(components, Seq("id"), "left")
       .join(borderAssign, Seq("id"), "left")
-      .select(points.columns.map(col) :+
+      .select(points.columns.toIndexedSeq.map(col) :+
         coalesce(col("cluster"), col("border_cluster"), lit(-1L)).as("cluster"): _*)
   }
 

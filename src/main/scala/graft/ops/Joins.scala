@@ -83,7 +83,7 @@ object Joins {
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val l = left.select(
       struct(leftCols.map(col): _*).as("__row"),
       col(key).as("__k"), col(leftTs).cast("long").as("__ts"), lit(1).as("__tag"))

@@ -96,7 +96,7 @@ object Windows {
     // literal bounds array (a nested when-chain here compiles a
     // boundary-count-deep CaseWhen tree — measured ~10 s of codegen at
     // 64 buckets)
-    val bucketExpr = size(filter(array(bounds.map(lit(_)): _*),
+    val bucketExpr = size(filter(array(bounds.toIndexedSeq.map(lit(_)): _*),
       b => col(orderCol) > b))
     val withB = input.withColumn("__b", bucketExpr)
     val wIn = Window.partitionBy(col("__b")).orderBy(col(orderCol))

@@ -18,7 +18,8 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Catalyst-node twin of [[graft.ops.Geo.haversineKm]]. */
   private def haversineExpr(lat1: Expression, lon1: Expression,
