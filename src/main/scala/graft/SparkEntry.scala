@@ -506,6 +506,18 @@ object SparkEntry {
     "q123_window_bookends" -> ((s, d) => Windows.orderBookends(Tables.orders(s, d))),
     "q127_bm25" -> ((s, d) =>
       graft.sim.SparseSim.bm25TopK(Tables.documents(s, d), 3, 3)),
+    "q128_nfc" -> ((s, d) => {
+      // ASCII fixture text gets a decomposed suffix (e+U+0301, i+U+0308)
+      // so NFC composition is observable: n_nfc = n_raw - 2 per doc and
+      // the fingerprint hashes the composed bytes.
+      val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      val norm = graft.functions.NfcNormalize.nfc(raw)
+      Tables.documents(s, d).select(col("doc_id"),
+          length(raw).cast("long").as("n_raw"),
+          length(norm).cast("long").as("n_nfc"),
+          md5(norm).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
     "q124_cond_agg" -> ((s, d) => Rollups.lineStatusFlags(Tables.lineitem(s, d))),
     "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
     "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d)))
@@ -541,6 +553,7 @@ object SparkEntry {
     "q117_rare_tokens" -> Seq("documents"),
     "q119_chisq" -> Seq("documents"),
     "q127_bm25" -> Seq("documents"),
+    "q128_nfc" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1715,6 +1728,14 @@ object SparkEntry {
         |ranked AS (SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM scored)
         |SELECT query_id, doc_id, score, rn FROM ranked WHERE rn <= 3
-        |ORDER BY query_id, rn""".stripMargin
+        |ORDER BY query_id, rn""".stripMargin,
+    "q128_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(LENGTH(raw) AS BIGINT) AS n_raw,
+        |  CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(raw)) AS fp
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

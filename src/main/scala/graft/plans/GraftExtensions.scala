@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_buckets", "lsh_buckets(embedding, planes, tables) - hyperplane LSH bucket per table"),
       (exprs: Seq[Expression]) => graft.functions.LshBuckets(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (same name/semantics as DuckDB)"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs(0))))
   }
 }

@@ -49,6 +49,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.getDouble(0) == 3.0 && s.getDouble(1) == 1.0)
   }
 
+  test("nfc_normalize composes decomposed sequences, is idempotent, SQL-callable") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "café"),            // e + combining acute → é
+      (2L, "café"),             // already composed
+      (3L, "plain ascii")
+    ).toDF("id", "s")
+    val got = d.select(col("id"), graft.functions.NfcNormalize.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café", "decomposed must compose")
+    assert(got(1L) == got(2L), "both forms normalize to the same bytes")
+    assert(got(3L) == "plain ascii", "ascii is a fixed point")
+    // idempotence
+    val twice = d.select(graft.functions.NfcNormalize.nfc(
+        graft.functions.NfcNormalize.nfc(col("s"))).as("n2"),
+      graft.functions.NfcNormalize.nfc(col("s")).as("n1"))
+      .filter(col("n1") =!= col("n2")).count()
+    assert(twice == 0)
+    // SQL registration
+    val viaSql = spark.sql("SELECT nfc_normalize('café') AS n").first().getString(0)
+    assert(viaSql == "café")
+  }
+
   test("custom TopKPerKey operator == window top-N, without sorting partitions") {
     val o = graft.ops.Tables.orders(spark, sf)
       .select("o_custkey", "o_orderkey", "o_totalprice")
