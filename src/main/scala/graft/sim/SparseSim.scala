@@ -41,9 +41,11 @@ object SparseSim {
     * long. (round(x·1e6, 0), NOT round(x, 6)·1e6 — the 6-dp double is
     * not exactly k/1e6, and truncation off the re-scaled ±ε would
     * disagree between engines.) */
-  private def weighted(documents: DataFrame, n: Int): (DataFrame, DataFrame) = {
-    val nDocs = graft.ops.Scalar.count(documents)
-    val sh = graft.dedup.Dedup.shingles(documents, n).localCheckpoint()
+  private def weighted(documents: DataFrame, n: Int): (DataFrame, DataFrame) =
+    weightedFrom(graft.dedup.Dedup.shingles(documents, n).localCheckpoint(),
+      graft.ops.Scalar.count(documents))
+
+  private def weightedFrom(sh: DataFrame, nDocs: Long): (DataFrame, DataFrame) = {
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // posts feeds the norms agg AND both sides of the dot self-join —
     // materialize once or the shingle→df→join pipeline re-runs per
@@ -64,8 +66,15 @@ object SparseSim {
     * rn = 1..k ordered by (sim desc, b_id) — fully deterministic.
     * Documents shorter than n tokens have no features and emit no rows. */
   def shingleTfidfTopK(documents: DataFrame, n: Int, k: Int,
-                       maxDf: Long = 1000L): DataFrame = {
-    val (posts, norms) = weighted(documents, n)
+                       maxDf: Long = 1000L): DataFrame =
+    shingleTfidfTopKFrom(graft.dedup.Dedup.shingles(documents, n).localCheckpoint(),
+      graft.ops.Scalar.count(documents), k, maxDf)
+
+  /** [[shingleTfidfTopK]] over a pre-materialized shingle table (e.g.
+    * [[graft.dedup.Dedup.shinglesCached]]) — the serve-path form. */
+  def shingleTfidfTopKFrom(sh: DataFrame, nDocs: Long, k: Int,
+                           maxDf: Long = 1000L): DataFrame = {
+    val (posts, norms) = weightedFrom(sh, nDocs)
     val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
     val dots = joinable.select(col("doc_id").as("a_id"), col("shingle"), col("w").as("wa"))
       .join(joinable.select(col("doc_id").as("b_id"), col("shingle"), col("w").as("wb")),
@@ -101,9 +110,14 @@ object SparseSim {
     * into the plan as literals. Same candidate bound as every inverted-
     * index op here: sum over shingles of df², df capped at `maxDf`. */
   def bm25TopK(documents: DataFrame, n: Int, k: Int, maxDf: Long = 1000L,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val nDocs = graft.ops.Scalar.count(documents)
-    val sh = graft.dedup.Dedup.shingles(documents, n).localCheckpoint()
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFrom(graft.dedup.Dedup.shingles(documents, n).localCheckpoint(),
+      graft.ops.Scalar.count(documents), k, maxDf, k1, b)
+
+  /** [[bm25TopK]] over a pre-materialized shingle table — the serve-path
+    * form. */
+  def bm25TopKFrom(sh: DataFrame, nDocs: Long, k: Int, maxDf: Long = 1000L,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val posts = sh.join(df, "shingle")
       .select(col("doc_id"), col("shingle"), col("df"),

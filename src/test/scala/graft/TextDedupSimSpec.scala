@@ -249,6 +249,18 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j == 0.5)
   }
 
+  test("cached shingle index serves identical results and is reused") {
+    val sh1 = Dedup.shinglesCached(sf, docs, 3)
+    val sh2 = Dedup.shinglesCached(sf, docs, 3)
+    assert(sh1 eq sh2, "second call must hit the cache")
+    val direct = Dedup.ngramJaccard(docs, 3, 0.2).collect().map(_.toSeq).toSet
+    val served = Dedup.ngramJaccardFrom(sh1, 0.2).collect().map(_.toSeq).toSet
+    assert(direct == served)
+    val cDirect = Dedup.ngramContainment(docs, 3, 0.5).collect().map(_.toSeq).toSet
+    val cServed = Dedup.ngramContainmentFrom(sh1, 0.5).collect().map(_.toSeq).toSet
+    assert(cDirect == cServed)
+  }
+
   test("bm25: scores positive, k respected, shorter target outranks longer on equal overlap") {
     import spark.implicits._
     // docs 2 and 3 share the same 2 shingles with doc 1 ("a b c d" core),
