@@ -534,7 +534,8 @@ object SparkEntry {
     }),
     "q124_cond_agg" -> ((s, d) => Rollups.lineStatusFlags(Tables.lineitem(s, d))),
     "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
-    "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d)))
+    "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d))),
+    "q129_gapfill" -> ((s, d) => Rollups.monthlyOrderCountsDense(Tables.orders(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1750,6 +1751,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(LENGTH(raw) AS BIGINT) AS n_raw,
         |  CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
         |  md5(nfc_normalize(raw)) AS fp
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q129_gapfill" ->
+      """WITH mm AS (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |    CAST(MONTH(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |mi AS (SELECT y, m, n, y * 12 + m - 1 AS idx FROM mm),
+        |b AS (SELECT MIN(idx) AS lo, MAX(idx) AS hi FROM mi),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS idx FROM b)
+        |SELECT spine.idx // 12 AS y, spine.idx % 12 + 1 AS m,
+        |  COALESCE(n, 0) AS n_orders
+        |FROM spine LEFT JOIN mi ON mi.idx = spine.idx
+        |ORDER BY y, m""".stripMargin
   )
 }

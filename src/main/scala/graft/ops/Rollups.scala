@@ -190,6 +190,29 @@ object Rollups {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Dense monthly counts — gap-filled time series: months with no
+    * orders appear with 0 instead of silently missing (the calendar-
+    * spine/reporting staple, and the correct input shape for lag/MoM
+    * deltas like [[Windows.monthlyOrderDeltas]]). The spine derives
+    * lazily from the data's own [min, max] month via one tiny agg +
+    * sequence explode (no Scalar action, no literal calendar); month
+    * index arithmetic is pure integers (y·12+m−1), tz-free and engine-
+    * portable. Left join on the spine is spine-sized — trivially
+    * broadcast. */
+  def monthlyOrderCountsDense(orders: DataFrame): DataFrame = {
+    val monthly = orders.groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("idx", col("y") * 12 + col("m") - 1)
+    val spine = monthly.agg(min(col("idx")).as("lo"), max(col("idx")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("idx"))
+    spine.join(monthly.select(col("idx"), col("n")), Seq("idx"), "left")
+      .select(expr("idx div 12").as("y"), (col("idx") % 12 + 1).as("m"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** Conditional aggregates per group — count_if / bool_and / bool_or
     * (ANSI FILTER-clause class, one agg pass, no self-joins). */
   def lineStatusFlags(lineitem: DataFrame): DataFrame =

@@ -149,6 +149,14 @@ class RelationalSpec extends AnyFunSuite {
       col("geo_mean") > col("am") + 0.001).count() == 0, "AM-GM-HM violated")
   }
 
+  test("gap-filled months are contiguous and preserve the total") {
+    val o = Tables.orders(spark, sf)
+    val dense = Rollups.monthlyOrderCountsDense(o).collect()
+    val idx = dense.map(r => r.getLong(0) * 12 + r.getLong(1) - 1)
+    assert(idx.zip(idx.tail).forall { case (a, b) => b == a + 1 }, "spine must be contiguous")
+    assert(dense.map(_.getLong(2)).sum == o.count())
+  }
+
   test("bookends frame sees whole partition; shares sum to 1") {
     val o = Tables.orders(spark, sf)
     val b = Windows.orderBookends(o)
