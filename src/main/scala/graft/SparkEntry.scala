@@ -535,7 +535,8 @@ object SparkEntry {
     "q124_cond_agg" -> ((s, d) => Rollups.lineStatusFlags(Tables.lineitem(s, d))),
     "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
     "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d))),
-    "q129_gapfill" -> ((s, d) => Rollups.monthlyOrderCountsDense(Tables.orders(s, d)))
+    "q129_gapfill" -> ((s, d) => Rollups.monthlyOrderCountsDense(Tables.orders(s, d))),
+    "q130_cumulative_users" -> ((s, d) => EventOps.cumulativeUniqueUsers(Tables.events(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1762,6 +1763,14 @@ object SparkEntry {
         |SELECT spine.idx // 12 AS y, spine.idx % 12 + 1 AS m,
         |  COALESCE(n, 0) AS n_orders
         |FROM spine LEFT JOIN mi ON mi.idx = spine.idx
-        |ORDER BY y, m""".stripMargin
+        |ORDER BY y, m""".stripMargin,
+    "q130_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY user_id),
+        |npd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY day)
+        |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS date, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM npd ORDER BY date""".stripMargin
   )
 }

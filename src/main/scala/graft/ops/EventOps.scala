@@ -226,6 +226,28 @@ object EventOps {
       .orderBy(col("cohort_wk"), col("offset_wk"))
   }
 
+  /** Cumulative unique users by day — "distinct over a running window",
+    * which no engine supports directly, in its standard distributed
+    * form: a user counts ONCE, on their FIRST active day (one keyed
+    * agg), days roll up new-user counts (second agg), and the running
+    * total is a window over the day-cardinality table only (tiny; the
+    * q17 class — never over raw events). Emits every active day with
+    * (n_new, cum_users); tz-free epoch-day integers as everywhere. */
+  def cumulativeUniqueUsers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = events
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val newPerDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newPerDay
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("date"),
+        col("n_new"), col("cum_users"))
+      .orderBy(col("date"))
+  }
+
   /** Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per user
     * (the classic retention/streak analysis). Day boundaries are pure
     * integer arithmetic on epoch-micros (tz-free, engine-portable); the

@@ -87,6 +87,15 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, "1970-01-11", "1970-01-11", 1L)))
   }
 
+  test("cumulative users: monotone, ends at |users|, n_new sums to it") {
+    val c = EventOps.cumulativeUniqueUsers(ev).collect()
+    val cums = c.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "must be monotone")
+    val users = ev.select("user_id").distinct().count()
+    assert(cums.last == users)
+    assert(c.map(_.getLong(1)).sum == users)
+  }
+
   test("retention cohorts: offset 0 equals cohort size; counts never exceed it") {
     val r = EventOps.retentionCohorts(ev).cache()
     val size0 = r.filter(col("offset_wk") === 0)
