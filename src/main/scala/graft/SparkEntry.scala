@@ -536,7 +536,9 @@ object SparkEntry {
     "q125_listagg" -> ((s, d) => Rollups.brandTopPartsCsv(Tables.part(s, d))),
     "q126_share" -> ((s, d) => Windows.revenueShares(Tables.orders(s, d))),
     "q129_gapfill" -> ((s, d) => Rollups.monthlyOrderCountsDense(Tables.orders(s, d))),
-    "q130_cumulative_users" -> ((s, d) => EventOps.cumulativeUniqueUsers(Tables.events(s, d)))
+    "q130_cumulative_users" -> ((s, d) => EventOps.cumulativeUniqueUsers(Tables.events(s, d))),
+    "q131_vocab_growth" -> ((s, d) =>
+      graft.text.TextOps.vocabGrowth(Tables.documents(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -570,6 +572,7 @@ object SparkEntry {
     "q119_chisq" -> Seq("documents"),
     "q127_bm25" -> Seq("documents"),
     "q128_nfc" -> Seq("documents"),
+    "q131_vocab_growth" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1771,6 +1774,16 @@ object SparkEntry {
         |SELECT CAST(DATE '1970-01-01' + CAST(day AS INT) AS DATE) AS date, n_new,
         |  CAST(SUM(n_new) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |FROM npd ORDER BY date""".stripMargin
+        |FROM npd ORDER BY date""".stripMargin,
+    "q131_vocab_growth" ->
+      """WITH fd AS (SELECT token, MIN(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |npd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_types FROM fd GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_new_types, 0) AS n_new_types,
+        |  CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM documents d LEFT JOIN npd ON npd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -323,6 +323,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary growth curve (Heaps' law): per document (in doc_id
+    * order), the number of corpus-NEW token types it introduces and the
+    * cumulative vocabulary size. The "distinct so far" is the same
+    * first-occurrence trick as cumulative-unique-users: a type counts
+    * once, at its min(doc_id) (one keyed agg) — and the running total
+    * rides the two-phase [[graft.ops.Windows.globalRunningSum]], never a
+    * one-partition window over the corpus. The curve's flattening is the
+    * practical "is more data still adding vocabulary" signal. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val firstDoc = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+    val newPerDoc = firstDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new_types"))
+    val perDoc = documents.select(col("doc_id"))
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    graft.ops.Windows.globalRunningSum(perDoc, "doc_id", col("n_new_types"), "cum_vocab")
+      .select(col("doc_id"), col("n_new_types"), col("cum_vocab").cast("long").as("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rare-token ratio — fraction of a document's tokens whose CORPUS
     * frequency is ≤ `maxCount` (hapax/dis legomena): the OCR-garbage /
     * mojibake / random-string detector that complements [[tokenEntropy]]

@@ -249,6 +249,15 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j == 0.5)
   }
 
+  test("vocab growth: monotone, ends at |vocabulary|, new-type sums match") {
+    val g = graft.text.TextOps.vocabGrowth(docs).collect()
+    val cums = g.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    val vocab = TextOps.vocabulary(docs, 1).count()
+    assert(cums.last == vocab)
+    assert(g.map(_.getLong(1)).sum == vocab)
+  }
+
   test("cached shingle index serves identical results and is reused") {
     val sh1 = Dedup.shinglesCached(sf, docs, 3)
     val sh2 = Dedup.shinglesCached(sf, docs, 3)
