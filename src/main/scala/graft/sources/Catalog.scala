@@ -112,4 +112,26 @@ object Catalog {
       .select(col("_corrupt_record").as("raw_line"))
     (clean, quarantine)
   }
+
+  /** CSV twin of [[readJsonlQuarantine]] — the reference ships a CSV
+    * fixture for inference smoke tests (`Data/Generated_Test_Data.csv`),
+    * so the source matrix includes a schema'd, header-aware CSV reader
+    * with the same PERMISSIVE corrupt-row routing: malformed lines stay
+    * replayable instead of silently shrinking the batch. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
 }

@@ -78,4 +78,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(bad.length == 1 && bad.head.contains("BROKEN"),
       s"quarantine must carry the raw line: ${bad.toSeq}")
   }
+
+  test("csv quarantine ingest: header, schema, malformed rows replayable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+    val f = new java.io.PrintWriter(s"$dir/in.csv")
+    f.println("id,v,score")
+    f.println("1,ok,0.5")
+    f.println("2,broken,not_a_number")
+    f.println("3,fine,1.25")
+    f.close()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string").add("score", "double")
+    val (clean, quarantine) = Catalog.readCsvQuarantine(spark, s"$dir/in.csv", schema)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val bad = quarantine.as[String].collect()
+    assert(bad.length == 1 && bad.head.contains("not_a_number"),
+      s"quarantine must carry the raw row: ${bad.toSeq}")
+  }
 }
