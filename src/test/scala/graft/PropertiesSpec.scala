@@ -118,4 +118,56 @@ class PropertiesSpec extends AnyFunSuite {
         assert(math.abs(p.getDouble(0) - lon) < 1e-9 && math.abs(p.getDouble(1) - lat) < 1e-9)
       }
   }
+
+  test("property: containment >= jaccard on every co-shingled pair") {
+    // c(a→b) = |∩|/|A| >= |∩|/|∪| = J always; random word-soup docs
+    val words = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val docGen = Gen.listOfN(8, words).map(_.mkString(" "))
+    val texts = samples(docGen, 12).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val j = Dedup.ngramJaccard(df, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val c = Dedup.ngramContainment(df, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    j.foreach { case ((a, b), jac) =>
+      assert(c((a, b)) >= jac - 1e-6 && c((b, a)) >= jac - 1e-6,
+        s"containment must dominate jaccard for ($a,$b)")
+    }
+  }
+
+  test("property: token entropy bounded by log2(n_tokens), zero iff constant") {
+    val words = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.listOfN(16, words).map(_.mkString(" "))
+    val texts = samples(docGen, 10)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val ent = graft.text.TextOps.tokenEntropy(df).collect()
+    ent.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= -1e-9 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-6,
+        s"entropy $h out of [0, log2($n)]")
+    }
+    val constant = texts.zipWithIndex.filter(_._1.split(" ").distinct.length == 1)
+    constant.foreach { case (_, i) =>
+      assert(ent.find(_.getLong(0) == i.toLong).get.getDouble(2) == 0.0)
+    }
+  }
+
+  test("property: pivot cell sums equal unpivoted totals on random orders") {
+    val statuses = Gen.oneOf("F", "O", "P")
+    val rows = samples(Gen.zip(statuses, Gen.chooseNum(1, 5),
+      Gen.chooseNum(100.0, 9999.0)), 60)
+      .zipWithIndex.map { case ((st, pr, tp), i) =>
+        (i.toLong, st, s"$pr-PRIO", math.rint(tp * 100) / 100, "1995-01-01 00:00:00") }
+    val df = rows.toDF("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val p = Rollups.priorityStatusPivot(df)
+    val cellSum = p.select((coalesce(col("sum_f"), lit(0.0)) +
+        coalesce(col("sum_o"), lit(0.0)) + coalesce(col("sum_p"), lit(0.0))).as("t"))
+      .agg(round(sum("t"), 2)).first().getDouble(0)
+    val total = df.agg(round(Num.sumMoney(col("o_totalprice")), 2)).first().getDouble(0)
+    assert(cellSum == total)
+  }
 }
