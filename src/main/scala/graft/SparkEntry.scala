@@ -538,7 +538,9 @@ object SparkEntry {
     "q129_gapfill" -> ((s, d) => Rollups.monthlyOrderCountsDense(Tables.orders(s, d))),
     "q130_cumulative_users" -> ((s, d) => EventOps.cumulativeUniqueUsers(Tables.events(s, d))),
     "q131_vocab_growth" -> ((s, d) =>
-      graft.text.TextOps.vocabGrowth(Tables.documents(s, d)))
+      graft.text.TextOps.vocabGrowth(Tables.documents(s, d))),
+    "q132_basket_pairs" -> ((s, d) => EventOps.eventTypePairs(Tables.events(s, d))),
+    "q133_rfm" -> ((s, d) => EventOps.rfmSegments(Tables.events(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -1784,6 +1786,44 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY d.doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
         |FROM documents d LEFT JOIN npd ON npd.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q132_basket_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+    "q133_rfm" ->
+      """WITH pu AS (SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000) AS last_day,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT MAX(last_day) AS d FROM pu),
+        |r AS (SELECT user_id, CAST(d - last_day AS BIGINT) AS recency_days,
+        |    frequency, monetary FROM pu CROSS JOIN mx),
+        |q AS (SELECT
+        |    ROUND(quantile_cont(recency_days, 0.25), 4) AS r1,
+        |    ROUND(quantile_cont(recency_days, 0.50), 4) AS r2,
+        |    ROUND(quantile_cont(recency_days, 0.75), 4) AS r3,
+        |    ROUND(quantile_cont(frequency, 0.25), 4) AS f1,
+        |    ROUND(quantile_cont(frequency, 0.50), 4) AS f2,
+        |    ROUND(quantile_cont(frequency, 0.75), 4) AS f3,
+        |    ROUND(quantile_cont(monetary, 0.25), 4) AS m1,
+        |    ROUND(quantile_cont(monetary, 0.50), 4) AS m2,
+        |    ROUND(quantile_cont(monetary, 0.75), 4) AS m3
+        |  FROM r)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS BIGINT) AS r_tile,
+        |  CAST(1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |    + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |    + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_tile,
+        |  CAST(1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_tile
+        |FROM r CROSS JOIN q ORDER BY user_id""".stripMargin
   )
 }

@@ -226,6 +226,61 @@ object EventOps {
       .orderBy(col("cohort_wk"), col("offset_wk"))
   }
 
+  /** Event-type co-occurrence (market-basket pairs): for every pair of
+    * event types, how many users did BOTH. Distinct (user, type) first —
+    * the self-join is then per-user over ≤|types| rows, so candidate
+    * volume is users·types², never events²; the type domain is small so
+    * the output is a tiny matrix. The association strength feeds
+    * cross-sell / funnel-design decisions the way bigram PMI feeds
+    * collocations. */
+  def eventTypePairs(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** RFM segmentation — the classic customer scoring: per user, days
+    * since last activity (Recency, vs the corpus max day), event count
+    * (Frequency), total value (Monetary, exact decimal), each scored
+    * 1–4 by which quartile BAND it falls in (1 = lowest values). Bands
+    * come from exact interpolating percentiles of the per-user table
+    * (the [[graft.quality.Filters.quantileBand]] Scalar-class pattern,
+    * rounded 4 dp — the q24-proven cross-engine contract) folded into
+    * the plan as literals, so scoring is codegen comparisons with NO
+    * global window — a forced-equal-bin ntile over all users would be
+    * one partition at corpus scale, and quantile-cut scoring is the
+    * standard RFM practice anyway (ties share a band). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+        max(expr("(ts div 1000) div 86400000000")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        Num.sumMoney(col("value")).as("monetary"))
+      .localCheckpoint() // feeds the max-day probe, the boundary probe, and scoring
+    val d = perUser.agg(max(col("last_day"))).first().getLong(0)
+    val withR = perUser.withColumn("recency_days", lit(d) - col("last_day"))
+    val qs = withR.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("qr"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("qf"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("qm")).first()
+    // HALF_UP at 4 dp — the Drift.psi boundary idiom (matches SQL ROUND
+    // for the positive metrics here)
+    def tile(c: String, bounds: Seq[Double]) =
+      bounds.map(b => when(col(c) >
+          BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L)
+          .otherwise(0L))
+        .reduce(_ + _) + 1L
+    def boundsOf(i: Int) = qs.getSeq[Double](i)
+    withR.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        tile("recency_days", boundsOf(0)).as("r_tile"),
+        tile("frequency", boundsOf(1)).as("f_tile"),
+        tile("monetary", boundsOf(2)).as("m_tile"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cumulative unique users by day — "distinct over a running window",
     * which no engine supports directly, in its standard distributed
     * form: a user counts ONCE, on their FIRST active day (one keyed

@@ -87,6 +87,23 @@ class EventOpsSpec extends AnyFunSuite {
       (2L, "1970-01-11", "1970-01-11", 1L)))
   }
 
+  test("basket pairs bounded by min type audience; rfm tiles in 1..4") {
+    val pairs = EventOps.eventTypePairs(ev).collect()
+    val audience = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      val n = r.getLong(2)
+      assert(n <= math.min(audience(r.getString(0)), audience(r.getString(1))))
+    }
+    val rfm = EventOps.rfmSegments(ev)
+    assert(rfm.filter(col("r_tile") < 1 || col("r_tile") > 4 ||
+      col("f_tile") < 1 || col("f_tile") > 4 ||
+      col("m_tile") < 1 || col("m_tile") > 4).count() == 0)
+    // quartile cuts leave every band nonempty on continuous-ish metrics
+    assert(rfm.select("m_tile").distinct().count() == 4)
+  }
+
   test("cumulative users: monotone, ends at |users|, n_new sums to it") {
     val c = EventOps.cumulativeUniqueUsers(ev).collect()
     val cums = c.map(_.getLong(2))
