@@ -124,6 +124,19 @@ object StressBench {
       EventOps.activityIslands(ev1).count(), EventOps.activityIslands(evN).count())
     run("retention",
       EventOps.retentionCohorts(ev1).count(), EventOps.retentionCohorts(evN).count())
+    run("bm25",
+      graft.sim.SparseSim.bm25TopK(docs1, 3, 3).count(),
+      graft.sim.SparseSim.bm25TopK(docsN, 3, 3).count())
+    run("basket_pairs",
+      EventOps.eventTypePairs(ev1).count(), EventOps.eventTypePairs(evN).count())
+    run("rfm",
+      EventOps.rfmSegments(ev1).count(), EventOps.rfmSegments(evN).count())
+    run("vocab_growth",
+      graft.text.TextOps.vocabGrowth(docs1).count(),
+      graft.text.TextOps.vocabGrowth(docsN).count())
+    run("cumulative_users",
+      EventOps.cumulativeUniqueUsers(ev1).count(),
+      EventOps.cumulativeUniqueUsers(evN).count())
 
     val emb1 = Tables.embeddings(spark, sf)
     val embN = emb1
