@@ -540,7 +540,27 @@ object SparkEntry {
     "q131_vocab_growth" -> ((s, d) =>
       graft.text.TextOps.vocabGrowth(Tables.documents(s, d))),
     "q132_basket_pairs" -> ((s, d) => EventOps.eventTypePairs(Tables.events(s, d))),
-    "q133_rfm" -> ((s, d) => EventOps.rfmSegments(Tables.events(s, d)))
+    "q133_rfm" -> ((s, d) => EventOps.rfmSegments(Tables.events(s, d))),
+    // quality-weighted curation sampling: keep-probability proportional
+    // to document length (capped at 1), deterministic md5 draw
+    "q134_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(Tables.documents(s, d), "doc_id", "wq",
+          col("n_chars") / lit(1000.0))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    "q135_nullsafe_join" -> ((s, d) =>
+      Joins.nullSafeLangCounts(Tables.documents(s, d))),
+    // approx_percentile error gate — the q23 pattern: the sketch value is
+    // engine-specific, so the graded output carries the exact column plus
+    // a deterministic bounded-error boolean (KLL-class sketches are
+    // deterministic for fixed data, so the flag is stable per SF)
+    "q136_approx_pct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)") -
+            expr("percentile(l_extendedprice, 0.5)")) <=
+            expr("percentile(l_extendedprice, 0.5)") * 0.01).as("approx_ok"))
+        .orderBy(col("l_returnflag")))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -575,6 +595,8 @@ object SparkEntry {
     "q127_bm25" -> Seq("documents"),
     "q128_nfc" -> Seq("documents"),
     "q131_vocab_growth" -> Seq("documents"),
+    "q134_weighted_sample" -> Seq("documents"),
+    "q135_nullsafe_join" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1824,6 +1846,27 @@ object SparkEntry {
         |  CAST(1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
         |    + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
         |    + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_tile
-        |FROM r CROSS JOIN q ORDER BY user_id""".stripMargin
+        |FROM r CROSS JOIN q ORDER BY user_id""".stripMargin,
+    "q134_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |    substring(md5(concat(CAST(doc_id AS VARCHAR), '|wq')), 1, 8) AS bucket,
+        |    least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.0), 1.0) AS w
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM b
+        |WHERE w >= 1.0
+        |   OR bucket < lpad(lower(to_hex(CAST(floor(w * 4294967295) AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
+    "q135_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k,
+        |    COUNT(*) AS n_a FROM documents GROUP BY 1),
+        |b AS (SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k,
+        |    COUNT(*) AS n_b FROM documents GROUP BY 1)
+        |SELECT a.k, n_a, n_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
+    "q136_approx_pct" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

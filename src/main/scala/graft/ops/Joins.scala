@@ -164,6 +164,23 @@ object Joins {
     c.join(s, Seq("bucket"), "full_outer").orderBy(col("bucket"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys meet
+    * NULL keys, the semantics a plain `=` join silently drops. Exercised
+    * over two derived per-key count tables (different null-ing rules per
+    * side) so both inputs pre-aggregate — the null-safe join itself
+    * moves key-cardinality rows only. */
+  def nullSafeLangCounts(documents: DataFrame): DataFrame = {
+    val a = documents
+      .select(when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+    val b = documents
+      .select(when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_a"), col("n_b"))
+      .orderBy(col("k"))
+  }
+
   /** Bloom-prefiltered equi-join: when the build side is too large to
     * broadcast as ROWS but its key set fits in a Bloom filter's BITS,
     * probe-side rows that cannot match are dropped BEFORE the shuffle.

@@ -80,4 +80,18 @@ object Sampling {
     val threshold = lpad(lower(hex(floor(w * lit(4294967295.0)).cast("long"))), 8, "0")
     df.filter(w >= 1.0 || hashBucketHex(col(idCol), salt) < threshold)
   }
+
+  /** Per-ROW weighted Bernoulli keep — [[mixtureSample]]'s continuous
+    * generalization: each row survives with probability `weight`
+    * (clamped to [0,1]), decided by the same deterministic md5 draw on
+    * (id, salt). This is quality-weighted curation (keep good documents
+    * with higher probability) as a pure narrow projection + filter —
+    * no shuffle, no RNG state, reproducible across engines and cluster
+    * sizes. */
+  def weightedSample(df: DataFrame, idCol: String, salt: String,
+                     weight: Column): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val threshold = lpad(lower(hex(floor(w * lit(4294967295.0)).cast("long"))), 8, "0")
+    df.filter(w >= 1.0 || hashBucketHex(col(idCol), salt) < threshold)
+  }
 }

@@ -149,6 +149,24 @@ class RelationalSpec extends AnyFunSuite {
       col("geo_mean") > col("am") + 0.001).count() == 0, "AM-GM-HM violated")
   }
 
+  test("weighted sample tracks its keep-probability; nullsafe join keeps NULL row") {
+    import spark.implicits._
+    val many = (1L to 4000L).map(i => (i, "t", "en", "s", (i % 100) * 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // mean weight = mean(min(1, n_chars/1000)) over n_chars in {0,10,...,990}
+    val kept = graft.ops.Sampling.weightedSample(many, "doc_id", "s1",
+      col("n_chars") / lit(1000.0)).count()
+    val expected = (0 until 100).map(k => math.min(1.0, k * 10 / 1000.0)).sum / 100 * 4000
+    assert(math.abs(kept - expected) < 0.05 * 4000, s"kept $kept vs expected ~$expected")
+    // zero weight keeps nothing; weight 1 keeps all
+    assert(graft.ops.Sampling.weightedSample(many, "doc_id", "s1", lit(0.0)).count() == 0)
+    assert(graft.ops.Sampling.weightedSample(many, "doc_id", "s1", lit(1.0)).count() == 4000)
+
+    val ns = Joins.nullSafeLangCounts(Tables.documents(spark, sf)).collect()
+    assert(ns.exists(_.isNullAt(0)), "NULL <=> NULL row must survive the join")
+    assert(ns.map(_.getLong(1)).sum == 500 && ns.map(_.getLong(2)).sum == 500)
+  }
+
   test("gap-filled months are contiguous and preserve the total") {
     val o = Tables.orders(spark, sf)
     val dense = Rollups.monthlyOrderCountsDense(o).collect()
