@@ -560,7 +560,19 @@ object SparkEntry {
           (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)") -
             expr("percentile(l_extendedprice, 0.5)")) <=
             expr("percentile(l_extendedprice, 0.5)") * 0.01).as("approx_ok"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+    "q137_top_bigrams" -> ((s, d) =>
+      graft.text.TextOps.topBigramsPerSource(Tables.documents(s, d), 5)),
+    "q138_boxplot" -> ((s, d) => Rollups.priceBoxplot(Tables.lineitem(s, d))),
+    "q139_cross_source_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // synthesize syndication: every 50th document also appears under a
+      // mirror source (deterministic), so the tracer has signal at any SF
+      val mirrored = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+      graft.text.TextOps.crossSourceDuplicates(docs.unionByName(mirrored))
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -597,6 +609,8 @@ object SparkEntry {
     "q131_vocab_growth" -> Seq("documents"),
     "q134_weighted_sample" -> Seq("documents"),
     "q135_nullsafe_join" -> Seq("documents"),
+    "q137_top_bigrams" -> Seq("documents"),
+    "q139_cross_source_dups" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1867,6 +1881,43 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         |  TRUE AS approx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q137_top_bigrams" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT source,
+        |    array_to_string(w[CAST(i + 1 AS BIGINT) : CAST(i + 2 AS BIGINT)], ' ') AS bigram
+        |  FROM (SELECT source, w, unnest(range(0, len(w) - 1)) AS i FROM t) u),
+        |c AS (SELECT source, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT source, bigram, cnt, rn FROM (
+        |  SELECT source, bigram, cnt, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, bigram) AS BIGINT) AS rn FROM c) r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "q138_boxplot" ->
+      """WITH qs AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT *, ROUND(p25 - ROUND(p75 - p25, 4) * 1.5, 4) AS lo_fence,
+        |    ROUND(p75 + ROUND(p75 - p25, 4) * 1.5, 4) AS hi_fence,
+        |    ROUND(p75 - p25, 4) AS iqr FROM qs),
+        |o AS (SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers
+        |  FROM lineitem l JOIN g ON l.l_returnflag = g.l_returnflag
+        |  WHERE l_extendedprice < lo_fence OR l_extendedprice > hi_fence GROUP BY 1)
+        |SELECT g.l_returnflag, n, p25, p50, p75, iqr, lo_fence, hi_fence,
+        |  COALESCE(n_outliers, 0) AS n_outliers
+        |FROM g LEFT JOIN o ON g.l_returnflag = o.l_returnflag
+        |ORDER BY g.l_returnflag""".stripMargin,
+    "q139_cross_source_dups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text, concat('mirror_', source)
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |f AS (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    source, doc_id FROM all_docs)
+        |SELECT fp, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+        |FROM f GROUP BY fp HAVING COUNT(DISTINCT source) > 1 ORDER BY fp""".stripMargin
   )
 }

@@ -190,6 +190,37 @@ object Rollups {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boxplot statistics per group: quartiles, IQR, Tukey fences
+    * (1.5·IQR) and the outlier count beyond them — the standard
+    * distribution-summary table. Quartiles are exact interpolating
+    * percentiles rounded 4 dp (the q24 contract); fences are one
+    * fixed-shape double expression from them; outlier counting is a
+    * conditional aggregate against those same values, all inside the
+    * one grouped pass (percentile + count_if share the shuffle). */
+  def priceBoxplot(lineitem: DataFrame): DataFrame = {
+    val qs = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .withColumn("iqr", round(col("p75") - col("p25"), 4))
+      .withColumn("lo_fence", round(col("p25") - col("iqr") * 1.5, 4))
+      .withColumn("hi_fence", round(col("p75") + col("iqr") * 1.5, 4))
+    // second pass counts outliers against the broadcast fences (an
+    // aggregate can't reference a sibling aggregate in one pass)
+    val outliers = lineitem
+      .join(broadcast(qs.select(col("l_returnflag"), col("lo_fence"), col("hi_fence"))),
+        "l_returnflag")
+      .filter(col("l_extendedprice") < col("lo_fence") ||
+        col("l_extendedprice") > col("hi_fence"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_outliers"))
+    qs.join(outliers, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n"), col("p25"), col("p50"), col("p75"),
+        col("iqr"), col("lo_fence"), col("hi_fence"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Dense monthly counts — gap-filled time series: months with no
     * orders appear with 0 instead of silently missing (the calendar-
     * spine/reporting staple, and the correct input shape for lag/MoM

@@ -323,6 +323,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k bigrams per source — the per-domain collocation report, and
+    * the custom bounded-heap [[graft.plans.TopK]] operator exercised on
+    * the text domain (no per-source sort of the bigram table; the heap
+    * caps each group at k during the single pass). One explode + one
+    * hash agg + the TopK exchange on source. */
+  def topBigramsPerSource(documents: DataFrame, k: Int): DataFrame = {
+    val bg = ngrams(tokens(col("text")), 2, " ")
+    val counts = documents.select(col("source"), explode(bg).as("bigram"))
+      .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.topKPerKey(counts, Seq("source"),
+        Seq(("cnt", false), ("bigram", true)), k)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Cross-source duplicate report: canonical fingerprints that appear
+    * in MORE THAN ONE source — the license-contamination / content-
+    * syndication tracer (a doc copied between domains is invisible to
+    * per-source dedup). Two hash aggs; the HAVING prunes before any
+    * per-fingerprint detail is assembled. */
+  def crossSourceDuplicates(documents: DataFrame): DataFrame =
+    documents.select(fingerprint(col("text")).as("fp"), col("source"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_sources") > 1)
+      .orderBy(col("fp"))
+
   /** Vocabulary growth curve (Heaps' law): per document (in doc_id
     * order), the number of corpus-NEW token types it introduces and the
     * cumulative vocabulary size. The "distinct so far" is the same

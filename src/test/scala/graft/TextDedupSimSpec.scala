@@ -249,6 +249,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j == 0.5)
   }
 
+  test("top bigrams per source: rn caps at k, counts descend within a source") {
+    val t = graft.text.TextOps.topBigramsPerSource(docs, 5).collect()
+    assert(t.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+    t.groupBy(_.getString(0)).values.foreach { g =>
+      val byRn = g.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b },
+        "counts must not increase with rank")
+    }
+  }
+
+  test("cross-source duplicates: only multi-source fingerprints survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text here", "en", "s1"),
+      (2L, "same  text here", "en", "s2"),   // whitespace-normalized copy
+      (3L, "same text here", "en", "s1"),    // same-source copy only
+      (4L, "unique body", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.text.TextOps.crossSourceDuplicates(d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L && r.head.getLong(2) == 3L && r.head.getLong(3) == 1L)
+  }
+
   test("vocab growth: monotone, ends at |vocabulary|, new-type sums match") {
     val g = graft.text.TextOps.vocabGrowth(docs).collect()
     val cums = g.map(_.getLong(2))
