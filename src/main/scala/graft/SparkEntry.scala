@@ -564,6 +564,8 @@ object SparkEntry {
     "q137_top_bigrams" -> ((s, d) =>
       graft.text.TextOps.topBigramsPerSource(Tables.documents(s, d), 5)),
     "q138_boxplot" -> ((s, d) => Rollups.priceBoxplot(Tables.lineitem(s, d))),
+    "q140_topk_ties" -> ((s, d) =>
+      Windows.topPricesPerBrandWithTies(Tables.part(s, d))),
     "q139_cross_source_dups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // synthesize syndication: every 50th document also appears under a
@@ -1918,6 +1920,13 @@ object SparkEntry {
         |    source, doc_id FROM all_docs)
         |SELECT fp, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         |  COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
-        |FROM f GROUP BY fp HAVING COUNT(DISTINCT source) > 1 ORDER BY fp""".stripMargin
+        |FROM f GROUP BY fp HAVING COUNT(DISTINCT source) > 1 ORDER BY fp""".stripMargin,
+    "q140_topk_ties" ->
+      """SELECT p_brand, p_partkey, p_retailprice, dr FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC) AS BIGINT) AS dr
+        |  FROM part) t
+        |WHERE dr <= 2 ORDER BY p_brand, dr, p_partkey""".stripMargin
   )
 }

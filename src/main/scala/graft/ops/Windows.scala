@@ -129,6 +129,19 @@ object Windows {
       .orderBy(col("s_nationkey"), col("rn"))
   }
 
+  /** Top-k-WITH-TIES per group via dense_rank — the tie-preserving
+    * sibling of [[topOrdersPerCustomer]]/TopKPerKey: every part sharing
+    * one of the k highest retail prices of its brand survives, so group
+    * output size is data-dependent (ties never drop arbitrarily). Same
+    * single keyed exchange + in-partition sort as any ranking window. */
+  def topPricesPerBrandWithTies(part: DataFrame, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    part.withColumn("dr", dense_rank().over(w).cast("long"))
+      .filter(col("dr") <= k)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("dr"))
+      .orderBy(col("p_brand"), col("dr"), col("p_partkey"))
+  }
+
   /** first_value / last_value / nth_value over each customer's order
     * history (full-partition frame so last_value sees the true last row,
     * not the running default frame — the classic frame-clause trap).
