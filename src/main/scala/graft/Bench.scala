@@ -80,7 +80,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     timings.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${v}%9.3f s") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+    // The driver tails the run's combined output; sbt's logger batches the
+    // program's stderr and can flush the per-query [error] lines AFTER the
+    // stdout JSON (this lost the machine line in rounds 2 and 3). Make the
+    // JSON the LAST line of BOTH streams, and mirror it to a file the
+    // driver (or a human) can read regardless of stream interleaving.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] file mirror failed: ${e.getMessage}")
+    }
+    System.err.flush()
+    println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -574,7 +574,19 @@ object SparkEntry {
         .withColumn("source", concat(lit("mirror_"), col("source")))
         .withColumn("doc_id", col("doc_id") + 5000000L)
       graft.text.TextOps.crossSourceDuplicates(docs.unionByName(mirrored))
-    })
+    }),
+    // the df-capped corpus-scale dedup forms (VERDICT r3 #2): stop-shingles
+    // (df > maxDf) are pruned from the inverted index BEFORE the self-join,
+    // killing the df² candidate blow-up; scores stay exact for surviving
+    // pairs because n_common recounts over the FULL shingle table
+    "q141_jaccard_capped" -> ((s, d) =>
+      graft.dedup.Dedup.ngramJaccardCappedFrom(
+        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.2, 10)),
+    "q142_containment_capped" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContainmentCappedFrom(
+        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.5, 10)),
+    "q143_join_right" -> ((s, d) =>
+      Joins.ordersPerCustomerRight(Tables.orders(s, d), Tables.customer(s, d)))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -613,6 +625,8 @@ object SparkEntry {
     "q135_nullsafe_join" -> Seq("documents"),
     "q137_top_bigrams" -> Seq("documents"),
     "q139_cross_source_dups" -> Seq("documents"),
+    "q141_jaccard_capped" -> Seq("documents"),
+    "q142_containment_capped" -> Seq("documents"),
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
@@ -1927,6 +1941,47 @@ object SparkEntry {
         |    CAST(DENSE_RANK() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC) AS BIGINT) AS dr
         |  FROM part) t
-        |WHERE dr <= 2 ORDER BY p_brand, dr, p_partkey""".stripMargin
+        |WHERE dr <= 2 ORDER BY p_brand, dr, p_partkey""".stripMargin,
+    "q141_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS sh_a, sb.n_sh AS sh_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q142_containment_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS sh_a,
+        |  ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = doc_a
+        |WHERE ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q143_join_right" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${m("o_totalprice")}, 0.0) AS total_spent
+         |FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
   )
 }

@@ -136,8 +136,13 @@ object Dedup {
     * shingles are the deliberate recall loss (boilerplate-only overlap is
     * exactly what containment should NOT fire on). */
   def ngramContainmentCapped(documents: DataFrame, n: Int, minContainment: Double,
-                             maxDf: Long): DataFrame = {
-    val sh = shingles(documents, n).localCheckpoint()
+                             maxDf: Long): DataFrame =
+    ngramContainmentCappedFrom(shingles(documents, n).localCheckpoint(), minContainment, maxDf)
+
+  /** [[ngramContainmentCapped]] over a pre-materialized shingle table
+    * (e.g. [[shinglesCached]]) — the serve-path form. */
+  def ngramContainmentCappedFrom(sh: DataFrame, minContainment: Double,
+                                 maxDf: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
@@ -167,8 +172,13 @@ object Dedup {
     * so scores are exact for every surviving pair; pairs whose overlap
     * is only stop-shingles are the (deliberate) recall loss. */
   def ngramJaccardCapped(documents: DataFrame, n: Int, minJaccard: Double,
-                         maxDf: Long): DataFrame = {
-    val sh = shingles(documents, n).localCheckpoint()
+                         maxDf: Long): DataFrame =
+    ngramJaccardCappedFrom(shingles(documents, n).localCheckpoint(), minJaccard, maxDf)
+
+  /** [[ngramJaccardCapped]] over a pre-materialized shingle table
+    * (e.g. [[shinglesCached]]) — the serve-path form. */
+  def ngramJaccardCappedFrom(sh: DataFrame, minJaccard: Double,
+                             maxDf: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
