@@ -601,6 +601,10 @@ object SparkEntry {
     "q44_docs_vocab" -> Seq("documents"),
     "q45_dedup_exact" -> Seq("documents"),
     "q46_dedup_jaccard" -> Seq("documents"),
+    "q47_dedup_minhash" -> Seq("documents"),
+    "q55_curate" -> Seq("documents"),
+    "q57_dedup_groups" -> Seq("documents"),
+    "q87_incremental_neardup" -> Seq("documents"),
     "q49_vec_norms" -> Seq("embeddings"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
@@ -680,6 +684,99 @@ object SparkEntry {
     * time-series explode (DuckDB zips same-SELECT unnests, so each
     * explode level is its own CTE). Absolute path: the driver's DuckDB
     * runs from an arbitrary cwd. */
+  /** DuckDB reimplementation of Spark's `hash(shingle, lit(seed))` —
+    * Murmur3_x86_32 over the string's UTF-8 bytes (seed 42) folded with
+    * the literal seed int, exactly [[graft.functions.Sketches]]'s
+    * `murmur3` — plus [[graft.dedup.Dedup]]'s 8-band × 4-row LSH
+    * banding. Produces the CTE chain from `src`(doc_id, text) to
+    * `sh`(doc_id, shingle), `minh`(doc_id, i, mh), `sig`(doc_id, sg)
+    * and `bd`(doc_id, band, bucket), making every seeded-murmur3
+    * operator (MinHash pairs/groups, admission, curation) exactly
+    * oracle-checkable in DuckDB.
+    *
+    * Mechanics: 32-bit wraparound multiply is HUGEINT multiply mod 2^32
+    * (INT64 overflows at 0xcc9e2d51 × 2^32); `>>>` is `//` since every
+    * intermediate is kept in [0, 2^32); rotl is shift-add mod 2^32;
+    * bytes are `ord(substr(...))` codepoints — valid because the
+    * synthetic documents are pure ASCII (checked: octet_length(encode)
+    * == length for every row). Each banding step ends with a projection
+    * to (doc_id, band, sg, h): DuckDB resolves INPUT columns before
+    * lateral aliases, so leaving a previous step's intermediates in
+    * scope silently rebinds the next step's expressions to stale
+    * columns (hashing element 1 four times). */
+  private def mm3BandStep(in: String, out: String, idx: Int, outCol: String): String =
+    s"""$out AS (SELECT doc_id, band, sg,
+       |    sg[CAST(band*4+$idx AS INT)] AS x, CAST(x AS BIGINT) & 4294967295 AS u,
+       |    CAST((CAST(u AS HUGEINT)*3432918353)%4294967296 AS BIGINT) AS m,
+       |    CAST((CAST((m*32768 + m//131072)%4294967296 AS HUGEINT) * 461845907)%4294967296 AS BIGINT) AS k,
+       |    xor(h, k) AS hx,
+       |    ((hx*8192 + hx//524288)%4294967296 * 5 + 3864292196)%4294967296 AS hm,
+       |    xor(hm, 4) AS g0, xor(g0, g0//65536) AS g1,
+       |    CAST((CAST(g1 AS HUGEINT)*2246822507)%4294967296 AS BIGINT) AS g2,
+       |    xor(g2, g2//8192) AS g3,
+       |    CAST((CAST(g3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS g4,
+       |    xor(g4, g4//65536) AS $outCol FROM $in),
+       |${out}p AS (SELECT doc_id, band, sg, $outCol FROM $out),""".stripMargin
+
+  private def minhashCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+       |shd AS (SELECT DISTINCT shingle FROM sh),
+       |hs0 AS (SELECT shingle,
+       |   list_transform(range(1, length(shingle)+1), j -> CAST(ord(substr(shingle, CAST(j AS INT), 1)) AS BIGINT)) AS w,
+       |   CAST(length(shingle) AS BIGINT) AS n FROM shd),
+       |hs1 AS (SELECT shingle, n,
+       |   list_concat(
+       |     list_transform(range(0, CAST(n//4 AS INT)), c -> w[CAST(4*c+1 AS INT)] + w[CAST(4*c+2 AS INT)]*256 + w[CAST(4*c+3 AS INT)]*65536 + w[CAST(4*c+4 AS INT)]*16777216),
+       |     list_slice(w, CAST(n//4*4+1 AS INT), CAST(n AS INT))) AS body FROM hs0),
+       |hs2 AS (SELECT shingle, n,
+       |   list_reduce(list_prepend(CAST(42 AS BIGINT),
+       |     list_transform(list_transform(body, k -> CAST((CAST(k AS HUGEINT)*3432918353)%4294967296 AS BIGINT)),
+       |       m -> CAST((CAST((m*32768 + m//131072)%4294967296 AS HUGEINT) * 461845907)%4294967296 AS BIGINT))),
+       |     (h,k) -> ((xor(h,k)*8192 + xor(h,k)//524288)%4294967296 * 5 + 3864292196)%4294967296) AS hr
+       |   FROM hs1),
+       |hsf AS (SELECT shingle,
+       |   xor(hr, n) AS f0, xor(f0, f0//65536) AS f1,
+       |   CAST((CAST(f1 AS HUGEINT)*2246822507)%4294967296 AS BIGINT) AS f2,
+       |   xor(f2, f2//8192) AS f3,
+       |   CAST((CAST(f3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS f4,
+       |   xor(f4, f4//65536) AS hsu
+       |   FROM hs2),
+       |sh32 AS (SELECT shingle, i,
+       |    CAST((CAST(i AS HUGEINT)*3432918353)%4294967296 AS BIGINT) AS m,
+       |    CAST((CAST((m*32768 + m//131072)%4294967296 AS HUGEINT) * 461845907)%4294967296 AS BIGINT) AS k,
+       |    xor(hsu, k) AS hx,
+       |    ((hx*8192 + hx//524288)%4294967296 * 5 + 3864292196)%4294967296 AS hm,
+       |    xor(hm, 4) AS g0, xor(g0, g0//65536) AS g1,
+       |    CAST((CAST(g1 AS HUGEINT)*2246822507)%4294967296 AS BIGINT) AS g2,
+       |    xor(g2, g2//8192) AS g3,
+       |    CAST((CAST(g3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS g4,
+       |    xor(g4, g4//65536) AS hu,
+       |    CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS hsig
+       |  FROM hsf, range(0, 32) t(i)),
+       |minh AS (SELECT doc_id, i, MIN(hsig) AS mh
+       |  FROM sh JOIN sh32 USING (shingle) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM minh GROUP BY doc_id),
+       |bd0 AS (SELECT doc_id, band, CAST(42 AS BIGINT) AS h, sg FROM sig, range(0, 8) r(band)),
+       |${mm3BandStep("bd0", "bd1", 1, "h")}
+       |${mm3BandStep("bd1p", "bd2", 2, "h")}
+       |${mm3BandStep("bd2p", "bd3", 3, "h")}
+       |${mm3BandStep("bd3p", "bd4", 4, "bucket")}
+       |bd AS (SELECT doc_id, band, bucket FROM bd4p)""".stripMargin
+
+  /** Candidate pairs + estimated Jaccard (matching-minhash fraction)
+    * from the [[minhashCtes]] chain — `cand`/`est` CTEs shared by the
+    * MinHash-family oracles. */
+  private val minhashEstCtes: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)/32.0 AS est_jaccard
+      |  FROM cand c JOIN minh ma ON ma.doc_id = c.doc_a
+      |  JOIN minh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val open511Cte: String =
     """ev AS (SELECT unnest(events) AS e FROM read_json('/root/repo/data/mini_incidents.json')),
       |raw AS (SELECT e.id AS id, e.event_type AS event_type, e.created AS created,
@@ -1178,6 +1275,58 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // MinHash family: exact DuckDB oracles via the murmur3-in-SQL chain
+    // (no_oracle in rounds 1-3; the hash is portable after all)
+    "q47_dedup_minhash" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$minhashEstCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q57_dedup_groups" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
+         |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
+         |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |r(a, b) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
+         |SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q55_curate" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN
+         |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |qual AS (SELECT doc_id, lang, n_tokens FROM q
+         |  WHERE n_tokens BETWEEN 5 AND 10000
+         |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.9
+         |    AND lang IN ('en','es','fr','de','zh')),
+         |pass AS (SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM pass) f
+         |  GROUP BY fp),
+         |ae AS (SELECT p.doc_id, p.text FROM pass p JOIN ek USING (doc_id)),
+         |${minhashCtes("ae")},
+         |$minhashEstCtes,
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+         |surv AS (SELECT e.doc_id FROM ek e LEFT JOIN losers l ON e.doc_id = l.doc_id
+         |  WHERE l.doc_id IS NULL)
+         |SELECT s.doc_id, qual.lang, qual.n_tokens,
+         |  CAST(SUM(qual.n_tokens) OVER (ORDER BY s.doc_id) AS BIGINT) AS cum_tokens
+         |FROM surv s JOIN qual ON s.doc_id = qual.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q87_incremental_neardup" ->
+      s"""WITH ${minhashCtes("documents")},
+         |cand AS (SELECT DISTINCT b.doc_id AS doc_in, c.doc_id AS doc_ex
+         |  FROM bd b JOIN bd c ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id >= 250 AND c.doc_id < 250),
+         |est AS (SELECT cd.doc_in, cd.doc_ex,
+         |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)/32.0 AS ej
+         |  FROM cand cd JOIN minh ma ON ma.doc_id = cd.doc_in
+         |  JOIN minh mb ON mb.doc_id = cd.doc_ex AND mb.i = ma.i
+         |  GROUP BY 1, 2),
+         |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
+         |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
+         |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
     "q49_vec_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
