@@ -113,6 +113,21 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => again(r.media_id) == r.feature.toSeq))
   }
 
+  test("multimodal: ImageCodec PNG roundtrip decodes real dims + exact luma histogram") {
+    val png = Multimodal.ImageCodec.synthesizePng(seed = 7L, w = 20, h = 12)
+    val Some((w, h, feat)) = Multimodal.ImageCodec.decode(png)
+    assert(w == 20 && h == 12)
+    // independent expected histogram from the test-card formula
+    val counts = new Array[Long](16)
+    for (y <- 0 until 12; x <- 0 until 20)
+      counts(((7 * x + 13 * y + 7) % 256) / 16) += 1
+    val expected = counts.map(c => (c.toDouble / (20 * 12)).toFloat).toSeq
+    assert(feat.toSeq == expected)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5f)
+    // a non-image payload must decline, not throw
+    assert(Multimodal.ImageCodec.decode("not a png".getBytes).isEmpty)
+  }
+
   test("multimodal: frame sampling is pure plan arithmetic") {
     val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, sf)).toDF()
     val frames = Multimodal.sampleFrames(media, 1000L)
