@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * cheaper). Overflow headroom: w ≤ ln(corpus)·1e6 ≈ 4e7 even at 1e12
   * docs, so each product ≤ 1.6e15 and a pair can share ~5 700 shingles
   * per long — per-PAIR shared-shingle counts are bounded by document
-  * length, not corpus size; guard with docs ≤ ~5 000 tokens or widen
-  * to decimal. The double steps (sqrt, final divide) are
+  * length, not corpus size, and the bound is ENFORCED at runtime: the
+  * dot aggregation counts each pair's shared shingles and raises past
+  * the headroom (see [[shingleTfidfTopKFrom]]) instead of silently
+  * wrapping. The double steps (sqrt, final divide) are
   * IEEE-deterministic. Norms include ALL of a doc's shingles (also
   * df=1 and df>maxDf ones), so with a loose `maxDf` scores are exact
   * cosine; a tight cap only ever *under*-estimates (dot terms are
@@ -71,17 +73,42 @@ object SparseSim {
       graft.ops.Scalar.count(documents), k, maxDf)
 
   /** [[shingleTfidfTopK]] over a pre-materialized shingle table (e.g.
-    * [[graft.dedup.Dedup.shinglesCached]]) — the serve-path form. */
+    * [[graft.dedup.Dedup.shinglesCached]]) — the serve-path form.
+    *
+    * Overflow safety (runtime-enforced): the dot accumulates one
+    * product ≤ wmax² per shared shingle, so a pair may share at most
+    * Long.MaxValue / wmax² terms before the exact-long sum wraps
+    * (~5 700 at web-corpus idf scale). Rather than trusting the
+    * documented input bound, the aggregation counts each pair's shared
+    * shingles and `raise_error`s past the headroom (halved for safety
+    * margin) — the EXACT failing condition, per pair, one codegen'd
+    * count + branch, zero cost unless triggered. `headroomOverride`
+    * exists for tests (the natural bound is unreachable at fixture
+    * scale). */
   def shingleTfidfTopKFrom(sh: DataFrame, nDocs: Long, k: Int,
-                           maxDf: Long = 1000L): DataFrame = {
+                           maxDf: Long = 1000L,
+                           headroomOverride: Long = 0L): DataFrame = {
     val (posts, norms) = weightedFrom(sh, nDocs)
     val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
+    // wmax = idf of the rarest joinable shingle (df = 2); ≥ 1 so the
+    // division below never zeroes (at nDocs <= 2 every weight is 0)
+    val wmax = math.max(math.round(math.log(nDocs.toDouble / 2.0) * 1e6), 1L)
+    val headroom =
+      if (headroomOverride > 0) headroomOverride
+      else Long.MaxValue / (wmax * wmax) / 2
     val dots = joinable.select(col("doc_id").as("a_id"), col("shingle"), col("w").as("wa"))
       .join(joinable.select(col("doc_id").as("b_id"), col("shingle"), col("w").as("wb")),
         "shingle")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_sh"))
+      .withColumn("dot", when(col("n_sh") <= lit(headroom), col("dot"))
+        .otherwise(raise_error(concat(
+          lit("SparseSim.shingleTfidfTopK: pair ("), col("a_id"), lit(", "), col("b_id"),
+          lit(") shares "), col("n_sh"),
+          lit(s" shingles, past the exact-long headroom $headroom — widen the"),
+          lit(" accumulator to decimal or tighten maxDf")))))
+      .drop("n_sh")
     // mirror once so every doc ranks its neighbors
     val sym = dots.unionByName(dots.select(col("b_id").as("a_id"),
       col("a_id").as("b_id"), col("dot")))

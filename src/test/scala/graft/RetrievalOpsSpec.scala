@@ -54,6 +54,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(top.forall(t => t._3 >= -1e-9 && t._3 <= 1.0 + 1e-9))
   }
 
+  test("tfidf topk: long-overflow guard raises on pairs past the headroom") {
+    import spark.implicits._
+    // two long near-identical docs share hundreds of shingles; with the
+    // headroom forced down to 10 the guard must fire (the natural bound
+    // is unreachable at fixture scale — that's the point of the override)
+    val longText = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText), (2L, longText + " tail"),
+      (3L, "unrelated filler words")).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingles(docs, 3).localCheckpoint()
+    val ex = intercept[Exception] {
+      SparseSim.shingleTfidfTopKFrom(sh, 3L, 2, headroomOverride = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exact-long headroom")))
+    // and with the real bound the same input is fine
+    val ok = SparseSim.shingleTfidfTopKFrom(sh, 3L, 2).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("quantize: codes bounded, constant dims safe, error below step size") {
     val emb = Tables.embeddings(spark, sf)
     val q = Quantize.quantized(emb).collect()
