@@ -223,9 +223,15 @@ object SparkEntry {
     // north-star: multimodal binary-column plumbing (stubbed decode)
     "q66_multimodal_decode" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.synthesizeFromDocuments(Tables.documents(s, d))
+      // luma_argmax (1-based bin of the histogram peak, ties → lowest)
+      // grades the REAL javax.imageio decode: it only matches the
+      // oracle's pixel arithmetic if the PNG round-trip is faithful
       graft.multimodal.Multimodal.decodeFeatures(media, 224, 224).toDF()
         .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
-          size(col("feature")).cast("long").as("feat_dim"))
+          size(col("feature")).cast("long").as("feat_dim"),
+          when(col("kind") === "image",
+            expr("array_position(feature, array_max(feature))").cast("long"))
+            .otherwise(lit(0L)).as("luma_argmax"))
         .orderBy(col("media_id"))
     }),
     "q67_multimodal_frames" -> ((s, d) => {
@@ -1372,19 +1378,33 @@ object SparkEntry {
     // the decode stub's surrounding plumbing is exact arithmetic: kind
     // assignment, aspect-preserving resize, fixed feature width — all
     // SQL-expressible, so the multimodal path gets a real oracle
+    // image rows: dims + luma histogram recomputed from the same
+    // deterministic test-card arithmetic the PNG fixture encodes —
+    // grayscale means integer BT.601 luma == g, bin = g // 16
     "q66_multimodal_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |    CAST(n_chars % 640 + 16 AS INTEGER) AS w,
-        |    CAST(n_chars % 480 + 16 AS INTEGER) AS h
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 8 AS INTEGER)
+        |         ELSE CAST(n_chars % 640 + 16 AS INTEGER) END AS w,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 32 + 8 AS INTEGER)
+        |         ELSE CAST(n_chars % 480 + 16 AS INTEGER) END AS h
         |  FROM documents),
         |s AS (SELECT media_id, kind, w, h,
-        |    least(224.0 / greatest(w, 1), 224.0 / greatest(h, 1)) AS sc FROM m)
-        |SELECT media_id, kind,
+        |    least(224.0 / greatest(w, 1), 224.0 / greatest(h, 1)) AS sc FROM m),
+        |hist AS (SELECT media_id, unnest(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> ((7*x + 13*y + media_id) % 256) // 16)))) AS b
+        |  FROM m WHERE kind = 'image'),
+        |cnt AS (SELECT media_id, b, COUNT(*) AS c FROM hist GROUP BY 1, 2),
+        |am AS (SELECT media_id, CAST(b + 1 AS BIGINT) AS luma_argmax FROM (
+        |    SELECT media_id, b, ROW_NUMBER() OVER (
+        |      PARTITION BY media_id ORDER BY c DESC, b) AS rn FROM cnt) r
+        |  WHERE rn = 1)
+        |SELECT s.media_id, s.kind,
         |  CAST(greatest(1, CAST(trunc(w * sc) AS INTEGER)) AS INTEGER) AS out_width,
         |  CAST(greatest(1, CAST(trunc(h * sc) AS INTEGER)) AS INTEGER) AS out_height,
-        |  CAST(16 AS BIGINT) AS feat_dim
-        |FROM s ORDER BY media_id""".stripMargin,
+        |  CAST(16 AS BIGINT) AS feat_dim,
+        |  COALESCE(am.luma_argmax, 0) AS luma_argmax
+        |FROM s LEFT JOIN am ON s.media_id = am.media_id ORDER BY s.media_id""".stripMargin,
     "q71_docs_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,
@@ -1739,16 +1759,17 @@ object SparkEntry {
     },
     "q108_funnel" ->
       """WITH s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    string_agg(substr(event_type, 1, 1), ''
+        |    string_agg(CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+        |        WHEN 'purchase' THEN 'c' ELSE '-' END, ''
         |      ORDER BY epoch_us(ts), event_id) AS seq
         |  FROM events GROUP BY user_id)
         |SELECT user_id, n_events,
-        |  CAST(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END AS BIGINT) AS reached_view,
-        |  CAST(CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
-        |  CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
-        |  CAST(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END
-        |    + CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END
-        |    + CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
+        |  CAST(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END AS BIGINT) AS reached_view,
+        |  CAST(CASE WHEN regexp_matches(seq, 'a.*b') THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
+        |  CAST(CASE WHEN regexp_matches(seq, 'a.*b.*c') THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
+        |  CAST(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(seq, 'a.*b') THEN 1 ELSE 0 END
+        |    + CASE WHEN regexp_matches(seq, 'a.*b.*c') THEN 1 ELSE 0 END
         |    AS BIGINT) AS funnel_stage
         |FROM s ORDER BY user_id""".stripMargin,
     "q106_pack_sequences" ->
@@ -1864,7 +1885,8 @@ object SparkEntry {
         |  ROUND(POW(COALESCE(ob.o, 0) - CAST(ra AS DOUBLE) * cb / n, 2)
         |    / (CAST(ra AS DOUBLE) * cb / n), 6) AS contrib
         |FROM r CROSS JOIN c
-        |LEFT JOIN ob ON ob.lang = r.lang AND ob.source = c.source
+        |LEFT JOIN ob ON ob.lang IS NOT DISTINCT FROM r.lang
+        |  AND ob.source IS NOT DISTINCT FROM c.source
         |CROSS JOIN t
         |ORDER BY r.lang, c.source""".stripMargin,
     "q120_corr" ->

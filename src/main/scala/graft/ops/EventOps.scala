@@ -178,24 +178,34 @@ object EventOps {
     * subsequence semantics, the standard funnel definition (and what
     * dedicated engines ship as `windowFunnel`/`MATCH_RECOGNIZE`).
     *
-    * Plan: one hash agg collects each user's time-ordered event-initial
-    * string (sort_array over (ts, event_id, initial) structs — ties
+    * Plan: one hash agg collects each user's time-ordered stage-sentinel
+    * string (sort_array over (ts, event_id, sentinel) structs — ties
     * deterministic), then stage reach is a greedy-subsequence regex
-    * (`v.*c.*p`) — regex .* IS the greedy-subsequence match, identical
+    * (`a.*b.*c`) — regex .* IS the greedy-subsequence match, identical
     * in DuckDB, so the whole operator is oracle-checked. Per-user state
-    * is one string of initials; the shuffle is the same single
-    * user-keyed agg every per-user rollup costs. */
+    * is one string of sentinels; the shuffle is the same single
+    * user-keyed agg every per-user rollup costs.
+    *
+    * Sentinels, not initials: an event type is mapped to a generated
+    * letter only when it EQUALS a stage name ('a' for stage 0, 'b' for
+    * stage 1, …) and to '-' otherwise — a non-stage type sharing a
+    * stage's first letter ('visit' vs 'view') can never count as stage
+    * progress, and stage names never leak metacharacters into the
+    * pattern. */
   def funnel(events: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(stages.nonEmpty && stages.map(_.head).distinct.size == stages.size,
-      s"funnel: stages need distinct initials (got $stages)")
+    require(stages.nonEmpty && stages.distinct.size == stages.size && stages.size <= 26,
+      s"funnel: stages must be distinct and at most 26 (got $stages)")
+    val sentinel = stages.indices.map(i => ('a' + i).toChar.toString)
+    val stageMap = map(stages.zip(sentinel).flatMap {
+      case (s, c) => Seq(lit(s), lit(c)) }: _*)
     val seqStr = array_join(transform(
       sort_array(collect_list(struct(
         expr("ts div 1000").as("tsn"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("ini")))),
+        coalesce(element_at(stageMap, col("event_type")), lit("-")).as("ini")))),
       x => x.getField("ini")), "")
     val stageFlags = stages.indices.map { i =>
-      val pat = stages.take(i + 1).map(_.head).mkString(".*")
+      val pat = sentinel.take(i + 1).mkString(".*")
       when(regexp_like(col("seq"), lit(pat)), 1L).otherwise(0L)
         .as(s"reached_${stages(i)}")
     }

@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
 object Incremental {
 
   /** Build the aggregate state of `df` grouped by `keys` over `valueCol`:
-    * (keys..., n, sum_v, min_v, max_v). */
+    * (keys..., n, sum_v, min_v, max_v). State columns keep the natural
+    * Spark aggregate types (sum widens int → long, double stays double,
+    * decimal widens precision) — a long cast here would silently
+    * truncate fractional values even though the API is generic. For
+    * DECIMAL values, prefer casting the input to a fixed precision
+    * first: each sum level widens precision by 10, so deep hierarchical
+    * rollups of raw decimals drift toward precision 38. */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col(valueCol)).cast("long").as("sum_v"),
-        min(col(valueCol)).cast("long").as("min_v"),
-        max(col(valueCol)).cast("long").as("max_v"))
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
 
   /** Merge two aggregate states (same key/state schema). */
   def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
@@ -39,7 +45,7 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("n")).cast("long").as("n"),
-        sum(col("sum_v")).cast("long").as("sum_v"),
+        sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 

@@ -72,7 +72,11 @@ object Drift {
     * which two are broadcast back; the 1-row total joins as a broadcast
     * nested loop. Nothing larger than the cell table shuffles. */
   def chiSquareCells(df: DataFrame, a: String, b: String): DataFrame = {
-    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    // NULL categories appear in the margins (groupBy keeps them), so the
+    // cell lookup must be null-SAFE: a plain equality join would give a
+    // NULL category o = 0 while its margin still inflated the expected
+    // counts — consistent-looking but statistically wrong
+    val obs = df.groupBy(col(a).as("__oa"), col(b).as("__ob")).agg(count(lit(1)).as("o"))
     val rows = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
     val cols = df.groupBy(col(b)).agg(count(lit(1)).as("cb"))
     val tot = df.agg(count(lit(1)).as("n"))
@@ -80,7 +84,8 @@ object Drift {
     // the margin cross product materializes the FULL contingency table:
     // zero cells contribute e to the statistic and must not be dropped
     rows.crossJoin(broadcast(cols))
-      .join(obs, Seq(a, b), "left")
+      .join(obs, col(a) <=> col("__oa") && col(b) <=> col("__ob"), "left")
+      .drop("__oa", "__ob")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
       .select(col(a), col(b), col("o"),

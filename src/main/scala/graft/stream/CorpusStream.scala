@@ -70,7 +70,17 @@ object CorpusStream {
     * retry then re-merges the SAME batch — counts would double, so the
     * batch is deduplicated against the state's high-water batch id
     * (`_batch_id` column), keeping the merge idempotent exactly like
-    * the quarantine gate above. */
+    * the quarantine gate above.
+    *
+    * The high-water check is scoped to the STREAM (`_stream_id`, the
+    * checkpoint's stable query id — it survives restarts): batch ids
+    * restart at 0 under a fresh checkpoint, and an unscoped check would
+    * silently drop every early batch of the new stream as "already
+    * merged". Under a different stream id nothing is skipped — note
+    * that pointing a fresh checkpoint at an existing state table
+    * re-merges whatever the new stream reads, so recreate state and
+    * checkpoint together unless the new source starts past the data
+    * already in the state. */
   def aggMaintenanceSink(rows: DataFrame, statePath: String, checkpoint: String,
                          keys: Seq[String], valueCol: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -82,22 +92,42 @@ object CorpusStream {
           spark.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(statePath)
         val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
+        // the query id Structured Streaming persists in the checkpoint:
+        // stable across restarts of THIS stream, different for any
+        // fresh-checkpoint run ({"id":"<uuid>"} in <checkpoint>/metadata)
+        val streamId = {
+          val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+          val txt = new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+            .getOrElse(sys.error(s"aggMaintenanceSink: no query id in $meta"))
+        }
         // crash recovery (the Layout.compact discipline): death between
         // delete(cur) and rename leaves the new state stranded at .next
         if (!fs.exists(cur) && fs.exists(nxt))
           require(fs.rename(nxt, cur), s"aggMaintenanceSink: recovery rename failed for $statePath")
         else if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
         val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
-        val alreadyMerged = prior.exists(p =>
-          p.agg(max(col("_batch_id"))).head().getLong(0) >= batchId)
+        val alreadyMerged = prior.exists { p =>
+          val sameStream =
+            if (p.columns.contains("_stream_id"))
+              p.filter(col("_stream_id") === streamId) else p
+          sameStream.agg(max(col("_batch_id"))).head() match {
+            case r if r.isNullAt(0) => false
+            case r => r.getLong(0) >= batchId
+          }
+        }
         if (!batch.isEmpty && !alreadyMerged) {
           val delta = graft.ops.Incremental.aggState(batch, keys, valueCol)
           val merged = prior match {
             case Some(p) => graft.ops.Incremental.mergeStates(
-              p.drop("_batch_id"), delta, keys)
+              p.drop("_batch_id", "_stream_id"), delta, keys)
             case None => delta
           }
           merged.withColumn("_batch_id", lit(batchId))
+            .withColumn("_stream_id", lit(streamId))
             .write.mode("overwrite").parquet(nxt.toString)
           if (fs.exists(cur)) fs.delete(cur, true)
           require(fs.rename(nxt, cur), s"aggMaintenanceSink: rename failed for $statePath")
