@@ -347,6 +347,34 @@ object StressBench {
     run("dbscan_grid",
       graft.cluster.DBSCAN.run(pts(emb1), eps, 4).count(),
       graft.cluster.DBSCAN.run(ptsN, eps, 4).count())
+    // dense-city skew: 80% of the points sit in ONE eps-cell, so that
+    // cell's equi-join partition carries a ~quadratic candidate block
+    // (inherent to DBSCAN's semantics — everyone is everyone's
+    // neighbor there) while the rest of the grid is noise-sparse.
+    // Replicas shift a whole neighborhood away (the dbscan_grid
+    // protocol), giving N dense cells of equal density: slope ≈ 1 means
+    // the engine spreads each hot cell's block across tasks (AQE skew
+    // split) instead of serializing on one straggler per city.
+    val skew1 = {
+      val n = 2000L
+      val dense = spark.range((n * 8) / 10).select(
+        col("id"),
+        (abs(xxhash64(col("id"))) % 1000).cast("double") / 1000.0 * eps as "x",
+        (abs(xxhash64(col("id"), lit(1))) % 1000).cast("double") / 1000.0 * eps as "y")
+      val sparse = spark.range((n * 8) / 10, n).select(
+        col("id"),
+        (lit(10.0) + (col("id") % 50).cast("double") * (10 * eps)).as("x"),
+        ((col("id") / 50).cast("double") * (10 * eps)).as("y"))
+      dense.unionByName(sparse)
+    }
+    val skewN = skew1
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("id", col("id") * factor + col("__rep"))
+      .withColumn("x", col("x") + col("__rep") * lit(1000 * eps))
+      .drop("__rep")
+    run("dbscan_skew",
+      graft.cluster.DBSCAN.run(skew1, eps, 4).count(),
+      graft.cluster.DBSCAN.run(skewN, eps, 4).count())
     // radius join: same shifted-replica protocol (co-located plain
     // copies would grow the pair OUTPUT quadratically — the data's
     // structure, not the join's cost)

@@ -147,6 +147,86 @@ object PQ {
              refine: Int = 64): DataFrame =
     pqSearch(pqBuild(corpus, nlist, m, ksub), corpus, queries, k, nprobe, refine)
 
+  /** Persist a PQ index in its serving layout — the twin of
+    * [[Similarity.ivfWriteIndex]]. CODES are partitioned by cell (the
+    * scan-bandwidth artifact ADC reads); the raw vectors are
+    * co-partitioned by cell so the exact re-rank of probed candidates
+    * is also partition-pruned; centroids and codebooks (tiny) are plain
+    * parquet. After this, serving never re-runs any KMeans fit. */
+  def pqWriteIndex(index: PqIndex, corpus: DataFrame, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.Catalog.writePartitioned(index.codes, s"$path/codes", Seq("cell"))
+    graft.sources.Catalog.writePartitioned(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .join(index.codes.select(col("neighbor_id"), col("cell")), "neighbor_id"),
+      s"$path/vectors", Seq("cell"))
+    index.codebooks.zipWithIndex.flatMap { case (cws, j) =>
+      cws.zipWithIndex.map { case (cw, c) => (j, c, cw, index.dim) }
+    }.toDF("subspace", "code", "codeword", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** ADC search + exact re-rank against a persisted index. Identical
+    * results to [[pqSearch]] on the same index (tested); the probed
+    * cell set (bounded by nlist, a Scalar-class reduction) is applied
+    * as a STATIC partition filter on BOTH the codes scan and the
+    * vectors scan, so serving provably touches only the probed
+    * inverted lists (PartitionFilters asserted in tests). */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      refine: Int = 64): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+    val dim = cb.head.getAs[Int]("dim")
+    val byJc = cb.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val m = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.map(_.getInt(1)).max + 1
+    val codebooks: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => (0 until ksub).map(c => byJc((j, c))))
+    val dsub = dim / m
+    val cbLit = typedlit(codebooks)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", Similarity.cosineFast(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val cells = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val lutCol = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ksub - 1)), c =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, t) =>
+          acc + d(element_at(col("qe"), j * dsub + 1 + t)) *
+            d(element_at(element_at(element_at(cbLit, j + 1), c + 1), t + 1)))))
+    val withLut = probed.withColumn("lut", lutCol)
+    val codes = spark.read.parquet(s"$path/codes").filter(col("cell").isin(cells: _*))
+    val adc = codes.join(broadcast(withLut), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc +
+          element_at(element_at(col("lut"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+    val cand = graft.plans.TopK.topKPerKey(
+        adc.select(col("query_id"), col("neighbor_id"), col("adc")),
+        Seq("query_id"), Seq(("adc", false), ("neighbor_id", true)), refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val n = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("neighbor_id"), col("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(n, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(Similarity.cosineFast(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Session-scoped index cache, same shape (and same appId-eviction
     * hygiene) as [[Similarity.ivfTopKCached]]: the 1 + m KMeans fits run
     * once per (session, corpus, params); cached tables are

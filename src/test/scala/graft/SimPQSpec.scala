@@ -28,6 +28,26 @@ class SimPQSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("persisted PQ index serves partition-pruned probes with identical results") {
+    val idx = PQ.pqBuild(emb, nlist = 8, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PQ.pqWriteIndex(idx, emb, dir)
+    val q = emb.filter(col("vec_id") < 6)
+
+    val served = PQ.pqSearchIndexed(spark, dir, q, 5, nprobe = 4, refine = 32)
+    val inMem  = PQ.pqSearch(idx, emb, q, 5, nprobe = 4, refine = 32)
+    assert(served.collect().map(_.toString).toSeq ==
+      inMem.collect().map(_.toString).toSeq, "serving path must equal in-memory path")
+
+    // the probed cell set must reach BOTH the codes scan (ADC) and the
+    // vectors scan (exact re-rank) as static partition filters — the
+    // serve reads only the probed inverted lists, like the IVF twin
+    val plan = served.queryExecution.executedPlan.toString
+    val prunedScans = "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findAllIn(plan).size
+    assert(prunedScans >= 2,
+      s"expected cell IN (...) partition filters on codes AND vectors scans:\n$plan")
+  }
+
   test("ADC ranking recall: full probe isolates quantization loss") {
     // sf0.01 (500 vectors). With nprobe = nlist the coarse probe misses
     // nothing, so any recall loss is the PQ approximation itself (ADC
