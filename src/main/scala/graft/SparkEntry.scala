@@ -608,6 +608,7 @@ object SparkEntry {
     "q45_dedup_exact" -> Seq("documents"),
     "q46_dedup_jaccard" -> Seq("documents"),
     "q47_dedup_minhash" -> Seq("documents"),
+    "q48_dedup_simhash" -> Seq("documents"),
     "q55_curate" -> Seq("documents"),
     "q57_dedup_groups" -> Seq("documents"),
     "q87_incremental_neardup" -> Seq("documents"),
@@ -782,6 +783,79 @@ object SparkEntry {
       |  FROM cand c JOIN minh ma ON ma.doc_id = c.doc_a
       |  JOIN minh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB reimplementation of Spark's `xxhash64(token)` (XXH64 over
+    * UTF-8 bytes, seed 42 — what [[graft.functions.Sketches]]'s SimHash
+    * votes on) for inputs < 32 bytes: the full stripe path (v1..v4
+    * accumulators) never triggers below 32 bytes, and whitespace tokens
+    * in the synthetic corpus max out at 8 (tokens ≥ 32 bytes are
+    * excluded up front, which would surface as a loud row-count
+    * mismatch rather than a wrong hash). 64-bit wraparound runs in
+    * HUGEINT with split multiplies — a full 64×64 product overflows
+    * even INT128, so a·C (mod 2^64) is computed as
+    * (a_lo·C + ((a_hi·C) mod 2^32)·2^32) mod 2^64. */
+  private val xxB32 = "4294967296"
+  private val xxB64 = "18446744073709551616"
+  private val xxP1 = "11400714785074694791"
+  private val xxP2 = "14029467366897019727"
+  private val xxP3 = "1609587929392839161"
+  private val xxP4 = "9650029242287828579"
+  private val xxP5 = "2870177450012600261"
+  private def xxMul(a: String, c: String): String =
+    s"(($a)%$xxB32*$c + ((($a)//$xxB32*$c)%$xxB32)*$xxB32) % $xxB64"
+  private def xxRot(x: String, r: Int): String =
+    s"(($x)*${1L << r} + ($x)//${1L << (64 - r)}) % $xxB64"
+
+  /** CTE chain from `tokc`(doc_id, token, cnt) to `hashes`(token, h):
+    * Spark-equal xxhash64 of every distinct token. */
+  private def xxhash64Ctes: String = {
+    val wordLambda = s"(h,k) -> (${xxMul(xxRot("xor(h,k)", 27), xxP1)} + $xxP4) % $xxB64"
+    val byteLambda = s"(h,b) -> ${xxMul(xxRot(s"xor(h, (b*$xxP5::HUGEINT)%$xxB64)", 11), xxP1)}"
+    s"""toks AS (SELECT DISTINCT token FROM tokc),
+       |x0 AS (SELECT token,
+       |   CAST(length(token) AS HUGEINT) AS n,
+       |   list_transform(range(1, length(token)+1), j -> CAST(ord(substr(token, CAST(j AS INT), 1)) AS HUGEINT)) AS w
+       | FROM toks WHERE length(token) < 32),
+       |x1 AS (SELECT token, n, w,
+       |   list_transform(range(0, CAST(n//8 AS INT)), c ->
+       |     w[CAST(8*c+1 AS INT)] + w[CAST(8*c+2 AS INT)]*256 + w[CAST(8*c+3 AS INT)]*65536
+       |     + w[CAST(8*c+4 AS INT)]*16777216 + w[CAST(8*c+5 AS INT)]*4294967296
+       |     + w[CAST(8*c+6 AS INT)]*1099511627776 + w[CAST(8*c+7 AS INT)]*281474976710656
+       |     + w[CAST(8*c+8 AS INT)]*72057594037927936) AS words,
+       |   CASE WHEN n%8 >= 4 THEN
+       |     w[CAST(n//8*8+1 AS INT)] + w[CAST(n//8*8+2 AS INT)]*256
+       |     + w[CAST(n//8*8+3 AS INT)]*65536 + w[CAST(n//8*8+4 AS INT)]*16777216
+       |   ELSE NULL END AS le32,
+       |   list_slice(w, CAST(n//8*8 + CASE WHEN n%8>=4 THEN 5 ELSE 1 END AS INT), CAST(n AS INT)) AS tail
+       | FROM x0),
+       |x2 AS (SELECT token, n, le32, tail,
+       |   list_transform(list_transform(list_transform(words,
+       |       k -> ${xxMul("k", xxP2)}),
+       |       m -> ${xxRot("m", 31)}),
+       |       r -> ${xxMul("r", xxP1)}) AS rk
+       | FROM x1),
+       |x3 AS (SELECT token, n, le32, tail,
+       |   list_reduce(list_prepend((42::HUGEINT + $xxP5 + n) % $xxB64, rk), $wordLambda) AS hw
+       | FROM x2),
+       |x4 AS (SELECT token, n, tail,
+       |   CASE WHEN le32 IS NOT NULL THEN
+       |     (${xxMul(xxRot(s"xor(hw, (le32*$xxP1::HUGEINT)%$xxB64)", 23), xxP2)} + $xxP3) % $xxB64
+       |   ELSE hw END AS hi
+       | FROM x3),
+       |x5 AS (SELECT token,
+       |   list_reduce(list_prepend(hi, tail), $byteLambda) AS hb
+       | FROM x4),
+       |x6 AS (SELECT token,
+       |   xor(hb, hb//8589934592) AS f0,
+       |   ${xxMul("f0", xxP2)} AS f1,
+       |   xor(f1, f1//536870912) AS f2,
+       |   ${xxMul("f2", xxP3)} AS f3,
+       |   xor(f3, f3//4294967296) AS f4
+       | FROM x5),
+       |hashes AS (SELECT token,
+       |   CAST(CASE WHEN f4 >= 9223372036854775808 THEN f4 - $xxB64 ELSE f4 END AS BIGINT) AS h
+       | FROM x6)""".stripMargin
+  }
 
   private val open511Cte: String =
     """ev AS (SELECT unnest(events) AS e FROM read_json('/root/repo/data/mini_incidents.json')),
@@ -1333,6 +1407,35 @@ object SparkEntry {
          |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
          |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
          |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+    // SimHash: signature = sign-vote over per-OCCURRENCE token xxhash64
+    // bits; chunk masks are the signed-long views of 0xFFFF << 16c;
+    // pairs meet on (chunk, chunk_val) — the pigeonhole join — and
+    // hamming is bit_count of the signed xor, all two's-complement
+    // identical between BIGINT and Java long
+    "q48_dedup_simhash" ->
+      s"""WITH tokc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |$xxhash64Ctes,
+         |bitsums AS (SELECT tc.doc_id, i.i,
+         |   SUM(tc.cnt * CASE WHEN (hs.h >> CAST(i.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         | FROM tokc tc JOIN hashes hs USING (token), range(0, 64) i(i)
+         | GROUP BY 1, 2),
+         |sg AS (SELECT doc_id,
+         |   CAST(SUM(CASE WHEN s > 0 AND i < 32 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS HUGEINT)
+         |   + CAST(SUM(CASE WHEN s > 0 AND i >= 32 THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END) AS HUGEINT) * $xxB32 AS su
+         | FROM bitsums GROUP BY doc_id),
+         |sigs AS (SELECT doc_id,
+         |   CAST(CASE WHEN su >= 9223372036854775808 THEN su - $xxB64 ELSE su END AS BIGINT) AS simhash
+         | FROM sg),
+         |masks AS (SELECT * FROM (VALUES (0, 65535::BIGINT), (1, 4294901760::BIGINT),
+         |   (2, 281470681743360::BIGINT), (3, -281474976710656::BIGINT)) m(chunk, mask)),
+         |chunked AS (SELECT doc_id, simhash, chunk, simhash & mask AS chunk_val FROM sigs, masks),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         | FROM chunked a JOIN chunked b
+         |   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q49_vec_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
