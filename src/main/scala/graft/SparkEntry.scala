@@ -613,6 +613,9 @@ object SparkEntry {
     "q57_dedup_groups" -> Seq("documents"),
     "q87_incremental_neardup" -> Seq("documents"),
     "q49_vec_norms" -> Seq("embeddings"),
+    "q51_knn_lsh" -> Seq("embeddings"),
+    "q52_embed_neardup" -> Seq("embeddings"),
+    "q59_embed_groups" -> Seq("embeddings"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -856,6 +859,58 @@ object SparkEntry {
        |   CAST(CASE WHEN f4 >= 9223372036854775808 THEN f4 - $xxB64 ELSE f4 END AS BIGINT) AS h
        | FROM x6)""".stripMargin
   }
+
+  /** XXH64.hashInt(input, seed) as a lateral-alias CTE column chain —
+    * the int-hashing path has no byte loops, so it is a dozen pure
+    * HUGEINT expressions. `pref` isolates the intermediate column names
+    * so chains can stack (hash of a hash). */
+  private def xxHashIntCte(src: String, out: String, inp: String,
+                           seedExpr: String, pref: String): String =
+    s"""$out AS (SELECT *,
+       |   ($seedExpr + $xxP5 + 4) % $xxB64 AS ${pref}h0,
+       |   xor(${pref}h0, (CAST($inp AS HUGEINT)*$xxP1) % $xxB64) AS ${pref}a,
+       |   (${xxMul(xxRot(pref + "a", 23), xxP2)} + $xxP3) % $xxB64 AS ${pref}b,
+       |   xor(${pref}b, ${pref}b//8589934592) AS ${pref}f0,
+       |   ${xxMul(pref + "f0", xxP2)} AS ${pref}f1,
+       |   xor(${pref}f1, ${pref}f1//536870912) AS ${pref}f2,
+       |   ${xxMul(pref + "f2", xxP3)} AS ${pref}f3,
+       |   xor(${pref}f3, ${pref}f3//4294967296) AS ${pref}h
+       | FROM $src)""".stripMargin
+
+  /** The hyperplane-LSH machinery of [[graft.functions.LshBuckets]] in
+    * DuckDB: plane component pc(p, i) = xxhash64-int-fold(i, (p, 42)) /
+    * Long.MaxValue, per-vector per-plane projections as an ORDERED
+    * ascending-index fold (bit-matching the expression's accumulation
+    * order), and sign bits packed per table. 64 global planes serve
+    * both the 8×8 (near-dup/groups) and 4×16 (top-k) layouts. Produces
+    * CTEs up to `vp`(vec_id, p, proj); pack with [[lshBucketedCte]]. */
+  private def lshPlaneCtes: String =
+    s"""grid AS (SELECT p.p, i.i FROM range(0, 64) p(p), range(0, 64) i(i)),
+       |${xxHashIntCte("grid", "g1", "p", "42::HUGEINT", "q_")},
+       |${xxHashIntCte("g1", "g2", "i", "q_h", "r_")},
+       |pcv AS (SELECT p, i,
+       |   CAST(CAST(CASE WHEN r_h >= 9223372036854775808 THEN r_h - $xxB64 ELSE r_h END AS BIGINT) AS DOUBLE)
+       |   / CAST(9223372036854775807 AS DOUBLE) AS pc FROM g2),
+       |pcs AS (SELECT p, list(pc ORDER BY i) AS pcl FROM pcv GROUP BY p),
+       |vp AS (SELECT vec_id, p, list_reduce(
+       |    list_transform(range(1, len(embedding)+1), j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE) * pcl[CAST(j AS INT)]),
+       |    (a, b) -> a + b) AS proj
+       |  FROM embeddings, pcs)""".stripMargin
+
+  private def lshBucketedCte(name: String, planes: Int): String =
+    s"""$name AS (SELECT vec_id, CAST(p // $planes AS BIGINT) AS tbl,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p % $planes AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM vp GROUP BY 1, 2)""".stripMargin
+
+  /** Exact 6-dp cosine over a `vpair`(ida, idb, ea, eb) CTE — the q50
+    * pattern (SUM-of-products matches Spark's fused fold after the
+    * 6-dp round). */
+  private val lshCosineCtes: String =
+    """flat AS (SELECT ida, idb, unnest(ea) AS x, unnest(eb) AS y FROM vpair),
+      |cs AS (SELECT ida, idb,
+      |    ROUND(SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+      |      (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) * SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 6) AS sim
+      |  FROM flat GROUP BY 1, 2)""".stripMargin
 
   private val open511Cte: String =
     """ev AS (SELECT unnest(events) AS e FROM read_json('/root/repo/data/mini_incidents.json')),
@@ -1436,6 +1491,50 @@ object SparkEntry {
          | FROM chunked a JOIN chunked b
          |   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // hyperplane-LSH family: exact oracles via the xxhash64 plane
+    // components (no_oracle in rounds 1-3; the buckets are pure
+    // deterministic arithmetic, so "LSH-found pairs" is recomputable)
+    "q51_knn_lsh" ->
+      s"""WITH $lshPlaneCtes,
+         |${lshBucketedCte("bk", 4)},
+         |cand AS (SELECT DISTINCT q.vec_id AS ida, n.vec_id AS idb
+         |  FROM bk q JOIN bk n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         |  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id),
+         |vpair AS (SELECT c.ida, c.idb, qa.embedding AS ea, qb.embedding AS eb
+         |  FROM cand c JOIN embeddings qa ON qa.vec_id = c.ida
+         |  JOIN embeddings qb ON qb.vec_id = c.idb),
+         |$lshCosineCtes,
+         |ranked AS (SELECT ida AS query_id, idb AS neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS BIGINT) AS rn
+         |  FROM cs)
+         |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
+    "q52_embed_neardup" ->
+      s"""WITH $lshPlaneCtes,
+         |${lshBucketedCte("bk", 8)},
+         |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |vpair AS (SELECT c.ida, c.idb, qa.embedding AS ea, qb.embedding AS eb
+         |  FROM cand c JOIN embeddings qa ON qa.vec_id = c.ida
+         |  JOIN embeddings qb ON qb.vec_id = c.idb),
+         |$lshCosineCtes
+         |SELECT ida AS vec_a, idb AS vec_b, sim FROM cs WHERE sim >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q59_embed_groups" ->
+      s"""WITH RECURSIVE $lshPlaneCtes,
+         |${lshBucketedCte("bk", 8)},
+         |hubs AS (SELECT tbl, bucket, MIN(vec_id) AS hub FROM bk GROUP BY 1, 2),
+         |cedge AS (SELECT DISTINCT h.hub, b.vec_id FROM bk b JOIN hubs h USING (tbl, bucket)
+         |  WHERE b.vec_id <> h.hub),
+         |vpair AS (SELECT c.hub AS ida, c.vec_id AS idb, he.embedding AS ea, ve.embedding AS eb
+         |  FROM cedge c JOIN embeddings he ON he.vec_id = c.hub
+         |  JOIN embeddings ve ON ve.vec_id = c.vec_id),
+         |$lshCosineCtes,
+         |edges AS (SELECT ida AS a, idb AS b FROM cs WHERE sim >= 0.9),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |r(a, b) AS (SELECT vec_id, vec_id FROM embeddings
+         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
+         |SELECT a AS vec_id, MIN(b) AS group_id FROM r GROUP BY a ORDER BY vec_id""".stripMargin,
     "q49_vec_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
