@@ -116,11 +116,18 @@ object Dedup {
     * serve-path form. */
   def ngramContainmentFrom(sh: DataFrame, minContainment: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // n_common is symmetric: join each unordered pair ONCE (a < b) and
+    // mirror after the count — halves the self-join's probe volume and
+    // the aggregation's group count vs the a ≠ b form (containment
+    // emits both directions, but their shared-shingle count is one
+    // number)
     val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val sym = common.unionByName(common.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("n_common")))
+    sym
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
       .withColumn("containment", round(col("n_common").cast("double") / col("sh_a"), 6))
       .filter(col("containment") >= minContainment)
@@ -154,8 +161,10 @@ object Dedup {
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
     val stop = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+    // unordered pairs once (a < b), mirrored after the counts — see
+    // [[ngramContainmentFrom]]; the recount join volume halves too
     val rareCommon = indexed.as("a").join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_rare"))
     val stopCommon = rareCommon.select(col("doc_a"), col("doc_b"))
@@ -165,7 +174,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_stop"))
     val full = rareCommon.join(stopCommon, Seq("doc_a", "doc_b"), "left")
       .withColumn("n_common", col("n_rare") + coalesce(col("n_stop"), lit(0L)))
-    full
+    val sym = full.select(col("doc_a"), col("doc_b"), col("n_common"))
+      .unionByName(full.select(
+        col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("n_common")))
+    sym
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
       .withColumn("containment", round(col("n_common").cast("double") / col("sh_a"), 6))
       .filter(col("containment") >= minContainment)
