@@ -423,7 +423,7 @@ object SparkEntry {
     // the dense ANN family
     "q100_sparse_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      graft.sim.SparseSim.shingleTfidfTopKFrom(
+      graft.sim.SparseSim.shingleTfidfTopKCached(d,
         graft.dedup.Dedup.shinglesCached(d, docs, 3), graft.ops.Scalar.count(docs), 3)
     }),
     // int8 scalar quantization of the embedding column + exact
@@ -436,7 +436,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val sh = graft.dedup.Dedup.shinglesCached(d, docs, 3)
       val sparse = graft.sim.SparseSim
-        .shingleTfidfTopKFrom(sh, graft.ops.Scalar.count(docs), 5)
+        .shingleTfidfTopKCached(d, sh, graft.ops.Scalar.count(docs), 5)
         .select(col("a_id").as("query_id"), col("b_id").as("item_id"), col("rn"))
       // 0.05 floor: pairs below it can never reach a top-5 in practice
       // and the floor keeps the mirrored window input (and the oracle's)

@@ -89,6 +89,28 @@ object SparseSim {
                            maxDf: Long = 1000L,
                            headroomOverride: Long = 0L): DataFrame = {
     val (posts, norms) = weightedFrom(sh, nDocs)
+    serveTopK(posts, norms, nDocs, k, maxDf, headroomOverride)
+  }
+
+  /** Session-scoped cache of the weighted-postings artifacts (posts is
+    * localCheckpointed by [[weightedFrom]]) — the build-once/serve-many
+    * split the shingle/IVF/PQ caches use. The tf-idf index is built
+    * once per (session, corpus) and served by every consumer (top-k,
+    * rank fusion). Same applicationId eviction hygiene as the others. */
+  private val tfidfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+
+  def shingleTfidfTopKCached(corpusKey: String, sh: DataFrame, nDocs: Long,
+                             k: Int, maxDf: Long = 1000L): DataFrame = {
+    val appId = sh.sparkSession.sparkContext.applicationId
+    tfidfCache.keySet.removeIf(_._1 != appId)
+    val (posts, norms) = tfidfCache.computeIfAbsent((appId, corpusKey),
+      _ => weightedFrom(sh, nDocs))
+    serveTopK(posts, norms, nDocs, k, maxDf, headroomOverride = 0L)
+  }
+
+  private def serveTopK(posts: DataFrame, norms: DataFrame, nDocs: Long, k: Int,
+                        maxDf: Long, headroomOverride: Long): DataFrame = {
     val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
     // wmax = idf of the rarest joinable shingle (df = 2); ≥ 1 so the
     // division below never zeroes (at nDocs <= 2 every weight is 0)
