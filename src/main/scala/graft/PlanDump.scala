@@ -68,7 +68,17 @@ object PlanDump {
       "per-status conditional partials — no distinct-collect pre-pass, one scan"),
     "q127_bm25" -> ("BM25 = the same checkpointed-postings self-join as q100 with a " +
       "shared-idf long sum; the per-doc saturation factor joins the tiny length table — " +
-      "asymmetry without a second pair pass")
+      "asymmetry without a second pair pass"),
+    "q141_jaccard_capped" -> ("the 100 TB dedup form: stop-shingles (df > maxDf) are " +
+      "filtered out of the posting table BEFORE the self-join, killing the df² candidate " +
+      "blow-up; the exact recount joins only the (tiny) stop postings of surviving pairs " +
+      "— the full shingle table never re-enters the plan"),
+    "q142_containment_capped" -> ("same capped index as q141; unordered pairs join ONCE " +
+      "(a < b) and both directions emit from a group-level union after the count — the " +
+      "direction fan-out costs no second self-join"),
+    "q143_join_right" -> ("right outer join: Catalyst plans the side-swap (a " +
+      "ShuffledHashJoin/SortMergeJoin with the null-extended customer side preserved " +
+      "through the aggregation) — same physical family as q12's left form")
   )
 
   def main(args: Array[String]): Unit = {
