@@ -46,9 +46,14 @@ object Bench {
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // optional arg: comma-separated query-name prefixes (iteration aid;
+    // the driver passes no args = full surface)
+    val only: Option[Seq[String]] =
+      args.headOption.map(_.split(",").toSeq)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.forall(_.exists(name.startsWith))) {
       val t0 = System.nanoTime()
       try {
         // noop sink, not count(): count() lets Catalyst prune projections
@@ -63,6 +68,7 @@ object Bench {
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
         System.err.println(s"[bench] $name FAILED — $msg")
         errors(name) = msg
+      }
       }
     }
     // The harness captures only the LAST ~2000 chars of stdout; a JSON line

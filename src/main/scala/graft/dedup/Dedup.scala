@@ -158,9 +158,15 @@ object Dedup {
   def ngramContainmentCappedFrom(sh: DataFrame, minContainment: Double,
                                  maxDf: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // indexed feeds both self-join sides and stop feeds both recount
+    // sides; un-materialized, projection collapse re-inlines the df
+    // aggregation into EVERY consumer (8 full shingle aggs observed in
+    // the q141 plan). One checkpoint each = one df pass total.
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
+      .localCheckpoint()
     val stop = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+      .localCheckpoint()
     // unordered pairs once (a < b), mirrored after the counts — see
     // [[ngramContainmentFrom]]; the recount join volume halves too
     val rareCommon = indexed.as("a").join(indexed.as("b"),
@@ -211,9 +217,13 @@ object Dedup {
   def ngramJaccardCappedFrom(sh: DataFrame, minJaccard: Double,
                              maxDf: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // materialize the derived posting tables once — see
+    // [[ngramContainmentCappedFrom]]'s re-inlining note
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
+      .localCheckpoint()
     val stop = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+      .localCheckpoint()
     val rareCommon = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
