@@ -592,7 +592,17 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainmentCappedFrom(
         graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.5, 10)),
     "q143_join_right" -> ((s, d) =>
-      Joins.ordersPerCustomerRight(Tables.orders(s, d), Tables.customer(s, d)))
+      Joins.ordersPerCustomerRight(Tables.orders(s, d), Tables.customer(s, d))),
+    // the q69 trick for IVF-PQ: with EVERY cell probed and refine beyond
+    // the corpus size, the ADC stage selects everything and the exact
+    // re-rank must equal brute force — grading the whole pipeline
+    // (cells, codes, LUT, bounded heap, re-rank) independent of the
+    // k-means internals. q92 stays the approximate-parameters demo.
+    "q144_knn_ivfpq_exhaustive" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.PQ.pqTopKCached(d, e.filter(col("vec_id") < 8), e, 5,
+        nlist = 16, m = 8, ksub = 32, nprobe = 16, refine = Int.MaxValue)
+    })
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -616,6 +626,7 @@ object SparkEntry {
     "q51_knn_lsh" -> Seq("embeddings"),
     "q52_embed_neardup" -> Seq("embeddings"),
     "q59_embed_groups" -> Seq("embeddings"),
+    "q144_knn_ivfpq_exhaustive" -> Seq("embeddings"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -961,6 +972,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q69_knn_ivf" -> knnExactSql,
+    // exhaustive-parameters PQ == brute force (see the queries entry)
+    "q144_knn_ivfpq_exhaustive" -> knnExactSql,
     "q88_stratified_sample" ->
       """WITH ranked AS (SELECT doc_id, lang, source,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
