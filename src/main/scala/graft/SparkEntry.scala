@@ -602,7 +602,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       graft.sim.PQ.pqTopKCached(d, e.filter(col("vec_id") < 8), e, 5,
         nlist = 16, m = 8, ksub = 32, nprobe = 16, refine = Int.MaxValue)
-    })
+    }),
+    "q145_fuzzy_join" -> ((s, d) =>
+      graft.dedup.Fuzzy.editDistanceJoin(Tables.part(s, d), "p_name", 2)),
+    "q146_cusum" -> ((s, d) =>
+      graft.quality.Drift.cusumDailyCounts(Tables.events(s, d))),
+    "q147_dedup_rep" -> ((s, d) =>
+      graft.dedup.Dedup.dedupGroupRepresentatives(Tables.documents(s, d), 3, 8, 4))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -627,6 +633,7 @@ object SparkEntry {
     "q52_embed_neardup" -> Seq("embeddings"),
     "q59_embed_groups" -> Seq("embeddings"),
     "q144_knn_ivfpq_exhaustive" -> Seq("embeddings"),
+    "q147_dedup_rep" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -1439,6 +1446,26 @@ object SparkEntry {
          |r(a, b) AS (SELECT doc_id, doc_id FROM documents
          |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
          |SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q57's CC chain + per-group argmax by token count (keep-best curation)
+    "q147_dedup_rep" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
+         |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
+         |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |r(a, b) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b),
+         |g AS (SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a),
+         |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT g.group_id, g.doc_id, t.n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY g.group_id
+         |      ORDER BY t.n_tokens DESC, g.doc_id) AS rn
+         |  FROM g JOIN t USING (doc_id))
+         |SELECT group_id, MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+         |  MIN(CASE WHEN rn = 1 THEN n_tokens END) AS rep_tokens,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM j GROUP BY group_id ORDER BY group_id""".stripMargin,
     "q55_curate" ->
       s"""WITH q AS (SELECT doc_id, lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2368,6 +2395,36 @@ object SparkEntry {
       s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
          |  COALESCE(${m("o_totalprice")}, 0.0) AS total_spent
          |FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
-         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    // all-pairs over the (distinct-compressed) dictionary is fine as an
+    // ORACLE; the Spark side goes through SymSpell deletion buckets
+    "q145_fuzzy_join" ->
+      """WITH v AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM v a JOIN v b ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // CUSUM via the prefix-sum identity: C+ = S - min(0, running_min(S));
+    // window SUM over BIGINT is HUGEINT in DuckDB -> cast back
+    "q146_cusum" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+        |    FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS days FROM daily),
+        |m AS (SELECT day, cnt, (tot * 1000000) // days AS mu,
+        |    (((tot * 1000000) // days) * 10) // 100 AS slack,
+        |    (((tot * 1000000) // days) * 300) // 100 AS h
+        |  FROM daily, tot),
+        |s AS (SELECT day, cnt, h,
+        |    SUM(cnt * 1000000 - mu - slack) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_up,
+        |    SUM(mu - slack - cnt * 1000000) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_dn
+        |  FROM m),
+        |c AS (SELECT day, cnt, h,
+        |    CAST(s_up - LEAST(0, MIN(s_up) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_up,
+        |    CAST(s_dn - LEAST(0, MIN(s_dn) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_dn
+        |  FROM s)
+        |SELECT day, cnt, cusum_up, cusum_dn,
+        |  (cusum_up > h OR cusum_dn > h) AS shifted
+        |FROM c ORDER BY day""".stripMargin
   )
 }

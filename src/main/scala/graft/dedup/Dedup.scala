@@ -337,6 +337,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Representative selection over near-dup groups — "keep the BEST
+    * document per cluster", the curation rule production pipelines use
+    * instead of keep-first (the longest copy of a syndicated article
+    * usually carries the least truncation). Groups come from
+    * [[minhashDedupGroups]]; the winner is argmax token count with
+    * min-doc_id tiebreak; each group row also reports its size and how
+    * many tokens survive vs. were scanned (the dedup "token yield").
+    *
+    * Scale shape: the group table is doc-cardinality; the argmax is one
+    * window over it partitioned by group_id (hash-distributed, no
+    * global sort) plus one group-keyed hash agg. Nothing beyond the CC
+    * machinery touches text twice. */
+  def dedupGroupRepresentatives(documents: DataFrame, n: Int, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
+    val groups = minhashDedupGroups(documents, n, bands, rowsPerBand)
+    val toks = documents.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    groups.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("group_id"))
+      .agg(
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_tokens"))).as("rep_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("group_id"))
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles appear anywhere in `evalSet` (the
     * train-set hygiene check every LLM pipeline runs before training).

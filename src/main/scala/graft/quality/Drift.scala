@@ -71,6 +71,52 @@ object Drift {
     * Scale shape: three hash aggs (cells, row margins, col margins) of
     * which two are broadcast back; the 1-row total joins as a broadcast
     * nested loop. Nothing larger than the cell table shuffles. */
+  /** CUSUM changepoint detection over the daily event count — the
+    * sequential "did ingest volume shift" alarm that PSI's two-snapshot
+    * comparison can't give. Classic one-sided CUSUMs against the series'
+    * own mean with slack k: C⁺ᵢ = max(0, C⁺ᵢ₋₁ + (xᵢ − μ − k)) flags
+    * sustained upward drift, C⁻ᵢ symmetric for downward; a flag raises
+    * when either exceeds h·μ.
+    *
+    * Determinism/portability: the recursion is rewritten as the
+    * prefix-sum identity C⁺ᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ) with
+    * Sᵢ = Σ(xⱼ − μ − k) — two plain window functions (running sum +
+    * running min), no iterative loop. μ is folded to integer micro-units
+    * via long division (exact, order-free), so the whole series is exact
+    * long arithmetic — no doubles anywhere.
+    *
+    * Scale shape: one corpus-sized hash agg to daily counts, then every
+    * window runs over the day-cardinality table (thousands of rows at
+    * any corpus size). The unpartitioned windows are safe for exactly
+    * that reason. */
+  def cusumDailyCounts(events: DataFrame, slackPct: Int = 10,
+                       thresholdPct: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    // μ and the slack/threshold in micro-units, exact via long division
+    val tot = daily.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("days"))
+    val withMu = daily.crossJoin(broadcast(tot))
+      .withColumn("mu", expr("(tot * 1000000) div days"))
+      // integer `div`, not `/` (Spark `/` on longs is double division)
+      .withColumn("slack", expr(s"(mu * $slackPct) div 100"))
+      .withColumn("h", expr(s"(mu * $thresholdPct) div 100"))
+    val up = col("cnt") * 1000000L - col("mu") - col("slack")
+    val dn = col("mu") - col("slack") - col("cnt") * 1000000L
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = col("h")
+    withMu
+      .withColumn("s_up", sum(up).over(wRun))
+      .withColumn("s_dn", sum(dn).over(wRun))
+      .withColumn("cusum_up", col("s_up") - least(lit(0L), min(col("s_up")).over(wRun)))
+      .withColumn("cusum_dn", col("s_dn") - least(lit(0L), min(col("s_dn")).over(wRun)))
+      .select(col("day"), col("cnt"), col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > h || col("cusum_dn") > h).as("shifted"))
+      .orderBy(col("day"))
+  }
+
   def chiSquareCells(df: DataFrame, a: String, b: String): DataFrame = {
     // NULL categories appear in the margins (groupBy keeps them), so the
     // cell lookup must be null-SAFE: a plain equality join would give a

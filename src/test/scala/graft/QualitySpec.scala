@@ -202,4 +202,40 @@ class QualitySpec extends AnyFunSuite {
     assert(e(2L) == 2.0)
     assert(e(3L) == 1.0)
   }
+
+  // one event per (day, i), ts in long nanos as the events table carries
+  private def eventsWithCounts(countsByDay: Seq[Long]) =
+    countsByDay.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => (d.toLong * 86400000000000L + i * 1000000L, i))
+    }.toDF("ts", "i")
+
+  test("cusum: prefix-sum form == the direct max(0, ...) recursion") {
+    val counts = Seq(100L, 90L, 110L, 100L, 250L, 260L, 240L, 30L, 20L, 100L)
+    val got = graft.quality.Drift.cusumDailyCounts(eventsWithCounts(counts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the textbook recursion, same integer micro-unit arithmetic
+    val tot = counts.sum
+    val mu = tot * 1000000L / counts.length
+    val slack = mu * 10L / 100L
+    var (cu, cd) = (0L, 0L)
+    val want = counts.zipWithIndex.map { case (c, d) =>
+      cu = math.max(0L, cu + (c * 1000000L - mu - slack))
+      cd = math.max(0L, cd + (mu - slack - c * 1000000L))
+      (d.toLong, c, cu, cd)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("cusum: constant series never accumulates or flags") {
+    val out = graft.quality.Drift.cusumDailyCounts(eventsWithCounts(Seq.fill(12)(50L)))
+      .collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && !r.getBoolean(4)))
+  }
+
+  test("cusum: sustained level shift raises the flag") {
+    val out = graft.quality.Drift
+      .cusumDailyCounts(eventsWithCounts(Seq.fill(10)(100L) ++ Seq.fill(10)(300L)))
+      .collect()
+    assert(out.exists(_.getBoolean(4)), "shifted series must flag")
+  }
 }

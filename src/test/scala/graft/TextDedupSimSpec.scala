@@ -500,4 +500,24 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
     assert(rows.toSeq == Dedup.semanticDedup(all, 0.95).collect().toSeq, "must be deterministic")
   }
+
+  test("dedupGroupRepresentatives: argmax tokens per CC group, exact totals") {
+    val groups = Dedup.minhashDedupGroups(docs, 3, 8, 4)
+    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+    val reps = Dedup.dedupGroupRepresentatives(docs, 3, 8, 4).collect()
+    val best = groups.join(toks, "doc_id")
+      .groupBy("group_id")
+      .agg(max(col("n_tokens")).as("best"), count(lit(1)).as("sz"),
+        sum(col("n_tokens")).as("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reps.length == best.size, "one row per group")
+    val tokOf = toks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.foreach { r =>
+      val (group, rep, repTok, n, tot) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(repTok == best(group)._1, s"group $group winner is not argmax")
+      assert(tokOf(rep) == repTok, "rep_tokens must be the winner's own count")
+      assert(n == best(group)._2 && tot == best(group)._3)
+    }
+  }
 }
