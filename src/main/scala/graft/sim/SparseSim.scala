@@ -100,17 +100,29 @@ object SparseSim {
   private val tfidfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
 
+  /** The (a_id < b_id, dot) exact-long dot-product pair table is
+    * k-INDEPENDENT — q100 (k=3) and the fusion leg (k=5) rank the same
+    * pairs — so it caches separately from the postings, keyed by the
+    * df cap that shapes it. */
+  private val dotsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
+
   def shingleTfidfTopKCached(corpusKey: String, sh: DataFrame, nDocs: Long,
                              k: Int, maxDf: Long = 1000L): DataFrame = {
     val appId = sh.sparkSession.sparkContext.applicationId
     tfidfCache.keySet.removeIf(_._1 != appId)
+    dotsCache.keySet.removeIf(_._1 != appId)
     val (posts, norms) = tfidfCache.computeIfAbsent((appId, corpusKey),
       _ => weightedFrom(sh, nDocs))
-    serveTopK(posts, norms, nDocs, k, maxDf, headroomOverride = 0L)
+    val dots = dotsCache.computeIfAbsent((appId, corpusKey, maxDf),
+      _ => dotPairs(posts, nDocs, maxDf, headroomOverride = 0L).localCheckpoint())
+    topKFromDots(dots, norms, k)
   }
 
-  private def serveTopK(posts: DataFrame, norms: DataFrame, nDocs: Long, k: Int,
-                        maxDf: Long, headroomOverride: Long): DataFrame = {
+  /** Exact micro-unit dot products for every co-shingled (a < b) pair
+    * with the per-pair overflow-headroom guard. */
+  private def dotPairs(posts: DataFrame, nDocs: Long, maxDf: Long,
+                       headroomOverride: Long): DataFrame = {
     val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
     // wmax = idf of the rarest joinable shingle (df = 2); ≥ 1 so the
     // division below never zeroes (at nDocs <= 2 every weight is 0)
@@ -118,7 +130,7 @@ object SparseSim {
     val headroom =
       if (headroomOverride > 0) headroomOverride
       else Long.MaxValue / (wmax * wmax) / 2
-    val dots = joinable.select(col("doc_id").as("a_id"), col("shingle"), col("w").as("wa"))
+    joinable.select(col("doc_id").as("a_id"), col("shingle"), col("w").as("wa"))
       .join(joinable.select(col("doc_id").as("b_id"), col("shingle"), col("w").as("wb")),
         "shingle")
       .filter(col("a_id") < col("b_id"))
@@ -131,6 +143,10 @@ object SparseSim {
           lit(s" shingles, past the exact-long headroom $headroom — widen the"),
           lit(" accumulator to decimal or tighten maxDf")))))
       .drop("n_sh")
+  }
+
+  /** Cosine scoring + per-query top-k over a prebuilt dot table. */
+  private def topKFromDots(dots: DataFrame, norms: DataFrame, k: Int): DataFrame = {
     // mirror once so every doc ranks its neighbors
     val sym = dots.unionByName(dots.select(col("b_id").as("a_id"),
       col("a_id").as("b_id"), col("dot")))
@@ -145,6 +161,10 @@ object SparseSim {
       .select(col("a_id"), col("b_id"), col("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
+
+  private def serveTopK(posts: DataFrame, norms: DataFrame, nDocs: Long, k: Int,
+                        maxDf: Long, headroomOverride: Long): DataFrame =
+    topKFromDots(dotPairs(posts, nDocs, maxDf, headroomOverride), norms, k)
 
   /** BM25 top-k retrieval, documents-as-queries, over the same distinct-
     * shingle inverted index as [[shingleTfidfTopK]]. With distinct

@@ -501,6 +501,32 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.toSeq == Dedup.semanticDedup(all, 0.95).collect().toSeq, "must be deterministic")
   }
 
+  test("scored-pair serve paths == self-building forms (jaccard/containment/capped)") {
+    val sh = Dedup.shingles(docs, 3).localCheckpoint()
+    val pairs = Dedup.coShinglePairs(sh).localCheckpoint()
+    assert(Dedup.ngramJaccardScored(pairs, 0.2).collect().toSeq ==
+      Dedup.ngramJaccardFrom(sh, 0.2).collect().toSeq)
+    assert(Dedup.ngramContainmentScored(pairs, 0.5).collect().toSeq ==
+      Dedup.ngramContainmentFrom(sh, 0.5).collect().toSeq)
+    val capped = Dedup.cappedCommonPairs(sh, 10).localCheckpoint()
+    assert(Dedup.ngramJaccardCappedScore(sh, capped, 0.2).collect().toSeq ==
+      Dedup.ngramJaccardCappedFrom(sh, 0.2, 10).collect().toSeq)
+    assert(Dedup.ngramContainmentCappedScore(sh, capped, 0.5).collect().toSeq ==
+      Dedup.ngramContainmentCappedFrom(sh, 0.5, 10).collect().toSeq)
+  }
+
+  test("capped pair counts agree with uncapped on pairs sharing a rare shingle") {
+    val sh = Dedup.shingles(docs, 3).localCheckpoint()
+    val un = Dedup.coShinglePairs(sh)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+    val cap = Dedup.cappedCommonPairs(sh, 10)
+    val disagree = cap.as("c").join(un.as("u"), Seq("doc_a", "doc_b"))
+      .filter(col("c.n_common") =!= col("u.n_common")).count()
+    assert(disagree == 0, "capped recount must be exact where it emits")
+    // capped pairs are a subset of uncapped (candidates need a rare shingle)
+    assert(cap.join(un, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+  }
+
   test("dedupGroupRepresentatives: argmax tokens per CC group, exact totals") {
     val groups = Dedup.minhashDedupGroups(docs, 3, 8, 4)
     val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
