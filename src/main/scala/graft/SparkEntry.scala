@@ -448,10 +448,10 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       val jsym = jp.select(col("doc_a").as("query_id"), col("doc_b").as("item_id"), col("jaccard"))
         .unionByName(jp.select(col("doc_b").as("query_id"), col("doc_a").as("item_id"), col("jaccard")))
-      val jw = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-        .orderBy(col("jaccard").desc, col("item_id"))
-      val jacc = jsym.withColumn("rn", row_number().over(jw).cast("long"))
-        .filter(col("rn") <= 5).select(col("query_id"), col("item_id"), col("rn"))
+      // bounded-heap top-k: the mirrored pair table never gets sorted
+      val jacc = graft.plans.TopK.topKPerKey(jsym, Seq("query_id"),
+          Seq(("jaccard", false), ("item_id", true)), 5)
+        .select(col("query_id"), col("item_id"), col("rn"))
       graft.sim.Fusion.rrf(Seq(sparse, jacc), 60, 5)
     }),
     // materialized-view refresh: base STATE ⊕ agg(delta) — the base

@@ -198,14 +198,20 @@ object Rollups {
     * conditional aggregate against those same values, all inside the
     * one grouped pass (percentile + count_if share the shuffle). */
   def priceBoxplot(lineitem: DataFrame): DataFrame = {
+    // ONE array-percentile agg (one sort buffer, not three) — and the
+    // group-cardinality result is materialized so the value-buffering
+    // aggregation doesn't re-run for each of its two consumers below
     val qs = lineitem.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"))
       .withColumn("iqr", round(col("p75") - col("p25"), 4))
       .withColumn("lo_fence", round(col("p25") - col("iqr") * 1.5, 4))
       .withColumn("hi_fence", round(col("p75") + col("iqr") * 1.5, 4))
+      .localCheckpoint()
     // second pass counts outliers against the broadcast fences (an
     // aggregate can't reference a sibling aggregate in one pass)
     val outliers = lineitem

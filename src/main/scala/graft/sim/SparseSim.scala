@@ -145,19 +145,22 @@ object SparseSim {
       .drop("n_sh")
   }
 
-  /** Cosine scoring + per-query top-k over a prebuilt dot table. */
+  /** Cosine scoring + per-query top-k over a prebuilt dot table. The
+    * ranking goes through the bounded-heap [[graft.plans.TopK]] exec
+    * (window + row_number would SORT every a_id partition of the
+    * mirrored pair table; the heap keeps k per key in one pass —
+    * equality with the window form is ExtensionsSpec-gated). */
   private def topKFromDots(dots: DataFrame, norms: DataFrame, k: Int): DataFrame = {
     // mirror once so every doc ranks its neighbors
     val sym = dots.unionByName(dots.select(col("b_id").as("a_id"),
       col("a_id").as("b_id"), col("dot")))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
-    sym
+    val scored = sym
       .join(norms.select(col("doc_id").as("a_id"), col("norm").as("na")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("norm").as("nb")), "b_id")
       .withColumn("sim",
         round((col("dot").cast("double") / lit(1e12)) / (col("na") * col("nb")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    graft.plans.TopK.topKPerKey(scored, Seq("a_id"),
+        Seq(("sim", false), ("b_id", true)), k)
       .select(col("a_id"), col("b_id"), col("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
@@ -204,14 +207,14 @@ object SparseSim {
       .agg(sum(col("w")).as("sidf"))
     val sym = dots.select(col("qa").as("query_id"), col("qb").as("doc_id"), col("sidf"))
       .unionByName(dots.select(col("qb").as("query_id"), col("qa").as("doc_id"), col("sidf")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    sym
+    val scored = sym
       .join(lens.select(col("doc_id"), col("len").as("len_b")), "doc_id")
       .withColumn("score",
         round((col("sidf").cast("double") / lit(1e6)) * lit(k1 + 1.0) /
           (lit(1.0) + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_b") / lit(avgdl))), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    // bounded-heap ranking, same as [[topKFromDots]] — no partition sort
+    graft.plans.TopK.topKPerKey(scored, Seq("query_id"),
+        Seq(("score", false), ("doc_id", true)), k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }

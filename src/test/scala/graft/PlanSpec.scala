@@ -236,6 +236,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"single-partition stage in islands plan:\n$p")
   }
 
+  test("fuzzy join: deletion-bucket equi-join, never a cartesian verify") {
+    val p = planOf("q145_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join fell back to all-pairs:\n$p")
+    assert(p.contains("variant"), s"no variant-key join in plan:\n$p")
+  }
+
+  test("cusum: corpus reduces to daily counts before any window") {
+    val p = planOf("q146_cusum")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial+final reduction to days:\n$p")
+    // the single-partition windows are over the day-cardinality table
+    // only — the events scan must feed an aggregate, not a window
+    val scanIdx = p.indexOf("FileScan")
+    val winIdx = p.indexOf("Window")
+    assert(scanIdx >= 0 && winIdx >= 0, s"missing scan/window:\n$p")
+  }
+
+  test("dedup representatives: argmax window partitions on group_id") {
+    val p = planOf("q147_dedup_rep")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rep selection:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("group_id")),
+      s"argmax window not keyed by group_id:\n${winLines.mkString("\n")}")
+  }
+
   test("rare-token join moves (doc,type) rows, never raw occurrences") {
     val q = SparkEntry.queries("q117_rare_tokens")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
