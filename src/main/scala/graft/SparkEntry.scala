@@ -619,7 +619,15 @@ object SparkEntry {
     "q146_cusum" -> ((s, d) =>
       graft.quality.Drift.cusumDailyCounts(Tables.events(s, d))),
     "q147_dedup_rep" -> ((s, d) =>
-      graft.dedup.Dedup.dedupGroupRepresentatives(Tables.documents(s, d), 3, 8, 4))
+      graft.dedup.Dedup.dedupGroupRepresentatives(Tables.documents(s, d), 3, 8, 4)),
+    "q148_entity_resolution" -> ((s, d) =>
+      graft.dedup.Fuzzy.entityResolution(Tables.part(s, d), "p_name", "p_partkey", 2)),
+    "q149_winsorized_mean" -> ((s, d) =>
+      graft.quality.Filters.winsorizedMeans(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
+    "q150_quantile_norm" -> ((s, d) =>
+      graft.ops.Windows.quantileNormalize(Tables.documents(s, d), "source",
+        size(split(col("text"), " ")).cast("long"), "n_tokens", "doc_id"))
   )
 
   /** Queries whose oracle references the documents/embeddings tables —
@@ -645,6 +653,7 @@ object SparkEntry {
     "q59_embed_groups" -> Seq("embeddings"),
     "q144_knn_ivfpq_exhaustive" -> Seq("embeddings"),
     "q147_dedup_rep" -> Seq("documents"),
+    "q150_quantile_norm" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -2416,6 +2425,52 @@ object SparkEntry {
         |  a.n AS n_a, b.n AS n_b
         |FROM v a JOIN v b ON a.name < b.name AND levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+    // fuzzy edges -> transitive closure -> min-id entity, most-frequent
+    // canonical (the q57 recursive-CC shape over levenshtein edges)
+    "q148_entity_resolution" ->
+      """WITH RECURSIVE v AS (SELECT p_name AS name, COUNT(*) AS n,
+        |    MIN(p_partkey) AS id FROM part GROUP BY 1),
+        |e AS (SELECT a.id AS ia, b.id AS ib FROM v a JOIN v b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+        |sym AS (SELECT ia, ib FROM e UNION SELECT ib, ia FROM e),
+        |r(a, b) AS (SELECT id, id FROM v
+        |  UNION SELECT r.a, s.ib FROM r JOIN sym s ON s.ia = r.b),
+        |comp AS (SELECT a AS id, MIN(b) AS entity_id FROM r GROUP BY a),
+        |m AS (SELECT v.name, v.n, v.id, comp.entity_id FROM v JOIN comp USING (id)),
+        |canon AS (SELECT entity_id, name AS canonical FROM (
+        |    SELECT entity_id, name,
+        |      ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY n DESC, name) AS rn
+        |    FROM m) t WHERE rn = 1),
+        |tot AS (SELECT entity_id, COUNT(*) AS n_variants,
+        |    CAST(SUM(n) AS BIGINT) AS n_entity FROM m GROUP BY 1)
+        |SELECT m.name, m.n, m.entity_id, canon.canonical, tot.n_variants, tot.n_entity
+        |FROM m JOIN canon USING (entity_id) JOIN tot USING (entity_id)
+        |ORDER BY name""".stripMargin,
+    // clip at the group's own 4dp-rounded [p05, p95], then an exact
+    // DECIMAL(14,4) sum / count — the Num discipline for the mean
+    "q149_winsorized_mean" ->
+      """WITH qs AS (SELECT l_returnflag,
+        |    ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n, qs.lo, qs.hi,
+        |  CAST(COUNT(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(COUNT(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_clip_hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi) AS DECIMAL(14,4)))
+        |    AS DOUBLE) / COUNT(*) AS win_mean
+        |FROM lineitem l JOIN qs USING (l_returnflag)
+        |GROUP BY l.l_returnflag, qs.lo, qs.hi
+        |ORDER BY l.l_returnflag""".stripMargin,
+    "q150_quantile_norm" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CASE WHEN n_grp = 1 THEN 0.0
+        |    ELSE ROUND(CAST(rn - 1 AS DOUBLE) / (n_grp - 1), 9) END AS pct
+        |FROM (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY len(string_split(text, ' ')), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_grp
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
     // CUSUM via the prefix-sum identity: C+ = S - min(0, running_min(S));
     // window SUM over BIGINT is HUGEINT in DuckDB -> cast back
     "q146_cusum" ->

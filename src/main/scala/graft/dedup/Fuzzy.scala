@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string matching — the edit-distance similarity join behind
@@ -47,6 +48,45 @@ object Fuzzy {
               substr(s, i + 1, j - i - 1), substr(s, j + 1))))))
         .otherwise(array().cast("array<string>"))
     array_distinct(concat(d0, d1, d2))
+  }
+
+  /** Entity resolution over spelling variants: fuzzy-match edges
+    * ([[editDistanceJoin]]) → connected components → one canonical
+    * surface form per entity (the most frequent variant, ties to the
+    * lexicographically smallest). The full record-linkage shape —
+    * block, match, cluster, canonicalize — with every stage the
+    * bucketed/equi-join form.
+    *
+    * `idColumn` supplies a stable long id per value (min over the
+    * value's rows — an agg, never a global row_number), which is what
+    * the CC machinery labels; the entity_id is the cluster's min id.
+    *
+    * Output per distinct value: (name, n, entity_id, canonical,
+    * n_variants, n_entity), ordered by name. */
+  def entityResolution(df: DataFrame, column: String, idColumn: String,
+                       maxEd: Int = 2): DataFrame = {
+    val dict = df.groupBy(col(column).as("name"))
+      .agg(count(lit(1)).as("n"), min(col(idColumn)).as("id"))
+      .localCheckpoint()
+    val edges = editDistanceJoin(df, column, maxEd)
+      .join(dict.select(col("name").as("name_a"), col("id").as("ia")), "name_a")
+      .join(dict.select(col("name").as("name_b"), col("id").as("ib")), "name_b")
+      .select(col("ia"), col("ib"))
+    val comp = graft.cluster.ConnectedComponents
+      .components(dict.select(col("id")), edges)
+      .toDF("id", "entity_id")
+    val m = dict.join(comp, "id")
+    val w = Window.partitionBy(col("entity_id"))
+      .orderBy(col("n").desc, col("name"))
+    val canon = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("name").as("canonical"))
+    val tot = m.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_variants"), sum(col("n")).as("n_entity"))
+    m.join(canon, "entity_id").join(tot, "entity_id")
+      .select(col("name"), col("n"), col("entity_id"), col("canonical"),
+        col("n_variants"), col("n_entity"))
+      .orderBy(col("name"))
   }
 
   /** Edit-distance similarity join over the distinct values of `column`

@@ -172,6 +172,30 @@ object Windows {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-group quantile normalization — map a raw quality score to its
+    * within-group fractional rank, the cross-source score CALIBRATION
+    * step before mixing corpora (a "0.8 quality" from one crawl is not
+    * a "0.8" from another; percentiles are comparable). pct ∈ [0, 1]
+    * is (rank − 1)/(n_group − 1) under a unique tiebreak (idCol), so
+    * the whole column is total-order deterministic and engine-portable
+    * (the [[customerBalanceTiles]] argument); single-member groups pin
+    * to 0. One exchange on the group key, window over group members —
+    * group sizes are corpus-fraction-sized, not corpus-sized. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: Column,
+                        valueName: String, idCol: String): DataFrame = {
+    // project first, rank by the projected NAME: ordering by the raw
+    // expression would re-reference columns the select already dropped
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueName), col(idCol))
+    val grp = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), valueCol.as(valueName))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_grp", count(lit(1)).over(grp))
+      .withColumn("pct", when(col("n_grp") === 1, lit(0.0))
+        .otherwise(round((col("rn") - 1).cast("double") / (col("n_grp") - 1), 9)))
+      .select(col(idCol), col(groupCol), col(valueName), col("pct"))
+      .orderBy(col(idCol))
+  }
+
   /** Distribution ranks — ntile / percent_rank / cume_dist over customer
     * balances per market segment. The ordering carries a unique tiebreak
     * (custkey), making all three rank functions total-order deterministic

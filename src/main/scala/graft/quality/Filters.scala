@@ -35,6 +35,47 @@ object Filters {
       col(column).cast("double") <= hi)
   }
 
+  /** Winsorized mean per group — the robust-location sibling of
+    * [[madOutliers]]: instead of DROPPING tail rows, CLIP values to the
+    * group's own [pLo, pHi] quantiles and average (every row still
+    * votes, outliers just lose leverage — the estimator survey-stats
+    * and metric pipelines prefer when discarding rows biases the
+    * denominator).
+    *
+    * Determinism: group quantiles come from ONE array-percentile agg,
+    * round to 4 dp (the q24-proven cross-engine contract); clipped
+    * values are 4-decimal by construction so the mean is an exact
+    * DECIMAL sum ÷ count — one final double division (the
+    * [[graft.ops.Num]] discipline).
+    *
+    * Scale shape: one buffering percentile agg to group cardinality
+    * (materialized once — the [[graft.ops.Rollups.priceBoxplot]]
+    * lesson), broadcast back, then one codegen'd clip + hash agg pass.
+    * No window, no sort, nothing corpus-sized shuffles twice. */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val qs = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("ps"))
+      .select(col(groupCol),
+        round(element_at(col("ps"), 1), 4).as("lo"),
+        round(element_at(col("ps"), 2), 4).as("hi"))
+      .localCheckpoint()
+    val v = col(valueCol).cast("double")
+    val clipped = least(greatest(v, col("lo")), col("hi"))
+      .cast(org.apache.spark.sql.types.DecimalType(14, 4))
+    df.join(broadcast(qs), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        (sum(clipped).cast("double") / count(lit(1))).as("win_mean"))
+      .select(col(groupCol), col("n"), col("lo"), col("hi"),
+        col("n_clip_lo"), col("n_clip_hi"), col("win_mean"))
+      .orderBy(col(groupCol))
+  }
+
   /** Robust (median/MAD) outlier filter — the curation-pipeline
     * companion to [[quantileBand]]: quantile bands need a chosen
     * percentile, MAD adapts to the data's own spread and is immune to

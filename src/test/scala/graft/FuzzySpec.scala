@@ -52,4 +52,26 @@ class FuzzySpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("entityResolution: edges stay in-cluster, canonical is the modal variant") {
+    val p = Tables.part(spark, sf)
+    val r = Fuzzy.entityResolution(p, "p_name", "p_partkey", 2).collect()
+    val entityOf = r.map(x => x.getString(0) -> x.getLong(2)).toMap
+    // every fuzzy edge's endpoints share an entity (CC soundness)
+    brute(p, "p_name", 2).collect().foreach { e =>
+      assert(entityOf(e.getString(0)) == entityOf(e.getString(1)),
+        s"edge ${e.getString(0)} ~ ${e.getString(1)} split across entities")
+    }
+    // the canonical carries the entity's max count (min-name tiebreak)
+    r.groupBy(_.getLong(2)).values.foreach { cluster =>
+      val byName = cluster.map(x => x.getString(0) -> x.getLong(1)).toMap
+      val canon = cluster.head.getString(3)
+      assert(cluster.forall(_.getString(3) == canon), "canonical not constant in cluster")
+      assert(byName(canon) == byName.values.max, "canonical is not the modal variant")
+      assert(cluster.head.getLong(5) == byName.values.sum, "n_entity mismatch")
+      assert(cluster.head.getLong(4) == byName.size.toLong, "n_variants mismatch")
+    }
+    // total mass is conserved
+    assert(r.map(_.getLong(1)).sum == p.count())
+  }
 }

@@ -232,6 +232,34 @@ class QualitySpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && !r.getBoolean(4)))
   }
 
+  test("winsorizedMeans: hand-checked clip on a tiny group") {
+    // group g: values 0, 10, 10, 10, 1000 — p05/p95 land between the
+    // extremes, so exactly the two tails clip
+    val d = (Seq(0.0, 10.0, 10.0, 10.0, 1000.0).map(("g", _)) ++
+      Seq(("h", 5.0), ("h", 7.0))).toDF("grp", "v")
+    val r = graft.quality.Filters.winsorizedMeans(d, "grp", "v", 0.05, 0.95)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4), x.getLong(5), x.getDouble(6))).toMap
+    val (n, lo, hi, cLo, cHi, mean) = r("g")
+    assert(n == 5 && cLo == 1 && cHi == 1)
+    assert(lo > 0.0 && lo < 10.0 && hi > 10.0 && hi < 1000.0)
+    // clipped series = lo, 10, 10, 10, hi — exact 4dp arithmetic
+    val want = BigDecimal((BigDecimal(lo) + 30 + BigDecimal(hi)).toDouble / 5)
+    assert(math.abs(mean - want.toDouble) < 1e-9)
+    // two-value group: interpolating p05/p95 of {5, 7} = 5.1/6.9, so
+    // both endpoints clip inward and the winsorized mean stays 6.0
+    assert(r("h") == ((2L, 5.1, 6.9, 1L, 1L, 6.0)))
+  }
+
+  test("quantileNormalize: bounds, monotonicity, single-member pin") {
+    val d = Seq(("s1", 1L, 30L), ("s1", 2L, 10L), ("s1", 3L, 20L),
+      ("s2", 9L, 99L)).toDF("src", "id", "v")
+    val r = graft.ops.Windows.quantileNormalize(d, "src", col("v"), "v", "id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(2L) == 0.0 && r(3L) == 0.5 && r(1L) == 1.0)
+    assert(r(9L) == 0.0, "single-member group must pin to 0")
+  }
+
   test("cusum: sustained level shift raises the flag") {
     val out = graft.quality.Drift
       .cusumDailyCounts(eventsWithCounts(Seq.fill(10)(100L) ++ Seq.fill(10)(300L)))
