@@ -458,6 +458,49 @@ object StressBench {
       val v2 = docsPlainN.filter(col("doc_id") % 10 >= 2)
       mat(SetOps.changelog(v1, v2, "doc_id", "text", 1L))
     })
+
+    // Round-4 family ----------------------------------------------------
+    // Fuzzy join / entity resolution: the dictionary replicates with an
+    // 8-hex-char md5 prefix per replica — distinct prefixes sit ~7 edits
+    // apart, so NO cross-replica pairs form and both the dictionary and
+    // the pair output grow linearly (the decorrelation protocol of the
+    // pair family, applied to names).
+    val partN = part
+      .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn("p_partkey", col("p_partkey") * factor + col("__rep"))
+      .withColumn("p_name",
+        concat(substring(md5(col("__rep").cast("string")), 1, 8), lit(" "), col("p_name")))
+      .drop("__rep")
+    run("fuzzy_join",
+      graft.dedup.Fuzzy.editDistanceJoin(part, "p_name", 2).count(),
+      graft.dedup.Fuzzy.editDistanceJoin(partN, "p_name", 2).count())
+    run("entity_resolution",
+      graft.dedup.Fuzzy.entityResolution(part, "p_name", "p_partkey", 2).count(),
+      graft.dedup.Fuzzy.entityResolution(partN, "p_name", "p_partkey", 2).count())
+    // CUSUM: replicas land on the same days (day cardinality fixed), so
+    // the corpus-sized agg is the only thing that grows — the windows
+    // stay day-cardinality by construction.
+    run("cusum",
+      mat(graft.quality.Drift.cusumDailyCounts(ev1)),
+      mat(graft.quality.Drift.cusumDailyCounts(evN)))
+    // Winsorized means: per-group percentile buffering scales with rows
+    // (group count fixed) — the one value-buffering agg in the family.
+    run("winsorized_means",
+      mat(graft.quality.Filters.winsorizedMeans(li1, "l_returnflag", "l_extendedprice")),
+      mat(graft.quality.Filters.winsorizedMeans(liN, "l_returnflag", "l_extendedprice")))
+    // Quantile normalization: per-source windows; plain replicas grow
+    // every source's partition linearly (sort-within-group n log n).
+    run("quantile_norm",
+      mat(graft.ops.Windows.quantileNormalize(docs1, "source",
+        size(split(col("text"), " ")).cast("long"), "n_tokens", "doc_id")),
+      mat(graft.ops.Windows.quantileNormalize(docsPlainN, "source",
+        size(split(col("text"), " ")).cast("long"), "n_tokens", "doc_id")))
+    // Group representatives with PLAIN replicas — the dedup_groups_star
+    // protocol (groups grow with factor; the argmax window is
+    // group-partitioned so it must track members linearly).
+    run("dedup_rep",
+      graft.dedup.Dedup.dedupGroupRepresentatives(docs1, 3, 8, 4).count(),
+      graft.dedup.Dedup.dedupGroupRepresentatives(docsPlainN, 3, 8, 4).count())
     spark.stop()
   }
 }

@@ -725,6 +725,65 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Persisted inverted-postings index — the LEXICAL serving twin of
+    * [[graft.sim.PQ.pqWriteIndex]] and [[writeBandIndex]]: the corpus's
+    * distinct-shingle postings are written once, hash-partitioned by
+    * shingle bucket, and incoming batches probe them partition-pruned
+    * without ever rescanning corpus text. Layout:
+    * `postings/bucket=H(shingle) % nBuckets`, `sizes` (per-doc shingle
+    * counts), `meta` (n, nBuckets — probe-time parameters travel WITH
+    * the index, so a probe can't silently use a mismatched n-gram
+    * width). */
+  def writePostingsIndex(documents: DataFrame, path: String, n: Int = 3,
+                         nBuckets: Int = 64): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = shingles(documents, n).localCheckpoint()
+    graft.sources.Catalog.writePartitioned(
+      sh.withColumn("bucket",
+        pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)).cast("int")),
+      s"$path/postings", Seq("bucket"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+    Seq((n, nBuckets)).toDF("n", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Jaccard scores of an incoming batch against a persisted postings
+    * index. The batch's distinct shingle BUCKETS (≤ nBuckets by
+    * construction — a bounded collect, like the probed-cell list in
+    * [[graft.sim.PQ.pqSearchIndexed]]) fold into a static partition
+    * filter, so the scan provably touches only co-bucketed inverted
+    * lists. Identical scores to computing Jaccard directly between the
+    * batch and the indexed corpus (tested). */
+  def probeJaccardIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                          incoming: DataFrame, minJaccard: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (n, nBuckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("n_buckets"))
+    val inSh = shingles(incoming, n)
+      .select(col("doc_id").as("doc_in"), col("shingle"))
+      .localCheckpoint()
+    val buckets = inSh
+      .select(pmod(xxhash64(col("shingle")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id").as("doc_ex"), col("shingle"))
+    val common = inSh.join(posts, "shingle")
+      .groupBy(col("doc_in"), col("doc_ex"))
+      .agg(count(lit(1)).as("n_common"))
+    val inSizes = inSh.groupBy(col("doc_in")).agg(count(lit(1)).as("sh_in"))
+    val exSizes = spark.read.parquet(s"$path/sizes")
+      .select(col("doc_id").as("doc_ex"), col("n_sh").as("sh_ex"))
+    common.join(inSizes, "doc_in").join(exSizes, "doc_ex")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sh_in") + col("sh_ex") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_in"), col("doc_ex"), col("n_common"),
+        col("sh_in"), col("sh_ex"), col("jaccard"))
+      .orderBy(col("doc_in"), col("doc_ex"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

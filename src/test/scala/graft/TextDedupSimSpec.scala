@@ -527,6 +527,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(cap.join(un, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
   }
 
+  test("persisted postings index: probe == direct computation, partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("postidx").toString
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.writePostingsIndex(existing, dir, 3, 64)
+    val served = Dedup.probeJaccardIndexed(spark, dir, incoming, 0.2)
+    // direct cross-set jaccard from freshly built shingle tables
+    val shIn = Dedup.shingles(incoming, 3).select(col("doc_id").as("doc_in"), col("shingle"))
+    val shEx = Dedup.shingles(existing, 3).select(col("doc_id").as("doc_ex"), col("shingle"))
+    val direct = shIn.join(shEx, "shingle")
+      .groupBy(col("doc_in"), col("doc_ex")).agg(count(lit(1)).as("n_common"))
+      .join(shIn.groupBy(col("doc_in")).agg(count(lit(1)).as("sh_in")), "doc_in")
+      .join(shEx.groupBy(col("doc_ex")).agg(count(lit(1)).as("sh_ex")), "doc_ex")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sh_in") + col("sh_ex") - col("n_common")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_in"), col("doc_ex"), col("n_common"),
+        col("sh_in"), col("sh_ex"), col("jaccard"))
+      .orderBy(col("doc_in"), col("doc_ex"))
+    val got = served.collect().toSeq
+    assert(got == direct.collect().toSeq)
+    assert(got.nonEmpty, "fixture must produce cross-set near-dups")
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(plan).nonEmpty,
+      s"postings scan not partition-pruned:\n$plan")
+  }
+
   test("dedupGroupRepresentatives: argmax tokens per CC group, exact totals") {
     val groups = Dedup.minhashDedupGroups(docs, 3, 8, 4)
     val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
