@@ -627,8 +627,37 @@ object SparkEntry {
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")),
     "q150_quantile_norm" -> ((s, d) =>
       graft.ops.Windows.quantileNormalize(Tables.documents(s, d), "source",
-        size(split(col("text"), " ")).cast("long"), "n_tokens", "doc_id"))
+        size(split(col("text"), " ")).cast("long"), "n_tokens", "doc_id")),
+    // persisted-index serve paths, graded: the index writes once per
+    // (session, corpus) and the query grades build+probe end to end
+    "q151_index_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = indexPath(s, d, "postings")(path =>
+        graft.dedup.Dedup.writePostingsIndex(docs.filter(col("doc_id") < 250), path, 3, 64))
+      graft.dedup.Dedup.probeJaccardIndexed(s, p, docs.filter(col("doc_id") >= 250), 0.2)
+    }),
+    "q152_admission_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = indexPath(s, d, "bands")(path =>
+        graft.dedup.Dedup.writeBandIndex(docs.filter(col("doc_id") < 250), path))
+      graft.dedup.Dedup.incrementalNearDupIndexed(s, p, docs.filter(col("doc_id") >= 250))
+    })
   )
+
+  /** Write-once-per-(session, corpus) persisted index under /tmp for the
+    * graded serve-path queries; repeated query invocations in one
+    * session probe the SAME on-disk artifact (the build/serve split). */
+  private val idxWritten =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+  private def indexPath(s: SparkSession, d: String, kind: String)
+                       (write: String => Unit): String = {
+    val appId = s.sparkContext.applicationId
+    idxWritten.keySet.removeIf(_._1 != appId)
+    idxWritten.computeIfAbsent((appId, d, kind), _ => {
+      val p = s"/tmp/graft_index/$appId/${kind}_${math.abs(d.hashCode)}"
+      write(p); p
+    })
+  }
 
   /** Queries whose oracle references the documents/embeddings tables —
     * TESTDATA.md's table list predates them, so the driver's DuckDB may
@@ -654,6 +683,8 @@ object SparkEntry {
     "q144_knn_ivfpq_exhaustive" -> Seq("embeddings"),
     "q147_dedup_rep" -> Seq("documents"),
     "q150_quantile_norm" -> Seq("documents"),
+    "q151_index_probe" -> Seq("documents"),
+    "q152_admission_indexed" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -1522,6 +1553,39 @@ object SparkEntry {
          |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
          |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
          |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+    // the persisted-band-index probe admits EXACTLY what the in-memory
+    // probe admits (same admitAgainst) — q87's oracle verbatim
+    "q152_admission_indexed" ->
+      s"""WITH ${minhashCtes("documents")},
+         |cand AS (SELECT DISTINCT b.doc_id AS doc_in, c.doc_id AS doc_ex
+         |  FROM bd b JOIN bd c ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id >= 250 AND c.doc_id < 250),
+         |est AS (SELECT cd.doc_in, cd.doc_ex,
+         |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)/32.0 AS ej
+         |  FROM cand cd JOIN minh ma ON ma.doc_id = cd.doc_in
+         |  JOIN minh mb ON mb.doc_id = cd.doc_ex AND mb.i = ma.i
+         |  GROUP BY 1, 2),
+         |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
+         |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
+         |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+    // cross-set jaccard against the persisted postings index == the
+    // direct inverted-index computation (partition pruning changes
+    // which FILES are read, never the answer)
+    "q151_index_probe" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |si AS (SELECT doc_id AS doc_in, shingle FROM sh WHERE doc_id >= 250),
+        |se AS (SELECT doc_id AS doc_ex, shingle FROM sh WHERE doc_id < 250),
+        |common AS (SELECT doc_in, doc_ex, COUNT(*) AS n_common
+        |  FROM si JOIN se USING (shingle) GROUP BY 1, 2),
+        |szi AS (SELECT doc_in, COUNT(*) AS sh_in FROM si GROUP BY 1),
+        |sze AS (SELECT doc_ex, COUNT(*) AS sh_ex FROM se GROUP BY 1)
+        |SELECT doc_in, doc_ex, n_common, sh_in, sh_ex,
+        |  CAST(n_common AS DOUBLE) / (sh_in + sh_ex - n_common) AS jaccard
+        |FROM common JOIN szi USING (doc_in) JOIN sze USING (doc_ex)
+        |WHERE CAST(n_common AS DOUBLE) / (sh_in + sh_ex - n_common) >= 0.2
+        |ORDER BY doc_in, doc_ex""".stripMargin,
     // SimHash: signature = sign-vote over per-OCCURRENCE token xxhash64
     // bits; chunk masks are the signed-long views of 0xFFFF << 16c;
     // pairs meet on (chunk, chunk_val) — the pigeonhole join — and
