@@ -509,6 +509,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Public probe against a PROVIDED corpus band table (any source —
+    * in-memory, persisted, or the streaming sink's batch-partitioned
+    * layout); returns the admitted doc_ids of `incoming`. */
+  def admitAgainstBands(corpusBands: DataFrame, incoming: DataFrame, n: Int,
+                        bands: Int, rowsPerBand: Int,
+                        minEstJaccard: Double): DataFrame =
+    admitAgainst(corpusBands, incoming, n, bands, rowsPerBand, minEstJaccard)
+
+  /** Public banded signature rows — the index-maintenance unit the
+    * streaming admission sink appends per batch. */
+  def bandRows(documents: DataFrame, n: Int, bands: Int,
+               rowsPerBand: Int): DataFrame =
+    bandedSignatures(documents, n, bands, rowsPerBand)
+
   /** Persist the corpus band table in its serving layout — the
     * MAINTAINED table [[incrementalNearDup]]'s contract refers to.
     * After this, admission never re-shingles the corpus: probes read

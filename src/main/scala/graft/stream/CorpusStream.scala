@@ -134,4 +134,79 @@ object CorpusStream {
         }
       }
       .start()
+
+  /** Streaming near-dup ADMISSION loop — the full ingestion contract as
+    * one sink: each micro-batch probes the maintained band index (zero
+    * corpus-side compute, the [[graft.dedup.Dedup.incrementalNearDupIndexed]]
+    * serve path), admitted documents append to the corpus table, and
+    * their band rows extend the index for every later batch.
+    *
+    * Exactly-once WITHOUT a transaction log, by construction:
+    * - the index is laid out `indexPath/batch=<id>/band=<b>/…`, and a
+    *   batch's band rows OVERWRITE their own batch partition —
+    *   idempotent under any number of replays;
+    * - admission decisions probe only `batch < batchId` partitions
+    *   (partition-pruned), so a replay whose own half-written bands are
+    *   already on disk cannot self-collide and reaches the SAME
+    *   decisions;
+    * - the corpus append is gated by the (_stream_id, _batch_id)
+    *   high-water marker, the [[aggMaintenanceSink]] discipline.
+    * Replay therefore converges whichever side the crash interrupted.
+    *
+    * In-batch near-dups are admitted together (only the corpus is
+    * probed) — run batch-level dedup upstream if the source can carry
+    * duplicates inside one micro-batch, exactly as in the batch
+    * admission path. */
+  def admissionSink(docs: DataFrame, indexPath: String, corpusPath: String,
+                    checkpoint: String, n: Int = 3, bands: Int = 8,
+                    rowsPerBand: Int = 4, minEstJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val streamId = {
+            val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+            val txt = new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+              .map(_.group(1))
+              .getOrElse(sys.error(s"admissionSink: no query id in $meta"))
+          }
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+          // replay-stable decisions: only STRICTLY EARLIER batches vote
+          val admitted = if (fs.exists(idxRoot)) {
+            val prior = spark.read.parquet(indexPath).filter(col("batch") < batchId)
+            if (prior.isEmpty) b
+            else b.join(graft.dedup.Dedup.admitAgainstBands(
+              prior, b, n, bands, rowsPerBand, minEstJaccard), Seq("doc_id"))
+          } else b
+          val adm = admitted.localCheckpoint()
+          // (1) idempotent index extension: overwrite THIS batch's partition
+          graft.dedup.Dedup.bandRows(adm, n, bands, rowsPerBand)
+            .write.mode("overwrite")
+            .parquet(s"$indexPath/batch=$batchId")
+          // (2) marker-gated corpus append
+          val corpus = new org.apache.hadoop.fs.Path(corpusPath)
+          val alreadyAppended = fs.exists(corpus) && {
+            val c = spark.read.parquet(corpusPath)
+            c.columns.contains("_stream_id") &&
+              (c.filter(col("_stream_id") === streamId)
+                .agg(max(col("_batch_id"))).head() match {
+                  case r if r.isNullAt(0) => false
+                  case r => r.getLong(0) >= batchId
+                })
+          }
+          if (!alreadyAppended)
+            adm.withColumn("_batch_id", lit(batchId))
+              .withColumn("_stream_id", lit(streamId))
+              .write.mode("append").parquet(corpusPath)
+        }
+      }
+      .start()
 }

@@ -335,4 +335,52 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("admissionSink: streamed admission == sequential batch admission; restart-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
+    val (idx, corpus, ckpt) = (s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = graft.stream.CorpusStream.admissionSink(
+      mem.toDF().toDF("doc_id", "text"), idx, corpus, ckpt, 3, 8, 4, 0.5)
+    // batch 2's first doc near-dups batch 1's doc 1 → must be rejected;
+    // 12 is fresh → admitted; 13 near-dups 12 IN-BATCH → both admitted
+    // (documented: only the corpus votes)
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // ~d1
+    val d3 = "one two three four five six seven eight nine ten"
+    val d4 = "one two three four five six seven eight nine eleven"      // ~d3
+    val batches = Seq(
+      Seq((1L, d1), (2L, "completely different words here about spark engines")),
+      Seq((11L, d2), (12L, d3), (13L, d4)),
+      Seq((21L, d3))) // exact repeat of an admitted doc → rejected
+    val q1 = start()
+    try {
+      batches.take(2).foreach { b => mem.addData(b: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try {
+      mem.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+    // sequential reference: admit each batch against accumulated ADMITTED docs
+    var acc = Seq.empty[(Long, String)]
+    val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batches.foreach { b =>
+      val bd = b.toDF("doc_id", "text")
+      val adm = (if (acc.isEmpty) bd.select("doc_id")
+        else graft.dedup.Dedup.incrementalNearDup(
+          acc.toDF("doc_id", "text"), bd, 3, 8, 4, 0.5))
+        .as[Long].collect().toSet
+      want ++= adm.toSeq.sorted
+      acc = acc ++ b.filter(x => adm(x._1))
+    }
+    assert(got.toSeq == want.toSeq.sorted)
+    assert(!got.contains(11L) && !got.contains(21L), "near/exact dups must be rejected")
+    assert(got.contains(13L), "in-batch near-dup is admitted by contract")
+    // the index holds exactly the admitted docs' band rows
+    val idxDocs = spark.read.parquet(idx).select("doc_id").distinct()
+      .as[Long].collect().sorted
+    assert(idxDocs.toSeq == got.toSeq)
+  }
 }
