@@ -641,7 +641,26 @@ object SparkEntry {
       val p = indexPath(s, d, "bands")(path =>
         graft.dedup.Dedup.writeBandIndex(docs.filter(col("doc_id") < 250), path))
       graft.dedup.Dedup.incrementalNearDupIndexed(s, p, docs.filter(col("doc_id") >= 250))
-    })
+    }),
+    // Count-Min point estimates: the collision overcounts are part of
+    // the graded surface (the sketch is deterministic given the seeds)
+    "q153_cms_estimates" -> ((s, d) =>
+      graft.text.CountMin.estimates(Tables.documents(s, d))),
+    // centrality over the near-dup similarity graph: integer-exact
+    // PageRank ranks template hubs; edge threshold is the integer form
+    // of jaccard >= 1/5 (5·common >= union), so no FP boundary
+    "q154_pagerank" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      val pairs = graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
+        .filter(lit(5L) * col("n_common") >= col("sh_a") + col("sh_b") - col("n_common"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.cluster.PageRank.pageRank(edges, 5).orderBy(col("id"))
+    }),
+    "q155_group_linreg" -> ((s, d) =>
+      graft.ops.Rollups.quantityPriceRegression(Tables.lineitem(s, d))),
+    "q156_transitions" -> ((s, d) =>
+      graft.ops.EventOps.transitionMatrix(Tables.events(s, d)))
   )
 
   /** Write-once-per-(session, corpus) persisted index under /tmp for the
@@ -685,6 +704,8 @@ object SparkEntry {
     "q150_quantile_norm" -> Seq("documents"),
     "q151_index_probe" -> Seq("documents"),
     "q152_admission_indexed" -> Seq("documents"),
+    "q153_cms_estimates" -> Seq("documents"),
+    "q154_pagerank" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -783,6 +804,18 @@ object SparkEntry {
     * lateral aliases, so leaving a previous step's intermediates in
     * scope silently rebinds the next step's expressions to stale
     * columns (hashing element 1 four times). */
+  /** One integer-PageRank damping round as a CTE: r_t from r_{t-1} over
+    * the `edges`/`deg` CTEs — the same floor arithmetic as
+    * [[graft.cluster.PageRank]] (`//` == `div` on positives). */
+  private def pageRankIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""r$t AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // dg.outdeg) AS s
+         |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg dg ON dg.id = e.src
+         |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+
   private def mm3BandStep(in: String, out: String, idx: Int, outCol: String): String =
     s"""$out AS (SELECT doc_id, band, sg,
        |    sg[CAST(band*4+$idx AS INT)] AS x, CAST(x AS BIGINT) & 4294967295 AS u,
@@ -1568,6 +1601,75 @@ object SparkEntry {
          |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
          |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
          |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+    // Count-Min: cells are pmod(xxhash64(token, r), 512) — the token
+    // hash via the xxhash64 byte chain, the row fold via the int-path
+    // chain seeded by it (Spark's multi-column seed chaining). 512 is a
+    // power of two, so the unsigned HUGEINT % 512 equals Spark's pmod
+    // of the signed long. Estimates and overcounts are exact integers.
+    "q153_cms_estimates" ->
+      s"""WITH tokc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         |  WHERE length(token) > 0 GROUP BY 1),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS h0
+         |  FROM hashes),
+         |rows0 AS (SELECT token, h0, r FROM hu, range(0, 4) rr(r)),
+         |${xxHashIntCte("rows0", "rows1", "r", "h0", "c_")},
+         |cells AS (SELECT token, CAST(r AS INT) AS row, CAST(c_h % 512 AS BIGINT) AS col
+         |  FROM rows1),
+         |sk AS (SELECT row, col, CAST(SUM(cnt) AS BIGINT) AS counter
+         |  FROM cells JOIN tokc USING (token) GROUP BY 1, 2),
+         |est AS (SELECT token, MIN(counter) AS est FROM cells JOIN sk USING (row, col)
+         |  GROUP BY 1)
+         |SELECT t.token, t.cnt AS exact, e.est, e.est - t.cnt AS overcount
+         |FROM tokc t JOIN est e USING (token) ORDER BY token""".stripMargin,
+    // integer PageRank over the co-shingle similarity graph: edges are
+    // the q46 pair chain at the integer threshold 5·common >= union,
+    // symmetrized; 5 damping rounds of pure floor arithmetic
+    "q154_pagerank" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE 5 * n_common >= sa.n_sh + sb.n_sh - n_common),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${pageRankIterCtes(5)}
+         |SELECT id, r AS rank_micro FROM r5 ORDER BY id""".stripMargin,
+    // OLS per group: q120's exact-decimal co-moments, closed-form
+    // slope/intercept/R² as fixed-shape double expressions
+    "q155_group_linreg" ->
+      s"""WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sx,
+         |    CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sy,
+         |    CAST(SUM(${dec("l_quantity")} * ${dec("l_extendedprice")}) AS DOUBLE) AS sxy,
+         |    CAST(SUM(${dec("l_quantity")} * ${dec("l_quantity")}) AS DOUBLE) AS sxx,
+         |    CAST(SUM(${dec("l_extendedprice")} * ${dec("l_extendedprice")}) AS DOUBLE) AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+         |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // first-order Markov transitions: LEAD under the (ts, event_id)
+    // total order; probabilities are floor'd micro-units
+    "q156_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+        |  CAST((1000000 * cnt) // SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS prob_micro
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // cross-set jaccard against the persisted postings index == the
     // direct inverted-index computation (partition pruning changes
     // which FILES are read, never the answer)

@@ -336,4 +336,30 @@ object EventOps {
         col("n_days"))
       .orderBy(col("user_id"), col("start_date"))
   }
+
+  /** First-order Markov transition matrix over per-user ordered event
+    * streams — the sequence-mining summary behind next-action
+    * prediction and anomaly scoring (a transition that never occurs in
+    * the matrix is an anomaly candidate).
+    *
+    * One shuffle on user_id for the lag window (ties broken by
+    * event_id — a total order, so `lead` is deterministic), then the
+    * transition counts aggregate on the (from, to) pair whose
+    * cardinality is |type-domain|² — bounded, so the row-total window
+    * over it is free. Probabilities are floor'd micro-units
+    * ((1e6·cnt) div row_total): exact integers, engine-portable. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("row_total", sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("row_total"),
+        expr("(1000000 * cnt) div row_total").as("prob_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -151,6 +151,31 @@ object Rollups {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group ordinary-least-squares fit (price on quantity) from the
+    * same EXACT decimal co-moments as [[quantityPriceCorr]] — the
+    * closed-form slope/intercept/R², each as ONE fixed-shape double
+    * expression over bit-identical sums, so the result matches the
+    * oracle despite being floating-point. One shuffle (partial+final
+    * hash agg); the per-group regression a drift monitor or
+    * per-source trend report runs at any scale. */
+  def quantityPriceRegression(lineitem: DataFrame): DataFrame = {
+    import Num._
+    val x = dec2(col("l_quantity")); val y = dec2(col("l_extendedprice"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"),
+        round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6).as("intercept"),
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Per-group MODE (most frequent value, smallest-value tiebreak —
     * total order, so engine-deterministic). Two hash aggregations and a
     * group-keyed window over the (tiny) count table; the raw table
