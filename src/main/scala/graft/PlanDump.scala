@@ -78,7 +78,23 @@ object PlanDump {
       "direction fan-out costs no second self-join"),
     "q143_join_right" -> ("right outer join: Catalyst plans the side-swap (a " +
       "ShuffledHashJoin/SortMergeJoin with the null-extended customer side preserved " +
-      "through the aggregation) — same physical family as q12's left form")
+      "through the aggregation) — same physical family as q12's left form"),
+    "q158_triangles" -> ("degree-ordered triangle counting: the wedge self-join is an " +
+      "equi-join on the oriented source vertex (both sides the SAME checkpointed " +
+      "oriented-edge table), closed by a second equi-join on (v, w) — no cross " +
+      "product anywhere, and the orientation step guarantees wedge fan-out is bounded " +
+      "by the LOW endpoint's degree"),
+    "q160_bfs_hops" -> ("each BFS round is one edge-cardinality equi-join + one " +
+      "min-aggregation on the destination key; lineage truncates at the per-round " +
+      "localCheckpoint so the rendered plan stays round-local instead of " +
+      "exponentiating"),
+    "q161_skyline" -> ("bucketed skyline: the local pass windows are partitioned by " +
+      "the hash bucket (parallel frame minima), and only the surviving per-bucket " +
+      "frontier reaches the single-partition global window — the full input never " +
+      "meets an unpartitioned sort"),
+    "q162_hll_distinct" -> ("HLL: one distinct shuffle of the (source, token) stream, " +
+      "one partial+final max-agg to <=256 registers per source; everything after the " +
+      "register table is arithmetic on <=257·|sources| rows")
   )
 
   def main(args: Array[String]): Unit = {

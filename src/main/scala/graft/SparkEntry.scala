@@ -650,9 +650,7 @@ object SparkEntry {
     // PageRank ranks template hubs; edge threshold is the integer form
     // of jaccard >= 1/5 (5·common >= union), so no FP boundary
     "q154_pagerank" -> ((s, d) => {
-      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
-      val pairs = graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
-        .filter(lit(5L) * col("n_common") >= col("sh_a") + col("sh_b") - col("n_common"))
+      val pairs = simGraphPairs(s, d)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.cluster.PageRank.pageRank(edges, 5).orderBy(col("id"))
@@ -660,8 +658,39 @@ object SparkEntry {
     "q155_group_linreg" -> ((s, d) =>
       graft.ops.Rollups.quantityPriceRegression(Tables.lineitem(s, d))),
     "q156_transitions" -> ((s, d) =>
-      graft.ops.EventOps.transitionMatrix(Tables.events(s, d)))
+      graft.ops.EventOps.transitionMatrix(Tables.events(s, d))),
+    // sequence mining: the 3-step sibling of q156's first-order counts
+    "q157_top_paths" -> ((s, d) =>
+      graft.ops.EventOps.topPaths(Tables.events(s, d), 20)),
+    // graph analytics over the SAME q154 similarity-graph edge set (the
+    // cached co-shingle pair table at the integer jaccard>=1/5
+    // threshold): triangle counts, k-core peel, multi-source BFS
+    "q158_triangles" -> ((s, d) =>
+      graft.cluster.Graphs.triangleCounts(simGraphPairs(s, d))),
+    "q159_kcore" -> ((s, d) =>
+      graft.cluster.Graphs.kCore(simGraphPairs(s, d), 2, 3)),
+    "q160_bfs_hops" -> ((s, d) =>
+      graft.cluster.Graphs.bfsHops(
+        simGraphPairs(s, d),
+        Tables.documents(s, d).select(col("doc_id").as("id")).filter(col("id") < 25),
+        3)),
+    // curation screens: Pareto frontier + mergeable distinct sketches
+    "q161_skyline" -> ((s, d) =>
+      graft.ops.Skyline.docFrontier(Tables.documents(s, d))),
+    "q162_hll_distinct" -> ((s, d) =>
+      graft.text.HyperLogLog.distinctTokensBySource(Tables.documents(s, d)))
   )
+
+  /** The near-dup similarity graph behind q154/q158/q159/q160: unique
+    * (doc_a < doc_b) co-shingle pairs at the exact integer threshold
+    * 5·common >= union (jaccard >= 1/5), served from the per-session
+    * cached pair table so the four consumers score one artifact. */
+  private def simGraphPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+    graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
+      .filter(lit(5L) * col("n_common") >= col("sh_a") + col("sh_b") - col("n_common"))
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   /** Write-once-per-(session, corpus) persisted index under /tmp for the
     * graded serve-path queries; repeated query invocations in one
@@ -706,6 +735,11 @@ object SparkEntry {
     "q152_admission_indexed" -> Seq("documents"),
     "q153_cms_estimates" -> Seq("documents"),
     "q154_pagerank" -> Seq("documents"),
+    "q158_triangles" -> Seq("documents"),
+    "q159_kcore" -> Seq("documents"),
+    "q160_bfs_hops" -> Seq("documents"),
+    "q161_skyline" -> Seq("documents"),
+    "q162_hll_distinct" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -913,6 +947,21 @@ object SparkEntry {
 
   /** CTE chain from `tokc`(doc_id, token, cnt) to `hashes`(token, h):
     * Spark-equal xxhash64 of every distinct token. */
+  /** The q154/q158/q159/q160 similarity graph in DuckDB: the q46 pair
+    * chain cut at the integer threshold 5·common >= union, as unique
+    * `pairs(doc_a < doc_b)` rows — the oracle twin of
+    * [[simGraphPairs]]. */
+  private def simPairsCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM common
+      |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE 5 * n_common >= sa.n_sh + sb.n_sh - n_common)""".stripMargin
+
   private def xxhash64Ctes: String = {
     val wordLambda = s"(h,k) -> (${xxMul(xxRot("xor(h,k)", 27), xxP1)} + $xxP4) % $xxB64"
     val byteLambda = s"(h,b) -> ${xxMul(xxRot(s"xor(h, (b*$xxP5::HUGEINT)%$xxB64)", 11), xxP1)}"
@@ -1627,15 +1676,7 @@ object SparkEntry {
     // the q46 pair chain at the integer threshold 5·common >= union,
     // symmetrized; 5 damping rounds of pure floor arithmetic
     "q154_pagerank" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
-         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b FROM common
-         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE 5 * n_common >= sa.n_sh + sb.n_sh - n_common),
+      s"""WITH $simPairsCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
@@ -2657,6 +2698,107 @@ object SparkEntry {
         |  FROM s)
         |SELECT day, cnt, cusum_up, cusum_dn,
         |  (cusum_up > h OR cusum_dn > h) AS shifted
-        |FROM c ORDER BY day""".stripMargin
+        |FROM c ORDER BY day""".stripMargin,
+    // 3-step paths: two LEADs under the (ts, event_id) total order; the
+    // (cnt DESC, path ASC) sort makes the top-20 cut deterministic
+    "q157_top_paths" ->
+      """WITH p AS (SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    // each triangle enumerated once as a < b < c (pairs are already
+    // doc_a < doc_b, so the three-edge join needs no orientation step
+    // at oracle scale); per-vertex counts via corner explode
+    "q158_triangles" ->
+      s"""WITH $simPairsCtes,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+         |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) t
+         |GROUP BY id ORDER BY id""".stripMargin,
+    // 3 synchronous 2-core peel rounds replayed as a fixed CTE chain
+    "q159_kcore" ->
+      s"""WITH $simPairsCtes,
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |k1 AS (SELECT src AS id FROM e0 GROUP BY 1 HAVING COUNT(*) >= 2),
+         |e1 AS (SELECT e.src, e.dst FROM e0 e
+         |  JOIN k1 a ON a.id = e.src JOIN k1 b ON b.id = e.dst),
+         |k2 AS (SELECT src AS id FROM e1 GROUP BY 1 HAVING COUNT(*) >= 2),
+         |e2 AS (SELECT e.src, e.dst FROM e1 e
+         |  JOIN k2 a ON a.id = e.src JOIN k2 b ON b.id = e.dst),
+         |k3 AS (SELECT src AS id FROM e2 GROUP BY 1 HAVING COUNT(*) >= 2),
+         |e3 AS (SELECT e.src, e.dst FROM e2 e
+         |  JOIN k3 a ON a.id = e.src JOIN k3 b ON b.id = e.dst)
+         |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY 1 ORDER BY id""".stripMargin,
+    // truncated multi-source BFS: distances only decrease, so the
+    // recursive min-dist frontier equals the synchronous relaxation
+    "q160_bfs_hops" ->
+      s"""WITH RECURSIVE $simPairsCtes,
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r(id, dist) AS (
+         |  SELECT doc_id, 0 FROM documents WHERE doc_id < 25
+         |  UNION
+         |  SELECT e.dst, r.dist + 1 FROM r JOIN e0 e ON e.src = r.id WHERE r.dist < 3)
+         |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
+    // skyline oracle is the O(n²) dominance anti-join — affordable at
+    // oracle scale, and the strongest possible check of the sort-based
+    // two-pass implementation
+    "q161_skyline" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN
+        |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stopwords FROM q t
+        |WHERE NOT EXISTS (SELECT 1 FROM q u WHERE u.n_tokens >= t.n_tokens
+        |  AND u.n_stopwords <= t.n_stopwords
+        |  AND (u.n_tokens > t.n_tokens OR u.n_stopwords < t.n_stopwords))
+        |ORDER BY doc_id""".stripMargin,
+    // HLL registers replayed through the xxhash64-in-SQL chain: idx =
+    // top 8 bits, rank = 57 - bitlength of the low-56 remainder; S is
+    // an exact DECIMAL sum of integer shifts, est_raw ONE fixed-shape
+    // double expression (the Num discipline)
+    "q162_hll_distinct" ->
+      s"""WITH st AS (SELECT DISTINCT source, token FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS u
+         |  FROM hashes),
+         |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
+         |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
+         |rr AS (SELECT token, idx,
+         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS BIGINT) AS r
+         |  FROM reg),
+         |regs AS (SELECT source AS grp, idx, MAX(r) AS m
+         |  FROM st JOIN rr USING (token) GROUP BY 1, 2),
+         |merged AS (SELECT '__union__' AS grp, idx, MAX(m) AS m FROM regs GROUP BY idx),
+         |allregs AS (SELECT grp, idx, m FROM regs
+         |  UNION ALL SELECT grp, idx, m FROM merged),
+         |sums AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS DECIMAL(38,0)))
+         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS s_sum
+         |  FROM allregs GROUP BY 1),
+         |exact AS (SELECT source AS grp,
+         |    CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM st GROUP BY 1
+         |  UNION ALL SELECT '__union__', CAST(COUNT(DISTINCT token) AS BIGINT) FROM st)
+         |SELECT s.grp AS source, s.nonzero_regs, s.s_sum,
+         |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+         |    * CAST(65536.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
+         |    / CAST(s.s_sum AS DOUBLE) AS est_raw,
+         |  e.exact_distinct
+         |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin
   )
 }

@@ -501,6 +501,63 @@ object StressBench {
     run("dedup_rep",
       graft.dedup.Dedup.dedupGroupRepresentatives(docs1, 3, 8, 4).count(),
       graft.dedup.Dedup.dedupGroupRepresentatives(docsPlainN, 3, 8, 4).count())
+
+    // Round-4 graph/sketch family ---------------------------------------
+    // Synthetic ring+chord graph at constant average degree: scaling n
+    // grows edges linearly and keeps the degree distribution fixed, so
+    // a sound wedge/peel/relax implementation should track |E| — the
+    // honest protocol for graph operators (replicated disjoint copies
+    // would hide any super-linear term that depends on graph diameter
+    // or wedge volume).
+    def ringGraph(n: Long): DataFrame = {
+      val ids = spark.range(n).select(col("id"))
+      val ring = ids.select(col("id").as("doc_a"),
+        ((col("id") + 1L) % n).as("doc_b"))
+      val chords = ids.select(explode(sequence(lit(1L), lit(3L))).as("k"), col("id"))
+        .select(col("id").as("doc_a"),
+          pmod(xxhash64(col("id") * lit(2654435761L) + col("k")), lit(n)).as("doc_b"))
+      ring.unionByName(chords)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b")).distinct()
+    }
+    val g1 = ringGraph(100000L).localCheckpoint()
+    val gN = ringGraph(100000L * factor).localCheckpoint()
+    run("triangles",
+      graft.cluster.Graphs.triangleCounts(g1).count(),
+      graft.cluster.Graphs.triangleCounts(gN).count())
+    run("kcore",
+      graft.cluster.Graphs.kCore(g1, 4, 3).count(),
+      graft.cluster.Graphs.kCore(gN, 4, 3).count())
+    run("bfs_hops", {
+      val seeds1 = spark.range(100000L).filter(col("id") % 1000L === 0L).select(col("id"))
+      graft.cluster.Graphs.bfsHops(g1, seeds1, 4).count()
+    }, {
+      val seedsN = spark.range(100000L * factor)
+        .filter(col("id") % 1000L === 0L).select(col("id"))
+      graft.cluster.Graphs.bfsHops(gN, seedsN, 4).count()
+    })
+    // 3-step paths: event replicas have remapped users, so per-user
+    // window partitions stay constant-size and path cardinality is
+    // bounded by |type-domain|³ either way.
+    run("top_paths",
+      EventOps.topPaths(ev1, 20).count(), EventOps.topPaths(evN, 20).count())
+    // Skyline over lineitem-scale points (price in exact cents ↑,
+    // quantity ↓): replicas are plain — the frontier is a property of
+    // the VALUE distribution, so the local-pass input grows linearly
+    // while the global pass stays frontier-sized.
+    def sky(df: DataFrame) = Skyline.frontier2D(
+      df.select(col("l_orderkey").as("id"),
+        (col("l_extendedprice") * 100).cast("long").as("hi"),
+        col("l_quantity").cast("long").as("lo")),
+      col("hi"), col("lo")).count()
+    run("skyline", sky(li1), sky(liN))
+    // HLL: plain replicas keep the register table constant (same vocab)
+    // — the measured cost is the (source, token) distinct shuffle over
+    // the exploded stream, which is the linear-scaling term at 100 TB.
+    run("hll_distinct",
+      mat(graft.text.HyperLogLog.distinctTokensBySource(docs1)),
+      mat(graft.text.HyperLogLog.distinctTokensBySource(docsPlainN)))
     spark.stop()
   }
 }

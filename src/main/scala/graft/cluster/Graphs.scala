@@ -1,0 +1,115 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bulk-synchronous graph analytics over edge-list DataFrames — the
+  * three classics a similarity-graph curation pass runs after the
+  * near-dup family has produced its pair table: triangle counting
+  * (local clustering / template-mesh detection), k-core peeling
+  * (dense boilerplate cores), and multi-source BFS (blast radius of a
+  * contaminated seed set). All integer-exact, all expressible as
+  * joins + aggregations, so a SQL oracle can replay them bit-for-bit.
+  *
+  * Scale shape shared by all three: nothing driver-side, nothing
+  * pairwise beyond the given edges; each round is O(|E|) join work
+  * keyed on vertex ids, with lineage truncated per round
+  * (localCheckpoint) exactly like [[ConnectedComponents]] — the
+  * iterated-join discipline that survives a 1000-executor cluster.
+  */
+object Graphs {
+
+  /** Per-vertex triangle participation counts over an undirected graph
+    * given as unique `(doc_a, doc_b)` pairs with `doc_a < doc_b`.
+    *
+    * Degree-ordered orientation (the Latapy/"forward" algorithm): every
+    * edge is directed from its lower-(degree, id) endpoint to the
+    * higher one, so each triangle is enumerated exactly once at its
+    * lowest-ordered corner and — the 100 TB point — the wedge self-join
+    * fans out from LOW-degree vertices only: a celebrity node with
+    * degree d contributes O(d) wedge rows instead of O(d²), which is
+    * the difference between a skewed-but-fine shuffle and an executor
+    * OOM on a power-law similarity graph. The tie-break on id makes the
+    * orientation (and hence the plan's intermediate tables) fully
+    * deterministic. Output: (id, triangles), one row per vertex in at
+    * least one triangle. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, id) endpoint
+    val e = pairs
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b")),
+          col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b")),
+          struct(col("deg_b").as("d"), col("doc_b").as("i")))
+          .otherwise(struct(col("deg_a").as("d"), col("doc_a").as("i")))
+          .as("dord"))
+      .select(col("src"), col("dord.i").as("dst"), col("dord"))
+      .localCheckpoint()
+    // wedges at the lowest-ordered corner: two out-edges of src, kept
+    // once via the (deg, id) total order on the far endpoints
+    val wedges = e.as("x").join(e.as("y"), col("x.src") === col("y.src"))
+      .filter(col("x.dord") < col("y.dord"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+    // close the wedge: the (v, w) edge exists in SOME orientation; with
+    // v before w in the order it can only be stored as src=v, dst=w
+    val tris = wedges.join(e.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("id"))
+  }
+
+  /** `rounds` synchronous peel iterations toward the k-core: each round
+    * drops every vertex whose CURRENT degree is below k, then the edges
+    * touching it. A fixed round count keeps the operator a
+    * deterministic function (and lets the oracle replay it as a fixed
+    * CTE chain); on real corpora the peel converges in a handful of
+    * rounds — callers grade convergence by checking a further round is
+    * a no-op (see GraphOpsSpec). Output: (id, deg) of the surviving
+    * subgraph, deg = degree WITHIN the core. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k,rounds >= 1, got k=$k rounds=$rounds")
+    var e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      e = e.join(keep.select(col("id").as("src")), "src")
+        .join(keep.select(col("id").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).orderBy(col("id"))
+  }
+
+  /** Multi-source BFS: exact hop distance from the `seeds` vertex set,
+    * truncated at `rounds` hops (vertices further than that — or
+    * disconnected — are absent from the output). Each round is one
+    * edge-cardinality join plus a min-aggregation on the destination:
+    * the textbook Pregel step as two shuffles, no vertex-program
+    * framework needed. Distances only ever decrease, so `rounds`
+    * iterations give exactly min(true distance, rounds) — determinism
+    * is free. Output: (id, dist). */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var dist = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("id"))
+  }
+}

@@ -348,6 +348,30 @@ object EventOps {
     * cardinality is |type-domain|² — bounded, so the row-total window
     * over it is free. Probabilities are floor'd micro-units
     * ((1e6·cnt) div row_total): exact integers, engine-portable. */
+  /** Top-k most frequent 3-step event paths — the sequence-mining
+    * rollup behind "what do users actually do": consecutive
+    * (t₁ → t₂ → t₃) windows per user under the (ts, event_id) total
+    * order (the higher-order sibling of [[transitionMatrix]]'s
+    * first-order counts).
+    *
+    * One shuffle on user_id for the two lead() windows; the path-count
+    * aggregation is bounded by |type-domain|³. The global top-k goes
+    * through Spark's TakeOrderedAndProject (per-partition heaps + a
+    * k-row driver merge — no global sort materializes), with the
+    * (cnt desc, path asc) total order making the cut deterministic. */
+  def topPaths(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   def transitionMatrix(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -125,4 +125,24 @@ class EventOpsSpec extends AnyFunSuite {
     val users = ev.select("user_id").distinct().count()
     assert(size0.agg(sum("c0")).first().getLong(0) == users)
   }
+
+  test("top paths: pinned 3-step windows, deterministic tie cut") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // user 1: a b c a b c  → abc:2, bca:1, cab:1; user 2: a b c → abc:1
+    val events = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "c"),
+      (1L, t(3), 4L, "a"), (1L, t(4), 5L, "b"), (1L, t(5), 6L, "c"),
+      (2L, t(0), 7L, "a"), (2L, t(1), 8L, "b"), (2L, t(2), 9L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val all = EventOps.topPaths(events, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(all.toList == List(
+      ("a", "b", "c", 3L), ("b", "c", "a", 1L), ("c", "a", "b", 1L)))
+    // k cuts after the (cnt desc, path asc) order
+    val top1 = EventOps.topPaths(events, 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(top1.toList == List(("a", "b", "c", 3L)))
+  }
 }

@@ -270,4 +270,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalCheckpoint"),
       s"type counts not materialized once:\n$p")
   }
+
+  test("triangles: wedge + closure are equi-joins over the checkpointed edges") {
+    val p = planOf("q158_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"triangle enumeration fell back to all-pairs:\n$p")
+    // the oriented edge table is materialized once (localCheckpoint) and
+    // both wedge sides scan it
+    assert(p.contains("Scan ExistingRDD"), s"oriented edges not checkpointed:\n$p")
+  }
+
+  test("skyline: the full input only ever meets bucket-partitioned windows") {
+    val p = planOf("q161_skyline")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.exists(_.contains("_bkt")),
+      s"local pass not bucket-partitioned:\n${winLines.mkString("\n")}")
+  }
+
+  test("hll: one distinct + partial/final register agg before the arithmetic") {
+    val p = planOf("q162_hll_distinct")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"register reduction not partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in hll plan:\n$p")
+  }
 }

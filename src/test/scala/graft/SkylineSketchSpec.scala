@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Skyline, Tables}
+import graft.text.HyperLogLog
+
+/** Round-4 batch-4 curation screens: the 2-D Pareto frontier vs a local
+  * O(n²) dominance oracle (random clouds + adversarial tie shapes), and
+  * the HyperLogLog sketch's structural invariants — register bounds,
+  * the merge-is-max identity on a split stream, and the accuracy the
+  * p=8 error bound promises on the real corpus. Value-level grading is
+  * the DuckDB oracle (q161/q162). */
+class SkylineSketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def localFrontier(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filter { case (_, hi, lo) =>
+      !pts.exists { case (_, h2, l2) =>
+        h2 >= hi && l2 <= lo && (h2 > hi || l2 < lo)
+      }
+    }.toSet
+
+  test("frontier2D matches the brute-force dominance oracle on a random cloud") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val got = Skyline.frontier2D(pts.toDF("id", "hi", "lo"), col("hi"), col("lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == localFrontier(pts))
+    assert(got.nonEmpty)
+  }
+
+  test("frontier2D keeps exact ties and drops same-hi worse-lo rows") {
+    val pts = Seq(
+      (1L, 10L, 5L), (2L, 10L, 5L),          // exact tie: both kept
+      (3L, 10L, 7L),                         // same hi, worse lo: dominated
+      (4L, 12L, 5L),                         // dominates 1/2 on hi, tie lo
+      (5L, 3L, 1L),                          // best lo, low hi: kept
+      (6L, 3L, 2L))                          // dominated by 5
+    val got = Skyline.frontier2D(pts.toDF("id", "hi", "lo"), col("hi"), col("lo"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 5L))
+    assert(localFrontier(pts).map(_._1) == Set(4L, 5L))
+  }
+
+  test("frontier2D is idempotent and bucket-count-invariant") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)).toDF("id", "hi", "lo")
+    val f64 = Skyline.frontier2D(pts, col("hi"), col("lo"), 64)
+    val f3 = Skyline.frontier2D(pts, col("hi"), col("lo"), 3)
+    assert(f64.collect().toSet == f3.collect().toSet)
+    val again = Skyline.frontier2D(f64, col("hi"), col("lo"))
+    assert(again.collect().toSet == f64.collect().toSet)
+  }
+
+  test("docFrontier rows are mutually non-dominating and cover the maxima") {
+    val rows = Skyline.docFrontier(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((_, h1, l1) <- rows; (_, h2, l2) <- rows)
+      assert(!(h2 >= h1 && l2 <= l1 && (h2 > h1 || l2 < l1)))
+  }
+
+  test("HLL registers: idx in [0,256), rank in [1,57], merge equals register-wise max") {
+    val toks = (1 to 2000).map(i => (s"g${i % 3}", s"tok$i")).toDF("grp", "token")
+      .withColumnRenamed("grp", "g")
+    val per = HyperLogLog.registers(toks.select(col("g"), col("token")), col("g"))
+    val regs = per.collect()
+    assert(regs.nonEmpty)
+    regs.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 256)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 57)
+    }
+    // sketch of the union stream == register-wise max of per-group sketches
+    val union = HyperLogLog.registers(toks.select(lit("all").as("g"), col("token")), col("g"))
+      .select(col("idx"), col("m")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxed = per.groupBy(col("idx")).agg(max(col("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(union == maxed)
+  }
+
+  test("HLL estimate lands within the p=8 error envelope on a large vocabulary") {
+    // the raw estimator (no small-range correction — documented
+    // portability choice) is only meaningful when n is not tiny vs
+    // m=256, so accuracy is graded on a synthetic 4500-token corpus
+    val docs = (0 until 150).map { i =>
+      val toks = (0 until 30).map(j => s"w${i * 30 + j}")
+      (i.toLong, s"s${i % 3}", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val rows = HyperLogLog.distinctTokensBySource(docs).collect()
+    val bySrc = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getAs[Double]("est_raw"), r.getAs[Long]("exact_distinct"))).toMap
+    assert(bySrc.keySet == Set("s0", "s1", "s2", "__union__"))
+    assert(bySrc("__union__")._3 == 4500L)
+    rows.foreach { r =>
+      val (nz, est, exact) = (r.getLong(1), r.getAs[Double]("est_raw"), r.getAs[Long]("exact_distinct"))
+      assert(nz >= 1 && nz <= 256)
+      // 4× the 1.04/√m std error of the p=8 sketch
+      assert(math.abs(est - exact) <= 4 * 1.04 / 16.0 * exact,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    // merged registers: union nonzero count dominates every source's
+    val unionNz = bySrc("__union__")._1
+    assert(bySrc.filter(_._1 != "__union__").values.forall(_._1 <= unionNz))
+  }
+
+  test("HLL on the corpus: structure holds even at tiny vocabulary") {
+    val rows = HyperLogLog.distinctTokensBySource(Tables.documents(spark, sf)).collect()
+    assert(rows.length >= 2) // at least one source + __union__
+    val bySrc = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.contains("__union__"))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 256)
+      // s_sum is bounded by the all-absent total 256·2^57 = 2^65
+      assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("36893488147419103232")) <= 0)
+      assert(r.getAs[Double]("est_raw") > 0.0)
+    }
+    assert(bySrc.filter(_._1 != "__union__").values.forall(_ <= bySrc("__union__")))
+  }
+}
