@@ -678,7 +678,26 @@ object SparkEntry {
     "q161_skyline" -> ((s, d) =>
       graft.ops.Skyline.docFrontier(Tables.documents(s, d))),
     "q162_hll_distinct" -> ((s, d) =>
-      graft.text.HyperLogLog.distinctTokensBySource(Tables.documents(s, d)))
+      graft.text.HyperLogLog.distinctTokensBySource(Tables.documents(s, d))),
+    // community structure WITHIN the connected blobs CC can't split
+    "q163_label_prop" -> ((s, d) =>
+      graft.cluster.Graphs.labelPropagation(simGraphPairs(s, d), 3)),
+    // trailing-baseline volume anomalies (the z-score sibling of q146)
+    "q164_rolling_zscore" -> ((s, d) =>
+      graft.quality.Drift.rollingZScores(Tables.events(s, d))),
+    // reproducible per-epoch training order (md5 rank, 2 epochs)
+    "q165_epoch_shuffle" -> ((s, d) =>
+      graft.ops.Sampling.epochShuffle(Tables.documents(s, d), "doc_id", "s42", 2)),
+    // source-pair syndication profile over the q139 mirrored corpus
+    // (the raw fixture has no cross-source copies, so the mirror is
+    // the deterministic signal source, same as q139)
+    "q166_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+      graft.text.TextOps.sourceOverlap(docs.unionByName(mirrored))
+    })
   )
 
   /** The near-dup similarity graph behind q154/q158/q159/q160: unique
@@ -740,6 +759,9 @@ object SparkEntry {
     "q160_bfs_hops" -> Seq("documents"),
     "q161_skyline" -> Seq("documents"),
     "q162_hll_distinct" -> Seq("documents"),
+    "q163_label_prop" -> Seq("documents"),
+    "q165_epoch_shuffle" -> Seq("documents"),
+    "q166_source_overlap" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -2799,6 +2821,75 @@ object SparkEntry {
          |    * CAST(65536.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
          |    / CAST(s.s_sum AS DOUBLE) AS est_raw,
          |  e.exact_distinct
-         |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin
+         |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin,
+    // 3 synchronous LPA rounds as a fixed CTE chain: adopt the most
+    // frequent neighbor label, ties to the smallest label
+    "q163_label_prop" ->
+      s"""WITH $simPairsCtes,
+         |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e0),
+         |n1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS n
+         |  FROM e0 e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+         |l1 AS (SELECT id, label FROM (SELECT id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |  FROM n1) t WHERE rn = 1),
+         |n2 AS (SELECT e.dst AS id, l.label, COUNT(*) AS n
+         |  FROM e0 e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+         |l2 AS (SELECT id, label FROM (SELECT id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |  FROM n2) t WHERE rn = 1),
+         |n3 AS (SELECT e.dst AS id, l.label, COUNT(*) AS n
+         |  FROM e0 e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+         |l3 AS (SELECT id, label FROM (SELECT id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |  FROM n3) t WHERE rn = 1)
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+    // z from EXACT integer window stats (n, Σ, Σ²) in ONE fixed-shape
+    // double expression; underfull / zero-variance days filtered by
+    // integer predicates
+    "q164_rolling_zscore" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT day, cnt,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT day, cnt, n, s1, s2,
+        |    (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / SQRT((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n - 1 AS DOUBLE)) AS z
+        |  FROM s WHERE n = 7 AND n * s2 > s1 * s1)
+        |SELECT day, cnt, n, s1, s2, z,
+        |  ABS(z) > CAST(3.0 AS DOUBLE) AS is_anomaly
+        |FROM g ORDER BY day""".stripMargin,
+    // positions replayed as one ROW_NUMBER per epoch — same total
+    // order (rk, doc_id) the bucketed two-phase Spark form realizes
+    "q165_epoch_shuffle" ->
+      """WITH b AS (SELECT doc_id, e.epoch,
+        |    substr(md5(doc_id || '|s42:' || e.epoch), 1, 8) AS rk
+        |  FROM documents, range(0, 2) e(epoch))
+        |SELECT epoch,
+        |  ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rk, doc_id) AS pos,
+        |  doc_id
+        |FROM b ORDER BY epoch, pos""".stripMargin,
+    "q166_source_overlap" ->
+      """WITH docs2 AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT 'mirror_' || source, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |fps AS (SELECT DISTINCT source,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM docs2),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1),
+        |common AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n_fp + sb.n_fp - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

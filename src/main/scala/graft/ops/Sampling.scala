@@ -81,6 +81,44 @@ object Sampling {
     df.filter(w >= 1.0 || hashBucketHex(col(idCol), salt) < threshold)
   }
 
+  /** Deterministic per-epoch training order: each epoch re-ranks the
+    * corpus by `md5(id | salt : epoch)` — a fresh uniform permutation
+    * per epoch that is a pure function of (id, salt, epoch), so the
+    * exact training order any worker sees is reproducible across
+    * engines, runs, and cluster sizes (the md5 discipline of
+    * [[hashSplit]] applied to ORDER instead of membership).
+    *
+    * Global positions are computed WITHOUT a single-partition window
+    * over data rows: the first hex byte of the rank hash is a uniform
+    * 256-way bucket; per-(epoch, bucket) counts give broadcast
+    * offsets (a window over ≤256·epochs rows), and positions are
+    * offset + bucket-local row_number — the two-phase global-numbering
+    * shape of [[graft.ops.Windows.globalRunningSum]], with the bucket
+    * boundaries free because the hash is uniform by construction.
+    * Output: (epoch, pos, id) with pos 1-based within its epoch. */
+  def epochShuffle(df: DataFrame, idCol: String, salt: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"need epochs >= 1, got $epochs")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(idCol), explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("rk", substring(md5(concat(col(idCol).cast("string"),
+        lit("|" + salt + ":"), col("epoch").cast("string"))), 1, 8))
+      .withColumn("__b", substring(col("rk"), 1, 2))
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("epoch"), col("__b"))
+      .orderBy(col("rk"), col(idCol))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("epoch"), col("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("__b"), col("__off"))
+    ranked
+      .withColumn("__rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("epoch", "__b"))
+      .select(col("epoch"), (col("__off") + col("__rn")).as("pos"), col(idCol))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   /** Per-ROW weighted Bernoulli keep — [[mixtureSample]]'s continuous
     * generalization: each row survives with probability `weight`
     * (clamped to [0,1]), decided by the same deterministic md5 draw on

@@ -17,43 +17,54 @@ import org.apache.spark.sql.expressions.Window
   * the DuckDB oracle runs, at oracle scale). This implementation is
   * the sort-based linear form, bucketed for scale:
   *
-  *  1. LOCAL pass: rows are hash-bucketed; within a bucket, a window
-  *     ordered on `hi` finds for each row the best (min) `lo` among
-  *     rows with strictly larger `hi` (integer RANGE frame
-  *     [1 FOLLOWING, ∞)) and among `hi`-ties — two frame minima, no
-  *     pairwise work. Locally dominated rows are discarded.
-  *  2. GLOBAL pass: the same two windows over the surviving
-  *     candidates, unpartitioned. Sound because a global skyline
-  *     member is undominated everywhere (so it survives its bucket),
-  *     and a dominated row always has a dominator ON the skyline
+  *  1. LOCAL pass: rows are hash-bucketed; within a bucket the rows
+  *     reduce to one (hi, min lo) row per distinct `hi` (hash agg),
+  *     and a single RUNNING min over that reduced table ordered by
+  *     `hi` DESC — frame [unbounded preceding, 1 preceding], a
+  *     GROWING frame Spark executes as an O(n) running aggregation,
+  *     never the O(n²) recompute-per-row a shrinking
+  *     unbounded-FOLLOWING frame costs — yields the best `lo` among
+  *     strictly larger `hi`. Undominated (hi, lo) pairs join back to
+  *     the original rows on the (bucket, hi, lo) key.
+  *  2. GLOBAL pass: the same reduction over the surviving candidates,
+  *     unpartitioned. Sound because a global skyline member is
+  *     undominated everywhere (so it survives its bucket), and a
+  *     dominated row always has a dominator ON the skyline
   *     (transitivity), which therefore reaches the global pass.
   *
   * The single-partition window only ever sees the union of per-bucket
   * frontiers — typically orders of magnitude smaller than the input
-  * (frontier of n random points ~ O(log n) per bucket). All
-  * comparisons are on exact integers; ties on both axes are kept
-  * (neither dominates), making the result set-deterministic.
+  * (frontier of n random points ~ O(log n) per bucket). Exact ties on
+  * both axes are kept (neither dominates) and survive the join-back,
+  * making the result set-deterministic.
   */
 object Skyline {
 
-  private def undominated(df: DataFrame, part: Seq[Column], hi: Column, lo: Column): DataFrame = {
-    val strict = Window.partitionBy(part: _*).orderBy(hi.asc)
-      .rangeBetween(1L, Window.unboundedFollowing)
-    val ties = Window.partitionBy(part :+ hi: _*)
-    df
-      .withColumn("_best_above", min(lo).over(strict))
-      .withColumn("_best_tie", min(lo).over(ties))
-      .filter((col("_best_above").isNull || col("_best_above") > lo) && col("_best_tie") === lo)
-      .drop("_best_above", "_best_tie")
+  /** Rows of `df` (carrying `_hi`/`_lo` objective columns) not
+    * dominated within their `part` group. */
+  private def undominated(df: DataFrame, part: Seq[String]): DataFrame = {
+    val grouped = df.groupBy((part :+ "_hi").map(col): _*)
+      .agg(min(col("_lo")).as("_mlo"))
+    val byHiDesc = Window.partitionBy(part.map(col): _*).orderBy(col("_hi").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = grouped
+      .withColumn("_best_above", min(col("_mlo")).over(byHiDesc))
+      .filter(col("_best_above").isNull || col("_best_above") > col("_mlo"))
+      .select((part :+ "_hi").map(col) :+ col("_mlo").as("_lo"): _*)
+    // one frontier row per (part, hi), so the join-back never fans out;
+    // it keeps exactly the rows matching (hi, tie-min lo) — duplicates
+    // (exact ties) survive together
+    df.join(front, part ++ Seq("_hi", "_lo"))
   }
 
-  /** Frontier of `df` on (maximize `hi`, minimize `lo`); both columns
-    * must be integral (the RANGE frame step is 1). */
+  /** Frontier of `df` on (maximize `hi`, minimize `lo`); any orderable
+    * numeric columns. */
   def frontier2D(df: DataFrame, hi: Column, lo: Column, buckets: Int = 64): DataFrame = {
-    val local = undominated(
-      df.withColumn("_bkt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets))),
-      Seq(col("_bkt")), hi, lo)
-    undominated(local.drop("_bkt"), Seq.empty, hi, lo)
+    val base = df
+      .withColumn("_hi", hi).withColumn("_lo", lo)
+      .withColumn("_bkt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets)))
+    val local = undominated(base, Seq("_bkt")).drop("_bkt")
+    undominated(local, Seq.empty).drop("_hi", "_lo")
   }
 
   /** The graded curation screen: documents on the (n_tokens ↑,

@@ -117,6 +117,41 @@ object Drift {
       .orderBy(col("day"))
   }
 
+  /** Rolling z-score anomaly flags over daily event volumes: each day
+    * is scored against the TRAILING `window` days (itself excluded —
+    * an anomalous day must not contaminate its own baseline).
+    *
+    * The scale discipline of [[cusumDailyCounts]]: the corpus reduces
+    * to the day-cardinality table first, so the single-partition
+    * ordered window only ever sees |days| rows. The window emits the
+    * EXACT integer sufficient statistics (n, Σcnt, Σcnt²); mean,
+    * sample variance, and z collapse into ONE fixed-shape double
+    * expression each, so both engines compute identical bits (IEEE
+    * /, *, sqrt are exactly rounded on exact-integer inputs). Days
+    * with an underfull baseline (n < window) or zero variance —
+    * z undefined — are filtered by exact INTEGER predicates, never a
+    * float comparison. Output: (day, cnt, n, s1, s2, z, is_anomaly). */
+  def rollingZScores(events: DataFrame, window: Int = 7,
+                     zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-window.toLong, -1L)
+    val z = (col("cnt").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
+      sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+        (col("n") - 1L).cast("double"))
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") === window.toLong && col("n") * col("s2") > col("s1") * col("s1"))
+      .withColumn("z", z)
+      .select(col("day"), col("cnt"), col("n"), col("s1"), col("s2"), col("z"),
+        (abs(col("z")) > lit(zThreshold)).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   def chiSquareCells(df: DataFrame, a: String, b: String): DataFrame = {
     // NULL categories appear in the margins (groupBy keeps them), so the
     // cell lookup must be null-SAFE: a plain equality join would give a

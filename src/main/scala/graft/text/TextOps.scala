@@ -351,6 +351,35 @@ object TextOps {
       .filter(col("n_sources") > 1)
       .orderBy(col("fp"))
 
+  /** Source-pair syndication profile — the set-level rollup of
+    * [[crossSourceDuplicates]]: for every pair of sources sharing at
+    * least one canonical fingerprint, the shared count, each side's
+    * fingerprint-set size, and the Jaccard of the two sets. The
+    * lineage question it answers: WHICH feeds mirror each other (and
+    * how much), not just which documents are copied.
+    *
+    * Scale shape: the join is keyed on the fingerprint (the dedup
+    * family's inverted structure — pairs emit only where a fingerprint
+    * is actually shared), and the output is bounded by |sources|².
+    * The distinct (source, fp) table is checkpointed once for its two
+    * consumers. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val fps = documents.select(col("source"), fingerprint(col("text")).as("fp"))
+      .distinct().localCheckpoint()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n_fp").as("fp_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_fp").as("fp_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("fp_a"), col("fp_b"),
+        (col("n_common").cast("double") / (col("fp_a") + col("fp_b") - col("n_common")))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Vocabulary growth curve (Heaps' law): per document (in doc_id
     * order), the number of corpus-NEW token types it introduces and the
     * cumulative vocabulary size. The "distinct so far" is the same

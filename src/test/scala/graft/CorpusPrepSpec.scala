@@ -150,4 +150,49 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
     packed.unpersist()
   }
+
+  test("epoch shuffle: each epoch is a full permutation; epochs differ; order matches the hash rank") {
+    val out = Sampling.epochShuffle(docs, "doc_id", "s42", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq, "positions must be 1..n")
+      assert(rows.map(_._3).toSet == docs.collect().map(_.getAs[Long]("doc_id")).toSet)
+    }
+    // the bucketed two-phase numbering equals the plain global rank
+    val e0 = byEpoch(0L).sortBy(_._2).map(_._3).toSeq
+    val expected = docs.collect().map(_.getAs[Long]("doc_id"))
+      .map(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id|s42:0").take(8), id))
+      .sortBy(identity).map(_._2).toSeq
+    assert(e0 == expected)
+    assert(e0 != byEpoch(1L).sortBy(_._2).map(_._3).toSeq, "epochs must reshuffle")
+  }
+
+  test("source overlap: mirrored sources share exactly their mirrored fingerprints") {
+    val mirrored = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("source", concat(lit("m_"), col("source")))
+      .withColumn("doc_id", col("doc_id") + 1000L)
+    val out = graft.text.TextOps.sourceOverlap(docs.unionByName(mirrored)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, common, fa, fb) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, "pairs must be ordered once")
+      assert(common >= 1 && common <= math.min(fa, fb))
+      assert(r.getDouble(5) == common.toDouble / (fa + fb - common))
+    }
+    // a mirror pair's common count equals the mirrored doc's distinct fps
+    val bySrc = docs.filter(col("doc_id") % 3 === 0)
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fp"), col("source"))
+      .distinct().collect().groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    val pairs = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    bySrc.foreach { case (s, nfp) =>
+      val key = if (s < s"m_$s") (s, s"m_$s") else (s"m_$s", s)
+      // the mirror's fp set is a subset of the source's, so the
+      // intersection is exactly the mirror's size
+      assert(pairs.get(key).contains(nfp.toLong), s"mirror pair for $s wrong: ${pairs.get(key)}")
+    }
+  }
 }

@@ -79,6 +79,28 @@ class GraphOpsSpec extends AnyFunSuite {
       10L -> 0L, 11L -> 1L))
   }
 
+  test("label propagation: disjoint triangles converge to their min id") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+    val labs = Graphs.labelPropagation(pairsDF(g), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation: labels never cross components; result is deterministic") {
+    val rnd = new scala.util.Random(3)
+    // two random blobs on disjoint id ranges plus internal density
+    val blob1 = for { a <- 0L to 15L; b <- (a + 1) to 15L if rnd.nextDouble() < 0.4 } yield (a, b)
+    val blob2 = for { a <- 100L to 115L; b <- (a + 1) to 115L if rnd.nextDouble() < 0.4 } yield (a, b)
+    val g = pairsDF((blob1 ++ blob2).toSeq)
+    val r1 = Graphs.labelPropagation(g, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r2 = Graphs.labelPropagation(g, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSeq == r2.toSeq, "fixed-round LPA must be deterministic")
+    r1.foreach { case (id, lab) =>
+      assert((id < 100) == (lab < 100), s"label $lab crossed components to $id")
+    }
+  }
+
   test("BFS hops: multi-source takes the minimum over seeds") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val d = Graphs.bfsHops(pairsDF(g), Seq(1L, 5L).toDF("id"), 4).collect()

@@ -266,4 +266,30 @@ class QualitySpec extends AnyFunSuite {
       .collect()
     assert(out.exists(_.getBoolean(4)), "shifted series must flag")
   }
+
+  test("rolling z-score: spike flags against its trailing baseline, normal days don't") {
+    // days 0-7 form a varied baseline; day 8 is a 10x spike; day 9 normal
+    val counts = Seq(8L, 12L, 9L, 11L, 10L, 10L, 9L, 11L, 100L, 10L)
+    val rows = graft.quality.Drift.rollingZScores(eventsWithCounts(counts))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    // only days with a FULL 7-day baseline emit: 7, 8, 9
+    assert(rows.keySet == Set(7L, 8L, 9L))
+    val (cnt8, n8, s18, s28, z8, a8) = rows(8L)
+    assert((cnt8, n8) == (100L, 7L))
+    assert(s18 == counts.slice(1, 8).sum && s28 == counts.slice(1, 8).map(c => c * c).sum)
+    // the exact formula, replayed in scala doubles, must match bit-for-bit
+    val mean = s18.toDouble / n8.toDouble
+    val varS = (s28.toDouble - s18.toDouble * s18 / n8) / (n8 - 1L).toDouble
+    assert(z8 == (cnt8.toDouble - mean) / math.sqrt(varS))
+    assert(a8, "10x spike must flag")
+    assert(!rows(7L)._6 && !rows(9L)._6, "in-band days must not flag")
+  }
+
+  test("rolling z-score: zero-variance baselines are filtered, not NaN") {
+    val out = graft.quality.Drift.rollingZScores(eventsWithCounts(Seq.fill(12)(50L)))
+      .collect()
+    assert(out.isEmpty, "constant baseline has undefined z and must emit nothing")
+  }
 }
