@@ -697,7 +697,11 @@ object SparkEntry {
         .withColumn("source", concat(lit("mirror_"), col("source")))
         .withColumn("doc_id", col("doc_id") + 5000000L)
       graft.text.TextOps.sourceOverlap(docs.unionByName(mirrored))
-    })
+    }),
+    // what each feed talks about that the others don't (log-free
+    // relative-risk micro-units, bounded-heap per-source top-10)
+    "q167_source_terms" -> ((s, d) =>
+      graft.text.TextOps.distinctiveTerms(Tables.documents(s, d), 10))
   )
 
   /** The near-dup similarity graph behind q154/q158/q159/q160: unique
@@ -762,6 +766,7 @@ object SparkEntry {
     "q163_label_prop" -> Seq("documents"),
     "q165_epoch_shuffle" -> Seq("documents"),
     "q166_source_overlap" -> Seq("documents"),
+    "q167_source_terms" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -2890,6 +2895,26 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / (sa.n_fp + sb.n_fp - n_common) AS jaccard
         |FROM common JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+    // relative-risk micro-units in HUGEINT (Spark side is long — the
+    // graded SF fits; DuckDB BIGINT*BIGINT would error, HUGEINT // is
+    // the same floor); QUALIFY replays the bounded-heap top-k cut
+    "q167_source_terms" ->
+      """WITH tf AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |bys AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s FROM tf GROUP BY 1),
+        |byt AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt_all FROM tf GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS grand FROM tf),
+        |scored AS (SELECT tf.source, tf.token, tf.cnt,
+        |    CAST((1000000::HUGEINT * cnt * (grand - tot_s))
+        |      // (tot_s::HUGEINT * (cnt_all - cnt + 1)) AS BIGINT) AS score_micro
+        |  FROM tf JOIN bys USING (source) JOIN byt USING (token), g)
+        |SELECT source, token, cnt, score_micro,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score_micro DESC, token) AS BIGINT) AS rn
+        |FROM scored
+        |QUALIFY rn <= 10
+        |ORDER BY source, rn""".stripMargin
   )
 }

@@ -577,6 +577,11 @@ object StressBench {
     run("source_overlap",
       graft.text.TextOps.sourceOverlap(docs1).count(),
       graft.text.TextOps.sourceOverlap(docsPlainN).count())
+    // Distinctive terms: vocab-sized aggregates; plain replicas scale
+    // the counts, not the vocabulary — the explode is the linear term.
+    run("source_terms",
+      graft.text.TextOps.distinctiveTerms(docs1, 10).count(),
+      graft.text.TextOps.distinctiveTerms(docsPlainN, 10).count())
     spark.stop()
   }
 }

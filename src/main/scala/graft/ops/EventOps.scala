@@ -360,6 +360,7 @@ object EventOps {
     * k-row driver merge — no global sort materializes), with the
     * (cnt desc, path asc) total order making the cut deterministic. */
   def topPaths(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events

@@ -60,6 +60,7 @@ object Skyline {
   /** Frontier of `df` on (maximize `hi`, minimize `lo`); any orderable
     * numeric columns. */
   def frontier2D(df: DataFrame, hi: Column, lo: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val base = df
       .withColumn("_hi", hi).withColumn("_lo", lo)
       .withColumn("_bkt", pmod(hash(struct(df.columns.map(col): _*)), lit(buckets)))

@@ -84,6 +84,51 @@ object CorpusStream {
   def aggMaintenanceSink(rows: DataFrame, statePath: String, checkpoint: String,
                          keys: Seq[String], valueCol: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(rows, statePath, checkpoint, "aggMaintenanceSink") {
+      (batch, prior) =>
+        val delta = graft.ops.Incremental.aggState(batch, keys, valueCol)
+        prior match {
+          case Some(p) => graft.ops.Incremental.mergeStates(p, delta, keys)
+          case None => delta
+        }
+    }
+
+  /** Streaming HyperLogLog maintenance: keep per-source distinct-token
+    * sketches ([[graft.text.HyperLogLog]] registers) current under a
+    * continuous document stream. The sketch's merge IS register-wise
+    * max, so each micro-batch contributes its own tiny register table
+    * and the union with the state collapses by `max(m)` — the
+    * mergeability that makes HLL the 100 TB distinct counter is
+    * exactly what makes it streaming-maintainable for free; the
+    * historical corpus never re-enters a plan, and the state is
+    * bounded by 256·|sources| rows no matter how long the stream runs.
+    * Same exactly-once skeleton as [[aggMaintenanceSink]] (staged
+    * rename + stream-scoped high-water batch id). State schema:
+    * (grp, idx, m). */
+  def sketchMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(docs, statePath, checkpoint, "sketchMaintenanceSink") {
+      (batch, prior) =>
+        val toks = batch.select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        val delta = graft.text.HyperLogLog.registers(toks, col("source"))
+        prior match {
+          case Some(p) => p.unionByName(delta)
+            .groupBy(col("grp"), col("idx")).agg(max(col("m")).as("m"))
+          case None => delta
+        }
+    }
+
+  /** The exactly-once parquet state-table skeleton shared by the
+    * maintenance sinks: staged `.next` rename (crash leaves the prior
+    * state readable), recovery of a stranded rename, and the
+    * stream-scoped (`_stream_id`, `_batch_id`) high-water gate that
+    * makes checkpoint replays idempotent. `merge` sees the batch and
+    * the prior state WITHOUT the marker columns. */
+  private def maintainState(rows: DataFrame, statePath: String, checkpoint: String,
+                            sinkName: String)(
+      merge: (DataFrame, Option[DataFrame]) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -102,12 +147,12 @@ object CorpusStream {
             java.nio.charset.StandardCharsets.UTF_8)
           """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
             .map(_.group(1))
-            .getOrElse(sys.error(s"aggMaintenanceSink: no query id in $meta"))
+            .getOrElse(sys.error(s"$sinkName: no query id in $meta"))
         }
         // crash recovery (the Layout.compact discipline): death between
         // delete(cur) and rename leaves the new state stranded at .next
         if (!fs.exists(cur) && fs.exists(nxt))
-          require(fs.rename(nxt, cur), s"aggMaintenanceSink: recovery rename failed for $statePath")
+          require(fs.rename(nxt, cur), s"$sinkName: recovery rename failed for $statePath")
         else if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
         val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
         val alreadyMerged = prior.exists { p =>
@@ -120,17 +165,12 @@ object CorpusStream {
           }
         }
         if (!batch.isEmpty && !alreadyMerged) {
-          val delta = graft.ops.Incremental.aggState(batch, keys, valueCol)
-          val merged = prior match {
-            case Some(p) => graft.ops.Incremental.mergeStates(
-              p.drop("_batch_id", "_stream_id"), delta, keys)
-            case None => delta
-          }
+          val merged = merge(batch, prior.map(_.drop("_batch_id", "_stream_id")))
           merged.withColumn("_batch_id", lit(batchId))
             .withColumn("_stream_id", lit(streamId))
             .write.mode("overwrite").parquet(nxt.toString)
           if (fs.exists(cur)) fs.delete(cur, true)
-          require(fs.rename(nxt, cur), s"aggMaintenanceSink: rename failed for $statePath")
+          require(fs.rename(nxt, cur), s"$sinkName: rename failed for $statePath")
         }
       }
       .start()

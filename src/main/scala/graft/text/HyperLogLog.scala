@@ -47,7 +47,10 @@ object HyperLogLog {
   private val low56 = (1L << 56) - 1
 
   /** (grp, idx, m): nonzero HLL registers per group from a
-    * (grp, token) stream (need not be pre-distincted). */
+    * (grp, token) stream (need not be pre-distincted). Tokens of 32+
+    * chars are excluded — the documented domain bound shared with the
+    * oracle's byte-chain replay (and a sanity cap: such "tokens" are
+    * usually markup/URL debris, not vocabulary). */
   def registers(tokens: DataFrame, grp: Column): DataFrame = {
     val h = xxhash64(col("token"))
     tokens

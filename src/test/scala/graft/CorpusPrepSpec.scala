@@ -170,6 +170,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(e0 != byEpoch(1L).sortBy(_._2).map(_._3).toSeq, "epochs must reshuffle")
   }
 
+  test("distinctive terms: exclusive tokens outrank shared ones; k bounds per source") {
+    val d = Seq(
+      (1L, "sA", "zebra zebra zebra common common"),
+      (2L, "sA", "zebra common common"),
+      (3L, "sB", "yak yak common common"),
+      (4L, "sB", "yak common common common"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.distinctiveTerms(d, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet == Set("sA", "sB"))
+    bySrc.values.foreach(rows => assert(rows.length <= 2 &&
+      rows.map(_._5).sorted.toSeq == (1L to rows.length).toSeq))
+    // the source-exclusive token ranks first in each source
+    assert(bySrc("sA").minBy(_._5)._2 == "zebra")
+    assert(bySrc("sB").minBy(_._5)._2 == "yak")
+    // hand-check sA/zebra: cnt=4, tot_s=8, cnt_rest=0, tot_rest=8
+    // → (1e6·4·8) div (8·(0+1)) = 4000000
+    val z = bySrc("sA").find(_._2 == "zebra").get
+    assert((z._3, z._4) == (4L, 4000000L))
+    // corpus run stays bounded and ordered
+    val corpus = TextOps.distinctiveTerms(docs, 10).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.groupBy(_.getString(0)).values.forall(_.length <= 10))
+  }
+
   test("source overlap: mirrored sources share exactly their mirrored fingerprints") {
     val mirrored = docs.filter(col("doc_id") % 3 === 0)
       .withColumn("source", concat(lit("m_"), col("source")))

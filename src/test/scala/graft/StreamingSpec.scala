@@ -383,4 +383,32 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(idxDocs.toSeq == got.toSeq)
   }
+
+  test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(String, String)]
+    def start() = graft.stream.CorpusStream.sketchMaintenanceSink(
+      mem.toDF().toDF("source", "text"), state, ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val b1 = Seq(("s1", "alpha beta gamma"), ("s2", "alpha delta"))
+    val b2 = Seq(("s1", "beta epsilon zeta"), ("s3", "eta theta"))
+    val b3 = Seq(("s2", "gamma iota kappa lambda"))
+    val q1 = start()
+    try {
+      seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable()
+      seen ++= b2; mem.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: registers keep maxing
+    val q2 = start()
+    try { seen ++= b3; mem.addData(b3: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("grp", "idx", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allToks = seen.toSeq.toDF("source", "text")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val want = graft.text.HyperLogLog.registers(allToks, col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "streamed register table must equal the batch sketch")
+  }
 }
