@@ -701,7 +701,24 @@ object SparkEntry {
     // what each feed talks about that the others don't (log-free
     // relative-risk micro-units, bounded-heap per-source top-10)
     "q167_source_terms" -> ((s, d) =>
-      graft.text.TextOps.distinctiveTerms(Tables.documents(s, d), 10))
+      graft.text.TextOps.distinctiveTerms(Tables.documents(s, d), 10)),
+    // trailing 7-day distinct users by MERGING daily HLL sketches —
+    // windowed distinct without re-scanning the window
+    "q168_hll_weekly" -> ((s, d) =>
+      graft.text.HyperLogLog.weeklyDistinctUsers(Tables.events(s, d))),
+    // blast radius of the q160 seed set, weighted by connectivity
+    // strength instead of hop count
+    "q169_ppr" -> ((s, d) => {
+      val pairs = simGraphPairs(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.cluster.PageRank.personalizedPageRank(edges,
+        Tables.documents(s, d).select(col("doc_id").as("id")).filter(col("id") < 25),
+        5)
+    }),
+    // per-type volume burstiness (Fano factor over active days)
+    "q170_burstiness" -> ((s, d) =>
+      graft.ops.EventOps.burstiness(Tables.events(s, d)))
   )
 
   /** The near-dup similarity graph behind q154/q158/q159/q160: unique
@@ -767,6 +784,7 @@ object SparkEntry {
     "q165_epoch_shuffle" -> Seq("documents"),
     "q166_source_overlap" -> Seq("documents"),
     "q167_source_terms" -> Seq("documents"),
+    "q169_ppr" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -872,6 +890,18 @@ object SparkEntry {
     (1 to iters).map { t =>
       s"""r$t AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
          |  FROM deg n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // dg.outdeg) AS s
+         |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg dg ON dg.id = e.src
+         |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+
+  /** [[pageRankIterCtes]] with teleport restricted to `n.is_seed`
+    * vertices — the personalized variant's fixed-round replay. */
+  private def pprIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""r$t AS (SELECT n.id, CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+         |    + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
          |    SELECT e.dst AS id, SUM(p.r // dg.outdeg) AS s
          |    FROM edges e JOIN r${t - 1} p ON p.id = e.src JOIN deg dg ON dg.id = e.src
          |    GROUP BY 1) s ON s.id = n.id)""".stripMargin
@@ -2915,6 +2945,67 @@ object SparkEntry {
         |    ORDER BY score_micro DESC, token) AS BIGINT) AS rn
         |FROM scored
         |QUALIFY rn <= 10
-        |ORDER BY source, rn""".stripMargin
+        |ORDER BY source, rn""".stripMargin,
+    // daily registers once, each day feeds its 7 covering windows,
+    // merge = MAX(m) — the oracle replays the merge, not a re-scan
+    "q168_hll_weekly" ->
+      s"""WITH d0 AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(user_id AS VARCHAR) AS token FROM events),
+         |tokc AS (SELECT DISTINCT token FROM d0),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS u
+         |  FROM hashes),
+         |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
+         |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
+         |rr AS (SELECT token, idx,
+         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS BIGINT) AS r
+         |  FROM reg),
+         |daily AS (SELECT day AS grp, idx, MAX(r) AS m
+         |  FROM d0 JOIN rr USING (token) GROUP BY 1, 2),
+         |present AS (SELECT DISTINCT day FROM d0),
+         |merged AS (SELECT s.day, s.idx, MAX(s.m) AS m FROM (
+         |    SELECT grp + o AS day, idx, m FROM daily, range(0, 7) oo(o)) s
+         |  JOIN present USING (day) GROUP BY 1, 2),
+         |sums AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS DECIMAL(38,0)))
+         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS s_sum
+         |  FROM merged GROUP BY 1),
+         |ex AS (SELECT t.day, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+         |  FROM (SELECT d0.day + o AS day, token FROM d0, range(0, 7) oo(o)) t
+         |  JOIN present ON present.day = t.day GROUP BY 1)
+         |SELECT s.day, s.nonzero_regs, s.s_sum,
+         |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+         |    * CAST(65536.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
+         |    / CAST(s.s_sum AS DOUBLE) AS est_raw,
+         |  ex.exact_distinct
+         |FROM sums s JOIN ex ON ex.day = s.day ORDER BY s.day""".stripMargin,
+    // seeded teleport: graph vertices are doc ids, so the q160 seed
+    // predicate (doc_id < 25) is the is_seed test verbatim
+    "q169_ppr" ->
+      s"""WITH $simPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |n AS (SELECT id, id < 25 AS is_seed FROM deg),
+         |r0 AS (SELECT id, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |  FROM n),
+         |${pprIterCtes(5)}
+         |SELECT id, r AS rank_micro FROM r5 ORDER BY id""".stripMargin,
+    // Fano = sample-variance/mean over ACTIVE days, both from exact
+    // integer sufficient statistics, ONE fixed-shape double each
+    "q170_burstiness" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, s1, s2,
+        |  ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / CAST(n_days - 1 AS DOUBLE))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+        |FROM s WHERE n_days >= 2 AND s1 > 0
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -540,11 +540,26 @@ object StressBench {
     run("label_prop",
       graft.cluster.Graphs.labelPropagation(g1, 3).count(),
       graft.cluster.Graphs.labelPropagation(gN, 3).count())
+    run("ppr", {
+      val seeds1 = spark.range(100000L).filter(col("id") % 1000L === 0L).select(col("id"))
+      val e1 = g1.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(g1.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.cluster.PageRank.personalizedPageRank(e1, seeds1, 3).count()
+    }, {
+      val seedsN = spark.range(100000L * factor)
+        .filter(col("id") % 1000L === 0L).select(col("id"))
+      val eN = gN.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(gN.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.cluster.PageRank.personalizedPageRank(eN, seedsN, 3).count()
+    })
     // Rolling z-score: replicas multiply per-day volume, day cardinality
     // fixed — the daily reduction is the only corpus-sized stage.
     run("rolling_zscore",
       mat(graft.quality.Drift.rollingZScores(ev1)),
       mat(graft.quality.Drift.rollingZScores(evN)))
+    // Burstiness: same reduction discipline, (type, day) cardinality.
+    run("burstiness",
+      mat(EventOps.burstiness(ev1)), mat(EventOps.burstiness(evN)))
     // 3-step paths: event replicas have remapped users, so per-user
     // window partitions stay constant-size and path cardinality is
     // bounded by |type-domain|³ either way.
@@ -582,6 +597,13 @@ object StressBench {
     run("source_terms",
       graft.text.TextOps.distinctiveTerms(docs1, 10).count(),
       graft.text.TextOps.distinctiveTerms(docsPlainN, 10).count())
+    // Weekly HLL: replicas remap user ids, so daily distinct-user
+    // volume scales while the register/window tables stay
+    // day-cardinality — the one corpus-sized stage is the daily
+    // distinct.
+    run("hll_weekly",
+      mat(graft.text.HyperLogLog.weeklyDistinctUsers(ev1)),
+      mat(graft.text.HyperLogLog.weeklyDistinctUsers(evN)))
     spark.stop()
   }
 }

@@ -66,4 +66,45 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: same integer-exact damping update, but the
+    * teleport mass lands ONLY on `seeds` — rank becomes proximity to
+    * the seed set weighted by connectivity strength, the blast-radius
+    * score decontamination wants (BFS answers "how many hops from a
+    * known-bad doc"; this answers "how much of its influence reaches
+    * me", which separates a one-edge brush from a dense entanglement).
+    *
+    *   r⁰(v)  = 1 000 000 · [v ∈ seeds]
+    *   r'(v)  = 150000 · [v ∈ seeds] + (85 · Σ_{u→v} r(u) div deg(u)) div 100
+    *
+    * Unreached vertices keep rank 0 (they appear in the output — their
+    * zero IS the answer). Same per-round shape and determinism as
+    * [[pageRank]]; seeds outside the graph contribute nothing. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("id"))
+      .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val teleport = when(col("is_seed"), lit(150000L)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank_micro div outdeg").as("c"))
+      val sums = contribs.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (teleport + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("id"))
+  }
 }

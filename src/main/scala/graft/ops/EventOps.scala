@@ -359,6 +359,37 @@ object EventOps {
     * through Spark's TakeOrderedAndProject (per-partition heaps + a
     * k-row driver merge — no global sort materializes), with the
     * (cnt desc, path asc) total order making the cut deterministic. */
+  /** Per-type volume burstiness: the Fano factor (sample variance ÷
+    * mean) of daily counts over each type's ACTIVE days — ≈1 for
+    * Poisson-ish steady traffic, ≫1 for bursty/campaign-driven types,
+    * ≪1 for metronomic ones. Zero-count days are excluded by
+    * construction (an absent day is indistinguishable from a
+    * pre-launch day in an event log); the statistic is "burstiness
+    * while alive", documented.
+    *
+    * The [[graft.quality.Drift.rollingZScores]] discipline: corpus
+    * reduces to (type, day) counts first, the exact integer sufficient
+    * statistics (n, Σ, Σ²) reduce again to type cardinality, and the
+    * Fano collapses into ONE fixed-shape double expression — engine-
+    * exact. Types with a single active day are filtered by integer
+    * predicate (variance undefined). Output:
+    * (event_type, n_days, s1, s2, fano). */
+  def burstiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val fano = ((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_days")) /
+      (col("n_days") - 1L).cast("double")) /
+      (col("s1").cast("double") / col("n_days").cast("double"))
+    daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .filter(col("n_days") >= 2L && col("s1") > 0L)
+      .withColumn("fano", fano)
+      .orderBy(col("event_type"))
+  }
+
   def topPaths(events: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window

@@ -28,6 +28,50 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(r == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
   }
 
+  test("personalized PageRank: two hand-computed seeded rounds on the 3-node path") {
+    // path 1-2-3 symmetrized, seed {1}: teleport mass only lands on 1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = PageRank.personalizedPageRank(edges, Seq(1L).toDF("id"), 2).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // r0 = (1e6, 0, 0)
+    // round 1: r(1)=150000, r(2)=85%·1e6=850000, r(3)=0
+    // round 2: r(1)=150000+floor(85·425000/100)=511250
+    //          r(2)=floor(85·150000/100)=127500, r(3)=361250
+    assert(r == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
+  test("personalized PageRank: disconnected component scores zero, seeds outside graph inert") {
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val r = PageRank.personalizedPageRank(edges, Seq(1L, 99L).toDF("id"), 4).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L, "unreachable component must stay 0")
+    assert(r(1L) > 0L && r(2L) > 0L)
+    assert(!r.contains(99L), "seed absent from the graph is not a vertex")
+  }
+
+  test("burstiness: hand-checked Fano; single-day types filtered; constant series -> 0") {
+    val ts0 = 0L
+    def t(day: Int, i: Int) = day * 86400000000000L + i * 1000000L + ts0
+    // type a: day0 cnt 2, day1 cnt 4 -> n=2 s1=6 s2=20, fano=(2/1)/3
+    // type b: one active day -> filtered; type c: 3,3 -> fano 0
+    val events = (
+      Seq((1L, t(0, 1), 1L, "a"), (2L, t(0, 2), 2L, "a"),
+        (3L, t(1, 1), 3L, "a"), (4L, t(1, 2), 4L, "a"),
+        (5L, t(1, 3), 5L, "a"), (6L, t(1, 4), 6L, "a")) ++
+      Seq((7L, t(0, 1), 7L, "b")) ++
+      (1 to 3).map(i => (8L, t(0, i), 10L + i, "c")) ++
+      (1 to 3).map(i => (9L, t(1, i), 20L + i, "c")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventOps.burstiness(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("fano"))).toMap
+    assert(got.keySet == Set("a", "c"))
+    assert(got("a")._1 == 2L && got("a")._2 == 6L && got("a")._3 == 20L)
+    val expected = ((20.0 - 6.0 * 6L / 2L) / 1.0) / (6.0 / 2.0)
+    assert(got("a")._4 == expected)
+    assert(got("c")._4 == 0.0)
+  }
+
   test("PageRank: disconnected pairs keep identical symmetric ranks") {
     val edges = Seq((10L, 11L), (11L, 10L), (20L, 21L), (21L, 20L)).toDF("src", "dst")
     val r = PageRank.pageRank(edges, 5).collect().map(_.getLong(1)).distinct

@@ -107,6 +107,34 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(bySrc.filter(_._1 != "__union__").values.forall(_._1 <= unionNz))
   }
 
+  test("weekly HLL: window merge equals the window's own sketch; exact counts pin the window") {
+    // day d carries users [d·200, d·200+199] — disjoint across days, so
+    // the trailing-7 exact count is 200·(covered days)
+    val events = (0 until 10).flatMap { d =>
+      (0 until 200).map(u => (d * 86400000000000L, d * 200L + u))
+    }.toDF("ts", "user_id")
+    val rows = HyperLogLog.weeklyDistinctUsers(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("est_raw"),
+        r.getAs[Long]("exact_distinct"))).toMap
+    assert(rows.keySet == (0L to 9L).toSet)
+    (0 to 9).foreach { d =>
+      val covered = math.min(d, 6) + 1
+      assert(rows(d.toLong)._3 == 200L * covered, s"day $d exact")
+      // p=8 raw estimator envelope (4 sigma) on a 200-1400 cardinality
+      val exact = 200.0 * covered
+      assert(math.abs(rows(d.toLong)._2 - exact) <= 4 * 1.04 / 16.0 * exact + 60,
+        s"day $d est=${rows(d.toLong)._2} exact=$exact")
+    }
+    // merge identity: day 9's window registers == direct sketch of its users
+    val win9 = events.filter(col("ts") >= 3L * 86400000000000L)
+      .select(lit(9L).as("g"), col("user_id").cast("string").as("token"))
+    val direct = HyperLogLog.registers(win9, col("g"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val viaMergeNonzero = rows(9L)._1
+    assert(direct.size.toLong == viaMergeNonzero,
+      "merged nonzero register count must equal the window's own sketch")
+  }
+
   test("HLL on the corpus: structure holds even at tiny vocabulary") {
     val rows = HyperLogLog.distinctTokensBySource(Tables.documents(spark, sf)).collect()
     assert(rows.length >= 2) // at least one source + __union__
