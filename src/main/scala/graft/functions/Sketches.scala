@@ -91,4 +91,41 @@ object Sketches {
   }
 
   def simhashAgg(token: Column): Column = udaf(new SimHashAgg).apply(token)
+
+  /** One-pass HyperLogLog register builder (p = 8): the buffer is the
+    * 256-byte register array itself, so map-side partials hand the
+    * shuffle AT MOST 256 bytes per (partition, group) — the shape that
+    * replaces [[graft.text.HyperLogLog.registers]]'s distinct-stream
+    * shuffle at corpus scale. Hashing is Spark's own column xxhash64
+    * (UTF8String bytes, seed 42), so the produced registers are
+    * bit-identical to the declarative form (equality-tested) and the
+    * same DuckDB chain still replays them. Duplicate tokens need no
+    * pre-distinct: register max is idempotent. */
+  class HllRegistersAgg extends Aggregator[String, Array[Byte], Seq[Long]] {
+    def zero: Array[Byte] = new Array[Byte](256)
+    def reduce(buf: Array[Byte], token: String): Array[Byte] = {
+      val u = UTF8String.fromString(token)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      val idx = (h >>> 56).toInt
+      val v = h & ((1L << 56) - 1)
+      // rank = 57 - bitlength(v); bitlength = 64 - nlz for v > 0
+      val r = (if (v == 0L) 57 else java.lang.Long.numberOfLeadingZeros(v) - 7).toByte
+      if (r > buf(idx)) buf(idx) = r
+      buf
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < 256) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Byte]): Seq[Long] = buf.map(_.toLong).toSeq
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: `hll_registers_agg(tokenCol)` → array<bigint>(256) of
+    * register ranks (0 = absent). */
+  def hllRegistersAgg(token: Column): Column = udaf(new HllRegistersAgg).apply(token)
 }

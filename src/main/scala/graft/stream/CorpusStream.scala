@@ -111,7 +111,7 @@ object CorpusStream {
       (batch, prior) =>
         val toks = batch.select(col("source"),
           explode(split(col("text"), " ")).as("token"))
-        val delta = graft.text.HyperLogLog.registers(toks, col("source"))
+        val delta = graft.text.HyperLogLog.registersOnePass(toks, col("source"))
         prior match {
           case Some(p) => p.unionByName(delta)
             .groupBy(col("grp"), col("idx")).agg(max(col("m")).as("m"))

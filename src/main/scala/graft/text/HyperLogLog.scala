@@ -70,6 +70,22 @@ object HyperLogLog {
     (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
       lit(65536.0) * lit(144115188075855872.0) / s.cast("double")
 
+  /** [[registers]] built in ONE pass through the
+    * [[graft.functions.Sketches.HllRegistersAgg]] Aggregator: no
+    * distinct shuffle of the (grp, token) stream — map-side partials
+    * are ≤256-byte buffers per group, which is the whole exchange.
+    * Bit-identical to [[registers]] (equality-tested); this is the
+    * serve path the public operators run, with the declarative form
+    * kept as the oracle-shaped specification. */
+  def registersOnePass(tokens: DataFrame, grp: Column): DataFrame =
+    tokens
+      .filter(length(col("token")) > 0 && length(col("token")) < 32)
+      .groupBy(grp.as("grp"))
+      .agg(graft.functions.Sketches.hllRegistersAgg(col("token")).as("regs"))
+      .select(col("grp"), posexplode(col("regs")).as(Seq("idx", "m")))
+      .filter(col("m") > 0L)
+      .select(col("grp"), col("idx").cast("long").as("idx"), col("m"))
+
   /** Distinct users per trailing 7-day window, computed by MERGING
     * daily sketches instead of re-scanning the window — the claim that
     * makes HLL the windowed distinct counter at 100 TB, materialized:
@@ -84,8 +100,8 @@ object HyperLogLog {
     * (day, nonzero_regs, s_sum, est_raw, exact_distinct). */
   def weeklyDistinctUsers(events: DataFrame): DataFrame = {
     val d0 = events.select(expr("(ts div 1000) div 86400000000").as("day"),
-      col("user_id").cast("string").as("token")).distinct().localCheckpoint()
-    val daily = registers(d0, col("day"))
+      col("user_id").cast("string").as("token")).localCheckpoint()
+    val daily = registersOnePass(d0, col("day"))
     val present = d0.select(col("day")).distinct()
     val merged = daily
       .select(explode(sequence(col("grp"), col("grp") + 6L)).as("day"),
@@ -95,7 +111,9 @@ object HyperLogLog {
     val sums = merged.groupBy(col("day")).agg(
       count(lit(1)).as("nonzero_regs"),
       sum(expr("CAST(shiftleft(1L, CAST(57 - m AS INT)) AS DECIMAL(38,0))")).as("s_present"))
-    val exact = d0
+    // the exact twin pays the distinct + window re-expansion the
+    // sketch path above avoids — that contrast is the point
+    val exact = d0.distinct()
       .select(explode(sequence(col("day"), col("day") + 6L)).as("day"), col("token"))
       .join(present, "day")
       .groupBy(col("day")).agg(countDistinct(col("token")).as("exact_distinct"))
@@ -117,7 +135,7 @@ object HyperLogLog {
   def distinctTokensBySource(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
-    val perSource = registers(toks, col("source"))
+    val perSource = registersOnePass(toks, col("source"))
     // merging sketches = register-wise max; max-of-max over sources is
     // exactly the sketch of the union stream
     val merged = perSource.groupBy(col("idx")).agg(max(col("m")).as("m"))

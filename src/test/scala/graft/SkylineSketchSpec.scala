@@ -64,6 +64,26 @@ class SkylineSketchSpec extends AnyFunSuite {
       assert(!(h2 >= h1 && l2 <= l1 && (h2 > h1 || l2 < l1)))
   }
 
+  test("one-pass HLL Aggregator produces bit-identical registers to the declarative form") {
+    // duplicated tokens + multiple groups + corpus text: the Aggregator
+    // path must match registers() exactly, row for row
+    val toks = ((1 to 800).map(i => (s"g${i % 4}", s"tok${i % 300}")) ++
+      Seq(("g0", ""), ("g1", "x" * 40))) // domain-filtered rows
+      .toDF("g", "token")
+    val a = HyperLogLog.registers(toks, col("g")).orderBy("grp", "idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = HyperLogLog.registersOnePass(toks, col("g")).orderBy("grp", "idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    val docs = Tables.documents(spark, sf)
+    val corpusToks = docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val ca = HyperLogLog.registers(corpusToks, col("source")).orderBy("grp", "idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val cb = HyperLogLog.registersOnePass(corpusToks, col("source")).orderBy("grp", "idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ca == cb)
+  }
+
   test("HLL registers: idx in [0,256), rank in [1,57], merge equals register-wise max") {
     val toks = (1 to 2000).map(i => (s"g${i % 3}", s"tok$i")).toDF("grp", "token")
       .withColumnRenamed("grp", "g")
