@@ -119,6 +119,25 @@ object CorpusStream {
         }
     }
 
+  /** Streaming Count-Min maintenance: the counting twin of
+    * [[sketchMaintenanceSink]]. CMS counters are a sum sketch, so each
+    * micro-batch contributes its own ≤2048-cell sketch and the merge
+    * is counter ADDITION per (row, col) — after any prefix of batches
+    * the state equals the sketch of everything ingested so far
+    * (streamed == batch tested), and point-query estimates stay
+    * one-sided. State schema: (row, col, counter). */
+  def cmsMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(docs, statePath, checkpoint, "cmsMaintenanceSink") {
+      (batch, prior) =>
+        val delta = graft.text.CountMin.sketch(batch)
+        prior match {
+          case Some(p) => p.unionByName(delta)
+            .groupBy(col("row"), col("col")).agg(sum(col("counter")).as("counter"))
+          case None => delta
+        }
+    }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the

@@ -411,4 +411,30 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want, "streamed register table must equal the batch sketch")
   }
+
+  test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    def start() = graft.stream.CorpusStream.cmsMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), state, ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "gamma beta"))
+    val b2 = Seq((3L, "alpha delta delta epsilon"))
+    val q1 = start()
+    try { seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { seen ++= b2; mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("row", "col", "counter").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.text.CountMin.sketch(seen.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "streamed counter table must equal the batch sketch")
+    // total mass = total token count, per row
+    val total = seen.flatMap(_._2.split(" ")).size.toLong
+    (0 until graft.text.CountMin.Depth).foreach { r =>
+      assert(got.collect { case ((row, _), c) if row == r => c }.sum == total)
+    }
+  }
 }
