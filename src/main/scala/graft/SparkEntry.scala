@@ -718,7 +718,10 @@ object SparkEntry {
     }),
     // per-type volume burstiness (Fano factor over active days)
     "q170_burstiness" -> ((s, d) =>
-      graft.ops.EventOps.burstiness(Tables.events(s, d)))
+      graft.ops.EventOps.burstiness(Tables.events(s, d))),
+    // the corpus kNN graph (every vector's top-5 LSH bucket-mates)
+    "q171_knn_graph" -> ((s, d) =>
+      graft.sim.Similarity.knnGraph(Tables.embeddings(s, d), 5))
   )
 
   /** The near-dup similarity graph behind q154/q158/q159/q160: unique
@@ -785,6 +788,7 @@ object SparkEntry {
     "q166_source_overlap" -> Seq("documents"),
     "q167_source_terms" -> Seq("documents"),
     "q169_ppr" -> Seq("documents"),
+    "q171_knn_graph" -> Seq("embeddings"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -3006,6 +3010,24 @@ object SparkEntry {
         |      / CAST(n_days - 1 AS DOUBLE))
         |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
         |FROM s WHERE n_days >= 2 AND s1 > 0
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    // the q52 candidate chain in BOTH directions, cut to top-5 per
+    // vector under the (sim DESC, neighbor ASC) total order
+    "q171_knn_graph" ->
+      s"""WITH $lshPlaneCtes,
+         |${lshBucketedCte("bk", 8)},
+         |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id),
+         |vpair AS (SELECT c.ida, c.idb, qa.embedding AS ea, qb.embedding AS eb
+         |  FROM cand c JOIN embeddings qa ON qa.vec_id = c.ida
+         |  JOIN embeddings qb ON qb.vec_id = c.idb),
+         |$lshCosineCtes
+         |SELECT ida AS vec_id, idb AS neighbor_id, sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY ida
+         |    ORDER BY sim DESC, idb) AS BIGINT) AS rn
+         |FROM cs
+         |QUALIFY rn <= 5
+         |ORDER BY vec_id, rn""".stripMargin
   )
 }

@@ -165,6 +165,12 @@ object StressBench {
     run("lsh_topk_corpusN",
       graft.sim.Similarity.lshTopK(q20, emb1, 5).count(),
       graft.sim.Similarity.lshTopK(q20, embN, 5).count())
+    // kNN graph: all-pairs neighbor lists, so the plane-scaling law
+    // applies doubly — candidates AND output scale with n; decorrelated
+    // replicas keep the candidate growth honest.
+    run("knn_graph",
+      graft.sim.Similarity.knnGraph(emb1, 5).count(),
+      graft.sim.Similarity.knnGraph(embN, 5, planes = scaledPlanes).count())
 
     // Round-2 corpus-prep family. These are aggregation/projection
     // shapes, not pair emitters, so duplicate structure cannot go

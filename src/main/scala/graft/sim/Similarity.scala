@@ -255,6 +255,35 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** All-pairs kNN GRAPH: every corpus vector's k most-similar LSH
+    * bucket-mates — the neighbor-graph construction SemDeDup-class
+    * pipelines run before clustering, and the input a graph-based ANN
+    * index wants. Semantics are "top-k among candidates of the
+    * (planes, tables) layout" — deterministic and exactly
+    * SQL-replayable, unlike a recall-best-effort ANN answer.
+    *
+    * Scale shape: candidates come from the SHUFFLED (table, bucket)
+    * self-join (no broadcast — both sides are the corpus), each
+    * unordered pair feeds both endpoints' neighbor lists, and the
+    * per-vector cut routes through the bounded-heap [[graft.plans.TopK]]
+    * exec under the (sim desc, neighbor asc) total order at 6-dp
+    * cosine — no window sort over the candidate table, so one hub
+    * vector with a huge bucket cannot become the straggler sort.
+    * Vectors with fewer than k bucket-mates return what exists. */
+  def knnGraph(corpus: DataFrame, k: Int,
+               planes: Int = 8, tables: Int = 8): DataFrame = {
+    val candIds = lshCandidates(corpus, corpus, planes, tables,
+      broadcastQueries = false)
+    val a = corpus.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val b = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = candIds.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("sim"))
+    graft.plans.TopK.topKPerKey(scored, Seq("vec_id"),
+        Seq(("sim", false), ("neighbor_id", true)), k)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 4, tables: Int = 16): DataFrame = {
     val candIds = lshCandidates(queries, corpus, planes, tables)

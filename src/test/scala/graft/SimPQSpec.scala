@@ -89,4 +89,29 @@ class SimPQSpec extends AnyFunSuite {
       nprobe = 8, refine = n).collect().toSeq
     assert(full == exact, "exhaustive PQ must equal brute force")
   }
+
+  test("knnGraph: bounded-heap cut equals the window form; every vector covered") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.knnGraph(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // same candidates, same order, cut by row_number instead
+    val cands = Similarity.lshCandidates(emb, emb, 8, 8, broadcastQueries = false)
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val want = cands.join(a, "query_id").join(b, "neighbor_id")
+      .withColumn("sim", round(Similarity.cosineFast(col("qe"), col("ne")), 6))
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // each neighbor list is ranked 1..n with descending sim
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) == (1L to rows.length).toSeq)
+      assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (x, y) => x >= y })
+    }
+  }
 }
