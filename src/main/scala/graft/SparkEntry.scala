@@ -721,8 +721,37 @@ object SparkEntry {
       graft.ops.EventOps.burstiness(Tables.events(s, d))),
     // the corpus kNN graph (every vector's top-5 LSH bucket-mates)
     "q171_knn_graph" -> ((s, d) =>
-      graft.sim.Similarity.knnGraph(Tables.embeddings(s, d), 5))
+      graft.sim.Similarity.knnGraph(Tables.embeddings(s, d), 5)),
+    // the build half of the q151 build/serve split, graded on its own:
+    // rebuild the postings index into a fresh per-run path (timed) and
+    // grade the PERSISTED artifact read back from disk — shingling,
+    // xxhash64 bucket layout, and per-bucket postings populations
+    "q172_postings_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 250)
+      val path = s"/tmp/graft_index/${s.sparkContext.applicationId}/build_${math.abs(d.hashCode)}"
+      graft.dedup.Dedup.writePostingsIndex(docs, path, 3, 64)
+      s.read.parquet(s"$path/postings")
+        .groupBy(col("bucket").cast("int").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"))
+        .orderBy(col("bucket"))
+    })
   )
+
+  /** Pre-builds the write-once persisted indexes the serve-path queries
+    * (q151 postings, q152 bands) probe, so a timed q151/q152 run
+    * measures the SERVE cost: Bench calls this in its untimed warm-up.
+    * Build cost stays visible through q172_postings_build, which
+    * rebuilds into a fresh path every invocation. Idempotent per
+    * (session, corpus) — the same [[indexPath]] memo the queries use. */
+  def prewarmIndexes(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    indexPath(s, d, "postings")(path =>
+      graft.dedup.Dedup.writePostingsIndex(docs.filter(col("doc_id") < 250), path, 3, 64))
+    indexPath(s, d, "bands")(path =>
+      graft.dedup.Dedup.writeBandIndex(docs.filter(col("doc_id") < 250), path))
+    ()
+  }
 
   /** The near-dup similarity graph behind q154/q158/q159/q160: unique
     * (doc_a < doc_b) co-shingle pairs at the exact integer threshold
@@ -789,6 +818,7 @@ object SparkEntry {
     "q167_source_terms" -> Seq("documents"),
     "q169_ppr" -> Seq("documents"),
     "q171_knn_graph" -> Seq("embeddings"),
+    "q172_postings_build" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -2839,7 +2869,7 @@ object SparkEntry {
          |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
          |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
          |rr AS (SELECT token, idx,
-         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS BIGINT) AS r
+         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(ltrim(lpad(bin(v), 64, '0'), '0')) END AS BIGINT) AS r
          |  FROM reg),
          |regs AS (SELECT source AS grp, idx, MAX(r) AS m
          |  FROM st JOIN rr USING (token) GROUP BY 1, 2),
@@ -2962,7 +2992,7 @@ object SparkEntry {
          |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
          |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
          |rr AS (SELECT token, idx,
-         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS BIGINT) AS r
+         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(ltrim(lpad(bin(v), 64, '0'), '0')) END AS BIGINT) AS r
          |  FROM reg),
          |daily AS (SELECT day AS grp, idx, MAX(r) AS m
          |  FROM d0 JOIN rr USING (token) GROUP BY 1, 2),
@@ -3028,6 +3058,23 @@ object SparkEntry {
          |    ORDER BY sim DESC, idb) AS BIGINT) AS rn
          |FROM cs
          |QUALIFY rn <= 5
-         |ORDER BY vec_id, rn""".stripMargin
+         |ORDER BY vec_id, rn""".stripMargin,
+    // the persisted postings index replayed from first principles:
+    // distinct 3-shingles of the indexed half, xxhash64 per shingle
+    // (the q48/q162 CTE chain), bucket = unsigned hash mod 64
+    "q172_postings_build" ->
+      s"""WITH d250 AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d250),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM tw) u),
+         |tokc AS (SELECT DISTINCT shingle AS token FROM sh),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS u
+         |  FROM hashes),
+         |bk AS (SELECT token, CAST(u % 64 AS INT) AS bucket FROM hu)
+         |SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_postings,
+         |  CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs
+         |FROM sh s JOIN bk b ON s.shingle = b.token
+         |GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
