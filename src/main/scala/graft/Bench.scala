@@ -97,9 +97,15 @@ object Bench {
     // goes to the file mirror and an EARLIER stdout line, and the LAST line
     // of both streams is a compact summary (<200 bytes) that always fits.
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"failed":${errors.size},"sf":"$sfDir"}"""
+    // Two file mirrors (ADVICE r5): the full per-query map, and the
+    // compact summary alone — a driver that can't recover the JSON from
+    // an sbt-wrapped tail (every round so far: parsed:null) can read
+    // either file directly.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_summary.json"),
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file mirror failed: ${e.getMessage}")
     }

@@ -241,6 +241,10 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(media, 1000L)
         .orderBy(col("media_id"), col("frame_no"))
     }),
+    // REAL WAV decode (javax.sound.sampled) graded against the pure
+    // arithmetic replay of the synthetic PCM law — the audio twin of q66
+    "q173_audio_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioHistogram(Tables.documents(s, d))),
     // north-star additions round 2: chunking, PII scrub, deterministic
     // split, collocations — the remaining training-data-prep surface
     "q71_docs_chunks" -> ((s, d) =>
@@ -847,6 +851,7 @@ object SparkEntry {
     "q54_docs_topterms" -> Seq("documents"),
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
+    "q173_audio_decode" -> Seq("documents"),
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
@@ -1026,6 +1031,12 @@ object SparkEntry {
     * (a_lo·C + ((a_hi·C) mod 2^32)·2^32) mod 2^64. */
   private val xxB32 = "4294967296"
   private val xxB64 = "18446744073709551616"
+  /** 1000·α₂₅₆·65536·2⁵⁷ with α₂₅₆ = 923264/1285395 exactly — the HLL
+    * graded-estimate numerator ([[graft.text.HyperLogLog.EstMilliNum]]);
+    * est_milli = numerator // (1285395·s_sum), pure integer on both
+    * engines (the old est_raw double hit DuckDB-version-dependent
+    * decimal→double rounding). */
+  private val hllEstNum = graft.text.HyperLogLog.EstMilliNum
   private val xxP1 = "11400714785074694791"
   private val xxP2 = "14029467366897019727"
   private val xxP3 = "1609587929392839161"
@@ -1965,6 +1976,19 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS feat_dim,
         |  COALESCE(am.luma_argmax, 0) AS luma_argmax
         |FROM s LEFT JOIN am ON s.media_id = am.media_id ORDER BY s.media_id""".stripMargin,
+    // the WAV round-trip is lossless 16-bit PCM, so the decoded
+    // amplitude histogram is pure arithmetic over (media_id, n):
+    // bin(i) = ((137·i + media_id) mod 65536) // 4096 — only a faithful
+    // synthesize→parse→histogram chain on the Spark side can match
+    "q173_audio_decode" ->
+      """WITH audio AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 800 + 100 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM audio),
+        |b AS (SELECT media_id, n, ((137 * i + media_id) % 65536) // 4096 AS bin FROM s)
+        |SELECT media_id, n AS n_samples, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2, 3 ORDER BY media_id, bin""".stripMargin,
     "q71_docs_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,
@@ -2856,8 +2880,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // HLL registers replayed through the xxhash64-in-SQL chain: idx =
     // top 8 bits, rank = 57 - bitlength of the low-56 remainder; S is
-    // an exact DECIMAL sum of integer shifts, est_raw ONE fixed-shape
-    // double expression (the Num discipline)
+    // an exact DECIMAL sum of integer shifts and est_milli an exact
+    // HUGEINT integral division — zero floating point in the graded
+    // columns (doubles proved DuckDB-version-dependent, VERDICT r4/r5)
     "q162_hll_distinct" ->
       s"""WITH st AS (SELECT DISTINCT source, token FROM (
          |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
@@ -2885,10 +2910,8 @@ object SparkEntry {
          |    CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM st GROUP BY 1
          |  UNION ALL SELECT '__union__', CAST(COUNT(DISTINCT token) AS BIGINT) FROM st)
          |SELECT s.grp AS source, s.nonzero_regs, s.s_sum,
-         |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-         |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
-         |    * CAST(65536.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
-         |    / CAST(s.s_sum AS DOUBLE) AS est_raw,
+         |  CAST(CAST('$hllEstNum' AS HUGEINT)
+         |    // (1285395::HUGEINT * CAST(s.s_sum AS HUGEINT)) AS BIGINT) AS est_milli,
          |  e.exact_distinct
          |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin,
     // 3 synchronous LPA rounds as a fixed CTE chain: adopt the most
@@ -3009,10 +3032,8 @@ object SparkEntry {
          |  FROM (SELECT d0.day + o AS day, token FROM d0, range(0, 7) oo(o)) t
          |  JOIN present ON present.day = t.day GROUP BY 1)
          |SELECT s.day, s.nonzero_regs, s.s_sum,
-         |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-         |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
-         |    * CAST(65536.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
-         |    / CAST(s.s_sum AS DOUBLE) AS est_raw,
+         |  CAST(CAST('$hllEstNum' AS HUGEINT)
+         |    // (1285395::HUGEINT * CAST(s.s_sum AS HUGEINT)) AS BIGINT) AS est_milli,
          |  ex.exact_distinct
          |FROM sums s JOIN ex ON ex.day = s.day ORDER BY s.day""".stripMargin,
     // seeded teleport: graph vertices are doc ids, so the q160 seed

@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * payload with the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — no
   * external library), takes width/height from the DECODED bitmap (not
   * the metadata, which at corpus scale routinely lies), and extracts a
-  * 16-bin integer-luma histogram feature. Audio/video remain STUBBED
-  * ([[DecodeStub.decode]], a deterministic fake keyed on payload
-  * bytes): the JDK ships no usable audio/video codec, and the stub
-  * keeps the batch shape + feature contract real so a production
+  * 16-bin integer-luma histogram feature. The AUDIO path is real too:
+  * [[AudioCodec.decode]] parses WAV/AIFF with the JDK's
+  * `javax.sound.sampled` and extracts an exact amplitude histogram.
+  * Only VIDEO remains stubbed ([[DecodeStub.decode]], a deterministic
+  * fake keyed on payload bytes): the JDK ships no video codec, and the
+  * stub keeps the batch shape + feature contract real so a production
   * decoder drops in by replacing ONE function.
   */
 object Multimodal {
@@ -90,12 +92,80 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB BOUNDARY (audio/video only) ========
+  /** Real audio codec on the JDK only: `javax.sound.sampled` ships a
+    * WAV/AIFF parser, so — exactly like [[ImageCodec]] for PNG — the
+    * decode path is real and the synthesized fixture makes it
+    * oracle-checkable. Samples are 16-bit signed little-endian mono
+    * PCM; the graded feature is the exact 16-bin amplitude histogram
+    * (bin = (sample + 32768) / 4096, integer arithmetic), which for
+    * the lossless synthetic law s(i) = ((137·i + seed) mod 65536) −
+    * 32768 is pure arithmetic over (seed, n) that a SQL oracle can
+    * replay. */
+  object AudioCodec {
+    val FeatureDim = 16
+
+    /** Deterministic 16-bit mono PCM WAV: s(i) = ((137·i + seed) mod
+      * 65536) − 32768, 8 kHz — the audio twin of
+      * [[ImageCodec.synthesizePng]]'s test card. */
+    def synthesizeWav(seed: Long, nSamples: Int): Array[Byte] = {
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (((137L * i + seed) % 65536) - 32768).toInt
+        data(2 * i) = (v & 0xFF).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (sample count, exact 16-bin amplitude histogram), from
+      * the DECODED stream (sample count comes from the parsed frames,
+      * never the header's claim alone). None on undecodable payloads —
+      * same never-throws contract as [[ImageCodec.decode]]. Handles
+      * 16-bit PCM in either byte order (the JDK parser reports
+      * endianness in the decoded format). */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Long])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val counts = new Array[Long](FeatureDim)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
+                else (bytes(2 * i), bytes(2 * i + 1))
+              val v = (hi.toInt << 8) | (lo.toInt & 0xFF) // signed 16-bit
+              counts((v + 32768) >> 12) += 1
+              i += 1
+            }
+            Some((n, counts))
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** ======== STUB BOUNDARY (video only) ========
     * Deterministic fake decoder: derives a FeatureDim-float vector from
     * the payload bytes (splitmix64 over a rolling hash). Replace with a
-    * real codec (e.g. ffmpeg-backed frame/sample decode) — signature and
-    * batch shape are the contract. Images use [[ImageCodec]], which is
-    * real. */
+    * real codec (e.g. ffmpeg-backed frame decode) — signature and
+    * batch shape are the contract. Images use [[ImageCodec]] and audio
+    * uses [[AudioCodec]], both real. */
   object DecodeStub {
     val FeatureDim = 16
     def decode(payload: Array[Byte]): Array[Float] = {
@@ -127,6 +197,13 @@ object Multimodal {
         val (w, h, feat) =
           if (r.kind == "image")
             ImageCodec.decode(r.payload)
+              .getOrElse((r.width, r.height, DecodeStub.decode(r.payload)))
+          else if (r.kind == "audio")
+            AudioCodec.decode(r.payload)
+              .map { case (n, counts) =>
+                (r.width, r.height,
+                  counts.map(c => (c.toDouble / math.max(n, 1)).toFloat))
+              }
               .getOrElse((r.width, r.height, DecodeStub.decode(r.payload)))
           else (r.width, r.height, DecodeStub.decode(r.payload))
         // aspect-preserving resize arithmetic — real, codec-independent
@@ -170,7 +247,39 @@ object Multimodal {
           val ph = (r.media_id % 32 + 8).toInt
           r.copy(payload = ImageCodec.synthesizePng(r.media_id, pw, ph),
             width = pw, height = ph)
-        } else r
+        } else if (r.kind == "audio")
+          r.copy(payload = AudioCodec.synthesizeWav(r.media_id, audioSamples(r.media_id)))
+        else r
       })
+  }
+
+  /** Fixture sample count per audio row — shared by synthesis, the
+    * graded query and the oracle replay. */
+  def audioSamples(mediaId: Long): Int = (mediaId % 800 + 100).toInt
+
+  /** Graded audio path: synthesize → REAL WAV decode → exact per-bin
+    * amplitude histogram rows (media_id, n_samples, bin, cnt), zero
+    * bins omitted. Everything after the per-partition decode is plan
+    * arithmetic; the decode itself is the `javax.sound.sampled` parser
+    * on real WAV bytes — the audio twin of the q66 image path. The
+    * oracle replays the synthetic sample law arithmetically; a decoder
+    * regression (wrong endianness, header-trusting sample count)
+    * surfaces as a value mismatch, not a weaker rows-only check. */
+  def audioHistogram(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = AudioCodec.synthesizeWav(id, audioSamples(id))
+        val (n, counts) = AudioCodec.decode(wav).getOrElse((0, new Array[Long](AudioCodec.FeatureDim)))
+        (id, n.toLong, counts)
+      })
+      .toDF("media_id", "n_samples", "bins")
+      .select(col("media_id"), col("n_samples"),
+        posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(col("media_id"), col("n_samples"),
+        col("bin").cast("long").as("bin"), col("cnt"))
+      .orderBy(col("media_id"), col("bin"))
   }
 }

@@ -26,11 +26,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as epoch-nanos
-    * long. We expose a normalized microsecond `event_ts` timestamp column
-    * (integer division — nanos exceed double's exact integer range, so no
-    * floating point on the way). */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events").withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` normalization. Fixture generations differ:
+    * INT64 TIMESTAMP(NANOS) (reads as epoch-nanos long under
+    * `nanosAsLong`) vs INT64 TIMESTAMP(MICROS, adjustedToUTC=false)
+    * (reads as TIMESTAMP_NTZ). Every downstream operator does integer
+    * time arithmetic on an epoch-nanos `ts` long (nanos exceed double's
+    * exact integer range, so no floating point on the way), so we detect
+    * the physical type and always expose the same logical schema:
+    * `ts` = epoch-nanos BIGINT, `event_ts` = microsecond TIMESTAMP.
+    * The session time zone is UTC ([[graft.GraftSession]]), so the
+    * NTZ→LTZ cast preserves the wall clock as a UTC epoch — matching
+    * DuckDB's `epoch_us`/`epoch_ns` on the same parquet. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType | TimestampType =>
+        raw
+          .withColumn("event_ts", col("ts").cast(TimestampType))
+          .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected epoch-nanos long or timestamp)")
+    }
+  }
 }

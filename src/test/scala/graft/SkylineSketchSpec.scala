@@ -112,11 +112,12 @@ class SkylineSketchSpec extends AnyFunSuite {
     }.toDF("doc_id", "source", "text")
     val rows = HyperLogLog.distinctTokensBySource(docs).collect()
     val bySrc = rows.map(r => r.getString(0) ->
-      (r.getLong(1), r.getAs[Double]("est_raw"), r.getAs[Long]("exact_distinct"))).toMap
+      (r.getLong(1), r.getAs[Long]("est_milli"), r.getAs[Long]("exact_distinct"))).toMap
     assert(bySrc.keySet == Set("s0", "s1", "s2", "__union__"))
     assert(bySrc("__union__")._3 == 4500L)
     rows.foreach { r =>
-      val (nz, est, exact) = (r.getLong(1), r.getAs[Double]("est_raw"), r.getAs[Long]("exact_distinct"))
+      val (nz, est) = (r.getLong(1), r.getAs[Long]("est_milli") / 1000.0)
+      val exact = r.getAs[Long]("exact_distinct")
       assert(nz >= 1 && nz <= 256)
       // 4× the 1.04/√m std error of the p=8 sketch
       assert(math.abs(est - exact) <= 4 * 1.04 / 16.0 * exact,
@@ -134,7 +135,7 @@ class SkylineSketchSpec extends AnyFunSuite {
       (0 until 200).map(u => (d * 86400000000000L, d * 200L + u))
     }.toDF("ts", "user_id")
     val rows = HyperLogLog.weeklyDistinctUsers(events).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("est_raw"),
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("est_milli") / 1000.0,
         r.getAs[Long]("exact_distinct"))).toMap
     assert(rows.keySet == (0L to 9L).toSet)
     (0 to 9).foreach { d =>
@@ -164,8 +165,34 @@ class SkylineSketchSpec extends AnyFunSuite {
       assert(r.getLong(1) >= 1 && r.getLong(1) <= 256)
       // s_sum is bounded by the all-absent total 256·2^57 = 2^65
       assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("36893488147419103232")) <= 0)
-      assert(r.getAs[Double]("est_raw") > 0.0)
+      assert(r.getAs[Long]("est_milli") > 0L)
     }
     assert(bySrc.filter(_._1 != "__union__").values.forall(_ <= bySrc("__union__")))
+  }
+
+  test("presentation estimates: est_raw tracks est_milli; linear counting fixes small range") {
+    val docs = (0 until 150).map { i =>
+      val toks = (0 until 30).map(j => s"w${i * 30 + j}")
+      (i.toLong, s"s${i % 3}", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val big = HyperLogLog.withEstimates(HyperLogLog.distinctTokensBySource(docs)).collect()
+    big.foreach { r =>
+      val raw = r.getAs[Double]("est_raw")
+      // est_milli is exactly floor(1000·est_raw) up to the double's own ulp
+      assert(math.abs(r.getAs[Long]("est_milli") - math.floor(1000.0 * raw)) <= 1.0)
+      // far above 5m/2 = 640 the correction must be a no-op
+      if (raw > 640.0) assert(r.getAs[Double]("est_corrected") == raw)
+    }
+    // tiny vocabulary: raw biases high, linear counting lands near exact
+    val tiny = (0 until 40).map(i => (i.toLong, "s0", s"tok${i % 31}"))
+      .toDF("doc_id", "source", "text")
+    val row = HyperLogLog.withEstimates(HyperLogLog.distinctTokensBySource(tiny))
+      .filter(col("source") === "s0").collect().head
+    val (raw, corr, exact) = (row.getAs[Double]("est_raw"),
+      row.getAs[Double]("est_corrected"), row.getAs[Long]("exact_distinct"))
+    assert(exact == 31L)
+    assert(corr < raw, "small-range correction must pull the high-biased raw estimate down")
+    assert(math.abs(corr - exact) < math.abs(raw - exact),
+      s"corrected $corr should beat raw $raw against exact $exact")
   }
 }

@@ -128,6 +128,35 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.decode("not a png".getBytes).isEmpty)
   }
 
+  test("multimodal: AudioCodec WAV roundtrip decodes real sample count + exact histogram") {
+    val wav = Multimodal.AudioCodec.synthesizeWav(seed = 11L, nSamples = 500)
+    // a real RIFF/WAVE container came out, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val Some((n, counts)) = Multimodal.AudioCodec.decode(wav)
+    assert(n == 500)
+    // independent expected histogram from the PCM law
+    val expected = new Array[Long](16)
+    for (i <- 0 until 500) expected(((137L * i + 11L) % 65536).toInt / 4096) += 1
+    assert(counts.toSeq == expected.toSeq)
+    assert(counts.sum == 500L)
+    // a non-audio payload must decline, not throw
+    assert(Multimodal.AudioCodec.decode("not a wav".getBytes).isEmpty)
+    // truncated container must decline, not throw
+    assert(Multimodal.AudioCodec.decode(wav.take(30)).isEmpty)
+  }
+
+  test("multimodal: audioHistogram bins partition every decoded sample") {
+    val hist = Multimodal.audioHistogram(Tables.documents(spark, sf))
+    val perMedia = hist.groupBy(col("media_id"), col("n_samples"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("s")).collect()
+    assert(perMedia.nonEmpty)
+    // decoded sample count (from the parsed stream) covers the bins exactly
+    assert(perMedia.forall(r => r.getAs[Long]("s") == r.getAs[Long]("n_samples")))
+    // and equals the fixture law, so the header didn't lie either
+    assert(perMedia.forall(r =>
+      r.getAs[Long]("n_samples") == Multimodal.audioSamples(r.getAs[Long]("media_id")).toLong))
+  }
+
   test("multimodal: frame sampling is pure plan arithmetic") {
     val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, sf)).toDF()
     val frames = Multimodal.sampleFrames(media, 1000L)
