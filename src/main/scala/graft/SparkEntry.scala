@@ -310,6 +310,14 @@ object SparkEntry {
     // (seeded KMeans — deterministic but not SQL-expressible; rows-only)
     "q85_semantic_dedup" -> ((s, d) =>
       graft.dedup.Dedup.semanticDedup(Tables.embeddings(s, d), 0.9)),
+    // the q144 exhaustive-parameter trick applied to SemDeDup: one cell
+    // + 2²⁰-quantized integer arithmetic make centroid fit, pair cut,
+    // CC groups and the atypical keeper EXACTLY replayable (threshold
+    // 2/5 because the fixture has no 0.9-cosine pairs, and a cut with
+    // real groups grades the dedup semantics, not just the plumbing;
+    // q85 keeps the multi-cell float config as the scale-path demo)
+    "q174_semdedup_exact" -> ((s, d) =>
+      graft.dedup.Dedup.semanticDedupExact(Tables.embeddings(s, d), 2, 5)),
     // the substring-dedup ACTION: rewrite docs minus duplicated spans
     "q86_span_scrub" -> ((s, d) =>
       graft.dedup.Dedup.scrubDuplicatedSpans(Tables.documents(s, d), 8)),
@@ -852,6 +860,7 @@ object SparkEntry {
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
     "q173_audio_decode" -> Seq("documents"),
+    "q174_semdedup_exact" -> Seq("embeddings"),
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
@@ -1976,6 +1985,40 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS feat_dim,
         |  COALESCE(am.luma_argmax, 0) AS luma_argmax
         |FROM s LEFT JOIN am ON s.media_id = am.media_id ORDER BY s.media_id""".stripMargin,
+    // single-cell SemDeDup in exact integers: vq = floor(x·2²⁰) (exact
+    // in IEEE doubles), centroid = per-dim SUM of vq (scale-invariant,
+    // so no division to round), pair cut cos ≥ 2/5 as the squared
+    // HUGEINT predicate, CC via the q59 recursive min-label, keeper =
+    // lowest cdot/√vnorm2 (bit-identical ordering: identical integer
+    // inputs through correctly-rounded IEEE ops)
+    "q174_semdedup_exact" ->
+      """WITH RECURSIVE vq AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS j, unnest(v) AS x FROM vq),
+        |cent AS (SELECT j, CAST(SUM(x) AS BIGINT) AS c FROM dims GROUP BY j),
+        |pervec AS (SELECT d.vec_id,
+        |    CAST(SUM(d.x * t.c) AS BIGINT) AS cdot,
+        |    CAST(SUM(d.x * d.x) AS BIGINT) AS vnorm2
+        |  FROM dims d JOIN cent t USING (j) GROUP BY d.vec_id),
+        |pflat AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    unnest(a.v) AS x, unnest(b.v) AS y
+        |  FROM vq a JOIN vq b ON a.vec_id < b.vec_id),
+        |pd AS (SELECT ia, ib, CAST(SUM(x * y) AS BIGINT) AS dxy FROM pflat GROUP BY 1, 2),
+        |edges AS (SELECT ia AS a, ib AS b FROM pd
+        |  JOIN pervec pa ON pa.vec_id = ia JOIN pervec pb ON pb.vec_id = ib
+        |  WHERE dxy > 0 AND 25 * CAST(dxy AS HUGEINT) * CAST(dxy AS HUGEINT)
+        |    >= 4 * CAST(pa.vnorm2 AS HUGEINT) * CAST(pb.vnorm2 AS HUGEINT)),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |r(a, b) AS (SELECT vec_id, vec_id FROM embeddings
+        |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b),
+        |grp AS (SELECT a AS vec_id, MIN(b) AS group_id FROM r GROUP BY a)
+        |SELECT g.vec_id, g.group_id, p.cdot, p.vnorm2,
+        |  ROW_NUMBER() OVER (PARTITION BY g.group_id
+        |    ORDER BY CAST(p.cdot AS DOUBLE) / SQRT(CAST(p.vnorm2 AS DOUBLE)),
+        |      g.vec_id) = 1 AS keep
+        |FROM grp g JOIN pervec p USING (vec_id) ORDER BY vec_id""".stripMargin,
     // the WAV round-trip is lossless 16-bit PCM, so the decoded
     // amplitude histogram is pure arithmetic over (media_id, n):
     // bin(i) = ((137·i + media_id) mod 65536) // 4096 — only a faithful

