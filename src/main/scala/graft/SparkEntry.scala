@@ -245,6 +245,29 @@ object SparkEntry {
     // arithmetic replay of the synthetic PCM law — the audio twin of q66
     "q173_audio_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.audioHistogram(Tables.documents(s, d))),
+    // Bloom membership: per-source 4096-bit filters over tokens, probed
+    // with present + absent tokens; every set bit (hence every answer,
+    // INCLUDING false positives) replayed by the xxhash64 SQL chain
+    "q175_bloom_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      val blooms = graft.text.Bloom.buildPerGroup(toks, col("source"))
+      val probes = docs.filter(col("doc_id") < 3)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .unionByName(s.range(10).select(
+          concat(lit("zz_absent_"), col("id")).as("token")))
+        .distinct()
+      val actual = toks
+        .filter(length(col("token")) > 0 && length(col("token")) < 32)
+        .select(col("source").as("grp"), col("token")).distinct()
+        .withColumn("actual", lit(true))
+      graft.text.Bloom.probe(blooms, probes)
+        .join(actual, Seq("grp", "token"), "left")
+        .select(col("grp").as("source"), col("token"), col("bloom_hit"),
+          coalesce(col("actual"), lit(false)).as("actual"))
+        .orderBy(col("source"), col("token"))
+    }),
     // north-star additions round 2: chunking, PII scrub, deterministic
     // split, collocations — the remaining training-data-prep surface
     "q71_docs_chunks" -> ((s, d) =>
@@ -861,6 +884,7 @@ object SparkEntry {
     "q67_multimodal_frames" -> Seq("documents"),
     "q173_audio_decode" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
+    "q175_bloom_probe" -> Seq("documents"),
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
@@ -2019,6 +2043,43 @@ object SparkEntry {
         |    ORDER BY CAST(p.cdot AS DOUBLE) / SQRT(CAST(p.vnorm2 AS DOUBLE)),
         |      g.vec_id) = 1 AS keep
         |FROM grp g JOIN pervec p USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // Bloom bits replayed through the xxhash64 chain: h1 = u >> 32,
+    // h2 = low 32 forced odd, positions (h1 + i·h2) mod 4096 — a probe
+    // hits iff ALL its positions are set bits of that source's filter,
+    // so hits, misses AND false positives are all exactly checkable
+    "q175_bloom_probe" ->
+      s"""WITH st AS (SELECT DISTINCT source, token FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |probes AS (SELECT DISTINCT token FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE doc_id < 3
+         |    UNION ALL SELECT 'zz_absent_' || i FROM range(0, 10) t(i)) p
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT token FROM st UNION SELECT token FROM probes),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS u
+         |  FROM hashes),
+         |hp AS (SELECT token, CAST(u // 4294967296 AS BIGINT) AS h1,
+         |    CAST(u % 4294967296 AS BIGINT) AS lo FROM hu),
+         |pos AS (SELECT token, (h1 + i.o * (lo + 1 - lo % 2)) % 4096 AS p
+         |  FROM hp, range(0, 3) i(o)),
+         |setbits AS (SELECT DISTINCT s.source, p.p FROM st s JOIN pos p USING (token)),
+         |pp AS (SELECT DISTINCT token, p FROM pos
+         |  WHERE token IN (SELECT token FROM probes)),
+         |hits AS (SELECT src.source, pr.token,
+         |    CAST(COUNT(*) FILTER (WHERE sb.p IS NOT NULL) AS BIGINT)
+         |      = CAST(COUNT(*) AS BIGINT) AS bloom_hit
+         |  FROM (SELECT DISTINCT source FROM st) src
+         |  CROSS JOIN probes pr
+         |  JOIN pp ON pp.token = pr.token
+         |  LEFT JOIN setbits sb ON sb.source = src.source AND sb.p = pp.p
+         |  GROUP BY 1, 2),
+         |act AS (SELECT source, token, TRUE AS actual FROM st)
+         |SELECT h.source, h.token, h.bloom_hit,
+         |  COALESCE(a.actual, FALSE) AS actual
+         |FROM hits h LEFT JOIN act a ON a.source = h.source AND a.token = h.token
+         |ORDER BY h.source, h.token""".stripMargin,
     // the WAV round-trip is lossless 16-bit PCM, so the decoded
     // amplitude histogram is pure arithmetic over (media_id, n):
     // bin(i) = ((137·i + media_id) mod 65536) // 4096 — only a faithful

@@ -128,4 +128,51 @@ object Sketches {
   /** Column form: `hll_registers_agg(tokenCol)` → array<bigint>(256) of
     * register ranks (0 = absent). */
   def hllRegistersAgg(token: Column): Column = udaf(new HllRegistersAgg).apply(token)
+
+  /** k = 3 double-hashed bit positions in an m = 4096 Bloom filter,
+    * all derived from ONE Spark xxhash64 (so the DuckDB chain replays
+    * them): h1 = top 32 bits, h2 = low 32 bits forced odd (odd step ⇒
+    * the probe sequence cycles the whole table), pᵢ = (h1 + i·h2)
+    * mod 4096 — Kirsch–Mitzenmacher double hashing. All arithmetic
+    * stays in nonneg longs < 2³⁴ — portable to SQL verbatim. */
+  private[graft] def bloomPositions(h: Long): Array[Int] = {
+    val h1 = h >>> 32
+    val lo = h & 0xFFFFFFFFL
+    val h2 = lo + 1L - (lo % 2L)
+    Array.tabulate(3)(i => ((h1 + i.toLong * h2) % 4096L).toInt)
+  }
+
+  /** One-pass Bloom membership filter (m = 4096 bits, k = 3): the
+    * buffer is the 64-word bit array itself (512 bytes per
+    * (partition, group) on the exchange), merge is word-wise OR — the
+    * mergeability that lets per-shard / per-day filters compose into a
+    * corpus filter without a re-scan. The fourth mergeable sketch next
+    * to MinHash (min), SimHash (±count), HLL (register max), CMS
+    * (counter add) — membership. Duplicates are free: bit-set is
+    * idempotent. */
+  class BloomAgg extends Aggregator[String, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](64)
+    def reduce(buf: Array[Long], token: String): Array[Long] = {
+      val u = UTF8String.fromString(token)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      Sketches.bloomPositions(h).foreach { p =>
+        buf(p >>> 6) |= (1L << (p & 63))
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 64) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: `bloom_agg(tokenCol)` → array<bigint>(64), 4096 bits. */
+  def bloomAgg(token: Column): Column = udaf(new BloomAgg).apply(token)
 }

@@ -138,6 +138,32 @@ object CorpusStream {
         }
     }
 
+  /** Streaming Bloom maintenance: the MEMBERSHIP twin of
+    * [[sketchMaintenanceSink]]/[[cmsMaintenanceSink]] — per-source
+    * 4096-bit filters ([[graft.text.Bloom]]) kept current under a
+    * document stream. Bit arrays merge by word-wise OR, so after any
+    * prefix of batches the state equals the batch filter of everything
+    * ingested so far (streamed == batch tested); state is flattened to
+    * (grp, w, bits) rows — ≤64·|sources| forever — and zero words are
+    * dropped (OR of an absent word is the word). Same exactly-once
+    * skeleton. */
+  def bloomMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(docs, statePath, checkpoint, "bloomMaintenanceSink") {
+      (batch, prior) =>
+        val toks = batch.select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        val delta = graft.text.Bloom.buildPerGroup(toks, col("source"))
+          .select(col("grp"), posexplode(col("bloom")).as(Seq("w", "bits")))
+          .filter(col("bits") =!= 0L)
+        prior match {
+          case Some(p) => p.unionByName(delta)
+            .groupBy(col("grp"), col("w"))
+            .agg(expr("bit_or(bits)").as("bits"))
+          case None => delta
+        }
+    }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the

@@ -170,6 +170,48 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(bySrc.filter(_._1 != "__union__").values.forall(_ <= bySrc("__union__")))
   }
 
+  test("Bloom: no false negatives, merge equals union sketch, probe matches referee bits") {
+    import spark.implicits._
+    val toks = (0 until 200).map(i => (s"s${i % 2}", s"tok$i")).toDF("source", "token")
+    val blooms = graft.text.Bloom.buildPerGroup(toks, col("source"))
+    val byGrp = blooms.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(byGrp.keySet == Set("s0", "s1") && byGrp.values.forall(_.length == 64))
+    // referee: recompute expected bit array per group
+    def refBits(tokens: Seq[String]): Array[Long] = {
+      val buf = new Array[Long](64)
+      tokens.foreach { t =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        graft.functions.Sketches.bloomPositions(h).foreach(p => buf(p >>> 6) |= (1L << (p & 63)))
+      }
+      buf
+    }
+    assert(byGrp("s0").toSeq == refBits((0 until 200 by 2).map(i => s"tok$i")).toSeq)
+    // merge = word-wise OR = sketch of the union stream
+    val union = graft.text.Bloom.buildPerGroup(
+      toks.select(lit("all").as("g"), col("token")), col("g"))
+      .collect().head.getSeq[Long](1).toArray
+    assert(union.toSeq == byGrp("s0").zip(byGrp("s1")).map { case (a, b) => a | b }.toSeq)
+    // probe: every inserted token hits (no false negatives), absent
+    // tokens answer exactly what the referee bits say
+    val probes = ((0 until 200).map(i => s"tok$i") ++ (0 until 50).map(i => s"no$i"))
+      .toDF("token")
+    val hits = graft.text.Bloom.probe(blooms, probes).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    (0 until 200).foreach { i =>
+      assert(hits((s"s${i % 2}", s"tok$i")), s"inserted tok$i must hit its own filter")
+    }
+    def refProbe(bits: Array[Long], t: String): Boolean = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      graft.functions.Sketches.bloomPositions(h)
+        .forall(p => ((bits(p >>> 6) >> (p & 63)) & 1L) == 1L)
+    }
+    hits.foreach { case ((g, t), hit) => assert(hit == refProbe(byGrp(g), t), s"$g/$t") }
+  }
+
   test("presentation estimates: est_raw tracks est_milli; linear counting fixes small range") {
     val docs = (0 until 150).map { i =>
       val toks = (0 until 30).map(j => s"w${i * 30 + j}")

@@ -412,6 +412,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed register table must equal the batch sketch")
   }
 
+  test("streaming Bloom maintenance: OR-merged bits equal the batch filter, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(String, String)]
+    def start() = graft.stream.CorpusStream.bloomMaintenanceSink(
+      mem.toDF().toDF("source", "text"), state, ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val b1 = Seq(("s1", "alpha beta gamma"), ("s2", "alpha delta"))
+    val b2 = Seq(("s1", "epsilon zeta"), ("s3", "eta theta"))
+    val q1 = start()
+    try { seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { seen ++= b2; mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("grp", "w", "bits").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val allToks = seen.toSeq.toDF("source", "text")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val want = graft.text.Bloom.buildPerGroup(allToks, col("source")).collect()
+      .flatMap(r => r.getSeq[Long](1).zipWithIndex.collect {
+        case (bits, w) if bits != 0L => (r.getString(0), w) -> bits
+      }).toMap
+    assert(got == want, "streamed bit table must equal the batch filter")
+  }
+
   test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
