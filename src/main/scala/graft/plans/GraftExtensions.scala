@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(a, b) - exact integer dot product of two bigint arrays"),
+      (exprs: Seq[Expression]) => graft.functions.LongDot(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("haversine_km"),
       info("haversine_km", "haversine_km(lat1, lon1, lat2, lon2) - great-circle km"),
       (exprs: Seq[Expression]) => haversineExpr(exprs(0), exprs(1), exprs(2), exprs(3))))

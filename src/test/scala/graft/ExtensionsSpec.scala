@@ -30,6 +30,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("long_dot == HOF integer dot, callable from SQL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(3L, -2L, 7L), Seq(10L, 4L, -1L)),
+      (2L, Seq(0L, 0L, 0L), Seq(1L, 2L, 3L)),
+      (3L, Seq(1L << 20, -(1L << 20), 5L), Seq(1L << 20, 1L << 20, -5L)))
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+        graft.functions.LongDot.longDot(col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), _ + _).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    rows.createOrReplaceTempView("ld_ext")
+    val sql = spark.sql("SELECT id, long_dot(a, b) AS d FROM ld_ext ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == got.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("haversine_km and severity_ordinal callable from SQL") {
     import spark.implicits._
     val d = spark.sql("SELECT haversine_km(49.28, -123.12, 49.89, -119.50) AS km")
