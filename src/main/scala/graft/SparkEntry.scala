@@ -245,6 +245,14 @@ object SparkEntry {
     // arithmetic replay of the synthetic PCM law — the audio twin of q66
     "q173_audio_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.audioHistogram(Tables.documents(s, d))),
+    // histogram quantile sketch (merge = counter add): integer-exact
+    // bucket-bound estimates next to the exact order statistic — the
+    // est/exact contract of the HLL queries, for quantiles
+    "q176_quantile_sketch" -> ((s, d) =>
+      graft.quality.QuantileSketch.quantiles(
+        Tables.documents(s, d), col("source"), col("n_chars"),
+        width = 16L, buckets = 1024, qMillis = Seq(250, 500, 900, 990))
+        .withColumnRenamed("grp", "source")),
     // Bloom membership: per-source 4096-bit filters over tokens, probed
     // with present + absent tokens; every set bit (hence every answer,
     // INCLUDING false positives) replayed by the xxhash64 SQL chain
@@ -885,6 +893,7 @@ object SparkEntry {
     "q173_audio_decode" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
+    "q176_quantile_sketch" -> Seq("documents"),
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
@@ -2043,6 +2052,33 @@ object SparkEntry {
         |    ORDER BY CAST(p.cdot AS DOUBLE) / SQRT(CAST(p.vnorm2 AS DOUBLE)),
         |      g.vec_id) = 1 AS keep
         |FROM grp g JOIN pervec p USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // bucket histogram + integer rank targets r = ceil(q·n); est = first
+    // bucket's upper bound at cum ≥ r, exact = first value at cum ≥ r —
+    // pure integer window cumsums, no interpolation anywhere
+    "q176_quantile_sketch" ->
+      """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |hist AS (SELECT grp, least(v // 16, 1023) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+        |ns AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+        |qs AS (SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS r
+        |  FROM ns, (SELECT unnest([250, 500, 900, 990]) AS q_milli) q),
+        |cumh AS (SELECT grp, bucket, CAST(SUM(cnt) OVER (
+        |    PARTITION BY grp ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+        |est AS (SELECT q.grp, q.q_milli, q.n, MIN(c.bucket) AS bkt
+        |  FROM qs q JOIN cumh c ON c.grp = q.grp AND c.cum >= q.r
+        |  GROUP BY 1, 2, 3),
+        |byv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+        |cumv AS (SELECT grp, v, CAST(SUM(cnt) OVER (
+        |    PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+        |ex AS (SELECT q.grp, q.q_milli, MIN(c.v) AS exact_v
+        |  FROM qs q JOIN cumv c ON c.grp = q.grp AND c.cum >= q.r
+        |  GROUP BY 1, 2)
+        |SELECT e.grp AS source, CAST(e.q_milli AS BIGINT) AS q_milli,
+        |  (e.bkt + 1) * 16 - 1 AS est_hi, x.exact_v, e.n
+        |FROM est e JOIN ex x ON x.grp = e.grp AND x.q_milli = e.q_milli
+        |ORDER BY source, q_milli""".stripMargin,
     // Bloom bits replayed through the xxhash64 chain: h1 = u >> 32,
     // h2 = low 32 forced odd, positions (h1 + i·h2) mod 4096 — a probe
     // hits iff ALL its positions are set bits of that source's filter,

@@ -610,6 +610,30 @@ object StressBench {
     run("hll_weekly",
       mat(graft.text.HyperLogLog.weeklyDistinctUsers(ev1)),
       mat(graft.text.HyperLogLog.weeklyDistinctUsers(evN)))
+    // Bloom build: replicas with distinct tokens (docsN's injected
+    // unique markers) grow the distinct-token stream linearly while the
+    // state stays 64 words/source — the linear term is the hash+set
+    // pass, the exchange stays 512 B per partition-group.
+    run("bloom_build",
+      mat(graft.text.Bloom.buildPerGroup(
+        docs1.select(col("source"), explode(split(col("text"), " ")).as("token")),
+        col("source"))),
+      mat(graft.text.Bloom.buildPerGroup(
+        docsN.select(col("source"), explode(split(col("text"), " ")).as("token")),
+        col("source"))))
+    // audio decode: replicas multiply WAV payloads decoded per
+    // partition; cost is per-sample, so plain row replication is the
+    // honest scaling axis.
+    run("audio_decode",
+      mat(graft.multimodal.Multimodal.audioHistogram(docs1)),
+      mat(graft.multimodal.Multimodal.audioHistogram(docsPlainN)))
+    // quantile sketch: replicas multiply rows; the histogram stays
+    // ≤1024 rows/source, so the linear term is the bucket hash-agg.
+    run("quantile_sketch",
+      mat(graft.quality.QuantileSketch.quantiles(docs1, col("source"),
+        col("n_chars"), 16L, 1024, Seq(500, 990))),
+      mat(graft.quality.QuantileSketch.quantiles(docsPlainN, col("source"),
+        col("n_chars"), 16L, 1024, Seq(500, 990))))
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is
     // its own work, not its lineage — the composite q55 cost decomposes

@@ -1,0 +1,78 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded equi-width histogram quantile sketch — the QUANTILE member
+  * of the mergeable-sketch family ([[graft.text.HyperLogLog]] distinct,
+  * [[graft.text.CountMin]] frequency, [[graft.text.Bloom]] membership):
+  * per group, a ≤`buckets`-row counter table over
+  * bucket = min(value div width, buckets−1), mergeable by counter
+  * ADDITION (so per-shard/per-day histograms compose into the corpus
+  * histogram without a re-scan, and the streamed form is the
+  * [[graft.stream.CorpusStream]] counter-add skeleton verbatim).
+  *
+  * Everything is integer-exact, hence oracle-portable: the rank target
+  * is r = ⌈q·n⌉ = (q_milli·n + 999) div 1000, the estimate is the
+  * UPPER BOUND of the first bucket whose cumulative count reaches r
+  * ((bucket+1)·width − 1, the sketch's resolution-limited answer), and
+  * the exact twin — the true type-1 order statistic, smallest value
+  * whose cumulative count reaches r — is graded alongside so the
+  * sketch error is visible, the same est/exact contract as the HLL
+  * queries. No interpolation, no doubles anywhere.
+  *
+  * Scale shape: ONE hash aggregation to the bounded histogram, window
+  * cumsums over ≤buckets rows per group, and the exact twin's
+  * per-distinct-value table (bounded by the value domain, not the row
+  * count — affordable for the integer quality metrics this targets; at
+  * true corpus scale run the sketch columns alone). Nonnegative values
+  * only (counts, token lengths, byte sizes — the curation metrics). */
+object QuantileSketch {
+
+  /** (grp, bucket, cnt): the mergeable histogram. */
+  def build(df: DataFrame, grp: Column, value: Column,
+            width: Long, buckets: Int): DataFrame =
+    df.select(grp.as("grp"), value.cast("long").as("v"))
+      .select(col("grp"), least(expr(s"v div $width"), lit(buckets - 1L)).as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Counter-addition merge — two histograms of disjoint (or any)
+    * row sets sum to the histogram of the union. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-group quantile estimates from the sketch next to the exact
+    * order statistic: (grp, q_milli, est_hi, exact_v, n), all BIGINT.
+    * `qMillis` are quantiles in thousandths (500 = median). */
+  def quantiles(df: DataFrame, grpCol: Column, value: Column,
+                width: Long, buckets: Int, qMillis: Seq[Int]): DataFrame = {
+    val base = df.select(grpCol.as("grp"), value.cast("long").as("v"))
+      .localCheckpoint() // histogram + exact twin + counts re-consume
+    val hist = build(base, col("grp"), col("v"), width, buckets)
+    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val qs = ns.select(col("grp"), col("n"),
+        explode(typedlit(qMillis.map(_.toLong))).as("q_milli"))
+      .withColumn("r", expr("(q_milli * n + 999) div 1000"))
+    val wB = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumHist = hist.withColumn("cum", sum(col("cnt")).over(wB))
+    val est = qs.join(cumHist, Seq("grp"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("grp"), col("q_milli"), col("n"))
+      .agg(min(col("bucket")).as("bkt"))
+      .withColumn("est_hi", (col("bkt") + 1L) * lit(width) - 1L)
+    val byValue = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumVal = byValue.withColumn("cum", sum(col("cnt")).over(wV))
+    val exact = qs.join(cumVal, Seq("grp"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("grp"), col("q_milli"))
+      .agg(min(col("v")).as("exact_v"))
+    est.join(exact, Seq("grp", "q_milli"))
+      .select(col("grp"), col("q_milli"), col("est_hi"), col("exact_v"), col("n"))
+      .orderBy(col("grp"), col("q_milli"))
+  }
+}

@@ -170,6 +170,38 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(bySrc.filter(_._1 != "__union__").values.forall(_ <= bySrc("__union__")))
   }
 
+  test("QuantileSketch: estimate brackets the exact order statistic; merge = union histogram") {
+    import spark.implicits._
+    import graft.quality.QuantileSketch
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", rnd.nextInt(900).toLong))
+      .toDF("grp", "v")
+    val width = 16L
+    val q = QuantileSketch.quantiles(rows, col("grp"), col("v"), width, 64,
+      Seq(100, 500, 900, 1000)).collect()
+    assert(q.length == 12)
+    q.foreach { r =>
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      // the sketch answers with the exact statistic's bucket upper bound
+      assert(est >= exact && est - exact < width, s"$r")
+    }
+    // q=1000 must bracket the group max
+    val maxes = rows.groupBy(col("grp")).agg(max(col("v"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.filter(_.getLong(1) == 1000L).foreach { r =>
+      assert(r.getLong(3) == maxes(r.getString(0)))
+    }
+    // mergeability: histograms of two halves sum to the whole corpus histogram
+    val (h1, h2) = (rows.filter(col("v") % 2 === 0), rows.filter(col("v") % 2 === 1))
+    def hMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = hMap(QuantileSketch.merge(
+      QuantileSketch.build(h1, col("grp"), col("v"), width, 64),
+      QuantileSketch.build(h2, col("grp"), col("v"), width, 64)))
+    val whole = hMap(QuantileSketch.build(rows, col("grp"), col("v"), width, 64))
+    assert(merged == whole)
+  }
+
   test("Bloom: no false negatives, merge equals union sketch, probe matches referee bits") {
     import spark.implicits._
     val toks = (0 until 200).map(i => (s"s${i % 2}", s"tok$i")).toDF("source", "token")
