@@ -94,7 +94,22 @@ object PlanDump {
       "meets an unpartitioned sort"),
     "q162_hll_distinct" -> ("HLL: one distinct shuffle of the (source, token) stream, " +
       "one partial+final max-agg to <=256 registers per source; everything after the " +
-      "register table is arithmetic on <=257·|sources| rows")
+      "register table is arithmetic on <=257·|sources| rows"),
+    "q173_audio_decode" -> ("audio decode is a mapPartitions batch (codec amortized per " +
+      "partition) followed by a narrow posexplode projection — the only Exchange is the " +
+      "final presentation sort"),
+    "q174_semdedup_exact" -> ("exact SemDeDup: the all-pairs cut runs INSIDE the join " +
+      "condition as one fused-loop long_dot per candidate (no output row unless it " +
+      "nearly passes), the exact DECIMAL predicate prices on the ~0.05% survivors, and " +
+      "CC hands a bounded contracted edge set to the driver union-find instead of " +
+      "paying O(log n) more rounds of job overhead"),
+    "q175_bloom_probe" -> ("the probe side is a BroadcastNestedLoopJoin of the tiny " +
+      "(|sources|-row) filter table against the probe stream; bit tests are pure " +
+      "integer codegen — the corpus appears only in the one build aggregation whose " +
+      "map-side partials are 512-byte buffers"),
+    "q176_quantile_sketch" -> ("ONE bucket hash-agg bounds the histogram at 1024 " +
+      "rows/group; the rank selection windows run over the bounded histogram, never " +
+      "the input rows — the exact twin's per-value table is domain-bounded")
   )
 
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "corpus must never cartesian-shuffle")
   }
 
+  test("exact semdedup: the integer-dot cut evaluates inside the join, not after it") {
+    // the q174 output plan is truncated at CC's localCheckpoints, so
+    // gate the pair-join STAGE shape directly: a long_dot cut in a
+    // non-equi join condition must plan as a broadcast NLJ evaluating
+    // long_dot in the condition — never a cartesian + post-filter
+    import org.apache.spark.sql.functions._
+    import graft.functions.LongDot.longDot
+    val e = graft.ops.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+        .as("vq"))
+    val a = e.select(col("vec_id").as("ida"), col("vq").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("vq").as("vb"))
+    val j = a.join(b, col("ida") < col("idb") &&
+      longDot(col("va"), col("vb")).cast("double") >= lit(1.0))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("long_dot"), "join condition must carry the fused long_dot cut")
+    assert(p.contains("BroadcastNestedLoopJoin"), "pair cut must broadcast one side")
+    assert(!p.contains("CartesianProduct"))
+    // and the graded query's own (post-CC) plan stays cartesian-free
+    assert(!planOf("q174_semdedup_exact").contains("CartesianProduct"))
+  }
+
+  test("bloom probe broadcasts the filter table against the probe stream") {
+    val p = planOf("q175_bloom_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quantile sketch: bucket histogram is a partial+final hash agg") {
+    val p = planOf("q176_quantile_sketch")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(_.startsWith("q6")).foreach { q =>
       val p = planOf(q)
