@@ -154,6 +154,49 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bloomPositions stay in [0,4096), are h-deterministic, step is odd") {
+    samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 500).foreach { h =>
+      val ps = graft.functions.Sketches.bloomPositions(h)
+      assert(ps.length == 3 && ps.forall(p => p >= 0 && p < 4096), s"h=$h ps=${ps.toSeq}")
+      assert(ps.toSeq == graft.functions.Sketches.bloomPositions(h).toSeq)
+      // double-hash step law: p1 - p0 == p2 - p1 (mod 4096), and the step is odd
+      val step = ((ps(1) - ps(0)) % 4096 + 4096) % 4096
+      assert(((ps(2) - ps(1)) % 4096 + 4096) % 4096 == step, s"h=$h")
+      val lo = h & 0xFFFFFFFFL
+      assert((lo + 1L - lo % 2L) % 2L == 1L)
+    }
+  }
+
+  test("property: HLL est_milli equals the BigInt floor formula on random register sums") {
+    // s_sum ranges over [2^57, 256·2^57] (at least one register present)
+    val gen = Gen.chooseNum(1L, 255L).flatMap(k =>
+      Gen.listOfN(k.toInt, Gen.chooseNum(1L, 57L)).map { ms =>
+        ms.map(m => BigInt(1) << (57 - m.toInt)).sum +
+          BigInt(256 - ms.length) * (BigInt(1) << 57)
+      })
+    val num = BigInt(graft.text.HyperLogLog.EstMilliNum)
+    samples(gen, 100).foreach { sSum =>
+      val want = (num / (BigInt(1285395) * sSum)).toLong
+      val got = spark.sql(
+        s"SELECT CAST(CAST('${graft.text.HyperLogLog.EstMilliNum}' AS DECIMAL(38,0)) div " +
+        s"(CAST(1285395 AS DECIMAL(38,0)) * CAST('$sSum' AS DECIMAL(38,0))) AS BIGINT) AS e")
+        .first().getLong(0)
+      assert(got == want, s"s_sum=$sSum")
+    }
+  }
+
+  test("property: quantile sketch estimate brackets the exact statistic on random data") {
+    samples(Gen.listOfN(300, Gen.chooseNum(0L, 2000L)), 3).foreach { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }.toDF("grp", "v")
+      val rows = graft.quality.QuantileSketch.quantiles(
+        df, col("grp"), col("v"), 32L, 64, Seq(500, 900)).collect()
+      rows.foreach { r =>
+        val (est, exact) = (r.getLong(2), r.getLong(3))
+        assert(est >= exact && est - exact < 32L, s"$r")
+      }
+    }
+  }
+
   test("property: pivot cell sums equal unpivoted totals on random orders") {
     val statuses = Gen.oneOf("F", "O", "P")
     val rows = samples(Gen.zip(statuses, Gen.chooseNum(1, 5),
