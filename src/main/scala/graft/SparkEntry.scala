@@ -245,6 +245,14 @@ object SparkEntry {
     // arithmetic replay of the synthetic PCM law — the audio twin of q66
     "q173_audio_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.audioHistogram(Tables.documents(s, d))),
+    // temperature (α=1/2) resampling over the skewed lang mix — exact
+    // integer isqrt weights + one integral-division threshold per group,
+    // md5-hex keep test (the q80 discipline with data-derived weights)
+    "q177_temperature_sample" -> ((s, d) =>
+      graft.ops.Sampling.temperatureSample(
+        Tables.documents(s, d), "lang", "doc_id", "temp")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
     // histogram quantile sketch (merge = counter add): integer-exact
     // bucket-bound estimates next to the exact order statistic — the
     // est/exact contract of the HLL queries, for quantiles
@@ -894,6 +902,7 @@ object SparkEntry {
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
     "q176_quantile_sketch" -> Seq("documents"),
+    "q177_temperature_sample" -> Seq("documents"),
     "q71_docs_chunks" -> Seq("documents"),
     "q72_docs_redact" -> Seq("documents"),
     "q73_docs_hashsplit" -> Seq("documents"),
@@ -2052,6 +2061,24 @@ object SparkEntry {
         |    ORDER BY CAST(p.cdot AS DOUBLE) / SQRT(CAST(p.vnorm2 AS DOUBLE)),
         |      g.vec_id) = 1 AS keep
         |FROM grp g JOIN pervec p USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // isqrt replayed with the same ±1-corrected floor(sqrt); threshold
+    // is an exact integral division rendered as fixed-width hex; the
+    // min-weight groups keep everything via the isq <= isqmin disjunct
+    "q177_temperature_sample" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |i AS (SELECT lang, n,
+        |    CASE WHEN (s1 + 1) * (s1 + 1) <= n THEN s1 + 1 ELSE s1 END AS isq
+        |  FROM (SELECT lang, n, CASE WHEN s0 * s0 > n THEN s0 - 1 ELSE s0 END AS s1
+        |    FROM (SELECT lang, n,
+        |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM n) a) b),
+        |m AS (SELECT MIN(isq) AS isqmin FROM i),
+        |t AS (SELECT lang, isq, (4294967296 * (SELECT isqmin FROM m)) // isq AS thr FROM i)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN t ON t.lang = d.lang
+        |WHERE t.isq <= (SELECT isqmin FROM m)
+        |   OR substring(md5(concat(CAST(d.doc_id AS VARCHAR), '|temp')), 1, 8)
+        |      < lpad(lower(to_hex(t.thr)), 8, '0')
+        |ORDER BY d.doc_id""".stripMargin,
     // bucket histogram + integer rank targets r = ceil(q·n); est = first
     // bucket's upper bound at cum ≥ r, exact = first value at cum ≥ r —
     // pure integer window cumsums, no interpolation anywhere

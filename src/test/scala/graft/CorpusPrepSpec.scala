@@ -135,6 +135,30 @@ class CorpusPrepSpec extends AnyFunSuite {
       .select("doc_id")).count() == 0)
   }
 
+  test("temperature sample: min group survives whole, shares flatten toward sqrt(n)") {
+    val kept = Sampling.temperatureSample(docs, "lang", "doc_id", "temp")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = in.values.min
+    def isqrt(n: Long): Long = { val s = math.sqrt(n.toDouble).toLong
+      if (s * s > n) s - 1 else if ((s + 1) * (s + 1) <= n) s + 1 else s }
+    in.foreach { case (g, n) =>
+      if (isqrt(n) == isqrt(nMin)) assert(kept(g) == n, s"min-weight group $g keeps all")
+      else {
+        // expected keep fraction isqrt(nMin)/isqrt(n) within md5 sampling noise
+        val exp = n.toDouble * isqrt(nMin) / isqrt(n)
+        assert(math.abs(kept(g) - exp) <= 4 * math.sqrt(exp) + 4,
+          s"$g kept=${kept(g)} expected≈$exp of $n")
+      }
+    }
+    // deterministic
+    val a = Sampling.temperatureSample(docs, "lang", "doc_id", "temp").select("doc_id")
+    assert(a.exceptAll(Sampling.temperatureSample(docs, "lang", "doc_id", "temp")
+      .select("doc_id")).count() == 0)
+  }
+
   test("pack shards: greedy first-fit invariant holds for every document") {
     val budget = 512L
     val packed = TextOps.packShards(docs, budget).cache()
