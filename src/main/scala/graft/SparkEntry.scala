@@ -2103,7 +2103,9 @@ object SparkEntry {
         |  FROM qs q JOIN cumv c ON c.grp = q.grp AND c.cum >= q.r
         |  GROUP BY 1, 2)
         |SELECT e.grp AS source, CAST(e.q_milli AS BIGINT) AS q_milli,
-        |  (e.bkt + 1) * 16 - 1 AS est_hi, x.exact_v, e.n
+        |  CAST(CASE WHEN e.bkt = 1023 THEN 9223372036854775807
+        |    ELSE (e.bkt + 1) * 16 - 1 END AS BIGINT) AS est_hi,
+        |  x.exact_v, e.n
         |FROM est e JOIN ex x ON x.grp = e.grp AND x.q_milli = e.q_milli
         |ORDER BY source, q_milli""".stripMargin,
     // Bloom bits replayed through the xxhash64 chain: h1 = u >> 32,
@@ -3046,10 +3048,16 @@ object SparkEntry {
         |  AND (u.n_tokens > t.n_tokens OR u.n_stopwords < t.n_stopwords))
         |ORDER BY doc_id""".stripMargin,
     // HLL registers replayed through the xxhash64-in-SQL chain: idx =
-    // top 8 bits, rank = 57 - bitlength of the low-56 remainder; S is
-    // an exact DECIMAL sum of integer shifts and est_milli an exact
-    // HUGEINT integral division — zero floating point in the graded
-    // columns (doubles proved DuckDB-version-dependent, VERDICT r4/r5)
+    // top 8 bits, rank = 57 - bitlength of the low-56 remainder, where
+    // bitlength is a SUM of comparisons against the 56 powers of two
+    // (NOT bin() — its BIGINT rendering drifted across DuckDB
+    // releases, VERDICT r4-r6); S is an exact HUGEINT sum of integer
+    // shifts graded as TWO BIGINT halves (s_hi, s_lo) = (S div 2^32,
+    // S mod 2^32) — S itself tops out at 2^65, and a bare
+    // DECIMAL/HUGEINT column was the last version-sensitive rendering
+    // on the surface; est_milli is an exact HUGEINT integral division
+    // clamped by LEAST to BIGINT max exactly where the Spark side's
+    // integer predicate (S < EstFitsMin) clamps
     "q162_hll_distinct" ->
       s"""WITH st AS (SELECT DISTINCT source, token FROM (
          |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
@@ -3060,25 +3068,30 @@ object SparkEntry {
          |  FROM hashes),
          |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
          |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
+         |pows AS (SELECT CAST(1::BIGINT << CAST(k AS INT) AS BIGINT) AS p
+         |  FROM range(0, 56) t(k)),
          |rr AS (SELECT token, idx,
-         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(ltrim(lpad(bin(v), 64, '0'), '0')) END AS BIGINT) AS r
-         |  FROM reg),
+         |    CAST(57 - SUM(CASE WHEN v >= p THEN 1 ELSE 0 END) AS BIGINT) AS r
+         |  FROM reg CROSS JOIN pows GROUP BY token, idx),
          |regs AS (SELECT source AS grp, idx, MAX(r) AS m
          |  FROM st JOIN rr USING (token) GROUP BY 1, 2),
          |merged AS (SELECT '__union__' AS grp, idx, MAX(m) AS m FROM regs GROUP BY idx),
          |allregs AS (SELECT grp, idx, m FROM regs
          |  UNION ALL SELECT grp, idx, m FROM merged),
          |sums AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
-         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS DECIMAL(38,0)))
-         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS DECIMAL(38,0))
-         |      AS DECIMAL(38,0)) AS s_sum
+         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS HUGEINT))
+         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS HUGEINT)
+         |      AS HUGEINT) AS su
          |  FROM allregs GROUP BY 1),
          |exact AS (SELECT source AS grp,
          |    CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM st GROUP BY 1
          |  UNION ALL SELECT '__union__', CAST(COUNT(DISTINCT token) AS BIGINT) FROM st)
-         |SELECT s.grp AS source, s.nonzero_regs, s.s_sum,
-         |  CAST(CAST('$hllEstNum' AS HUGEINT)
-         |    // (1285395::HUGEINT * CAST(s.s_sum AS HUGEINT)) AS BIGINT) AS est_milli,
+         |SELECT s.grp AS source, s.nonzero_regs,
+         |  CAST(s.su // 4294967296 AS BIGINT) AS s_hi,
+         |  CAST(s.su % 4294967296 AS BIGINT) AS s_lo,
+         |  CAST(LEAST(CAST('$hllEstNum' AS HUGEINT)
+         |      // (1285395::HUGEINT * s.su),
+         |    9223372036854775807::HUGEINT) AS BIGINT) AS est_milli,
          |  e.exact_distinct
          |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin,
     // 3 synchronous LPA rounds as a fixed CTE chain: adopt the most
@@ -3171,7 +3184,9 @@ object SparkEntry {
         |QUALIFY rn <= 10
         |ORDER BY source, rn""".stripMargin,
     // daily registers once, each day feeds its 7 covering windows,
-    // merge = MAX(m) — the oracle replays the merge, not a re-scan
+    // merge = MAX(m) — the oracle replays the merge, not a re-scan;
+    // rank/S/est_milli follow the q162 portability discipline (no
+    // bin(), S as two BIGINT halves, LEAST-clamped division)
     "q168_hll_weekly" ->
       s"""WITH d0 AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
          |    CAST(user_id AS VARCHAR) AS token FROM events),
@@ -3181,9 +3196,11 @@ object SparkEntry {
          |  FROM hashes),
          |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
          |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
+         |pows AS (SELECT CAST(1::BIGINT << CAST(k AS INT) AS BIGINT) AS p
+         |  FROM range(0, 56) t(k)),
          |rr AS (SELECT token, idx,
-         |    CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(ltrim(lpad(bin(v), 64, '0'), '0')) END AS BIGINT) AS r
-         |  FROM reg),
+         |    CAST(57 - SUM(CASE WHEN v >= p THEN 1 ELSE 0 END) AS BIGINT) AS r
+         |  FROM reg CROSS JOIN pows GROUP BY token, idx),
          |daily AS (SELECT day AS grp, idx, MAX(r) AS m
          |  FROM d0 JOIN rr USING (token) GROUP BY 1, 2),
          |present AS (SELECT DISTINCT day FROM d0),
@@ -3191,16 +3208,19 @@ object SparkEntry {
          |    SELECT grp + o AS day, idx, m FROM daily, range(0, 7) oo(o)) s
          |  JOIN present USING (day) GROUP BY 1, 2),
          |sums AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
-         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS DECIMAL(38,0)))
-         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS DECIMAL(38,0))
-         |      AS DECIMAL(38,0)) AS s_sum
+         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS HUGEINT))
+         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS HUGEINT)
+         |      AS HUGEINT) AS su
          |  FROM merged GROUP BY 1),
          |ex AS (SELECT t.day, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
          |  FROM (SELECT d0.day + o AS day, token FROM d0, range(0, 7) oo(o)) t
          |  JOIN present ON present.day = t.day GROUP BY 1)
-         |SELECT s.day, s.nonzero_regs, s.s_sum,
-         |  CAST(CAST('$hllEstNum' AS HUGEINT)
-         |    // (1285395::HUGEINT * CAST(s.s_sum AS HUGEINT)) AS BIGINT) AS est_milli,
+         |SELECT s.day, s.nonzero_regs,
+         |  CAST(s.su // 4294967296 AS BIGINT) AS s_hi,
+         |  CAST(s.su % 4294967296 AS BIGINT) AS s_lo,
+         |  CAST(LEAST(CAST('$hllEstNum' AS HUGEINT)
+         |      // (1285395::HUGEINT * s.su),
+         |    9223372036854775807::HUGEINT) AS BIGINT) AS est_milli,
          |  ex.exact_distinct
          |FROM sums s JOIN ex ON ex.day = s.day ORDER BY s.day""".stripMargin,
     // seeded teleport: graph vertices are doc ids, so the q160 seed

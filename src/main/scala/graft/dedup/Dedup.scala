@@ -765,6 +765,17 @@ object Dedup {
     * configuration, priced for fixture scale. Returns
     * (vec_id, group_id, cdot, vnorm2, keep) ordered by vec_id. */
   def semanticDedupExact(embeddings: DataFrame, minCosNum: Int, minCosDen: Int): DataFrame = {
+    // The DECIMAL(38,0) pair predicate squares den: with 64-dim
+    // 2^20-quantized vectors, dxy^2 and na*nb each reach ~5e27, so
+    // den^2 (and num^2 <= den^2) must stay <= ~2e10 to keep
+    // den^2*dxy^2 inside 38 digits — past that, non-ANSI overflow
+    // NULLs the predicate and silently DROPS qualifying pairs.
+    // den <= 1e5 bounds den^2*dxy^2 < 5e37 with margin; callers use
+    // 2/5.
+    require(minCosDen > 0 && minCosDen <= 100000,
+      s"minCosDen=$minCosDen out of (0, 1e5]: den^2 predicate would overflow DECIMAL(38,0)")
+    require(minCosNum >= 0 && minCosNum <= minCosDen,
+      s"minCosNum=$minCosNum out of [0, minCosDen=$minCosDen]: cosine threshold must be in [0,1]")
     val spark = embeddings.sparkSession
     val q = embeddings.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")

@@ -73,7 +73,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case Filter(cond, Window(
+    case f @ Filter(cond, Window(
           Seq(alias @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(_, _,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           partitionSpec, orderSpec, wChild, _))
@@ -82,7 +82,10 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val (rankConjuncts, rest) = conjuncts.partition(c => asLimit(c, rn).isDefined)
       if (rankConjuncts.isEmpty)
-        Filter(cond, Window(Seq(alias), partitionSpec, orderSpec, wChild))
+        // no rank bound to rewrite: return the MATCHED node untouched
+        // (rebuilding it would silently drop the Window constructor
+        // fields the pattern doesn't bind)
+        f
       else {
         val k = rankConjuncts.flatMap(asLimit(_, rn)).min
         // an inferred WindowGroupLimit below the window is subsumed by

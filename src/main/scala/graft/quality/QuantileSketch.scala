@@ -62,7 +62,14 @@ object QuantileSketch {
       .filter(col("cum") >= col("r"))
       .groupBy(col("grp"), col("q_milli"), col("n"))
       .agg(min(col("bucket")).as("bkt"))
-      .withColumn("est_hi", (col("bkt") + 1L) * lit(width) - 1L)
+      // interior buckets carry the tight width-wide upper bound; the
+      // LAST bucket also absorbs clamped values >= width*buckets (see
+      // [[build]]'s least()), so its only sound upper bound is
+      // unbounded — Long.MaxValue keeps the est_hi >= exact contract
+      // universal instead of silently violating it past the domain
+      .withColumn("est_hi",
+        when(col("bkt") === lit(buckets - 1L), lit(Long.MaxValue))
+          .otherwise((col("bkt") + 1L) * lit(width) - 1L))
     val byValue = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
     val wV = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

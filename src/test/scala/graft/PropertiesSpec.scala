@@ -185,6 +185,23 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL est_milli clamps to Long.MaxValue exactly below the BIGINT-fit threshold") {
+    // EstFitsMin is the smallest S whose quotient fits BIGINT — the
+    // clamp must flip between adjacent integers, and the un-clamped
+    // side must equal the BigInt floor formula
+    val fit = graft.text.HyperLogLog.EstFitsMin
+    val num = BigInt(graft.text.HyperLogLog.EstMilliNum)
+    assert(num / (BigInt(1285395) * fit) <= BigInt(Long.MaxValue))
+    assert(num / (BigInt(1285395) * (fit - 1)) > BigInt(Long.MaxValue))
+    val rows = Seq(fit - 1, fit, 1L << 57).toDF("raw")
+      .withColumn("s_sum", expr("CAST(raw AS DECIMAL(38,0))"))
+      .withColumn("e", graft.text.HyperLogLog.estMilli("s_sum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(fit - 1) == Long.MaxValue)
+    assert(rows(fit) == (num / (BigInt(1285395) * fit)).toLong)
+    assert(rows(1L << 57) == (num / (BigInt(1285395) * (BigInt(1) << 57))).toLong)
+  }
+
   test("property: quantile sketch estimate brackets the exact statistic on random data") {
     samples(Gen.listOfN(300, Gen.chooseNum(0L, 2000L)), 3).foreach { vals =>
       val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }.toDF("grp", "v")

@@ -163,8 +163,12 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(bySrc.contains("__union__"))
     rows.foreach { r =>
       assert(r.getLong(1) >= 1 && r.getLong(1) <= 256)
-      // s_sum is bounded by the all-absent total 256·2^57 = 2^65
-      assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("36893488147419103232")) <= 0)
+      // S rides as two BIGINT halves; reconstructed it is bounded by
+      // the all-absent total 256·2^57 = 2^65, and s_lo is a true
+      // mod-2^32 residue
+      val (hi, lo) = (r.getAs[Long]("s_hi"), r.getAs[Long]("s_lo"))
+      assert(lo >= 0L && lo < (1L << 32))
+      assert((BigInt(hi) << 32) + BigInt(lo) <= (BigInt(256) << 57))
       assert(r.getAs[Long]("est_milli") > 0L)
     }
     assert(bySrc.filter(_._1 != "__union__").values.forall(_ <= bySrc("__union__")))
@@ -200,6 +204,22 @@ class SkylineSketchSpec extends AnyFunSuite {
       QuantileSketch.build(h2, col("grp"), col("v"), width, 64)))
     val whole = hMap(QuantileSketch.build(rows, col("grp"), col("v"), width, 64))
     assert(merged == whole)
+  }
+
+  test("QuantileSketch: clamped top bucket answers an unbounded upper estimate") {
+    import spark.implicits._
+    import graft.quality.QuantileSketch
+    // width*buckets = 16*64 = 1024 < 5000: the max clamps into the
+    // last bucket, whose nominal upper edge (1023) would sit BELOW the
+    // exact statistic — est_hi must go unbounded instead of lying
+    val rows = ((0 until 50).map(_ => ("g", 100L)) :+ (("g", 5000L))).toDF("grp", "v")
+    val q = QuantileSketch.quantiles(rows, col("grp"), col("v"), 16L, 64, Seq(500, 1000))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(q(1000L)._2 == 5000L, "exact max")
+    assert(q(1000L)._1 == Long.MaxValue, "clamped bucket upper bound must be unbounded")
+    assert(q(1000L)._1 >= q(1000L)._2)
+    // interior quantiles keep the tight width-wide bracket
+    assert(q(500L)._2 == 100L && q(500L)._1 >= 100L && q(500L)._1 - 100L < 16L)
   }
 
   test("Bloom: no false negatives, merge equals union sketch, probe matches referee bits") {
