@@ -245,6 +245,11 @@ object SparkEntry {
     // arithmetic replay of the synthetic PCM law — the audio twin of q66
     "q173_audio_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.audioHistogram(Tables.documents(s, d))),
+    // REAL RIFF/AVI parse + per-frame ImageIO decode graded against
+    // the pure arithmetic replay of the per-frame test-card law — the
+    // video twin of q66/q173; closes the multimodal decode matrix
+    "q178_video_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFrameHistogram(Tables.documents(s, d))),
     // temperature (α=1/2) resampling over the skewed lang mix — exact
     // integer isqrt weights + one integral-division threshold per group,
     // md5-hex keep test (the q80 discipline with data-derived weights)
@@ -899,6 +904,7 @@ object SparkEntry {
     "q66_multimodal_decode" -> Seq("documents"),
     "q67_multimodal_frames" -> Seq("documents"),
     "q173_audio_decode" -> Seq("documents"),
+    "q178_video_decode" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
     "q176_quantile_sketch" -> Seq("documents"),
@@ -2007,8 +2013,10 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id AS media_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
         |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 8 AS INTEGER)
+        |         WHEN doc_id % 3 = 2 THEN CAST(doc_id % 12 + 6 AS INTEGER)
         |         ELSE CAST(n_chars % 640 + 16 AS INTEGER) END AS w,
         |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 32 + 8 AS INTEGER)
+        |         WHEN doc_id % 3 = 2 THEN CAST(doc_id % 8 + 6 AS INTEGER)
         |         ELSE CAST(n_chars % 480 + 16 AS INTEGER) END AS h
         |  FROM documents),
         |s AS (SELECT media_id, kind, w, h,
@@ -2158,6 +2166,24 @@ object SparkEntry {
         |SELECT media_id, n AS n_samples, CAST(bin AS BIGINT) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM b GROUP BY 1, 2, 3 ORDER BY media_id, bin""".stripMargin,
+    // the AVI round-trip carries LOSSLESS Motion-PNG frames, so frame
+    // f's decoded luma histogram is pure arithmetic over the test-card
+    // law ((7x + 13y + 31f + media_id) mod 256) // 16 — only a faithful
+    // synthesize→RIFF-parse→per-frame-decode chain can match, and
+    // n_frames grades the count of frames the parser actually found
+    "q178_video_decode" ->
+      """WITH vids AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 4 + 2 AS BIGINT) AS nf,
+        |    doc_id % 12 + 6 AS w, doc_id % 8 + 6 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |hist AS (SELECT media_id, nf, f, unnest(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w),
+        |      x -> ((7*x + 13*y + 31*f + media_id) % 256) // 16)))) AS b
+        |  FROM (SELECT media_id, nf, w, h, unnest(range(0, nf)) AS f FROM vids) vf)
+        |SELECT media_id, nf AS n_frames, CAST(f AS BIGINT) AS frame_no,
+        |  CAST(b AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM hist GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id, frame_no, bin""".stripMargin,
     "q71_docs_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,

@@ -11,17 +11,19 @@ import org.apache.spark.sql.functions._
   * libraries amortize initialization per partition and the exchange is
   * Tungsten-encoded rows, not driver round trips.
   *
-  * The IMAGE path is a real codec: [[ImageCodec.decode]] reads the
-  * payload with the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — no
-  * external library), takes width/height from the DECODED bitmap (not
-  * the metadata, which at corpus scale routinely lies), and extracts a
-  * 16-bin integer-luma histogram feature. The AUDIO path is real too:
-  * [[AudioCodec.decode]] parses WAV/AIFF with the JDK's
+  * All three modalities decode for REAL on the bare JDK:
+  * [[ImageCodec.decode]] reads image payloads with `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — no external library), takes width/height from
+  * the DECODED bitmap (not the metadata, which at corpus scale
+  * routinely lies), and extracts a 16-bin integer-luma histogram
+  * feature. [[AudioCodec.decode]] parses WAV/AIFF with
   * `javax.sound.sampled` and extracts an exact amplitude histogram.
-  * Only VIDEO remains stubbed ([[DecodeStub.decode]], a deterministic
-  * fake keyed on payload bytes): the JDK ships no video codec, and the
-  * stub keeps the batch shape + feature contract real so a production
-  * decoder drops in by replacing ONE function.
+  * [[VideoCodec.decode]] walks RIFF/AVI containers (a ~100-line
+  * chunked-byte parser — no codec library needed for the container)
+  * and decodes each Motion-PNG/MJPEG frame through the same `ImageIO`
+  * path, yielding per-frame luma histograms. [[DecodeStub.decode]] is
+  * the quarantine-lane fallback for payloads that fail to decode, not
+  * a modality boundary.
   */
 object Multimodal {
 
@@ -39,6 +41,27 @@ object Multimodal {
     * normalized by pixel count. */
   object ImageCodec {
     val FeatureDim = 16
+
+    /** Exact 16-bin integer-luma histogram of a decoded bitmap —
+      * shared by the image path and [[VideoCodec]]'s per-frame
+      * features. */
+    def lumaCounts(im: java.awt.image.BufferedImage): Array[Long] = {
+      val counts = new Array[Long](FeatureDim)
+      val (w, h) = (im.getWidth, im.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          counts(luma >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      counts
+    }
 
     /** Deterministic grayscale test card g(x,y) = (7x + 13y + seed) mod
       * 256, PNG-encoded — the synthesized fixture that lets the decode
@@ -73,19 +96,7 @@ object Multimodal {
       img.map { im =>
         val w = im.getWidth
         val h = im.getHeight
-        val counts = new Array[Long](FeatureDim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = im.getRGB(x, y)
-            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-              114 * (rgb & 0xFF)) / 1000
-            counts(luma >> 4) += 1
-            x += 1
-          }
-          y += 1
-        }
+        val counts = lumaCounts(im)
         val n = w.toLong * h
         (w, h, counts.map(c => (c.toDouble / n).toFloat))
       }
@@ -160,12 +171,127 @@ object Multimodal {
       }
   }
 
-  /** ======== STUB BOUNDARY (video only) ========
+  /** Real video container codec on the JDK only: a RIFF/AVI writer +
+    * parser (~100 LoC of byte arithmetic — AVI is plain chunked RIFF)
+    * carrying Motion-PNG frames, each frame decoded through the same
+    * `javax.imageio` path [[ImageCodec]] uses. PNG frames keep the
+    * round trip LOSSLESS (MJPEG would decode deterministically but the
+    * oracle could not replay JPEG's DCT), so the per-frame luma
+    * histogram of the synthesized fixture is pure arithmetic over
+    * (seed, frame, w, h) that a SQL oracle replays exactly — the q66
+    * image trick and the q173 audio trick, applied a third time. The
+    * parser is format-agnostic on the frame payload (anything
+    * `ImageIO` reads), so real MJPEG AVIs decode through the same
+    * walk. */
+  object VideoCodec {
+    val FeatureDim = 16
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Fixture laws shared by synthesis, the graded query, and the
+      * oracle replay (all pure integer functions of the media id). */
+    def videoFrames(mediaId: Long): Int = (mediaId % 4 + 2).toInt
+    def videoW(mediaId: Long): Int = (mediaId % 12 + 6).toInt
+    def videoH(mediaId: Long): Int = (mediaId % 8 + 6).toInt
+
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def cc(s: String): Array[Byte] = s.getBytes(Ascii)
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(cc(id)); bos.write(le32(body.length)); bos.write(body)
+      if (body.length % 2 == 1) bos.write(0) // RIFF chunks are word-aligned
+      bos.toByteArray
+    }
+    private def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+
+    /** Deterministic AVI: `nFrames` Motion-PNG frames, frame f being
+      * the [[ImageCodec.synthesizePng]] test card with seed
+      * `seed + 31·f` — so pixel (x, y) of frame f is
+      * ((7x + 13y + 31f + seed) mod 256) grayscale. Standard layout:
+      * RIFF(AVI ) → LIST(hdrl){avih, LIST(strl){strh, strf}} →
+      * LIST(movi){00dc…}. */
+    def synthesizeAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+      val avih = Array.concat(
+        le32(100000), le32(0), le32(0), le32(0),       // usec/frame (10 fps), maxBps, padding, flags
+        le32(nFrames), le32(0), le32(1), le32(0),      // totalFrames, initial, streams, sugBufSize
+        le32(w), le32(h), le32(0), le32(0), le32(0), le32(0)) // width, height, reserved[4]
+      val strh = Array.concat(
+        cc("vids"), cc("MPNG"), le32(0), le16(0), le16(0),  // type, handler, flags, prio, lang
+        le32(0), le32(1), le32(10), le32(0), le32(nFrames), // initFrames, scale, rate, start, length
+        le32(0), le32(0), le32(0),                          // sugBufSize, quality, sampleSize
+        le16(0), le16(0), le16(w), le16(h))                 // rcFrame
+      val strf = Array.concat(                              // BITMAPINFOHEADER
+        le32(40), le32(w), le32(h), le16(1), le16(24),
+        cc("MPNG"), le32(0), le32(0), le32(0), le32(0), le32(0))
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        (0 until nFrames).toArray.flatMap(f =>
+          chunk("00dc", ImageCodec.synthesizePng(seed + 31L * f, w, h))))
+      chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
+    }
+
+    /** Parse the RIFF tree, decode every movi video chunk ('00dc'/
+      * '00db') through `ImageIO`, and return (header's dwTotalFrames,
+      * per-frame (width, height, exact 16-bin luma counts)) — both
+      * dims and frame count come from the DECODED stream, with the
+      * header claim returned separately so callers can cross-check
+      * (the q173 never-trust-the-header discipline). None on anything
+      * that isn't a well-formed AVI; undecodable individual frames are
+      * skipped (count mismatch then surfaces against the header).
+      * Never throws. */
+    def decode(payload: Array[Byte]): Option[(Long, Seq[(Int, Int, Array[Long])])] =
+      try {
+        def rdLE32(off: Int): Long =
+          (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+            ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+        def tag(off: Int): String = new String(payload, off, 4, Ascii)
+        if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") None
+        else {
+          var hdrFrames = -1L
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Long])]
+          def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+            var off = start
+            while (off + 8 <= end) {
+              val id = tag(off)
+              val size = rdLE32(off + 4).toInt
+              val dataOff = off + 8
+              if (size < 0 || dataOff + size > end) return // truncated: keep what parsed
+              if (id == "LIST" && size >= 4) {
+                val lt = tag(dataOff)
+                walk(dataOff + 4, dataOff + size, inMovi || lt == "movi")
+              } else if (id == "avih" && size >= 20) {
+                hdrFrames = rdLE32(dataOff + 16) // dwTotalFrames
+              } else if (inMovi && (id == "00dc" || id == "00db") && size > 0) {
+                val im = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, dataOff, size))
+                if (im != null)
+                  frames += ((im.getWidth, im.getHeight, ImageCodec.lumaCounts(im)))
+              }
+              off = dataOff + size + (size & 1)
+            }
+          }
+          val riffEnd = math.min(payload.length, 8 + rdLE32(4).toInt)
+          walk(12, riffEnd, inMovi = false)
+          if (frames.isEmpty) None else Some((hdrFrames, frames.toSeq))
+        }
+      } catch {
+        case _: java.io.IOException => None
+        case _: IndexOutOfBoundsException => None
+      }
+  }
+
+  /** ======== FALLBACK ONLY (no stub boundary remains) ========
     * Deterministic fake decoder: derives a FeatureDim-float vector from
-    * the payload bytes (splitmix64 over a rolling hash). Replace with a
-    * real codec (e.g. ffmpeg-backed frame decode) — signature and
-    * batch shape are the contract. Images use [[ImageCodec]] and audio
-    * uses [[AudioCodec]], both real. */
+    * the payload bytes (splitmix64 over a rolling hash). All three
+    * modalities now decode for REAL ([[ImageCodec]], [[AudioCodec]],
+    * [[VideoCodec]]); this is the quarantine-lane feature for payloads
+    * that fail to decode, mirroring corpus reality (truncated files,
+    * mislabeled kinds). */
   object DecodeStub {
     val FeatureDim = 16
     def decode(payload: Array[Byte]): Array[Float] = {
@@ -186,9 +312,10 @@ object Multimodal {
   }
 
   /** Batched per-partition decode + feature extraction (the mapInPandas
-    * analogue). Image rows go through the REAL codec — dimensions come
-    * from the decoded bitmap (falling back to metadata only if the
-    * payload doesn't decode); audio/video go through the stub. */
+    * analogue). Every kind goes through its REAL codec — dimensions
+    * come from the decoded payload, falling back to metadata + the
+    * quarantine-lane stub feature only when the payload doesn't
+    * decode. */
   def decodeFeatures(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -203,6 +330,21 @@ object Multimodal {
               .map { case (n, counts) =>
                 (r.width, r.height,
                   counts.map(c => (c.toDouble / math.max(n, 1)).toFloat))
+              }
+              .getOrElse((r.width, r.height, DecodeStub.decode(r.payload)))
+          else if (r.kind == "video")
+            VideoCodec.decode(r.payload)
+              .map { case (_, frames) =>
+                // feature = corpus-standard luma histogram over ALL
+                // decoded frames, normalized by total pixels; dims
+                // from the first decoded frame
+                val total = frames.map { case (fw, fh, _) => fw.toLong * fh }.sum
+                val merged = new Array[Long](VideoCodec.FeatureDim)
+                frames.foreach { case (_, _, cs) =>
+                  var i = 0; while (i < merged.length) { merged(i) += cs(i); i += 1 }
+                }
+                (frames.head._1, frames.head._2,
+                  merged.map(c => (c.toDouble / math.max(total, 1L)).toFloat))
               }
               .getOrElse((r.width, r.height, DecodeStub.decode(r.payload)))
           else (r.width, r.height, DecodeStub.decode(r.payload))
@@ -225,11 +367,10 @@ object Multimodal {
       .withColumn("frame_no", (col("ts_ms") / everyMs).cast("long"))
       .select(col("media_id"), col("frame_no"), col("ts_ms"))
 
-  /** Synthesize a media table from the documents fixture. Image rows
-    * carry a REAL (deterministic) PNG payload with small pixel dims —
-    * doc_id-keyed test cards, so the whole encode→decode→histogram path
-    * runs for real and is oracle-checkable; audio/video rows keep text
-    * bytes as opaque payload with deterministic metadata. */
+  /** Synthesize a media table from the documents fixture. Every kind
+    * carries a REAL (deterministic) payload — PNG test cards, PCM WAV,
+    * Motion-PNG AVI — doc_id-keyed, so all three encode→decode→
+    * histogram paths run for real and are oracle-checkable. */
   def synthesizeFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
     documents.select(
@@ -249,7 +390,12 @@ object Multimodal {
             width = pw, height = ph)
         } else if (r.kind == "audio")
           r.copy(payload = AudioCodec.synthesizeWav(r.media_id, audioSamples(r.media_id)))
-        else r
+        else {
+          val (vw, vh) = (VideoCodec.videoW(r.media_id), VideoCodec.videoH(r.media_id))
+          r.copy(payload = VideoCodec.synthesizeAvi(
+              r.media_id, VideoCodec.videoFrames(r.media_id), vw, vh),
+            width = vw, height = vh)
+        }
       })
   }
 
@@ -281,5 +427,36 @@ object Multimodal {
       .select(col("media_id"), col("n_samples"),
         col("bin").cast("long").as("bin"), col("cnt"))
       .orderBy(col("media_id"), col("bin"))
+  }
+
+  /** Graded video path: synthesize → REAL RIFF/AVI parse → per-frame
+    * `ImageIO` decode → exact per-frame luma histogram rows
+    * (media_id, n_frames, frame_no, bin, cnt), zero bins omitted.
+    * n_frames is the count of frames actually DECODED (never the
+    * header's dwTotalFrames claim), so a parser regression — chunk
+    * misalignment, swallowed frames, bad list recursion — surfaces as
+    * a value mismatch against the oracle's replay of the synthetic
+    * per-frame pixel law. The video twin of q66 (image) and q173
+    * (audio). */
+  def videoFrameHistogram(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val avi = VideoCodec.synthesizeAvi(id, VideoCodec.videoFrames(id),
+          VideoCodec.videoW(id), VideoCodec.videoH(id))
+        VideoCodec.decode(avi).toSeq.flatMap { case (_, frames) =>
+          frames.zipWithIndex.map { case ((_, _, counts), f) =>
+            (id, frames.length.toLong, f.toLong, counts)
+          }
+        }
+      })
+      .toDF("media_id", "n_frames", "frame_no", "bins")
+      .select(col("media_id"), col("n_frames"), col("frame_no"),
+        posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(col("media_id"), col("n_frames"), col("frame_no"),
+        col("bin").cast("long").as("bin"), col("cnt"))
+      .orderBy(col("media_id"), col("frame_no"), col("bin"))
   }
 }

@@ -157,6 +157,41 @@ class SourcesMultimodalSpec extends AnyFunSuite {
       r.getAs[Long]("n_samples") == Multimodal.audioSamples(r.getAs[Long]("media_id")).toLong))
   }
 
+  test("multimodal: VideoCodec AVI roundtrip decodes every frame with the exact luma law") {
+    val (seed, nf, w, h) = (7L, 4, 10, 8)
+    val avi = Multimodal.VideoCodec.synthesizeAvi(seed, nf, w, h)
+    val (hdrN, frames) = Multimodal.VideoCodec.decode(avi).get
+    // the header's claim and the frames the parser actually found agree
+    assert(hdrN == nf.toLong && frames.length == nf)
+    frames.zipWithIndex.foreach { case ((fw, fh, counts), f) =>
+      assert(fw == w && fh == h, s"frame $f dims")
+      val want = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        want((((7L * x + 13L * y + 31L * f + seed) % 256) >> 4).toInt) += 1
+      assert(counts.toSeq == want.toSeq, s"frame $f histogram")
+    }
+    // non-AVI, truncated, and mislabeled payloads decline, never throw
+    assert(Multimodal.VideoCodec.decode("not an avi".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decode(avi.take(40)).isEmpty)
+    assert(Multimodal.VideoCodec.decode(
+      Multimodal.AudioCodec.synthesizeWav(1L, 50)).isEmpty)
+  }
+
+  test("multimodal: videoFrameHistogram bins partition every frame's pixels") {
+    val hist = Multimodal.videoFrameHistogram(Tables.documents(spark, sf))
+    val perFrame = hist.groupBy(col("media_id"), col("n_frames"), col("frame_no"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("s")).collect()
+    assert(perFrame.nonEmpty)
+    perFrame.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      // every decoded pixel lands in exactly one bin
+      assert(r.getAs[Long]("s") ==
+        Multimodal.VideoCodec.videoW(id).toLong * Multimodal.VideoCodec.videoH(id))
+      // the parser found every frame the fixture law wrote
+      assert(r.getAs[Long]("n_frames") == Multimodal.VideoCodec.videoFrames(id).toLong)
+    }
+  }
+
   test("multimodal: frame sampling is pure plan arithmetic") {
     val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, sf)).toDF()
     val frames = Multimodal.sampleFrames(media, 1000L)
