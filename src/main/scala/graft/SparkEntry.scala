@@ -735,6 +735,11 @@ object SparkEntry {
       graft.ops.Skyline.docFrontier(Tables.documents(s, d))),
     "q162_hll_distinct" -> ((s, d) =>
       graft.text.HyperLogLog.distinctTokensBySource(Tables.documents(s, d))),
+    // the streaming HLL maintenance sink run END TO END (MemoryStream
+    // micro-batches -> real checkpointed sink -> final state summary);
+    // the oracle replays the BATCH sketch — equal by max-mergeability
+    "q179_hll_stream_state" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedHllSummary(Tables.documents(s, d), 4)),
     // community structure WITHIN the connected blobs CC can't split
     "q163_label_prop" -> ((s, d) =>
       graft.cluster.Graphs.labelPropagation(simGraphPairs(s, d), 3)),
@@ -905,6 +910,7 @@ object SparkEntry {
     "q67_multimodal_frames" -> Seq("documents"),
     "q173_audio_decode" -> Seq("documents"),
     "q178_video_decode" -> Seq("documents"),
+    "q179_hll_stream_state" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
     "q176_quantile_sketch" -> Seq("documents"),
@@ -3112,6 +3118,42 @@ object SparkEntry {
          |exact AS (SELECT source AS grp,
          |    CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM st GROUP BY 1
          |  UNION ALL SELECT '__union__', CAST(COUNT(DISTINCT token) AS BIGINT) FROM st)
+         |SELECT s.grp AS source, s.nonzero_regs,
+         |  CAST(s.su // 4294967296 AS BIGINT) AS s_hi,
+         |  CAST(s.su % 4294967296 AS BIGINT) AS s_lo,
+         |  CAST(LEAST(CAST('$hllEstNum' AS HUGEINT)
+         |      // (1285395::HUGEINT * s.su),
+         |    9223372036854775807::HUGEINT) AS BIGINT) AS est_milli,
+         |  e.exact_distinct
+         |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin,
+    // the streamed HLL state graded by replaying the BATCH sketch (the
+    // q162 chain without the __union__ merge): the maintained register
+    // table equals the batch sketch by register-wise-max mergeability,
+    // so this one oracle grades the sink's exactly-once merge loop
+    "q179_hll_stream_state" ->
+      s"""WITH st AS (SELECT DISTINCT source, token FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS u
+         |  FROM hashes),
+         |reg AS (SELECT token, CAST(u // 72057594037927936 AS BIGINT) AS idx,
+         |    CAST(u % 72057594037927936 AS BIGINT) AS v FROM hu),
+         |pows AS (SELECT CAST(1::BIGINT << CAST(k AS INT) AS BIGINT) AS p
+         |  FROM range(0, 56) t(k)),
+         |rr AS (SELECT token, idx,
+         |    CAST(57 - SUM(CASE WHEN v >= p THEN 1 ELSE 0 END) AS BIGINT) AS r
+         |  FROM reg CROSS JOIN pows GROUP BY token, idx),
+         |regs AS (SELECT source AS grp, idx, MAX(r) AS m
+         |  FROM st JOIN rr USING (token) GROUP BY 1, 2),
+         |sums AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nonzero_regs,
+         |    CAST(SUM(CAST((1::BIGINT << CAST(57 - m AS INT)) AS HUGEINT))
+         |      + (256 - COUNT(*)) * CAST(144115188075855872 AS HUGEINT)
+         |      AS HUGEINT) AS su
+         |  FROM regs GROUP BY 1),
+         |exact AS (SELECT source AS grp,
+         |    CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM st GROUP BY 1)
          |SELECT s.grp AS source, s.nonzero_regs,
          |  CAST(s.su // 4294967296 AS BIGINT) AS s_hi,
          |  CAST(s.su % 4294967296 AS BIGINT) AS s_lo,

@@ -145,6 +145,21 @@ object HyperLogLog {
           .otherwise(col("est_raw")))
   }
 
+  /** Graded summary of a register table (grp, idx, m) →
+    * (grp, nonzero_regs, s_hi, s_lo, est_milli): the arithmetic tail
+    * shared by the batch queries and the streaming-maintained state
+    * (whose (grp, idx, m) parquet is exactly this shape). */
+  def summarizeRegisters(regs: DataFrame): DataFrame =
+    splitSum(regs.groupBy(col("grp")).agg(
+        count(lit(1)).as("nonzero_regs"),
+        sum(expr("CAST(shiftleft(1L, CAST(57 - m AS INT)) AS DECIMAL(38,0))")).as("s_present"))
+      .select(col("grp"), col("nonzero_regs"),
+        (col("s_present") +
+          (lit(M) - col("nonzero_regs")) * lit(144115188075855872L).cast("decimal(38,0)"))
+          .as("s_sum"))
+      .withColumn("est_milli", estMilli("s_sum")))
+      .select(col("grp"), col("nonzero_regs"), col("s_hi"), col("s_lo"), col("est_milli"))
+
   /** [[registers]] built in ONE pass through the
     * [[graft.functions.Sketches.HllRegistersAgg]] Aggregator: no
     * distinct shuffle of the (grp, token) stream — map-side partials
@@ -184,22 +199,15 @@ object HyperLogLog {
         col("idx"), col("m"))
       .join(present, "day")
       .groupBy(col("day"), col("idx")).agg(max(col("m")).as("m"))
-    val sums = merged.groupBy(col("day")).agg(
-      count(lit(1)).as("nonzero_regs"),
-      sum(expr("CAST(shiftleft(1L, CAST(57 - m AS INT)) AS DECIMAL(38,0))")).as("s_present"))
     // the exact twin pays the distinct + window re-expansion the
     // sketch path above avoids — that contrast is the point
     val exact = d0.distinct()
       .select(explode(sequence(col("day"), col("day") + 6L)).as("day"), col("token"))
       .join(present, "day")
       .groupBy(col("day")).agg(countDistinct(col("token")).as("exact_distinct"))
-    splitSum(sums.join(exact, "day")
-      .select(col("day"), col("nonzero_regs"),
-        (col("s_present") +
-          (lit(M) - col("nonzero_regs")) * lit(144115188075855872L).cast("decimal(38,0)"))
-          .as("s_sum"),
-        col("exact_distinct"))
-      .withColumn("est_milli", estMilli("s_sum")))
+    summarizeRegisters(merged.withColumnRenamed("day", "grp"))
+      .withColumnRenamed("grp", "day")
+      .join(exact, "day")
       .select(col("day"), col("nonzero_regs"), col("s_hi"), col("s_lo"),
         col("est_milli"), col("exact_distinct"))
       .orderBy(col("day"))
@@ -218,11 +226,6 @@ object HyperLogLog {
     val merged = perSource.groupBy(col("idx")).agg(max(col("m")).as("m"))
       .select(lit("__union__").as("grp"), col("idx"), col("m"))
     val regs = perSource.unionByName(merged)
-    val sums = regs.groupBy(col("grp")).agg(
-      count(lit(1)).as("nonzero_regs"),
-      // 2^(57-m) as an integer shift (1 <= m <= 57 so it fits a long);
-      // the DECIMAL sum of exact integers is order-independent
-      sum(expr("CAST(shiftleft(1L, CAST(57 - m AS INT)) AS DECIMAL(38,0))")).as("s_present"))
     val exact = toks
       .filter(length(col("token")) > 0 && length(col("token")) < 32)
       .groupBy(col("source").as("grp"))
@@ -231,15 +234,9 @@ object HyperLogLog {
       .filter(length(col("token")) > 0 && length(col("token")) < 32)
       .select(lit("__union__").as("grp"),  col("token"))
       .groupBy(col("grp")).agg(countDistinct(col("token")).as("exact_distinct"))
-    splitSum(sums
+    summarizeRegisters(regs)
       .join(exact.unionByName(exactAll), "grp")
-      .select(col("grp").as("source"), col("nonzero_regs"),
-        (col("s_present") +
-          (lit(M) - col("nonzero_regs")) * lit(144115188075855872L).cast("decimal(38,0)"))
-          .as("s_sum"),
-        col("exact_distinct"))
-      .withColumn("est_milli", estMilli("s_sum")))
-      .select(col("source"), col("nonzero_regs"), col("s_hi"), col("s_lo"),
+      .select(col("grp").as("source"), col("nonzero_regs"), col("s_hi"), col("s_lo"),
         col("est_milli"), col("exact_distinct"))
       .orderBy(col("source"))
   }
