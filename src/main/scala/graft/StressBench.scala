@@ -633,6 +633,12 @@ object StressBench {
     run("audio_decode",
       mat(graft.multimodal.Multimodal.audioHistogram(docs1)),
       mat(graft.multimodal.Multimodal.audioHistogram(docsPlainN)))
+    // video decode: replicas multiply AVI payloads (synthesize + RIFF
+    // parse + per-frame ImageIO decode per partition); per-pixel cost,
+    // plain row replication is the honest axis — same as audio_decode.
+    run("video_decode",
+      mat(graft.multimodal.Multimodal.videoFrameHistogram(docs1)),
+      mat(graft.multimodal.Multimodal.videoFrameHistogram(docsPlainN)))
     // quantile sketch: replicas multiply rows; the histogram stays
     // ≤1024 rows/source, so the linear term is the bucket hash-agg.
     run("quantile_sketch",
