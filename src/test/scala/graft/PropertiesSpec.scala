@@ -185,6 +185,42 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: AVI roundtrip inverts synthesis on random (seed, frames, dims)") {
+    val gen = for {
+      seed <- Gen.chooseNum(0L, 1000000L)
+      nf <- Gen.chooseNum(1, 6)
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+    } yield (seed, nf, w, h)
+    samples(gen, 40).foreach { case (seed, nf, w, h) =>
+      val avi = graft.multimodal.Multimodal.VideoCodec.synthesizeAvi(seed, nf, w, h)
+      val (hdrN, frames) = graft.multimodal.Multimodal.VideoCodec.decode(avi).get
+      assert(hdrN == nf.toLong && frames.length == nf, s"($seed,$nf,$w,$h)")
+      frames.foreach { case (fw, fh, counts) =>
+        assert(fw == w && fh == h)
+        // every pixel in exactly one bin
+        assert(counts.sum == w.toLong * h, s"($seed,$nf,$w,$h)")
+      }
+    }
+  }
+
+  test("property: AVI parser never throws on corrupted payloads") {
+    val base = graft.multimodal.Multimodal.VideoCodec.synthesizeAvi(3L, 3, 10, 8)
+    // corrupt a random byte (including the size fields that drive the
+    // chunk walk) and truncate at random points: decode must return
+    // None or partial frames, never escape an exception
+    val gen = for {
+      pos <- Gen.chooseNum(0, base.length - 1)
+      b <- Gen.chooseNum(0, 255)
+      cut <- Gen.chooseNum(0, base.length)
+    } yield (pos, b.toByte, cut)
+    samples(gen, 200).foreach { case (pos, b, cut) =>
+      val mutated = base.clone(); mutated(pos) = b
+      graft.multimodal.Multimodal.VideoCodec.decode(mutated)       // must not throw
+      graft.multimodal.Multimodal.VideoCodec.decode(mutated.take(cut))
+    }
+  }
+
   test("HLL est_milli clamps to Long.MaxValue exactly below the BIGINT-fit threshold") {
     // EstFitsMin is the smallest S whose quotient fits BIGINT — the
     // clamp must flip between adjacent integers, and the un-clamped
