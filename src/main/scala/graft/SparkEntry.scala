@@ -250,6 +250,15 @@ object SparkEntry {
     // video twin of q66/q173; closes the multimodal decode matrix
     "q178_video_decode" -> ((s, d) =>
       graft.multimodal.Multimodal.videoFrameHistogram(Tables.documents(s, d))),
+    // REAL PNG decode → exact nearest-neighbor resize to 8×8 → luma
+    // histogram of the RESIZED bitmap; grades the decode→resize→extract
+    // chain (the multimodal matrix's resize stage, on top of q66)
+    "q183_image_resize" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizedHistogram(Tables.documents(s, d), 8, 8)),
+    // REAL WAV decode → per-64-sample-frame energy/positivity/extrema —
+    // the audio feature-extract stage on top of q173's decode stage
+    "q184_audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioFrameFeatures(Tables.documents(s, d), 64)),
     // temperature (α=1/2) resampling over the skewed lang mix — exact
     // integer isqrt weights + one integral-division threshold per group,
     // md5-hex keep test (the q80 discipline with data-derived weights)
@@ -740,6 +749,48 @@ object SparkEntry {
     // the oracle replays the BATCH sketch — equal by max-mergeability
     "q179_hll_stream_state" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedHllSummary(Tables.documents(s, d), 4)),
+    // KMV/theta sketch per source over distinct 3-gram shingles: the
+    // SET-ALGEBRA sketch next to HLL/CMS/Bloom/quantile — graded
+    // estimate is one integral division of exact integers (q162 rule)
+    "q180_kmv_distinct" -> ((s, d) => {
+      val toks = thetaShingleTokens(s, d)
+      val exact = toks
+        .filter(length(col("token")) > 0 && length(col("token")) < 32)
+        .groupBy(col("source").as("grp"))
+        .agg(countDistinct(col("token")).as("n_exact"))
+      graft.text.Theta.withEstimates(
+          graft.text.Theta.buildPerGroup(toks, col("source")))
+        .join(exact, Seq("grp"))
+        .select(col("grp").as("source"), col("n_exact"), col("n_sketch"),
+          col("kth_f"), col("est_milli"))
+        .orderBy(col("source"))
+    }),
+    // pairwise theta intersection over the per-source KMV sketches —
+    // estimated source overlap at sketch cost (the question HLL union
+    // cannot answer), graded next to the exact intersection size
+    "q181_theta_intersection" -> ((s, d) => {
+      val toks = thetaShingleTokens(s, d)
+      val st = toks
+        .filter(length(col("token")) > 0 && length(col("token")) < 32)
+        .select(col("source"), col("token")).distinct()
+      val exact = st.select(col("source").as("grp_a"), col("token"))
+        .join(st.select(col("source").as("grp_b"), col("token")), Seq("token"))
+        .filter(col("grp_a") < col("grp_b"))
+        .groupBy(col("grp_a"), col("grp_b"))
+        .agg(count(lit(1)).as("n_exact_inter"))
+      graft.text.Theta.intersections(
+          graft.text.Theta.buildPerGroup(toks, col("source")))
+        .join(exact, Seq("grp_a", "grp_b"), "left")
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          col("theta_f"), col("n_common"), col("inter_est_milli"),
+          coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // C4-style boilerplate scrub: every occurrence of any 3-token span
+    // with document frequency >= 4 removed (q86 is DEDUP — first
+    // occurrence survives; boilerplate is NOISE — none survives)
+    "q182_boilerplate_scrub" -> ((s, d) =>
+      graft.dedup.Dedup.scrubBoilerplate(Tables.documents(s, d), 3, 4)),
     // community structure WITHIN the connected blobs CC can't split
     "q163_label_prop" -> ((s, d) =>
       graft.cluster.Graphs.labelPropagation(simGraphPairs(s, d), 3)),
@@ -818,6 +869,16 @@ object SparkEntry {
     * (doc_a < doc_b) co-shingle pairs at the exact integer threshold
     * 5·common >= union (jaccard >= 1/5), served from the per-session
     * cached pair table so the four consumers score one artifact. */
+  /** (source, token) distinct-3-gram stream for the theta sketches
+    * (q180/q181), served from the same per-session shingle artifact as
+    * the other shingle consumers; source tags join back by doc_id. */
+  private def thetaShingleTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.dedup.Dedup.shinglesCached(d, docs, 3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle").as("token"))
+  }
+
   private def simGraphPairs(s: SparkSession, d: String): DataFrame = {
     val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
     graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
@@ -911,6 +972,11 @@ object SparkEntry {
     "q173_audio_decode" -> Seq("documents"),
     "q178_video_decode" -> Seq("documents"),
     "q179_hll_stream_state" -> Seq("documents"),
+    "q180_kmv_distinct" -> Seq("documents"),
+    "q181_theta_intersection" -> Seq("documents"),
+    "q182_boilerplate_scrub" -> Seq("documents"),
+    "q183_image_resize" -> Seq("documents"),
+    "q184_audio_features" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
     "q176_quantile_sketch" -> Seq("documents"),
@@ -2190,6 +2256,37 @@ object SparkEntry {
         |  CAST(b AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM hist GROUP BY 1, 2, 3, 4
         |ORDER BY media_id, frame_no, bin""".stripMargin,
+    // the PNG round trip is lossless and the resize is exact
+    // nearest-neighbor (source index x·w div tw), so the resized
+    // bitmap's luma histogram is pure arithmetic over the test-card law
+    // — only a faithful decode→resize→extract chain can match
+    "q183_image_resize" ->
+      """WITH imgs AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS pw,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS ph
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT media_id, pw, ph, xs.x, ys.y
+        |  FROM imgs, range(0, 8) xs(x), range(0, 8) ys(y)),
+        |b AS (SELECT media_id, pw, ph,
+        |    ((7 * ((x * pw) // 8) + 13 * ((y * ph) // 8) + media_id) % 256) // 16 AS bin
+        |  FROM px)
+        |SELECT media_id, pw AS src_w, ph AS src_h, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2, 3, 4 ORDER BY media_id, bin""".stripMargin,
+    // per-frame features over the losslessly decoded PCM stream: every
+    // column is integer arithmetic over the synthetic sample law
+    "q184_audio_features" ->
+      """WITH audio AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 800 + 100 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT media_id, i // 64 AS frame_no,
+        |    ((137 * i + media_id) % 65536) - 32768 AS v
+        |  FROM (SELECT media_id, unnest(range(0, n - n % 64)) AS i FROM audio) u)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(MAX(v) AS BIGINT) AS smax, CAST(MIN(v) AS BIGINT) AS smin
+        |FROM s GROUP BY 1, 2 ORDER BY media_id, frame_no""".stripMargin,
     "q71_docs_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,
@@ -3162,6 +3259,105 @@ object SparkEntry {
          |    9223372036854775807::HUGEINT) AS BIGINT) AS est_milli,
          |  e.exact_distinct
          |FROM sums s JOIN exact e USING (grp) ORDER BY source""".stripMargin,
+    // KMV sketch replayed through the xxhash64-in-SQL chain: the k = 64
+    // smallest UNSIGNED hashes per source; the graded estimate is one
+    // HUGEINT integral division (1000·63·2⁶⁴ // u_k), and the k-th
+    // minimum is graded as its sign-flipped BIGINT (u_k − 2⁶³) — no
+    // bare DECIMAL/HUGEINT column anywhere (the q162 portability rule)
+    "q180_kmv_distinct" ->
+      s"""WITH tw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |st0 AS (SELECT DISTINCT source, array_to_string(w[i+1:i+3], ' ') AS token
+         |  FROM (SELECT source, w, unnest(range(0, len(w) - 2)) AS i FROM tw) u),
+         |st AS (SELECT source, token FROM st0
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS uu
+         |  FROM hashes),
+         |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
+         |rk AS (SELECT source, uu,
+         |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         |    MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |  FROM rk WHERE rn <= 64 GROUP BY source),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
+         |SELECT p.source, e.n_exact, p.n_sketch,
+         |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
+         |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
+         |    ELSE CAST('1162144876643701751808000' AS HUGEINT) // p.uk
+         |  END AS BIGINT) AS est_milli
+         |FROM per p JOIN ex e USING (source) ORDER BY p.source""".stripMargin,
+    // pairwise theta intersection over the same sketches: θ = smaller
+    // k-th minimum, common survivors below θ scale back by 2⁶⁴/θ; the
+    // exact intersection joins the distinct token sets directly
+    "q181_theta_intersection" ->
+      s"""WITH tw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |st0 AS (SELECT DISTINCT source, array_to_string(w[i+1:i+3], ' ') AS token
+         |  FROM (SELECT source, w, unnest(range(0, len(w) - 2)) AS i FROM tw) u),
+         |st AS (SELECT source, token FROM st0
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS uu
+         |  FROM hashes),
+         |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
+         |rk AS (SELECT source, uu,
+         |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
+         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= 64),
+         |per AS (SELECT source, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |  FROM sk GROUP BY source),
+         |th AS (SELECT pa.source AS source_a, pb.source AS source_b,
+         |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk
+         |         ELSE LEAST(pa.uk, pb.uk) END AS theta
+         |  FROM per pa JOIN per pb ON pa.source < pb.source),
+         |com AS (SELECT a.source AS source_a, b.source AS source_b, a.uu
+         |  FROM sk a JOIN sk b ON a.uu = b.uu AND a.source < b.source),
+         |nc AS (SELECT t.source_a, t.source_b, t.theta,
+         |    CAST(COUNT(c.uu) AS BIGINT) AS n_common
+         |  FROM th t LEFT JOIN com c ON c.source_a = t.source_a
+         |    AND c.source_b = t.source_b AND (t.theta IS NULL OR c.uu < t.theta)
+         |  GROUP BY 1, 2, 3),
+         |exact AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT n.source_a, n.source_b,
+         |  CAST(n.theta - 9223372036854775808 AS BIGINT) AS theta_f,
+         |  n.n_common,
+         |  CAST(CASE WHEN n.theta IS NULL THEN n.n_common * 1000
+         |    ELSE (CAST(n.n_common AS HUGEINT) * 1000
+         |      * CAST('18446744073709551616' AS HUGEINT)) // n.theta
+         |  END AS BIGINT) AS inter_est_milli,
+         |  COALESCE(e.n_exact_inter, 0) AS n_exact_inter
+         |FROM nc n LEFT JOIN exact e
+         |  ON e.source_a = n.source_a AND e.source_b = n.source_b
+         |ORDER BY n.source_a, n.source_b""".stripMargin,
+    // the q86 scrub chain with the C4 boilerplate rule swapped in:
+    // covered positions come from spans with document frequency >= 4,
+    // ALL occurrences removed (no first-occurrence survivor)
+    "q182_boilerplate_scrub" ->
+      """WITH src AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id,
+        |    unnest(range(1, len(t) - 1)) AS start,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM src),
+        |boiler AS (SELECT gram FROM (
+        |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY gram) g
+        |  WHERE df >= 4),
+        |covered AS (SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest(range(start, start + 3)) AS idx
+        |    FROM pos JOIN boiler USING (gram))),
+        |toks AS (SELECT doc_id, unnest(t) AS tok,
+        |    unnest(range(1, len(t) + 1)) AS idx FROM src),
+        |kept AS (SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(k.tok ORDER BY k.idx), ' ') AS scrubbed
+        |  FROM toks k LEFT JOIN covered c
+        |    ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.doc_id IS NULL GROUP BY k.doc_id)
+        |SELECT s.doc_id, COALESCE(scrubbed, '') AS scrubbed_text,
+        |  CAST(len(t) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed
+        |FROM src s LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // 3 synchronous LPA rounds as a fixed CTE chain: adopt the most
     // frequent neighbor label, ties to the smallest label
     "q163_label_prop" ->

@@ -672,6 +672,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
       .distinct()
+    removeCoveredPositions(documents, covered)
+  }
+
+  /** Shared scrub tail: given `covered`(doc_id, idx) token positions,
+    * rewrite each document without them — tokens anti-join coverage and
+    * reassemble via array_sort (collect_list alone is
+    * order-nondeterministic under partial aggregation and could never
+    * hash-match an oracle). Returns (doc_id, scrubbed_text, n_removed)
+    * ordered by doc_id. */
+  private def removeCoveredPositions(documents: DataFrame,
+                                     covered: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("tok"))
@@ -688,6 +699,41 @@ object Dedup {
         coalesce(col("scrubbed"), lit("")).as("scrubbed_text"),
         (col("n_orig") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate scrub (the C4/CCNet curation step, Raffel et al. 2020
+    * §2.2's "boilerplate" rules generalized to span statistics): remove
+    * EVERY occurrence of any k-token span whose document frequency
+    * reaches `minDf` — templated headers, navigation chrome, license
+    * blurbs. Complements [[scrubDuplicatedSpans]], which is DEDUP
+    * (keeps the span's first occurrence); boilerplate is NOISE, so no
+    * occurrence survives.
+    *
+    * Plan shape: span positions explode once; document frequency is one
+    * hash aggregation on the (hashed) span key; the qualifying span set
+    * is broadcast back — boilerplate is by definition a small set of
+    * very common spans (df ≥ minDf caps the set at n_positions/minDf),
+    * so the join back never shuffles the position table a second time.
+    * Overlapping boilerplate spans union their covered positions (same
+    * `distinct` as the dedup scrub). `hashSpans` as in
+    * [[scrubDuplicatedSpans]]: 8-byte keys on the exchange, identical
+    * result short of a 64-bit collision.
+    * Returns (doc_id, scrubbed_text, n_removed) ordered by doc_id. */
+  def scrubBoilerplate(documents: DataFrame, k: Int, minDf: Int,
+                       hashSpans: Boolean = true): DataFrame = {
+    val pos0 = spanPositions(documents, k)
+    val pos = if (hashSpans)
+      pos0.select(col("doc_id"), col("start"), xxhash64(col("gram")).as("gram"))
+    else pos0
+    val boiler = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val covered = pos.join(broadcast(boiler), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
+      .distinct()
+    removeCoveredPositions(documents, covered)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells

@@ -94,6 +94,31 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Exact nearest-neighbor resize: output pixel (x, y) copies source
+      * pixel (x·w div tw, y·h div th) — integer arithmetic only, so the
+      * resized bitmap (and its luma histogram) of a lossless source is
+      * replayable by a SQL oracle, unlike the JDK's area-averaging or
+      * bilinear scalers whose float kernels are implementation-defined.
+      * This is the resize every multimodal ingest runs between decode
+      * and feature extraction ([[decodeFeatures]] computes the target
+      * BOX; this materializes the pixels). */
+    def resizeNearest(im: java.awt.image.BufferedImage,
+                      tw: Int, th: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val (w, h) = (im.getWidth, im.getHeight)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, im.getRGB(x * w / tw, y * h / th))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Decode → (real width, real height, normalized luma histogram).
       * Returns None when the payload is not a decodable image (the
       * corpus-scale reality: truncated files, mislabeled kinds) —
@@ -152,6 +177,20 @@ object Multimodal {
       * 16-bit PCM in either byte order (the JDK parser reports
       * endianness in the decoded format). */
     def decode(payload: Array[Byte]): Option[(Int, Array[Long])] =
+      decodeSamples(payload).map { samples =>
+        val counts = new Array[Long](FeatureDim)
+        samples.foreach(v => counts((v + 32768) >> 12) += 1)
+        (samples.length, counts)
+      }
+
+    /** Decode → the raw signed 16-bit sample stream, from the DECODED
+      * frames (never the header's claim alone) — the input every
+      * downstream audio feature (histograms, frame energy, silence
+      * detection) computes from. None on undecodable payloads — same
+      * never-throws contract as [[ImageCodec.decode]]. Handles 16-bit
+      * PCM in either byte order (the JDK parser reports endianness in
+      * the decoded format). */
+    def decodeSamples(payload: Array[Byte]): Option[Array[Int]] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -161,17 +200,16 @@ object Multimodal {
           else {
             val bytes = ais.readAllBytes()
             val n = bytes.length / 2
-            val counts = new Array[Long](FeatureDim)
+            val out = new Array[Int](n)
             var i = 0
             while (i < n) {
               val (lo, hi) =
                 if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
                 else (bytes(2 * i), bytes(2 * i + 1))
-              val v = (hi.toInt << 8) | (lo.toInt & 0xFF) // signed 16-bit
-              counts((v + 32768) >> 12) += 1
+              out(i) = (hi.toInt << 8) | (lo.toInt & 0xFF) // signed 16-bit
               i += 1
             }
-            Some((n, counts))
+            Some(out)
           }
         } finally ais.close()
       } catch {
@@ -436,6 +474,77 @@ object Multimodal {
       .select(col("media_id"), col("n_samples"),
         col("bin").cast("long").as("bin"), col("cnt"))
       .orderBy(col("media_id"), col("bin"))
+  }
+
+  /** Graded resize path: synthesize → REAL PNG decode →
+    * [[ImageCodec.resizeNearest]] to (tw × th) → exact luma histogram
+    * of the RESIZED bitmap (media_id, src_w, src_h, bin, cnt), zero
+    * bins omitted. Grades the decode→resize→extract chain end-to-end:
+    * the oracle replays the nearest-neighbor index arithmetic over the
+    * test-card law, so an off-by-one in the source-index mapping, a
+    * channel swap, or a scaler that interpolates (instead of sampling)
+    * all surface as value mismatches. Completes the graded multimodal
+    * matrix: decode (q66/q173/q178), frame-sample (q67), feature
+    * extract, and now resize. */
+  def resizedHistogram(documents: DataFrame, tw: Int, th: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val pw = (id % 48 + 8).toInt
+        val ph = (id % 32 + 8).toInt
+        val png = ImageCodec.synthesizePng(id, pw, ph)
+        val im = try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png)))
+          catch { case _: java.io.IOException => None }
+        im.map { src =>
+          val counts = ImageCodec.lumaCounts(ImageCodec.resizeNearest(src, tw, th))
+          (id, pw.toLong, ph.toLong, counts)
+        }
+      })
+      .toDF("media_id", "src_w", "src_h", "bins")
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("bin").cast("long").as("bin"), col("cnt"))
+      .orderBy(col("media_id"), col("bin"))
+  }
+
+  /** Graded audio FEATURE path: synthesize → REAL WAV decode →
+    * per-frame features over `frameLen`-sample frames (full frames
+    * only): energy = Σ s² (exact, ≤ 2³⁶ per 64-sample frame), n_pos =
+    * count(s ≥ 0), smax/smin — the silence/clipping detectors every
+    * audio curation pipeline runs after decode. All integer, so the
+    * oracle replays the synthetic sample law; a decoder regression
+    * (endianness, off-by-one framing) or a feature windowing bug
+    * surfaces as a value mismatch. The feature-extract stage on top of
+    * q173's decode stage. */
+  def audioFrameFeatures(documents: DataFrame, frameLen: Int = 64): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val wav = AudioCodec.synthesizeWav(id, audioSamples(id))
+        AudioCodec.decodeSamples(wav).toSeq.flatMap { samples =>
+          (0 until samples.length / frameLen).map { f =>
+            var (energy, nPos) = (0L, 0L)
+            var (smax, smin) = (Int.MinValue, Int.MaxValue)
+            var i = f * frameLen
+            while (i < (f + 1) * frameLen) {
+              val v = samples(i)
+              energy += v.toLong * v
+              if (v >= 0) nPos += 1
+              if (v > smax) smax = v
+              if (v < smin) smin = v
+              i += 1
+            }
+            (id, f.toLong, energy, nPos, smax.toLong, smin.toLong)
+          }
+        }
+      })
+      .toDF("media_id", "frame_no", "energy", "n_pos", "smax", "smin")
+      .orderBy(col("media_id"), col("frame_no"))
   }
 
   /** Graded video path: synthesize → REAL RIFF/AVI parse → per-frame

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Theta
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.ops.Tables
+
+/** Round-7 additions: KMV/theta sketch, C4 boilerplate scrub, and the
+  * decode→resize / decode→frame-feature multimodal stages. Value-level
+  * grading is the DuckDB oracle (q180–q184); these specs pin the
+  * engine-side invariants the oracle can't see — aggregator/composed
+  * equality, merge laws, and the codec arithmetic. */
+class ThetaScrubSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def xx64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
+  /** Reference KMV: distinct hashes, flipped, sorted, first k. */
+  private def refKmv(tokens: Seq[String], k: Int): Seq[Long] =
+    tokens.map(t => xx64(t) ^ Long.MinValue).distinct.sorted.take(k)
+
+  test("KMV aggregator equals the sort-distinct-take-k reference, duplicates absorbed") {
+    import spark.implicits._
+    val words = (0 until 500).map(i => s"tok${i % 137}") // heavy duplication
+    val got = words.toDF("token")
+      .agg(Theta.kmvAgg(col("token")).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got == refKmv(words, Theta.K))
+    // sorted ascending and distinct — the sketch's structural contract
+    assert(got == got.distinct.sorted)
+  }
+
+  test("KMV merge law: sketch of a union == merged sketches of the parts") {
+    val agg = new Theta.KmvAgg(16)
+    val left = Seq("a", "b", "c", "dup", "e").foldLeft(agg.zero)(agg.reduce)
+    val right = Seq("dup", "x", "y", "z").foldLeft(agg.zero)(agg.reduce)
+    val whole = Seq("a", "b", "c", "dup", "e", "x", "y", "z")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(left, right).toSeq == whole.toSeq)
+  }
+
+  test("KMV estimate: exhaustive below k, within 3 RSE of truth when full") {
+    import spark.implicits._
+    // 40 distinct < K = 64: sketch is exhaustive, est is exact (×1000)
+    val small = (0 until 40).map(i => ("g", s"s$i")).toDF("grp", "token")
+    val smallEst = Theta.withEstimates(
+        small.groupBy(col("grp")).agg(Theta.kmvAgg(col("token")).as("kmv")))
+      .head()
+    assert(smallEst.getAs[Long]("est_milli") == 40000L)
+    assert(smallEst.getAs[Any]("kth_f") == null)
+    // 5000 distinct >> K: estimate within 3·RSE ≈ 3/√62 ≈ 38%
+    val big = (0 until 5000).map(i => ("g", s"b$i")).toDF("grp", "token")
+    val est = Theta.withEstimates(
+        big.groupBy(col("grp")).agg(Theta.kmvAgg(col("token")).as("kmv")))
+      .head().getAs[Long]("est_milli")
+    assert(est > 5000000L * 62 / 100 && est < 5000000L * 138 / 100,
+      s"est_milli $est vs truth 5000000")
+  }
+
+  test("theta intersection: common-below-theta counts bounded and exact when exhaustive") {
+    import spark.implicits._
+    val a = (0 until 30).map(i => ("a", s"shared$i")) ++
+      (0 until 10).map(i => ("a", s"onlya$i"))
+    val b = (0 until 30).map(i => ("b", s"shared$i")) ++
+      (0 until 5).map(i => ("b", s"onlyb$i"))
+    val sk = Theta.buildPerGroup((a ++ b).toDF("source", "token"), col("source"))
+    val row = Theta.intersections(sk).head()
+    // both sketches exhaustive (40, 35 < 64) ⇒ no theta, exact overlap
+    assert(row.getAs[Any]("theta_f") == null)
+    assert(row.getAs[Long]("n_common") == 30L)
+    assert(row.getAs[Long]("inter_est_milli") == 30000L)
+  }
+
+  test("boilerplate scrub removes every occurrence; clean docs unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "header line one alpha beta"),
+      (1L, "header line one gamma delta"),
+      (2L, "header line one epsilon zeta"),
+      (3L, "eta theta iota kappa lambda"), // no boilerplate span
+      (4L, "mu header line one nu")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplate(docs, 3, 3).collect()
+    // "header line one" has df 4 >= 3: all 4 occurrences go (q86 would
+    // have kept doc 0's); doc 3 is untouched
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap == Map(
+      0L -> "alpha beta", 1L -> "gamma delta", 2L -> "epsilon zeta",
+      3L -> "eta theta iota kappa lambda", 4L -> "mu nu"))
+    assert(out.map(_.getAs[Long]("n_removed")).toSeq == Seq(3L, 3L, 3L, 0L, 3L))
+  }
+
+  test("boilerplate scrub: overlapping qualifying spans union their positions") {
+    import spark.implicits._
+    // "a b c d" in 3 docs: spans "a b c" and "b c d" both reach df 3,
+    // their covered sets overlap on {b, c} — union, not double-count
+    val docs = Seq((0L, "a b c d x"), (1L, "a b c d y"), (2L, "a b c d z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplate(docs, 3, 3).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("x", "y", "z"))
+    assert(out.forall(_.getAs[Long]("n_removed") == 4L))
+  }
+
+  test("nearest-neighbor resize: exact source-index law, both directions") {
+    val im = Multimodal.ImageCodec.synthesizePng(7L, 10, 6)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(im))
+    for ((tw, th) <- Seq((4, 4), (20, 3))) { // down- and up-scale
+      val rz = Multimodal.ImageCodec.resizeNearest(src, tw, th)
+      assert(rz.getWidth == tw && rz.getHeight == th)
+      for (y <- 0 until th; x <- 0 until tw) {
+        val g = ((7L * (x * 10 / tw) + 13L * (y * 6 / th) + 7L) % 256).toInt
+        assert((rz.getRGB(x, y) & 0xFF) == g, s"($x,$y) of ${tw}x$th")
+      }
+    }
+  }
+
+  test("audio frame features: exact energy/positivity/extrema over decoded frames") {
+    val id = 13L
+    val n = Multimodal.audioSamples(id)
+    val wav = Multimodal.AudioCodec.synthesizeWav(id, n)
+    val samples = Multimodal.AudioCodec.decodeSamples(wav).get
+    assert(samples.length == n)
+    val rows = Multimodal.audioFrameFeatures(
+        TestSpark.spark.range(id, id + 1).selectExpr("id AS doc_id", "'x' AS text"),
+        64)
+      .collect()
+    assert(rows.length == n / 64)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("frame_no").toInt
+      val frame = samples.slice(f * 64, f * 64 + 64)
+      assert(r.getAs[Long]("energy") == frame.map(v => v.toLong * v).sum)
+      assert(r.getAs[Long]("n_pos") == frame.count(_ >= 0).toLong)
+      assert(r.getAs[Long]("smax") == frame.max.toLong)
+      assert(r.getAs[Long]("smin") == frame.min.toLong)
+    }
+  }
+}
