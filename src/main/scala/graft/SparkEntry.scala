@@ -749,6 +749,13 @@ object SparkEntry {
     // the oracle replays the BATCH sketch — equal by max-mergeability
     "q179_hll_stream_state" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedHllSummary(Tables.documents(s, d), 4)),
+    // the streamed KMV state graded by replaying the batch sketch —
+    // distinct-union-cut mergeability makes the maintained state equal
+    // the batch sketch, so the q180 chain (over word tokens) grades the
+    // sink's exactly-once merge loop end to end (the q179 trick for the
+    // fifth sketch)
+    "q185_kmv_stream_state" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedKmvSummary(Tables.documents(s, d), 4)),
     // KMV/theta sketch per source over distinct 3-gram shingles: the
     // SET-ALGEBRA sketch next to HLL/CMS/Bloom/quantile — graded
     // estimate is one integral division of exact integers (q162 rule)
@@ -977,6 +984,7 @@ object SparkEntry {
     "q182_boilerplate_scrub" -> Seq("documents"),
     "q183_image_resize" -> Seq("documents"),
     "q184_audio_features" -> Seq("documents"),
+    "q185_kmv_stream_state" -> Seq("documents"),
     "q174_semdedup_exact" -> Seq("embeddings"),
     "q175_bloom_probe" -> Seq("documents"),
     "q176_quantile_sketch" -> Seq("documents"),
@@ -3282,6 +3290,35 @@ object SparkEntry {
          |  FROM rk WHERE rn <= 64 GROUP BY source),
          |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
          |SELECT p.source, e.n_exact, p.n_sketch,
+         |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
+         |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
+         |    ELSE CAST('1162144876643701751808000' AS HUGEINT) // p.uk
+         |  END AS BIGINT) AS est_milli
+         |FROM per p JOIN ex e USING (source) ORDER BY p.source""".stripMargin,
+    // the streamed KMV state replayed as a batch sketch over WORD
+    // tokens (the sink's stream tokenization): per-source vocabularies
+    // sit below K, so the sketch is exhaustive — n_sketch == n_exact,
+    // kth_f NULL, est exact — and f_min/f_max grade the maintained
+    // hash content itself
+    "q185_kmv_stream_state" ->
+      s"""WITH st AS (SELECT DISTINCT source, token FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS uu
+         |  FROM hashes),
+         |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
+         |rk AS (SELECT source, uu,
+         |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         |    MIN(uu) AS u_min, MAX(uu) AS u_max,
+         |    MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |  FROM rk WHERE rn <= 64 GROUP BY source),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
+         |SELECT p.source, e.n_exact, p.n_sketch,
+         |  CAST(p.u_min - 9223372036854775808 AS BIGINT) AS f_min,
+         |  CAST(p.u_max - 9223372036854775808 AS BIGINT) AS f_max,
          |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
          |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
          |    ELSE CAST('1162144876643701751808000' AS HUGEINT) // p.uk

@@ -213,6 +213,84 @@ object CorpusStream {
         }
     }
 
+  /** Streaming KMV maintenance: the SET-ALGEBRA twin of the other
+    * sketch sinks — per-source k-minimum-values samples
+    * ([[graft.text.Theta]]) kept current under a document stream.
+    * kmv(A ∪ B) = k-smallest-distinct(kmv(A) ∪ kmv(B)), so the merge
+    * is a distinct union cut back to k per group — routed through the
+    * bounded-heap [[graft.plans.TopKPerKey]], never a group sort —
+    * and after any prefix of batches the state equals the batch
+    * sketch of everything ingested so far (streamed == batch tested).
+    * State is flattened to (grp, f) rows — ≤ K·|sources| forever.
+    * Same exactly-once skeleton. */
+  def kmvMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(docs, statePath, checkpoint, "kmvMaintenanceSink") {
+      (batch, prior) =>
+        val toks = batch.select(col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        val delta = graft.text.Theta.buildPerGroup(toks, col("source"))
+          .select(col("grp"), explode(col("kmv")).as("f"))
+        val merged = prior match {
+          case Some(p) => p.unionByName(delta).distinct()
+          case None => delta.distinct()
+        }
+        graft.plans.TopK.topKPerKey(merged, Seq("grp"), Seq(("f", true)),
+            graft.text.Theta.K)
+          .select(col("grp"), col("f"))
+    }
+
+  /** GRADED end-to-end run of [[kmvMaintenanceSink]] — the
+    * [[maintainedHllSummary]] harness with the KMV sink swapped in:
+    * deterministic micro-batch replay through the REAL sink, then the
+    * final maintained state reassembles into per-source sketches
+    * (array_sort is exact: the state rows ARE the k minima) and takes
+    * the [[graft.text.Theta.withEstimates]] tail next to exact
+    * distinct counts. Distinct-union mergeability means the maintained
+    * state equals the batch sketch of the whole corpus, so a DuckDB
+    * oracle replaying the batch KMV chain grades the sink end to
+    * end. */
+  def maintainedKmvSummary(documents: DataFrame, nBatches: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_graded").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val sink = kmvMaintenanceSink(mem.toDF().toDF("source", "text"), state, ckpt)
+    try {
+      val rows = documents.select(col("doc_id"), col("source"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(_.getLong(0) % nBatches == b)
+          .map(r => (r.getString(1), r.getString(2)))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+    } finally sink.stop()
+    val sketches = spark.read.parquet(state)
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(col("f"))).as("kmv"))
+    val exact = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0 && length(col("token")) < 32)
+      .groupBy(col("source").as("grp"))
+      .agg(countDistinct(col("token")).as("n_exact"))
+    // f_min/f_max grade the maintained CONTENT even while the sketch is
+    // exhaustive (word-token groups sit below K, where kth_f is NULL by
+    // contract): any dropped/duplicated/corrupted hash in the state
+    // moves an extremum
+    graft.text.Theta.withEstimates(sketches)
+      .join(exact, Seq("grp"))
+      .select(col("grp").as("source"), col("n_exact"), col("n_sketch"),
+        element_at(col("kmv"), 1).as("f_min"),
+        element_at(col("kmv"), size(col("kmv"))).as("f_max"),
+        col("kth_f"), col("est_milli"))
+      .orderBy(col("source"))
+  }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the

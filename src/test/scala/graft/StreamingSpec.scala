@@ -437,6 +437,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed bit table must equal the batch filter")
   }
 
+  test("streaming KMV maintenance: distinct-union-cut state equals the batch sketch, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(String, String)]
+    def start() = graft.stream.CorpusStream.kmvMaintenanceSink(
+      mem.toDF().toDF("source", "text"), state, ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // s1 crosses K = 64 distinct tokens so the k-cut path executes too
+    val b1 = Seq(("s1", (0 until 50).map(i => s"w$i").mkString(" ")),
+      ("s2", "alpha delta"))
+    val b2 = Seq(("s1", (30 until 80).map(i => s"w$i").mkString(" ")),
+      ("s3", "eta theta"))
+    val q1 = start()
+    try { seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { seen ++= b2; mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("grp", "f").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val allToks = seen.toSeq.toDF("source", "text")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val want = graft.text.Theta.buildPerGroup(allToks, col("source")).collect()
+      .flatMap(r => r.getSeq[Long](1).map((r.getString(0), _))).sorted.toSeq
+    assert(got == want, "streamed KMV state must equal the batch sketch")
+    assert(got.count(_._1 == "s1") == graft.text.Theta.K,
+      "the 80-distinct source must be cut to exactly K values")
+  }
+
   test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
