@@ -646,6 +646,43 @@ object StressBench {
         col("n_chars"), 16L, 1024, Seq(500, 990))),
       mat(graft.quality.QuantileSketch.quantiles(docsPlainN, col("source"),
         col("n_chars"), 16L, 1024, Seq(500, 990))))
+    // boilerplate scrub: PLAIN replicas are the honest regime here —
+    // boilerplate IS repeated content, so df scales with the factor,
+    // the qualifying-gram set grows, and covered positions grow
+    // linearly; minDf stays absolute (4), as in production C4 rules.
+    run("boilerplate_scrub",
+      mat(graft.dedup.Dedup.scrubBoilerplate(docs1, 3, 4)),
+      mat(graft.dedup.Dedup.scrubBoilerplate(docsPlainN, 3, 4)))
+    // KMV sketch build: decorrelated replicas grow the distinct-shingle
+    // stream linearly while the state stays K values/source — the
+    // linear term is the hash+insert pass, the exchange stays 512 B per
+    // (partition, group), exactly the bloom_build shape.
+    def kmvToks(df: DataFrame) = graft.dedup.Dedup.shingles(df, 3)
+      .join(df.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle").as("token"))
+    run("kmv_sketch",
+      mat(graft.text.Theta.withEstimates(
+        graft.text.Theta.buildPerGroup(kmvToks(docs1), col("source")))),
+      mat(graft.text.Theta.withEstimates(
+        graft.text.Theta.buildPerGroup(kmvToks(docsN), col("source")))))
+    // theta intersection: the pair arithmetic runs over the 20-row
+    // sketch table, so end-to-end cost is the build again — measured to
+    // certify the serve side adds nothing as the corpus grows.
+    run("theta_intersection",
+      mat(graft.text.Theta.intersections(
+        graft.text.Theta.buildPerGroup(kmvToks(docs1), col("source")))),
+      mat(graft.text.Theta.intersections(
+        graft.text.Theta.buildPerGroup(kmvToks(docsN), col("source")))))
+    // image resize: plain replication multiplies PNG payloads decoded,
+    // resized, and histogrammed per partition — per-pixel cost, the
+    // audio_decode/video_decode axis.
+    run("image_resize",
+      mat(graft.multimodal.Multimodal.resizedHistogram(docs1, 8, 8)),
+      mat(graft.multimodal.Multimodal.resizedHistogram(docsPlainN, 8, 8)))
+    // audio frame features: per-sample cost over the decoded stream.
+    run("audio_features",
+      mat(graft.multimodal.Multimodal.audioFrameFeatures(docs1, 64)),
+      mat(graft.multimodal.Multimodal.audioFrameFeatures(docsPlainN, 64)))
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is
     // its own work, not its lineage — the composite q55 cost decomposes
