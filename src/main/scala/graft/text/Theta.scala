@@ -141,7 +141,10 @@ object Theta {
   def intersections(sketches: DataFrame, k: Int = K): DataFrame = {
     val a = sketches.select(col("grp").as("grp_a"), col("kmv").as("kmv_a"))
     val b = sketches.select(col("grp").as("grp_b"), col("kmv").as("kmv_b"))
-    a.join(b, col("grp_a") < col("grp_b"))
+    // broadcast the (one-row-per-group) right side: the `<` pairing
+    // becomes a BroadcastNestedLoopJoin over the tiny sketch table —
+    // never a shuffled cartesian, at any corpus scale
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
       // θ_f: min of the two k-th minima when both sketches are full;
       // an exhaustive sketch imposes no threshold (θ = 2⁶⁴ ⇒ f-domain
       // max), so θ falls back to the other side's — or none at all,
