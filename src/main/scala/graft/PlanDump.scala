@@ -109,7 +109,21 @@ object PlanDump {
       "map-side partials are 512-byte buffers"),
     "q176_quantile_sketch" -> ("ONE bucket hash-agg bounds the histogram at 1024 " +
       "rows/group; the rank selection windows run over the bounded histogram, never " +
-      "the input rows — the exact twin's per-value table is domain-bounded")
+      "the input rows — the exact twin's per-value table is domain-bounded"),
+    "q180_kmv_distinct" -> ("KMV build is one partial+final ObjectHashAggregate whose " +
+      "map-side partials are sorted ≤512-byte arrays (the Bloom/HLL exchange shape); " +
+      "the estimate tail is pure integer-decimal projection over the " +
+      "one-row-per-source sketch table"),
+    "q181_theta_intersection" -> ("sketch pairing is a BroadcastNestedLoopJoin over " +
+      "the tiny sketch table — the corpus never self-joins; intersection/θ-cut are " +
+      "codegen'd array HOFs per pair, and the exact-twin join is shingle-keyed"),
+    "q182_boilerplate_scrub" -> ("span positions explode ONCE; document frequency is " +
+      "one partial+final hash agg on the xxhash64 span key; the qualifying " +
+      "(df ≥ minDf) gram set joins back as a BroadcastHashJoin — unlike q86 there is " +
+      "NO window rank anywhere, because boilerplate keeps no first occurrence"),
+    "q184_audio_features" -> ("decode + framing is a mapPartitions batch (codec " +
+      "amortized per partition, the q173 shape); every downstream feature row is " +
+      "plan-free flatMap output — no shuffle until the final order")
   )
 
   def main(args: Array[String]): Unit = {

@@ -322,6 +322,23 @@ class PlanSpec extends AnyFunSuite {
       s"local pass not bucket-partitioned:\n${winLines.mkString("\n")}")
   }
 
+  test("kmv: partial/final one-pass aggregator; theta pairs broadcast, never cartesian") {
+    val p = planOf("q180_kmv_distinct")
+    assert("kmvagg".r.findAllIn(p).length >= 2,
+      s"KMV reduction not partial+final:\n$p")
+    val p2 = planOf("q181_theta_intersection")
+    assert(p2.contains("BroadcastNestedLoopJoin"),
+      s"sketch pairing must broadcast the tiny sketch table:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"cartesian in theta plan:\n$p2")
+  }
+
+  test("boilerplate scrub: the qualifying-span set joins back broadcast") {
+    val p = planOf("q182_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate gram set must broadcast back to positions:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hll: one distinct + partial/final register agg before the arithmetic") {
     val p = planOf("q162_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
