@@ -45,6 +45,25 @@ class ThetaScrubSpec extends AnyFunSuite {
     assert(agg.merge(left, right).toSeq == whole.toSeq)
   }
 
+  test("property: KMV merge law on random partitioned token sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, Gen.chooseNum(0, 400).map(i => s"t$i"))
+    (0 until 6).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+      .grouped(2).foreach { case Seq(xs) => () // odd tail — skip
+        case Seq(xs, ys) =>
+          val agg = new Theta.KmvAgg(32)
+          val merged = agg.merge(
+            xs.foldLeft(agg.zero)(agg.reduce),
+            ys.foldLeft(agg.zero)(agg.reduce))
+          val whole = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+          assert(merged.toSeq == whole.toSeq,
+            "merge(sketch(A), sketch(B)) must equal sketch(A ++ B)")
+          assert(merged.toSeq == refKmv(xs ++ ys, 32),
+            "and both must equal the sort-distinct-take-k reference")
+      }
+  }
+
   test("KMV estimate: exhaustive below k, within 3 RSE of truth when full") {
     import spark.implicits._
     // 40 distinct < K = 64: sketch is exhaustive, est is exact (×1000)
