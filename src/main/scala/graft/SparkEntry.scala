@@ -793,6 +793,60 @@ object SparkEntry {
           coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
         .orderBy(col("source_a"), col("source_b"))
     }),
+    // theta set-ALGEBRA over the same sketches: A-not-B / union /
+    // Jaccard estimates completing q181's intersection (Jaccard is the
+    // Beyer et al. KMV form — both counts sample the hash space at the
+    // SAME rate θ/2⁶⁴, so the ratio needs no scaling), graded next to
+    // the exact union size
+    "q186_theta_difference" -> ((s, d) => {
+      val toks = thetaShingleTokens(s, d)
+      val st = toks
+        .filter(length(col("token")) > 0 && length(col("token")) < 32)
+        .select(col("source"), col("token")).distinct()
+      val counts = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.select(col("source").as("grp_a"), col("token"))
+        .join(st.select(col("source").as("grp_b"), col("token")), Seq("token"))
+        .filter(col("grp_a") < col("grp_b"))
+        .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("n_inter"))
+      val exact = counts.select(col("source").as("grp_a"), col("n").as("n_a"))
+        .join(broadcast(counts.select(col("source").as("grp_b"), col("n").as("n_b"))),
+          col("grp_a") < col("grp_b"))
+        .join(inter, Seq("grp_a", "grp_b"), "left")
+        .select(col("grp_a"), col("grp_b"),
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_exact_union"))
+      graft.text.Theta.setAlgebra(
+          graft.text.Theta.buildPerGroup(toks, col("source")))
+        .join(exact, Seq("grp_a", "grp_b"))
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          col("theta_f"), col("n_common"), col("n_only_a"), col("n_only_b"),
+          col("diff_a_est_milli"), col("union_est_milli"), col("jaccard_milli"),
+          col("n_exact_union"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // perceptual-hash image near-dup — the multimodal×dedup crossover:
+    // REAL decode→resize→aHash fingerprint (exact integer mean test),
+    // then the SimHash banding discipline over the hash table; both
+    // the 64-bit fingerprint (as two sub-2³² halves) and the Hamming
+    // neighbor count are graded against the pixel-law replay
+    "q187_image_phash" -> ((s, d) =>
+      graft.multimodal.Multimodal.imagePHashDups(Tables.documents(s, d))),
+    // strongly connected components over the DIRECTED capped-containment
+    // graph (a→b when 2·n_common >= sh_a, the exact-integer 0.5 cut):
+    // mutual-containment cycles are near-identical document families —
+    // the directed completion of the q154/q158-q160 undirected suite
+    "q188_scc_containment" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      val common = graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val edges = common.select(col("doc_a"), col("doc_b"), col("n_common"))
+        .unionByName(common.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b"), col("n_common")))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
+        .filter(lit(2L) * col("n_common") >= col("sh_a"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.cluster.Graphs.stronglyConnected(edges)
+    }),
     // C4-style boilerplate scrub: every occurrence of any 3-token span
     // with document frequency >= 4 removed (q86 is DEDUP — first
     // occurrence survives; boilerplate is NOISE — none survives)
@@ -982,6 +1036,9 @@ object SparkEntry {
     "q180_kmv_distinct" -> Seq("documents"),
     "q181_theta_intersection" -> Seq("documents"),
     "q182_boilerplate_scrub" -> Seq("documents"),
+    "q186_theta_difference" -> Seq("documents"),
+    "q187_image_phash" -> Seq("documents"),
+    "q188_scc_containment" -> Seq("documents"),
     "q183_image_resize" -> Seq("documents"),
     "q184_audio_features" -> Seq("documents"),
     "q185_kmv_stream_state" -> Seq("documents"),
@@ -3369,6 +3426,145 @@ object SparkEntry {
          |FROM nc n LEFT JOIN exact e
          |  ON e.source_a = n.source_a AND e.source_b = n.source_b
          |ORDER BY n.source_a, n.source_b""".stripMargin,
+    // the full theta set algebra: the sampled region below θ is cut
+    // once per pair, then common/only-a/only-b counts scale back by
+    // 2⁶⁴/θ (Jaccard is the unscaled count ratio); exact union joins
+    // per-source distinct counts with inclusion–exclusion
+    "q186_theta_difference" ->
+      s"""WITH tw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |st0 AS (SELECT DISTINCT source, array_to_string(w[i+1:i+3], ' ') AS token
+         |  FROM (SELECT source, w, unnest(range(0, len(w) - 2)) AS i FROM tw) u),
+         |st AS (SELECT source, token FROM st0
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS uu
+         |  FROM hashes),
+         |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
+         |rk AS (SELECT source, uu,
+         |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
+         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= 64),
+         |per AS (SELECT source, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |  FROM sk GROUP BY source),
+         |th AS (SELECT pa.source AS source_a, pb.source AS source_b,
+         |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk
+         |         ELSE LEAST(pa.uk, pb.uk) END AS theta
+         |  FROM per pa JOIN per pb ON pa.source < pb.source),
+         |cut AS (SELECT t.source_a, t.source_b, s.source, s.uu
+         |  FROM th t JOIN sk s ON (s.source = t.source_a OR s.source = t.source_b)
+         |    AND (t.theta IS NULL OR s.uu < t.theta)),
+         |mem AS (SELECT source_a, source_b, uu,
+         |    MAX(CASE WHEN source = source_a THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN source = source_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM cut GROUP BY 1, 2, 3),
+         |cnts AS (SELECT source_a, source_b,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+         |    CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+         |    CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_only_b
+         |  FROM mem GROUP BY 1, 2),
+         |est AS (SELECT t.source_a, t.source_b, t.theta,
+         |    COALESCE(c.n_common, 0) AS n_common,
+         |    COALESCE(c.n_only_a, 0) AS n_only_a,
+         |    COALESCE(c.n_only_b, 0) AS n_only_b,
+         |    COALESCE(c.n_common, 0) + COALESCE(c.n_only_a, 0)
+         |      + COALESCE(c.n_only_b, 0) AS n_union
+         |  FROM th t LEFT JOIN cnts c
+         |    ON c.source_a = t.source_a AND c.source_b = t.source_b),
+         |exn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY source),
+         |exi AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |exu AS (SELECT na.source AS source_a, nb.source AS source_b,
+         |    na.n + nb.n - COALESCE(i.n_inter, 0) AS n_exact_union
+         |  FROM exn na JOIN exn nb ON na.source < nb.source
+         |  LEFT JOIN exi i ON i.source_a = na.source AND i.source_b = nb.source)
+         |SELECT e.source_a, e.source_b,
+         |  CAST(e.theta - 9223372036854775808 AS BIGINT) AS theta_f,
+         |  e.n_common, e.n_only_a, e.n_only_b,
+         |  CAST(CASE WHEN e.theta IS NULL THEN e.n_only_a * 1000
+         |    ELSE (CAST(e.n_only_a AS HUGEINT) * 1000
+         |      * CAST('18446744073709551616' AS HUGEINT)) // e.theta
+         |  END AS BIGINT) AS diff_a_est_milli,
+         |  CAST(CASE WHEN e.theta IS NULL THEN e.n_union * 1000
+         |    ELSE (CAST(e.n_union AS HUGEINT) * 1000
+         |      * CAST('18446744073709551616' AS HUGEINT)) // e.theta
+         |  END AS BIGINT) AS union_est_milli,
+         |  CAST(CASE WHEN e.n_union = 0 THEN 0
+         |    ELSE (e.n_common * 1000) // e.n_union END AS BIGINT) AS jaccard_milli,
+         |  u.n_exact_union
+         |FROM est e JOIN exu u
+         |  ON u.source_a = e.source_a AND u.source_b = e.source_b
+         |ORDER BY e.source_a, e.source_b""".stripMargin,
+    // the aHash fingerprint replayed from the test-card law: resized
+    // 8×8 lumas via the nearest-neighbor index map, mean test as
+    // 64·l > Σl (no division), banded candidates, Hamming via
+    // bit_count(xor) — only a faithful decode→resize→hash chain
+    // produces the same fingerprints and neighbor counts
+    "q187_image_phash" ->
+      """WITH imgs AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS pw,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS ph
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (SELECT media_id, ys.y * 8 + xs.x AS idx,
+        |    ((7 * ((xs.x * pw) // 8) + 13 * ((ys.y * ph) // 8) + media_id) % 256) AS l
+        |  FROM imgs, range(0, 8) xs(x), range(0, 8) ys(y)),
+        |tot AS (SELECT media_id, SUM(l) AS s FROM cell GROUP BY 1),
+        |hb AS (SELECT c.media_id,
+        |    CAST(SUM(CASE WHEN c.idx >= 32 AND 64 * c.l > t.s
+        |      THEN 1::BIGINT << (c.idx - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(SUM(CASE WHEN c.idx < 32 AND 64 * c.l > t.s
+        |      THEN 1::BIGINT << c.idx ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM cell c JOIN tot t USING (media_id) GROUP BY 1),
+        |bands AS (SELECT media_id, hash_hi, hash_lo, b.band_no,
+        |    CASE b.band_no WHEN 0 THEN hash_lo % 65536 WHEN 1 THEN hash_lo // 65536
+        |      WHEN 2 THEN hash_hi % 65536 ELSE hash_hi // 65536 END AS band_val
+        |  FROM hb, range(0, 4) b(band_no)),
+        |cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+        |    a.hash_hi AS hi_a, a.hash_lo AS lo_a,
+        |    b.hash_hi AS hi_b, b.hash_lo AS lo_b
+        |  FROM bands a JOIN bands b ON a.band_no = b.band_no
+        |    AND a.band_val = b.band_val AND a.media_id < b.media_id),
+        |dups AS (SELECT ma, mb FROM cand
+        |  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6),
+        |nd AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM (
+        |    SELECT ma AS media_id FROM dups
+        |    UNION ALL SELECT mb FROM dups) u GROUP BY 1)
+        |SELECT h.media_id, h.hash_hi, h.hash_lo, COALESCE(nd.n_dup, 0) AS n_dup
+        |FROM hb h LEFT JOIN nd USING (media_id) ORDER BY h.media_id""".stripMargin,
+    // SCC replayed as a transitive closure: the recursive CTE saturates
+    // reachability (UNION dedup terminates on cycles), mutual pairs
+    // intersect it with its transpose, scc_id = min mutual partner
+    "q188_scc_containment" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst
+        |  FROM common JOIN sizes sa ON sa.doc_id = common.doc_a
+        |  WHERE 2 * n_common >= sa.n_sh),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |mutual AS (SELECT a.src AS u, a.dst AS v
+        |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+        |scc AS (SELECT n.id,
+        |    LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id),
+        |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY scc_id)
+        |SELECT s.id, s.scc_id, z.scc_size
+        |FROM scc s JOIN sz z USING (scc_id) ORDER BY s.id""".stripMargin,
     // the q86 scrub chain with the C4 boilerplate rule swapped in:
     // covered positions come from spans with document frequency >= 4,
     // ALL occurrences removed (no first-occurrence survivor)

@@ -122,6 +122,79 @@ object Graphs {
     labels.orderBy(col("id"))
   }
 
+  /** Strongly connected components of a DIRECTED edge list `(src,
+    * dst)` — forward–backward minimum-label peeling: each peel round
+    * propagates the minimum vertex id to a fixpoint along out-edges
+    * (f = min id reachable FROM u) and along in-edges (b = min id
+    * that REACHES u); a vertex with f(u) = b(u) = m both reaches m
+    * and is reached by m, so it is settled into SCC m, removed, and
+    * the remainder re-peeled. The active minimum always settles its
+    * own SCC (f = b = itself), so every peel makes progress and the
+    * peel count is bounded by the condensation DAG's depth — small on
+    * the near-equality containment graphs this serves, where SCCs are
+    * mutual-containment clusters and the condensation is shallow.
+    *
+    * Scale shape: the same iterated-join discipline as
+    * [[ConnectedComponents]] — every step is an edge-cardinality
+    * equi-join plus a min-aggregation keyed on vertex id, lineage
+    * truncated per step; nothing driver-side but O(1) convergence
+    * counts. Inner fixpoints run O(diameter) rounds. Output:
+    * (id, scc_id, scc_size) for every vertex incident to an edge,
+    * scc_id = min vertex id of the component. */
+  def stronglyConnected(edges: DataFrame, maxPeels: Int = 32,
+                        maxIters: Int = 64): DataFrame = {
+    // min-label fixpoint along the given edge orientation
+    def minReach(e: DataFrame, nodes: DataFrame): DataFrame = {
+      var lab = nodes.select(col("id"), col("id").as("m")).localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val next = e.join(lab.select(col("id").as("dst"), col("m")), "dst")
+          .select(col("src").as("id"), col("m"))
+          .unionByName(lab)
+          .groupBy(col("id")).agg(min(col("m")).as("m"))
+          .localCheckpoint()
+        changed = next.join(lab.select(col("id"), col("m").as("m_old")), "id")
+          .filter(col("m") =!= col("m_old")).count()
+        lab = next
+        it += 1
+      }
+      require(changed == 0,
+        s"SCC min-label propagation still moving after $maxIters rounds")
+      lab
+    }
+    var active = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var nodes = active.select(col("src").as("id"))
+      .unionByName(active.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var settledAll: DataFrame = null
+    var peel = 0
+    while (!nodes.isEmpty) {
+      require(peel < maxPeels, s"SCC peeling still active after $maxPeels rounds")
+      val f = minReach(active, nodes)
+      val b = minReach(
+        active.select(col("dst").as("src"), col("src").as("dst")), nodes)
+      val settled = f.join(b.select(col("id"), col("m").as("mb")), "id")
+        .filter(col("m") === col("mb"))
+        .select(col("id"), col("m").as("scc_id")).localCheckpoint()
+      settledAll =
+        if (settledAll == null) settled else settledAll.unionByName(settled)
+      nodes = nodes.join(settled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      active = active
+        .join(nodes.select(col("id").as("src")), "src")
+        .join(nodes.select(col("id").as("dst")), "dst")
+        .select(col("src"), col("dst")).localCheckpoint()
+      peel += 1
+    }
+    if (settledAll == null) // empty edge set: no incident vertices at all
+      return edges.select(col("src").as("id"), col("src").as("scc_id"),
+        lit(0L).as("scc_size")).limit(0)
+    val sizes = settledAll.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    settledAll.join(sizes, "scc_id")
+      .select(col("id"), col("scc_id"), col("scc_size"))
+      .orderBy(col("id"))
+  }
+
   /** Multi-source BFS: exact hop distance from the `seeds` vertex set,
     * truncated at `rounds` hops (vertices further than that — or
     * disconnected — are absent from the output). Each round is one

@@ -511,6 +511,88 @@ object Multimodal {
       .orderBy(col("media_id"), col("bin"))
   }
 
+  /** Graded perceptual-hash near-dup path — the multimodal×dedup
+    * crossover: synthesize → REAL PNG decode → [[ImageCodec.resizeNearest]]
+    * to 8×8 → integer luma per cell → aHash (bit idx set iff
+    * 64·luma > Σluma — the mean test in exact integer form, no
+    * division) → 64-bit fingerprint shipped as two BIGINT halves
+    * (hash_hi, hash_lo), each < 2³², so no signed-overflow rendering
+    * anywhere (the q162 portability rule). Near-dup then runs the
+    * SimHash discipline over the hash TABLE, never the corpus: 4×16-bit
+    * bands → equi-join candidates → Hamming ≤ `maxHam` via
+    * bit_count(xor) — at 100 TB the join is banded-bounded exactly like
+    * q48, and the per-image decode work is embarrassingly parallel.
+    * Returns one row per image: (media_id, hash_hi, hash_lo, n_dup)
+    * with n_dup = number of OTHER images within the Hamming radius
+    * among band-sharing candidates. */
+  def imagePHashDups(documents: DataFrame, maxHam: Int = 6): DataFrame = {
+    import documents.sparkSession.implicits._
+    val hashes = documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val pw = (id % 48 + 8).toInt
+        val ph = (id % 32 + 8).toInt
+        val png = ImageCodec.synthesizePng(id, pw, ph)
+        val im = try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png)))
+          catch { case _: java.io.IOException => None }
+        im.map { src =>
+          val r = ImageCodec.resizeNearest(src, 8, 8)
+          val lum = new Array[Int](64)
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = r.getRGB(x, y)
+              val l = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              lum(y * 8 + x) = l
+              s += l
+              x += 1
+            }
+            y += 1
+          }
+          var (hi, lo) = (0L, 0L)
+          var i = 0
+          while (i < 64) {
+            if (64L * lum(i) > s) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, hi, lo)
+        }
+      })
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val banded = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo") % 65536L, expr("hash_lo div 65536"),
+        col("hash_hi") % 65536L, expr("hash_hi div 65536")))
+        .as(Seq("band_no", "band_val")))
+    val cand = banded
+      .select(col("media_id").as("a"), col("hash_hi").as("hi_a"),
+        col("hash_lo").as("lo_a"), col("band_no"), col("band_val"))
+      .join(banded.select(col("media_id").as("b"), col("hash_hi").as("hi_b"),
+          col("hash_lo").as("lo_b"), col("band_no"), col("band_val")),
+        Seq("band_no", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"))
+      .distinct()
+    val dups = cand
+      .withColumn("ham",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
+      .filter(col("ham") <= maxHam)
+    val perImage = dups.select(col("a").as("media_id"))
+      .unionByName(dups.select(col("b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_dup"))
+    hashes.join(perImage, Seq("media_id"), "left")
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .orderBy(col("media_id"))
+  }
+
   /** Graded audio FEATURE path: synthesize → REAL WAV decode →
     * per-frame features over `frameLen`-sample frames (full frames
     * only): energy = Σ s² (exact, ≤ 2³⁶ per 64-sample frame), n_pos =

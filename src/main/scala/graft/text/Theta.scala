@@ -165,4 +165,61 @@ object Theta {
       .select(col("grp_a"), col("grp_b"), col("theta_f"),
         col("n_common"), col("inter_est_milli"))
   }
+
+  /** Full pairwise set algebra over the sketch table: intersection,
+    * A-not-B / B-not-A differences, union and Jaccard — the remaining
+    * theta-framework estimators on top of [[intersections]].
+    *
+    * Soundness of the difference counts: θ ≤ u_k(B) means every hash
+    * of B's SET below θ is present in B's SKETCH (KMV keeps the k
+    * smallest, and θ never exceeds the k-th), so "in A's sketch below
+    * θ and absent from B's sketch" is an EXACT membership test on the
+    * sampled region — the survivors are a uniform hash-space sample
+    * of the true A∖B, scaled back by 2⁶⁴/θ like the intersection.
+    * Jaccard needs no scaling at all: both |A∩B| and |A∪B| are
+    * sampled at the SAME rate θ/2⁶⁴, so the count ratio
+    * 1000·n_common div n_union is already the estimate (Beyer et al.
+    * 2007's KMV Jaccard) — one exact integral division, no 2⁶⁴
+    * numerator, no double.
+    *
+    * Same scale shape as [[intersections]]: a broadcast nested-loop
+    * pairing of the one-row-per-group sketch table with codegen'd
+    * array arithmetic per pair; the corpus is never self-joined.
+    * Returns (grp_a, grp_b, theta_f, n_common, n_only_a, n_only_b,
+    * diff_a_est_milli, union_est_milli, jaccard_milli). */
+  def setAlgebra(sketches: DataFrame, k: Int = K): DataFrame = {
+    val estOf = (n: String) =>
+      when(col("theta_f").isNull, col(n) * 1000L)
+        .otherwise(expr(s"CAST((CAST($n AS DECIMAL(38,0)) * 1000 * " +
+          "CAST('18446744073709551616' AS DECIMAL(38,0))) div " +
+          s"(CAST(theta_f AS DECIMAL(38,0)) + CAST('$Flip' AS DECIMAL(38,0))) AS BIGINT)"))
+    sketches.select(col("grp").as("grp_a"), col("kmv").as("kmv_a"))
+      .join(broadcast(
+          sketches.select(col("grp").as("grp_b"), col("kmv").as("kmv_b"))),
+        col("grp_a") < col("grp_b"))
+      .withColumn("theta_f", least(
+        when(size(col("kmv_a")) === k, element_at(col("kmv_a"), k)),
+        when(size(col("kmv_b")) === k, element_at(col("kmv_b"), k))))
+      .withColumn("below", // sampled-region cut, shared by all three counts
+        when(col("theta_f").isNull, col("kmv_a"))
+          .otherwise(filter(col("kmv_a"), v => v < col("theta_f"))))
+      .withColumn("below_b",
+        when(col("theta_f").isNull, col("kmv_b"))
+          .otherwise(filter(col("kmv_b"), v => v < col("theta_f"))))
+      .withColumn("n_common",
+        size(array_intersect(col("below"), col("below_b"))).cast("long"))
+      .withColumn("n_only_a",
+        size(array_except(col("below"), col("below_b"))).cast("long"))
+      .withColumn("n_only_b",
+        size(array_except(col("below_b"), col("below"))).cast("long"))
+      .withColumn("n_union", col("n_common") + col("n_only_a") + col("n_only_b"))
+      .withColumn("diff_a_est_milli", estOf("n_only_a"))
+      .withColumn("union_est_milli", estOf("n_union"))
+      .withColumn("jaccard_milli",
+        when(col("n_union") === 0L, lit(0L))
+          .otherwise(expr("CAST((n_common * 1000) div n_union AS BIGINT)")))
+      .select(col("grp_a"), col("grp_b"), col("theta_f"),
+        col("n_common"), col("n_only_a"), col("n_only_b"),
+        col("diff_a_est_milli"), col("union_est_milli"), col("jaccard_milli"))
+  }
 }

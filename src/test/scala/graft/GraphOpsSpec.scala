@@ -107,4 +107,65 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
+
+  private def edgesDF(edges: Seq[(Long, Long)]) = edges.toDF("src", "dst")
+
+  private def scc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graphs.stronglyConnected(edgesDF(edges)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** Brute SCC oracle: Warshall closure, scc_id = min mutual partner. */
+  private def sccBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val reach = collection.mutable.Set[(Long, Long)]() ++ edges
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b) <- reach.toSeq; c <- nodes if reach((b, c)) && !reach((a, c))) {
+        reach += ((a, c)); changed = true
+      }
+    }
+    nodes.map { n =>
+      n -> (n +: nodes.filter(m => reach((n, m)) && reach((m, n)))).min
+    }.toMap
+  }
+
+  test("SCC: directed cycle collapses, DAG chain stays singleton") {
+    // cycle 1→2→3→1, chain 3→10→11, mutual pair 20↔21
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 20L))
+    val r = scc(g)
+    assert(r == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 1L), 11L -> (11L, 1L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+  }
+
+  test("SCC: one-way containment cascade never merges; back edge fuses it") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(scc(chain).values.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    val fused = scc(chain :+ (4L -> 1L))
+    assert(fused.values.toSet == Set((1L, 4L)))
+  }
+
+  test("SCC: random digraphs match the closure oracle") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val g = (for {
+        a <- 0L until n
+        b <- 0L until n
+        if a != b && rnd.nextDouble() < 0.12
+      } yield (a, b)).toSeq
+      val got = scc(g).map { case (id, (sid, _)) => id -> sid }
+      assert(got == sccBrute(g), s"trial $trial mismatch")
+      // sizes consistent with the id assignment
+      val sizes = scc(g).groupBy(_._2._1).map { case (sid, ms) => sid -> ms.size.toLong }
+      scc(g).foreach { case (_, (sid, sz)) => assert(sz == sizes(sid)) }
+    }
+  }
+
+  test("SCC: empty edge set yields an empty result") {
+    assert(scc(Seq.empty).isEmpty)
+  }
 }

@@ -96,6 +96,65 @@ class ThetaScrubSpec extends AnyFunSuite {
     assert(row.getAs[Long]("inter_est_milli") == 30000L)
   }
 
+  test("theta set algebra: exact on exhaustive sketches; Jaccard is the count ratio") {
+    import spark.implicits._
+    val a = (0 until 30).map(i => ("a", s"shared$i")) ++
+      (0 until 10).map(i => ("a", s"onlya$i"))
+    val b = (0 until 30).map(i => ("b", s"shared$i")) ++
+      (0 until 5).map(i => ("b", s"onlyb$i"))
+    val sk = Theta.buildPerGroup((a ++ b).toDF("source", "token"), col("source"))
+    val row = Theta.setAlgebra(sk).head()
+    assert(row.getAs[Any]("theta_f") == null)
+    assert(row.getAs[Long]("n_common") == 30L)
+    assert(row.getAs[Long]("n_only_a") == 10L)
+    assert(row.getAs[Long]("n_only_b") == 5L)
+    assert(row.getAs[Long]("diff_a_est_milli") == 10000L)
+    assert(row.getAs[Long]("union_est_milli") == 45000L)
+    assert(row.getAs[Long]("jaccard_milli") == 30000L / 45L) // 666
+  }
+
+  test("theta set algebra agrees with intersections under sampling (small k)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 300).map(_ => ("a", s"t${rnd.nextInt(400)}"))
+    val b = (0 until 300).map(_ => ("b", s"t${rnd.nextInt(400) + 150}"))
+    val sk = Theta.buildPerGroup((a ++ b).toDF("source", "token"), col("source"), k = 16)
+    val alg = Theta.setAlgebra(sk, k = 16).head()
+    val inter = Theta.intersections(sk, k = 16).head()
+    // the sampled-region cut is shared, so the two operators' common
+    // counts and thetas must be identical
+    assert(alg.getAs[Long]("n_common") == inter.getAs[Long]("n_common"))
+    assert(alg.getAs[Long]("theta_f") == inter.getAs[Long]("theta_f"))
+    // the three disjoint counts tile the sampled union
+    val u = alg.getAs[Long]("n_common") + alg.getAs[Long]("n_only_a") +
+      alg.getAs[Long]("n_only_b")
+    assert(alg.getAs[Long]("jaccard_milli") == alg.getAs[Long]("n_common") * 1000 / u)
+  }
+
+  test("image pHash: fingerprint matches the pixel-law replay; halves sub-2^32") {
+    import spark.implicits._
+    val docs = (0L until 31L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = Multimodal.imagePHashDups(docs).collect()
+    assert(rows.length == 11) // doc_id % 3 == 0
+    // replay the law for one image: id=6, pw=14, ph=14, resized 8x8
+    val id = 6L
+    val (pw, ph) = (id % 48 + 8, id % 32 + 8)
+    val lum = for (y <- 0 until 8; x <- 0 until 8)
+      yield ((7 * (x * pw / 8) + 13 * (y * ph / 8) + id) % 256)
+    val s = lum.sum
+    var (hi, lo) = (0L, 0L)
+    lum.zipWithIndex.foreach { case (l, i) =>
+      if (64L * l > s) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+    }
+    val r6 = rows.find(_.getLong(0) == id).get
+    assert(r6.getAs[Long]("hash_hi") == hi && r6.getAs[Long]("hash_lo") == lo)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hash_hi") >= 0 && r.getAs[Long]("hash_hi") < (1L << 32))
+      assert(r.getAs[Long]("hash_lo") >= 0 && r.getAs[Long]("hash_lo") < (1L << 32))
+      assert(r.getAs[Long]("n_dup") >= 0)
+    }
+  }
+
   test("boilerplate scrub removes every occurrence; clean docs unchanged") {
     import spark.implicits._
     val docs = Seq(
