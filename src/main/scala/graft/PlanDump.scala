@@ -123,7 +123,17 @@ object PlanDump {
       "NO window rank anywhere, because boilerplate keeps no first occurrence"),
     "q184_audio_features" -> ("decode + framing is a mapPartitions batch (codec " +
       "amortized per partition, the q173 shape); every downstream feature row is " +
-      "plan-free flatMap output — no shuffle until the final order")
+      "plan-free flatMap output — no shuffle until the final order"),
+    "q186_theta_difference" -> ("the q181 shape with the full set algebra: ONE " +
+      "BroadcastNestedLoopJoin pairing of the one-row-per-source sketch table, " +
+      "difference/union/jaccard as codegen'd array HOFs and integer-decimal " +
+      "projections per pair — adding three estimators adds zero joins and zero " +
+      "corpus passes"),
+    "q187_image_phash" -> ("decode→resize→hash is one mapPartitions batch; the " +
+      "near-dup join is band-keyed (4×16-bit slices) over the HASH table — a " +
+      "ShuffledHashJoin/SortMergeJoin on (band_no, band_val) whose input is one row " +
+      "per image, never the corpus, with Hamming as pure integer codegen " +
+      "(bit_count over xor) on the banded candidates")
   )
 
   def main(args: Array[String]): Unit = {

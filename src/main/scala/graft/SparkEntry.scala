@@ -847,6 +847,21 @@ object SparkEntry {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.cluster.Graphs.stronglyConnected(edges)
     }),
+    // condensation levels over the same directed containment graph:
+    // topological depth of each SCC — the dedup CASCADE depth (how many
+    // one-way containment levels sit above a document family)
+    "q189_condensation_levels" -> ((s, d) => {
+      val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)
+      val common = graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val edges = common.select(col("doc_a"), col("doc_b"), col("n_common"))
+        .unionByName(common.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b"), col("n_common")))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
+        .filter(lit(2L) * col("n_common") >= col("sh_a"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.cluster.Graphs.condensationLevels(edges)
+    }),
     // C4-style boilerplate scrub: every occurrence of any 3-token span
     // with document frequency >= 4 removed (q86 is DEDUP — first
     // occurrence survives; boilerplate is NOISE — none survives)
@@ -1039,6 +1054,7 @@ object SparkEntry {
     "q186_theta_difference" -> Seq("documents"),
     "q187_image_phash" -> Seq("documents"),
     "q188_scc_containment" -> Seq("documents"),
+    "q189_condensation_levels" -> Seq("documents"),
     "q183_image_resize" -> Seq("documents"),
     "q184_audio_features" -> Seq("documents"),
     "q185_kmv_stream_state" -> Seq("documents"),
@@ -3565,6 +3581,49 @@ object SparkEntry {
         |  FROM scc GROUP BY scc_id)
         |SELECT s.id, s.scc_id, z.scc_size
         |FROM scc s JOIN sz z USING (scc_id) ORDER BY s.id""".stripMargin,
+    // the q188 SCC chain extended with a second recursive CTE: longest
+    // path lengths over the contracted (acyclic) condensation edges —
+    // UNION dedup on (src, dst, len) terminates because len is bounded
+    // by the DAG depth; level = max incoming path length, 0 at sources
+    "q189_condensation_levels" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst
+        |  FROM common JOIN sizes sa ON sa.doc_id = common.doc_a
+        |  WHERE 2 * n_common >= sa.n_sh),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |mutual AS (SELECT a.src AS u, a.dst AS v
+        |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+        |scc AS (SELECT n.id,
+        |    LEAST(n.id, COALESCE(MIN(m.v), n.id)) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id),
+        |cedge AS (SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+        |  FROM edges e JOIN scc sa ON sa.id = e.src JOIN scc sb ON sb.id = e.dst
+        |  WHERE sa.scc_id <> sb.scc_id),
+        |lp AS (SELECT src, dst, 1 AS len FROM cedge
+        |  UNION
+        |  SELECT l.src, c.dst, l.len + 1 FROM lp l JOIN cedge c ON c.src = l.dst),
+        |lvl AS (SELECT s.scc_id, CAST(COALESCE(MAX(l.len), 0) AS BIGINT) AS level
+        |  FROM (SELECT DISTINCT scc_id FROM scc) s
+        |  LEFT JOIN lp l ON l.dst = s.scc_id GROUP BY s.scc_id),
+        |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM scc GROUP BY scc_id)
+        |SELECT v.scc_id, v.level, z.n_docs
+        |FROM lvl v JOIN sz z USING (scc_id) ORDER BY v.scc_id""".stripMargin,
     // the q86 scrub chain with the C4 boilerplate rule swapped in:
     // covered positions come from spans with document frequency >= 4,
     // ALL occurrences removed (no first-occurrence survivor)

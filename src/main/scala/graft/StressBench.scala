@@ -683,6 +683,45 @@ object StressBench {
     run("audio_features",
       mat(graft.multimodal.Multimodal.audioFrameFeatures(docs1, 64)),
       mat(graft.multimodal.Multimodal.audioFrameFeatures(docsPlainN, 64)))
+    // theta set algebra: the theta_intersection regime — build again
+    // plus pairwise array arithmetic over the tiny sketch table; slope
+    // ≈ the build's certifies difference/union/jaccard add nothing as
+    // the corpus grows.
+    run("theta_set_algebra",
+      mat(graft.text.Theta.setAlgebra(
+        graft.text.Theta.buildPerGroup(kmvToks(docs1), col("source")))),
+      mat(graft.text.Theta.setAlgebra(
+        graft.text.Theta.buildPerGroup(kmvToks(docsN), col("source")))))
+    // image pHash: decode+resize+hash is per-pixel linear under plain
+    // replication (remapped ids are new images); the banded join runs
+    // in the fixture's WORST regime — the test-card law admits only 768
+    // distinct images, so duplicate classes (and the pair table the
+    // operator must by spec report) grow with the factor. A super-1
+    // slope here is output growth, not join inefficiency; real corpora
+    // bound bucket sizes by actual duplication.
+    run("image_phash",
+      mat(graft.multimodal.Multimodal.imagePHashDups(docs1)),
+      mat(graft.multimodal.Multimodal.imagePHashDups(docsPlainN)))
+    // SCC: disjoint bridged-double-cycle units keep condensation depth
+    // (hence peel count and fixpoint rounds) CONSTANT while nodes and
+    // edges scale — the honest protocol for the term that grows at
+    // 100 TB, per-round linear join work. Depth-dependence is bounded
+    // by the consumer: mutual-containment condensations are shallow.
+    def sccGraph(units: Long): DataFrame = {
+      val base = spark.range(units).select((col("id") * 6L).as("b"))
+      base.select(explode(array(
+        struct(col("b").as("src"), (col("b") + 1L).as("dst")),
+        struct((col("b") + 1L).as("src"), (col("b") + 2L).as("dst")),
+        struct((col("b") + 2L).as("src"), col("b").as("dst")),
+        struct((col("b") + 3L).as("src"), (col("b") + 4L).as("dst")),
+        struct((col("b") + 4L).as("src"), (col("b") + 5L).as("dst")),
+        struct((col("b") + 5L).as("src"), (col("b") + 3L).as("dst")),
+        struct((col("b") + 2L).as("src"), (col("b") + 3L).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+    run("scc",
+      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L)).count(),
+      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L * factor)).count())
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is
     // its own work, not its lineage — the composite q55 cost decomposes

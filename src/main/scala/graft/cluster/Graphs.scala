@@ -195,6 +195,50 @@ object Graphs {
       .orderBy(col("id"))
   }
 
+  /** Topological depth of each SCC in the condensation DAG of a
+    * directed edge list — on the containment graph this is the "dedup
+    * cascade depth": how many one-way containment levels sit above a
+    * document family. Contracts edges through [[stronglyConnected]]'s
+    * component map (dropping intra-SCC edges), then longest-path
+    * levels by synchronous max-propagation — level(v) = max over
+    * incoming condensation edges of level(u) + 1, 0 at sources —
+    * iterated to a fixpoint, which exists and is reached in depth+1
+    * rounds BECAUSE the condensation is acyclic by construction.
+    * Same shape as the SCC inner loop: edge-keyed join + max-agg per
+    * round, lineage truncated, O(1) convergence counts driver-side.
+    * Output: (scc_id, level, n_docs) — one row per component. */
+  def condensationLevels(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val scc = stronglyConnected(edges).localCheckpoint()
+    val m = scc.select(col("id"), col("scc_id"))
+    val ce = edges
+      .join(m.select(col("id").as("src"), col("scc_id").as("s_a")), "src")
+      .join(m.select(col("id").as("dst"), col("scc_id").as("s_b")), "dst")
+      .filter(col("s_a") =!= col("s_b"))
+      .select(col("s_a").as("src"), col("s_b").as("dst")).distinct()
+      .localCheckpoint()
+    var lvl = scc.select(col("scc_id").as("id")).distinct()
+      .select(col("id"), lit(0L).as("lvl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = ce.join(lvl.select(col("id").as("src"), col("lvl")), "src")
+        .select(col("dst").as("id"), (col("lvl") + 1L).as("lvl"))
+        .unionByName(lvl)
+        .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
+        .localCheckpoint()
+      changed = next.join(lvl.select(col("id"), col("lvl").as("l_old")), "id")
+        .filter(col("lvl") =!= col("l_old")).count()
+      lvl = next
+      it += 1
+    }
+    require(changed == 0,
+      s"condensation level propagation still moving after $maxIters rounds")
+    scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_docs"))
+      .join(lvl.select(col("id").as("scc_id"), col("lvl").as("level")), "scc_id")
+      .select(col("scc_id"), col("level"), col("n_docs"))
+      .orderBy(col("scc_id"))
+  }
+
   /** Multi-source BFS: exact hop distance from the `seeds` vertex set,
     * truncated at `rounds` hops (vertices further than that — or
     * disconnected — are absent from the output). Each round is one

@@ -168,4 +168,48 @@ class GraphOpsSpec extends AnyFunSuite {
   test("SCC: empty edge set yields an empty result") {
     assert(scc(Seq.empty).isEmpty)
   }
+
+  private def levels(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graphs.condensationLevels(edgesDF(edges)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("condensation levels: cycle chain counts SCC hops, not vertex hops") {
+    // {1,2} ↔, bridge to {3,4} ↔, bridge to singleton 10
+    val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 10L))
+    assert(levels(g) == Map(1L -> (0L, 2L), 3L -> (1L, 2L), 10L -> (2L, 1L)))
+  }
+
+  test("condensation levels: diamond takes the LONGEST incoming path") {
+    // a→b→d and a→c→d→e: d's level is 2 via either arm, e is 3
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(levels(g) == Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (1L, 1L),
+      4L -> (2L, 1L), 5L -> (3L, 1L)))
+  }
+
+  test("condensation levels: random digraphs match a brute longest-path oracle") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 14 + trial * 4
+      val g = (for {
+        a <- 0L until n
+        b <- 0L until n
+        if a != b && rnd.nextDouble() < 0.10
+      } yield (a, b)).toSeq
+      if (g.nonEmpty) {
+        val sid = sccBrute(g)
+        val cedges = g.map { case (a, b) => (sid(a), sid(b)) }
+          .filter { case (x, y) => x != y }.distinct
+        // brute longest path per condensation node (memoized DFS; acyclic)
+        val memo = collection.mutable.Map[Long, Long]()
+        def lvl(v: Long): Long = memo.getOrElseUpdate(v,
+          cedges.filter(_._2 == v).map(e => lvl(e._1) + 1) match {
+            case Nil => 0L
+            case ls  => ls.max
+          })
+        val expect = sid.values.toSeq.distinct
+          .map(s => s -> (lvl(s), sid.values.count(_ == s).toLong)).toMap
+        assert(levels(g) == expect, s"trial $trial mismatch")
+      }
+    }
+  }
 }

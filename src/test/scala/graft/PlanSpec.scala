@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("theta set algebra: the q181 broadcast pairing carries all three estimators") {
+    val p = planOf("q186_theta_difference")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sketch pairing must broadcast the tiny sketch table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in set-algebra plan:\n$p")
+  }
+
+  test("image phash: banded candidates equi-join the hash table, never nested-loop") {
+    val p = planOf("q187_image_phash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must be an equi-join on (band_no, band_val):\n$p")
+  }
+
   test("hll: one distinct + partial/final register agg before the arithmetic") {
     val p = planOf("q162_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
