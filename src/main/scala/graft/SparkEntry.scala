@@ -862,6 +862,12 @@ object SparkEntry {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.cluster.Graphs.condensationLevels(edges)
     }),
+    // embedding-distribution drift between snapshot halves — the
+    // vector-space complement of q97's scalar PSI: per-label centroid
+    // ANGLE carried as exact bilinear forms (dot, norms as sub-2^32
+    // BIGINT halves) plus one integral-division cos^2 scalar
+    "q190_embedding_drift" -> ((s, d) =>
+      graft.quality.Drift.embeddingDrift(Tables.embeddings(s, d))),
     // C4-style boilerplate scrub: every occurrence of any 3-token span
     // with document frequency >= 4 removed (q86 is DEDUP — first
     // occurrence survives; boilerplate is NOISE — none survives)
@@ -1055,6 +1061,7 @@ object SparkEntry {
     "q187_image_phash" -> Seq("documents"),
     "q188_scc_containment" -> Seq("documents"),
     "q189_condensation_levels" -> Seq("documents"),
+    "q190_embedding_drift" -> Seq("embeddings"),
     "q183_image_resize" -> Seq("documents"),
     "q184_audio_features" -> Seq("documents"),
     "q185_kmv_stream_state" -> Seq("documents"),
@@ -3624,6 +3631,42 @@ object SparkEntry {
         |  FROM scc GROUP BY scc_id)
         |SELECT v.scc_id, v.level, z.n_docs
         |FROM lvl v JOIN sz z USING (scc_id) ORDER BY v.scc_id""".stripMargin,
+    // drift forms replayed over the same 2^14 quantization law: HUGEINT
+    // bilinear sums, abs-split hi/lo halves, one // for the cos^2 scalar
+    "q190_embedding_drift" ->
+      """WITH tq AS (SELECT vec_id, label, vec_id % 2 AS half,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |cell AS (SELECT label, half, j, vq[CAST(j AS BIGINT)] AS x
+        |  FROM (SELECT label, half, vq, unnest(range(1, len(vq) + 1)) AS j FROM tq) u),
+        |sums AS (SELECT label, half, j, SUM(x) AS s FROM cell GROUP BY 1, 2, 3),
+        |counts AS (SELECT label, half, CAST(COUNT(*) AS BIGINT) AS n FROM tq GROUP BY 1, 2),
+        |bydim AS (SELECT label, j,
+        |    SUM(CASE WHEN half = 0 THEN s ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN half = 1 THEN s ELSE 0 END) AS sb
+        |  FROM sums GROUP BY 1, 2),
+        |forms AS (SELECT label,
+        |    SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+        |    SUM(CAST(sa AS HUGEINT) * sa) AS na2,
+        |    SUM(CAST(sb AS HUGEINT) * sb) AS nb2
+        |  FROM bydim GROUP BY 1)
+        |SELECT CAST(f.label AS BIGINT) AS label,
+        |  COALESCE(na.n, 0) AS n_a, COALESCE(nb.n, 0) AS n_b,
+        |  CAST(abs(f.dot) // 4294967296 AS BIGINT) AS dot_hi,
+        |  CAST(abs(f.dot) % 4294967296 AS BIGINT) AS dot_lo,
+        |  CAST(CASE WHEN f.dot > 0 THEN 1 WHEN f.dot < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS dot_sign,
+        |  CAST(f.na2 // 4294967296 AS BIGINT) AS na2_hi,
+        |  CAST(f.na2 % 4294967296 AS BIGINT) AS na2_lo,
+        |  CAST(f.nb2 // 4294967296 AS BIGINT) AS nb2_hi,
+        |  CAST(f.nb2 % 4294967296 AS BIGINT) AS nb2_lo,
+        |  CAST(CASE WHEN f.na2 = 0 OR f.nb2 = 0 THEN 0
+        |    ELSE (CASE WHEN f.dot > 0 THEN 1 WHEN f.dot < 0 THEN -1 ELSE 0 END)
+        |      * ((1000 * f.dot * f.dot) // (f.na2 * f.nb2)) END AS BIGINT) AS cos_sq_milli
+        |FROM forms f
+        |LEFT JOIN counts na ON na.label = f.label AND na.half = 0
+        |LEFT JOIN counts nb ON nb.label = f.label AND nb.half = 1
+        |ORDER BY label""".stripMargin,
     // the q86 scrub chain with the C4 boilerplate rule swapped in:
     // covered positions come from spans with document frequency >= 4,
     // ALL occurrences removed (no first-occurrence survivor)

@@ -89,6 +89,69 @@ object Drift {
     * window runs over the day-cardinality table (thousands of rows at
     * any corpus size). The unpartitioned windows are safe for exactly
     * that reason. */
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * vector-space complement of [[psi]]'s scalar buckets: per label,
+    * the angle between the two snapshots' centroid DIRECTIONS, carried
+    * entirely in exact integers (the semanticDedupExact discipline).
+    * Vectors quantize to floor(x·2¹⁴); per-dimension centroid SUMS
+    * (not means — scale drops out of the angle) accumulate per
+    * (label, snapshot); the graded columns are the exact bilinear
+    * forms dot(sA,sB), ‖sA‖², ‖sB‖² as DECIMAL(38,0) internally,
+    * shipped as sub-2³² BIGINT (hi, lo) halves — never a bare DECIMAL
+    * output (the q162 rule) — plus the derived signed
+    * cos²·1000 = sign(dot)·(1000·dot² div (‖sA‖²·‖sB‖²)), one
+    * integral division. Snapshots = vec_id parity, the deterministic
+    * stand-in for "last week's corpus vs this week's".
+    *
+    * Scale shape: one narrow explode → one (label, snapshot, dim)
+    * hash agg (≤ |labels|·2·dim rows on the exchange) → per-label
+    * array fold; nothing pairwise, nothing driver-side. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // 2¹⁴ quantization (not semanticDedupExact's 2²⁰): the drift tail
+    // squares a squared form — 1000·dot² with dot ≤ dim·(n·2¹⁴)² stays
+    // inside DECIMAL(38,0) for n ≤ ~4300 vectors per (label, half),
+    // which 2²⁰ would cap at ~350
+    val q = embeddings.select(col("label"), (col("vec_id") % 2).as("half"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))")
+        .as("vq"))
+    val sums = q.select(col("label"), col("half"),
+        posexplode(col("vq")).as(Seq("j", "x")))
+      .groupBy(col("label"), col("half"), col("j"))
+      .agg(sum(col("x")).as("s"))
+    val counts = q.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val byDim = sums.groupBy(col("label"), col("j"))
+      .agg(sum(when(col("half") === 0L, col("s")).otherwise(0L)).as("sa"),
+           sum(when(col("half") === 1L, col("s")).otherwise(0L)).as("sb"))
+    val forms = byDim.groupBy(col("label")).agg(
+      sum(col("sa").cast(dec) * col("sb").cast(dec)).cast(dec).as("dot"),
+      sum(col("sa").cast(dec) * col("sa").cast(dec)).cast(dec).as("na2"),
+      sum(col("sb").cast(dec) * col("sb").cast(dec)).cast(dec).as("nb2"))
+    val nA = counts.filter(col("half") === 0L).select(col("label"), col("n").as("n_a"))
+    val nB = counts.filter(col("half") === 1L).select(col("label"), col("n").as("n_b"))
+    val two32 = s"CAST('4294967296' AS $dec)"
+    def halves(c: String, hi: String, lo: String) = Seq(
+      expr(s"CAST(abs($c) div $two32 AS BIGINT)").as(hi),
+      expr(s"CAST(abs($c) % $two32 AS BIGINT)").as(lo))
+    forms
+      .join(nA, Seq("label"), "left").join(nB, Seq("label"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("dot_sign",
+        when(col("dot") > 0, 1L).when(col("dot") < 0, -1L).otherwise(0L))
+      .withColumn("cos_sq_milli",
+        when(col("na2") === 0 || col("nb2") === 0, lit(0L)).otherwise(
+          col("dot_sign") * expr(
+            s"CAST((CAST(1000 AS $dec) * dot * dot) div (na2 * nb2) AS BIGINT)")))
+      .select(Seq(col("label").cast("long").as("label"),
+        col("n_a"), col("n_b")) ++
+        halves("dot", "dot_hi", "dot_lo") :+ col("dot_sign") :++
+        halves("na2", "na2_hi", "na2_lo") :++
+        halves("nb2", "nb2_hi", "nb2_lo") :+
+        col("cos_sq_milli"): _*)
+      .orderBy(col("label"))
+  }
+
   def cusumDailyCounts(events: DataFrame, slackPct: Int = 10,
                        thresholdPct: Int = 300): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -292,4 +292,31 @@ class QualitySpec extends AnyFunSuite {
       .collect()
     assert(out.isEmpty, "constant baseline has undefined z and must emit nothing")
   }
+
+  test("embedding drift: collinear halves read 1000, orthogonal 0, opposed -1000") {
+    val emb = Seq(
+      // label 1: identical directions across halves → cos² = 1 exactly
+      (0L, Array(0.5f, 0.25f), 1),
+      (1L, Array(0.5f, 0.25f), 1),
+      // label 2: orthogonal halves → dot 0, sign 0
+      (2L, Array(1.0f, 0.0f), 2),
+      (3L, Array(0.0f, 1.0f), 2),
+      // label 3: opposed collinear halves → sign -1, cos²·1000 = -1000
+      (4L, Array(0.5f, 0.0f), 3),
+      (5L, Array(-0.5f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = graft.quality.Drift.embeddingDrift(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def cos(l: Long) = rows(l).getAs[Long]("cos_sq_milli")
+    def sign(l: Long) = rows(l).getAs[Long]("dot_sign")
+    assert(cos(1L) == 1000L && sign(1L) == 1L)
+    assert(cos(2L) == 0L && sign(2L) == 0L)
+    assert(cos(3L) == -1000L && sign(3L) == -1L)
+    // exact forms for label 1: s = floor(.5·2¹⁴)=8192, floor(.25·2¹⁴)=4096
+    val (sa, sb) = (Seq(8192L, 4096L), Seq(8192L, 4096L))
+    val dot = sa.zip(sb).map { case (a, b) => a * b }.sum
+    assert(rows(1L).getAs[Long]("dot_hi") == dot / 4294967296L)
+    assert(rows(1L).getAs[Long]("dot_lo") == dot % 4294967296L)
+    assert(rows(1L).getAs[Long]("n_a") == 1L && rows(1L).getAs[Long]("n_b") == 1L)
+  }
 }

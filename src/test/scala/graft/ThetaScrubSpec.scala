@@ -131,6 +131,45 @@ class ThetaScrubSpec extends AnyFunSuite {
     assert(alg.getAs[Long]("jaccard_milli") == alg.getAs[Long]("n_common") * 1000 / u)
   }
 
+  test("property: set algebra matches a brute theta-formula reference") {
+    import spark.implicits._
+    val k = 8
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 4) {
+      val na = 5 + rnd.nextInt(40)
+      val nb = 5 + rnd.nextInt(40)
+      val domain = 60
+      val ta = Seq.fill(na)(s"w${rnd.nextInt(domain)}").distinct
+      val tb = Seq.fill(nb)(s"w${rnd.nextInt(domain)}").distinct
+      val df = (ta.map(("a", _)) ++ tb.map(("b", _))).toDF("source", "token")
+      val row = graft.text.Theta.setAlgebra(
+        graft.text.Theta.buildPerGroup(df, col("source"), k = k), k = k).head()
+      // brute reference straight from the definitions
+      val (sa, sb) = (refKmv(ta, k), refKmv(tb, k))
+      val theta: Option[Long] =
+        (Option.when(sa.length == k)(sa.last), Option.when(sb.length == k)(sb.last)) match {
+          case (Some(x), Some(y)) => Some(math.min(x, y))
+          case (x, y)             => x.orElse(y)
+        }
+      val cut = (s: Seq[Long]) => theta.fold(s)(t => s.filter(_ < t))
+      val (ba, bb) = (cut(sa).toSet, cut(sb).toSet)
+      assert(row.getAs[Long]("n_common") == (ba & bb).size.toLong, s"trial $trial common")
+      assert(row.getAs[Long]("n_only_a") == (ba -- bb).size.toLong, s"trial $trial onlyA")
+      assert(row.getAs[Long]("n_only_b") == (bb -- ba).size.toLong, s"trial $trial onlyB")
+      val u = (ba | bb).size.toLong
+      val jac = if (u == 0) 0L else (ba & bb).size.toLong * 1000L / u
+      assert(row.getAs[Long]("jaccard_milli") == jac, s"trial $trial jaccard")
+      theta match {
+        case None =>
+          assert(row.getAs[Long]("union_est_milli") == u * 1000L)
+        case Some(t) =>
+          val thetaU = BigInt(t) + BigInt(2).pow(63) // back to unsigned
+          val expect = (BigInt(u) * 1000 * BigInt(2).pow(64) / thetaU).toLong
+          assert(row.getAs[Long]("union_est_milli") == expect, s"trial $trial union est")
+      }
+    }
+  }
+
   test("image pHash: fingerprint matches the pixel-law replay; halves sub-2^32") {
     import spark.implicits._
     val docs = (0L until 31L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
