@@ -868,6 +868,18 @@ object SparkEntry {
     // BIGINT halves) plus one integral-division cos^2 scalar
     "q190_embedding_drift" -> ((s, d) =>
       graft.quality.Drift.embeddingDrift(Tables.embeddings(s, d))),
+    // the streamed quantile-histogram state replayed as a batch sketch
+    // (the q179/q185 trick for the SIXTH sketch): counter-add
+    // mergeability means the maintained histogram == batch histogram
+    // of the union, graded through the q176 rank arithmetic over
+    // length(text) next to exact order statistics
+    "q192_quantile_stream_state" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedQuantileSummary(Tables.documents(s, d), 4)),
+    // vocabulary-id corpus encoding — the tokenizer stage after q44's
+    // vocabulary: frequency-ranked 1-based ids, OOV -> 0, per-doc id
+    // sequence as a portable space-joined string
+    "q191_vocab_encode" -> ((s, d) =>
+      graft.text.TextOps.encodeCorpus(Tables.documents(s, d), 10)),
     // C4-style boilerplate scrub: every occurrence of any 3-token span
     // with document frequency >= 4 removed (q86 is DEDUP — first
     // occurrence survives; boilerplate is NOISE — none survives)
@@ -1062,6 +1074,8 @@ object SparkEntry {
     "q188_scc_containment" -> Seq("documents"),
     "q189_condensation_levels" -> Seq("documents"),
     "q190_embedding_drift" -> Seq("embeddings"),
+    "q191_vocab_encode" -> Seq("documents"),
+    "q192_quantile_stream_state" -> Seq("documents"),
     "q183_image_resize" -> Seq("documents"),
     "q184_audio_features" -> Seq("documents"),
     "q185_kmv_stream_state" -> Seq("documents"),
@@ -3667,6 +3681,53 @@ object SparkEntry {
         |LEFT JOIN counts na ON na.label = f.label AND na.half = 0
         |LEFT JOIN counts nb ON nb.label = f.label AND nb.half = 1
         |ORDER BY label""".stripMargin,
+    // the q176 chain over length(text) — the maintained histogram is
+    // the batch histogram by counter-add mergeability, so the batch
+    // replay grades the streaming sink end to end
+    "q192_quantile_stream_state" ->
+      """WITH base AS (SELECT source AS grp, CAST(length(text) AS BIGINT) AS v FROM documents),
+        |hist AS (SELECT grp, least(v // 16, 1023) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+        |ns AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+        |qs AS (SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS r
+        |  FROM ns, (SELECT unnest([250, 500, 900, 990]) AS q_milli) q),
+        |cumh AS (SELECT grp, bucket, CAST(SUM(cnt) OVER (
+        |    PARTITION BY grp ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+        |est AS (SELECT q.grp, q.q_milli, q.n, MIN(c.bucket) AS bkt
+        |  FROM qs q JOIN cumh c ON c.grp = q.grp AND c.cum >= q.r
+        |  GROUP BY 1, 2, 3),
+        |byv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+        |cumv AS (SELECT grp, v, CAST(SUM(cnt) OVER (
+        |    PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+        |ex AS (SELECT q.grp, q.q_milli, MIN(c.v) AS exact_v
+        |  FROM qs q JOIN cumv c ON c.grp = q.grp AND c.cum >= q.r
+        |  GROUP BY 1, 2)
+        |SELECT e.grp AS source, CAST(e.q_milli AS BIGINT) AS q_milli,
+        |  CAST(CASE WHEN e.bkt = 1023 THEN 9223372036854775807
+        |    ELSE (e.bkt + 1) * 16 - 1 END AS BIGINT) AS est_hi,
+        |  x.exact_v, e.n
+        |FROM est e JOIN ex x ON x.grp = e.grp AND x.q_milli = e.q_milli
+        |ORDER BY source, q_milli""".stripMargin,
+    // the q44 vocabulary ranked into ids (row_number over the reduced
+    // vocab), OOV as 0, per-doc sequences reassembled in token order
+    "q191_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS cnt FROM toks
+        |  GROUP BY token HAVING COUNT(*) >= 10),
+        |vid AS (SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |  FROM vocab),
+        |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS tid
+        |  FROM toks t LEFT JOIN vid v USING (token))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ' ') AS ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the q86 scrub chain with the C4 boilerplate rule swapped in:
     // covered positions come from spans with document frequency >= 4,
     // ALL occurrences removed (no first-occurrence survivor)

@@ -52,13 +52,26 @@ object QuantileSketch {
       .localCheckpoint() // histogram + exact twin + counts re-consume
     val hist = build(base, col("grp"), col("v"), width, buckets)
     val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    estimatesFrom(hist, ns, width, buckets, qMillis)
+      .join(exactTwin(base, qMillis), Seq("grp", "q_milli"))
+      .select(col("grp"), col("q_milli"), col("est_hi"), col("exact_v"), col("n"))
+      .orderBy(col("grp"), col("q_milli"))
+  }
+
+  /** Quantile estimates from a PREBUILT histogram (one that may have
+    * been merged across shards/days or maintained under a stream) plus
+    * per-group row counts: (grp, q_milli, n, est_hi). Split out of
+    * [[quantiles]] so merged/maintained histograms grade through the
+    * identical rank arithmetic. */
+  def estimatesFrom(hist: DataFrame, ns: DataFrame, width: Long,
+                    buckets: Int, qMillis: Seq[Int]): DataFrame = {
     val qs = ns.select(col("grp"), col("n"),
         explode(typedlit(qMillis.map(_.toLong))).as("q_milli"))
       .withColumn("r", expr("(q_milli * n + 999) div 1000"))
     val wB = Window.partitionBy(col("grp")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumHist = hist.withColumn("cum", sum(col("cnt")).over(wB))
-    val est = qs.join(cumHist, Seq("grp"))
+    qs.join(cumHist, Seq("grp"))
       .filter(col("cum") >= col("r"))
       .groupBy(col("grp"), col("q_milli"), col("n"))
       .agg(min(col("bucket")).as("bkt"))
@@ -70,16 +83,22 @@ object QuantileSketch {
       .withColumn("est_hi",
         when(col("bkt") === lit(buckets - 1L), lit(Long.MaxValue))
           .otherwise((col("bkt") + 1L) * lit(width) - 1L))
+  }
+
+  /** The exact type-1 order statistic per (grp, q_milli) from the raw
+    * (grp, v) rows — the graded truth the sketch estimate sits beside. */
+  def exactTwin(base: DataFrame, qMillis: Seq[Int]): DataFrame = {
+    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val qs = ns.select(col("grp"), col("n"),
+        explode(typedlit(qMillis.map(_.toLong))).as("q_milli"))
+      .withColumn("r", expr("(q_milli * n + 999) div 1000"))
     val byValue = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
     val wV = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumVal = byValue.withColumn("cum", sum(col("cnt")).over(wV))
-    val exact = qs.join(cumVal, Seq("grp"))
+    qs.join(cumVal, Seq("grp"))
       .filter(col("cum") >= col("r"))
       .groupBy(col("grp"), col("q_milli"))
       .agg(min(col("v")).as("exact_v"))
-    est.join(exact, Seq("grp", "q_milli"))
-      .select(col("grp"), col("q_milli"), col("est_hi"), col("exact_v"), col("n"))
-      .orderBy(col("grp"), col("q_milli"))
   }
 }

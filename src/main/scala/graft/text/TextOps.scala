@@ -221,6 +221,39 @@ object TextOps {
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token"))
 
+  /** Vocabulary-id corpus encoding — the tokenizer-pipeline stage
+    * AFTER [[vocabulary]]: tokens at or above `minCount` rank into
+    * 1-based ids by (count desc, token asc) — the frequency-sorted id
+    * assignment every word-level tokenizer uses — and each document
+    * becomes its id sequence; below-threshold tokens encode as OOV
+    * id 0. The sequence ships as a space-joined VARCHAR (not an array
+    * column) so the graded rendering is engine-portable.
+    *
+    * Scale shape: the global rank runs over the VOCAB table (already
+    * reduced by one hash agg + the minCount cut), never the corpus;
+    * the encode pass is one broadcast-sized equi-join of corpus tokens
+    * against the vocab and one per-document ordered reassembly — the
+    * q86/q182 array_sort tail. Output:
+    * (doc_id, n_tokens, n_oov, ids). */
+  def encodeCorpus(documents: DataFrame, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val vid = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+    val enc = toks.join(vid.select(col("token"), col("id")), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0L)))
+    enc.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), " ").as("ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram (collocation) vocabulary with raw counts — the n=2
     * non-distinct sibling of [[graft.dedup.Dedup.shingles]]. Same
     * shuffle shape as [[vocabulary]]: explode + one hash aggregation. */

@@ -84,6 +84,17 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rows == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
   }
 
+  test("vocab encoding: frequency-ranked ids, OOV zero, order preserved") {
+    val tiny = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; minCount=2 -> vocab a->1, b->2; c is OOV
+    val rows = TextOps.encodeCorpus(tiny, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows == Map(
+      1L -> (3L, 0L, "1 2 1"),
+      2L -> (2L, 1L, "2 0"),
+      3L -> (1L, 0L, "1")))
+  }
+
   test("repetition stats: golden fractions on known documents") {
     val tiny = Seq(
       (1L, "a a a a"),       // 4 tokens, 1 distinct; bigrams: "a a" x3

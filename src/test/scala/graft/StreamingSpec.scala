@@ -465,6 +465,31 @@ class StreamingSpec extends AnyFunSuite {
       "the 80-distinct source must be cut to exactly K values")
   }
 
+  test("streaming quantile maintenance: added counters equal the batch histogram, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(String, String)]
+    def start() = graft.stream.CorpusStream.quantileMaintenanceSink(
+      mem.toDF().toDF("source", "text"), state, ckpt, width = 4L, buckets = 8)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // lengths spread across buckets, incl. one past the clamp (>= 28)
+    val b1 = Seq(("s1", "abc"), ("s1", "abcdefgh"), ("s2", "a" * 40))
+    val b2 = Seq(("s1", "abcde"), ("s2", "xy"))
+    val q1 = start()
+    try { seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { seen ++= b2; mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("grp", "bucket", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.quality.QuantileSketch.build(
+        seen.toSeq.toDF("source", "text"), col("source"), length(col("text")),
+        width = 4L, buckets = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "streamed histogram must equal the batch histogram")
+    assert(got(("s2", 7L)) == 1L, "the 40-char doc must clamp into the last bucket")
+  }
+
   test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
