@@ -719,9 +719,32 @@ object StressBench {
         struct((col("b") + 2L).as("src"), (col("b") + 3L).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
+    // driverEdgeBound = 0 pins the DISTRIBUTED peeling on both sides —
+    // the scale path under measurement; the hybrid Tarjan finish would
+    // otherwise absorb the 1x graph and invalidate the slope.
     run("scc",
-      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L)).count(),
-      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L * factor)).count())
+      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L),
+        driverEdgeBound = 0L).count(),
+      graft.cluster.Graphs.stronglyConnected(sccGraph(50000L * factor),
+        driverEdgeBound = 0L).count())
+    // embedding drift: synthetic labeled vectors (the fixture table is
+    // constant-size across SFs) — rows scale, the (label, half, dim)
+    // agg state stays ≤ |labels|·2·64 rows; the linear term is the
+    // explode + first hash agg.
+    def synthEmb(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"), (col("id") % 10).cast("int").as("label"),
+        expr("transform(sequence(1, 64), j -> CAST((vec_id * 31 + j * 17) % 2000 AS FLOAT) / 1000.0 - 1.0)")
+          .as("embedding"))
+    run("embedding_drift",
+      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L))),
+      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L * factor))))
+    // vocab encode: plain replicas grow token rows linearly while the
+    // vocab table (and its global rank) stays fixed — the honest
+    // regime for an id dictionary; the reassembly tail is the
+    // q86/q182 array_sort shape.
+    run("vocab_encode",
+      mat(graft.text.TextOps.encodeCorpus(docs1, 10)),
+      mat(graft.text.TextOps.encodeCorpus(docsPlainN, 10)))
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is
     // its own work, not its lineage — the composite q55 cost decomposes

@@ -165,6 +165,25 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SCC hybrid driver finish is bit-identical to the distributed peeling") {
+    val rnd = new scala.util.Random(23)
+    val g = (for {
+      a <- 0L until 20L
+      b <- 0L until 20L
+      if a != b && rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val local = Graphs.stronglyConnected(edgesDF(g)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val dist = Graphs.stronglyConnected(edgesDF(g), driverEdgeBound = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(local == dist)
+    val lvlLocal = Graphs.condensationLevels(edgesDF(g)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val lvlDist = Graphs.condensationLevels(edgesDF(g), driverBound = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(lvlLocal == lvlDist)
+  }
+
   test("SCC: empty edge set yields an empty result") {
     assert(scc(Seq.empty).isEmpty)
   }
