@@ -133,7 +133,15 @@ object PlanDump {
       "near-dup join is band-keyed (4×16-bit slices) over the HASH table — a " +
       "ShuffledHashJoin/SortMergeJoin on (band_no, band_val) whose input is one row " +
       "per image, never the corpus, with Hamming as pure integer codegen " +
-      "(bit_count over xor) on the banded candidates")
+      "(bit_count over xor) on the banded candidates"),
+    "q190_embedding_drift" -> ("one narrow posexplode feeds ONE (label, half, dim) " +
+      "partial+final hash agg (≤ |labels|·2·64 rows on the exchange); the bilinear " +
+      "forms and the hi/lo splits are per-label projections over that bounded " +
+      "table — nothing pairwise, nothing driver-side"),
+    "q191_vocab_encode" -> ("the id rank is a window over the REDUCED vocab table " +
+      "(post-minCount), never the corpus; the encode join brings the small vocab " +
+      "to the token stream as a BroadcastHashJoin, and the per-doc reassembly is " +
+      "the shared collect_list + array_sort tail")
   )
 
   def main(args: Array[String]): Unit = {

@@ -861,6 +861,42 @@ object SparkEntry {
     // sequence as a portable space-joined string
     "q191_vocab_encode" -> ((s, d) =>
       graft.text.TextOps.encodeCorpus(Tables.documents(s, d), 10)),
+    // day-over-day audience overlap at sketch cost — the TEMPORAL
+    // composition of the KMV family (q168's trailing-window story, for
+    // set algebra): per-day sketches of the user-id set, adjacent-day
+    // theta algebra graded next to exact overlap and union; daily
+    // audiences exceed K, so the driver grades the genuinely SAMPLED
+    // estimator path, not the exhaustive fallback
+    "q193_kmv_daily_overlap" -> ((s, d) => {
+      val d0 = Tables.events(s, d).select(
+          expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id").cast("string").as("token"))
+        .localCheckpoint() // sketches + exact twin share the scan
+      val st = d0
+        .filter(length(col("token")) > 0 && length(col("token")) < 32)
+        .distinct()
+      val counts = st.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val inter = st.select(col("day").as("grp_a"), col("token"))
+        .join(st.select(col("day").as("grp_b"), col("token")), Seq("token"))
+        .filter(col("grp_b") === col("grp_a") + 1L)
+        .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("n_inter"))
+      val exact = counts.select(col("day").as("grp_a"), col("n").as("n_a"))
+        .join(broadcast(counts.select(col("day").as("grp_b"), col("n").as("n_b"))),
+          col("grp_b") === col("grp_a") + 1L)
+        .join(inter, Seq("grp_a", "grp_b"), "left")
+        .select(col("grp_a"), col("grp_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_exact_inter"),
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_exact_union"))
+      graft.text.Theta.setAlgebra(graft.text.Theta.buildPerGroup(d0, col("day")))
+        .filter(col("grp_b") === col("grp_a") + 1L)
+        .join(exact, Seq("grp_a", "grp_b"))
+        .select(col("grp_a").as("day_a"), col("grp_b").as("day_b"),
+          col("theta_f"), col("n_common"), col("n_only_a"), col("n_only_b"),
+          col("jaccard_milli"), col("union_est_milli"),
+          col("n_exact_inter"), col("n_exact_union"))
+        .orderBy(col("day_a"))
+    }),
     // C4-style boilerplate scrub: every occurrence of any 3-token span
     // with document frequency >= 4 removed (q86 is DEDUP — first
     // occurrence survives; boilerplate is NOISE — none survives)
@@ -3738,6 +3774,70 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ' ') AS ids
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the q186 set-algebra chain with day groups and an adjacency
+    // pairing — per-day user-id sketches, day+1 theta estimates next
+    // to exact inclusion–exclusion
+    "q193_kmv_daily_overlap" ->
+      s"""WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(user_id AS VARCHAR) AS token FROM events),
+         |st AS (SELECT DISTINCT day, token FROM d0
+         |  WHERE length(token) > 0 AND length(token) < 32),
+         |tokc AS (SELECT DISTINCT token FROM st),
+         |$xxhash64Ctes,
+         |hu AS (SELECT token, CAST(CASE WHEN h < 0 THEN h + $xxB64 ELSE h END AS HUGEINT) AS uu
+         |  FROM hashes),
+         |su AS (SELECT DISTINCT st.day, hu.uu FROM st JOIN hu USING (token)),
+         |rk AS (SELECT day, uu,
+         |    row_number() OVER (PARTITION BY day ORDER BY uu) AS rn FROM su),
+         |sk AS (SELECT day, uu, rn FROM rk WHERE rn <= 64),
+         |per AS (SELECT day, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |  FROM sk GROUP BY day),
+         |th AS (SELECT pa.day AS grp_a, pb.day AS grp_b,
+         |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk
+         |         ELSE LEAST(pa.uk, pb.uk) END AS theta
+         |  FROM per pa JOIN per pb ON pb.day = pa.day + 1),
+         |cut AS (SELECT t.grp_a, t.grp_b, s.day, s.uu
+         |  FROM th t JOIN sk s ON (s.day = t.grp_a OR s.day = t.grp_b)
+         |    AND (t.theta IS NULL OR s.uu < t.theta)),
+         |mem AS (SELECT grp_a, grp_b, uu,
+         |    MAX(CASE WHEN day = grp_a THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN day = grp_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM cut GROUP BY 1, 2, 3),
+         |cnts AS (SELECT grp_a, grp_b,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+         |    CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+         |    CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_only_b
+         |  FROM mem GROUP BY 1, 2),
+         |est AS (SELECT t.grp_a, t.grp_b, t.theta,
+         |    COALESCE(c.n_common, 0) AS n_common,
+         |    COALESCE(c.n_only_a, 0) AS n_only_a,
+         |    COALESCE(c.n_only_b, 0) AS n_only_b,
+         |    COALESCE(c.n_common, 0) + COALESCE(c.n_only_a, 0)
+         |      + COALESCE(c.n_only_b, 0) AS n_union
+         |  FROM th t LEFT JOIN cnts c
+         |    ON c.grp_a = t.grp_a AND c.grp_b = t.grp_b),
+         |exn AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY day),
+         |exi AS (SELECT a.day AS grp_a, b.day AS grp_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM st a JOIN st b ON a.token = b.token AND b.day = a.day + 1
+         |  GROUP BY 1, 2),
+         |exu AS (SELECT na.day AS grp_a, nb.day AS grp_b,
+         |    COALESCE(i.n_inter, 0) AS n_exact_inter,
+         |    na.n + nb.n - COALESCE(i.n_inter, 0) AS n_exact_union
+         |  FROM exn na JOIN exn nb ON nb.day = na.day + 1
+         |  LEFT JOIN exi i ON i.grp_a = na.day AND i.grp_b = nb.day)
+         |SELECT e.grp_a AS day_a, e.grp_b AS day_b,
+         |  CAST(e.theta - 9223372036854775808 AS BIGINT) AS theta_f,
+         |  e.n_common, e.n_only_a, e.n_only_b,
+         |  CAST(CASE WHEN e.n_union = 0 THEN 0
+         |    ELSE (e.n_common * 1000) // e.n_union END AS BIGINT) AS jaccard_milli,
+         |  CAST(CASE WHEN e.theta IS NULL THEN e.n_union * 1000
+         |    ELSE (CAST(e.n_union AS HUGEINT) * 1000
+         |      * CAST('18446744073709551616' AS HUGEINT)) // e.theta
+         |  END AS BIGINT) AS union_est_milli,
+         |  u.n_exact_inter, u.n_exact_union
+         |FROM est e JOIN exu u ON u.grp_a = e.grp_a AND u.grp_b = e.grp_b
+         |ORDER BY day_a""".stripMargin,
     // the q86 scrub chain with the C4 boilerplate rule swapped in:
     // covered positions come from spans with document frequency >= 4,
     // ALL occurrences removed (no first-occurrence survivor)

@@ -352,6 +352,13 @@ class PlanSpec extends AnyFunSuite {
       s"band join must be an equi-join on (band_no, band_val):\n$p")
   }
 
+  test("vocab encode: the small vocab broadcasts back to the token stream") {
+    val p = planOf("q191_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab id table must broadcast to the corpus tokens:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hll: one distinct + partial/final register agg before the arithmetic") {
     val p = planOf("q162_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
