@@ -269,11 +269,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // histogram quantile sketch (merge = counter add): integer-exact
     // bucket-bound estimates next to the exact order statistic — the
-    // est/exact contract of the HLL queries, for quantiles
+    // est/exact contract of the HLL queries, for quantiles. buckets=32
+    // is deliberately UNDERSIZED for the n_chars domain (clamp at
+    // 496+): the upper quantiles land in the clamped top bucket, so
+    // the graded surface exercises BOTH the tight width-wide bound and
+    // the unbounded (Long.MaxValue) clamp answer that keeps est_hi >=
+    // exact universal — the round-7 advisory's boundary case, graded
     "q176_quantile_sketch" -> ((s, d) =>
       graft.quality.QuantileSketch.quantiles(
         Tables.documents(s, d), col("source"), col("n_chars"),
-        width = 16L, buckets = 1024, qMillis = Seq(250, 500, 900, 990))
+        width = 16L, buckets = 32, qMillis = Seq(250, 500, 900, 990))
         .withColumnRenamed("grp", "source")),
     // Bloom membership: per-source 4096-bit filters over tokens, probed
     // with present + absent tokens; every set bit (hence every answer,
@@ -2300,7 +2305,8 @@ object SparkEntry {
         |    FROM (SELECT lang, n,
         |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM n) a) b),
         |m AS (SELECT MIN(isq) AS isqmin FROM i),
-        |t AS (SELECT lang, isq, (4294967296 * (SELECT isqmin FROM m)) // isq AS thr FROM i)
+        |t AS (SELECT lang, isq, least(
+        |    (4294967296 * (SELECT isqmin FROM m)) // isq, 4294967295) AS thr FROM i)
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN t ON t.lang = d.lang
         |WHERE t.isq <= (SELECT isqmin FROM m)
@@ -2309,10 +2315,11 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // bucket histogram + integer rank targets r = ceil(q·n); est = first
     // bucket's upper bound at cum ≥ r, exact = first value at cum ≥ r —
-    // pure integer window cumsums, no interpolation anywhere
+    // pure integer window cumsums, no interpolation anywhere; the
+    // clamped top bucket (31) answers Long.MaxValue on both engines
     "q176_quantile_sketch" ->
       """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
-        |hist AS (SELECT grp, least(v // 16, 1023) AS bucket,
+        |hist AS (SELECT grp, least(v // 16, 31) AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
         |ns AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
         |qs AS (SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS r
@@ -2331,7 +2338,7 @@ object SparkEntry {
         |  FROM qs q JOIN cumv c ON c.grp = q.grp AND c.cum >= q.r
         |  GROUP BY 1, 2)
         |SELECT e.grp AS source, CAST(e.q_milli AS BIGINT) AS q_milli,
-        |  CAST(CASE WHEN e.bkt = 1023 THEN 9223372036854775807
+        |  CAST(CASE WHEN e.bkt = 31 THEN 9223372036854775807
         |    ELSE (e.bkt + 1) * 16 - 1 END AS BIGINT) AS est_hi,
         |  x.exact_v, e.n
         |FROM est e JOIN ex x ON x.grp = e.grp AND x.q_milli = e.q_milli
@@ -3553,7 +3560,7 @@ object SparkEntry {
          |      + COALESCE(c.n_only_b, 0) AS n_union
          |  FROM th t LEFT JOIN cnts c
          |    ON c.source_a = t.source_a AND c.source_b = t.source_b),
-         |exn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY source),
+         |exn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY source),
          |exi AS (SELECT a.source AS source_a, b.source AS source_b,
          |    CAST(COUNT(*) AS BIGINT) AS n_inter
          |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
@@ -3816,7 +3823,7 @@ object SparkEntry {
          |      + COALESCE(c.n_only_b, 0) AS n_union
          |  FROM th t LEFT JOIN cnts c
          |    ON c.grp_a = t.grp_a AND c.grp_b = t.grp_b),
-         |exn AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM su GROUP BY day),
+         |exn AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY day),
          |exi AS (SELECT a.day AS grp_a, b.day AS grp_b,
          |    CAST(COUNT(*) AS BIGINT) AS n_inter
          |  FROM st a JOIN st b ON a.token = b.token AND b.day = a.day + 1

@@ -178,8 +178,11 @@ object Graphs {
       // bounded input satisfies up front — run iterative Tarjan
       // locally instead of paying tens of tiny fixpoint jobs. Output
       // is bit-identical (scc_id = min member id either way;
-      // equality-tested in GraphOpsSpec).
-      if (active.count() <= driverEdgeBound) {
+      // equality-tested in GraphOpsSpec). driverEdgeBound <= 0 pins
+      // the pure-distributed path (the StressBench regime): skip the
+      // count entirely there — it is one extra Spark action per peel
+      // for a check that can never trigger.
+      if (driverEdgeBound > 0 && active.count() <= driverEdgeBound) {
         val spark = nodes.sparkSession
         import spark.implicits._
         val settled = tarjanLocal(

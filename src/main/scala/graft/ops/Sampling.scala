@@ -110,13 +110,15 @@ object Sampling {
       .withColumn("__isq", isqrt(col("__n")))
     // isqrt is monotone, so min(isqrt) = isqrt(min n): one Scalar action
     val isqMin = counts.agg(min(col("__isq"))).head().getLong(0)
-    // CAUTION: for __isq == isqMin the division yields exactly 2^32,
-    // whose hex is 9 chars — lpad(..., 8) TRUNCATES it to "00000000"
-    // (a 0% keep rate). That is fine ONLY because the `__isq <=
-    // isqMin` disjunct below short-circuits min-weight groups before
-    // the hex compare ever runs; any edit that removes or reorders
-    // that disjunct must also widen the hex compare to 9+ chars.
-    val thr = lpad(lower(hex(expr(s"(4294967296L * ${isqMin}L) div __isq"))), 8, "0")
+    // For __isq == isqMin the division yields exactly 2^32, whose hex
+    // is 9 chars — an unclamped lpad(..., 8) would TRUNCATE it to
+    // "00000000" (a 0% keep rate). The least() clamp to 2^32-1 keeps
+    // every threshold inside 8 hex chars structurally; min-weight
+    // groups are unaffected because the `__isq <= isqMin` disjunct
+    // below keeps them wholesale before the hex compare runs (the
+    // oracle clamps identically).
+    val thr = lpad(lower(hex(
+      expr(s"least((4294967296L * ${isqMin}L) div __isq, 4294967295L)"))), 8, "0")
     df.join(broadcast(counts), groupCol)
       .filter(col("__isq") <= isqMin || hashBucketHex(col(idCol), salt) < thr)
       .drop("__n", "__isq")

@@ -121,6 +121,26 @@ object Drift {
       .agg(sum(col("x")).as("s"))
     val counts = q.groupBy(col("label"), col("half"))
       .agg(count(lit(1)).as("n"))
+    // Fail LOUDLY at the documented ~4300-vector capacity instead of
+    // silently diverging: past it, 1000·dot² (and na2·nb2) overflow
+    // DECIMAL(38,0) — non-ANSI Spark NULLs the graded columns while
+    // the DuckDB HUGEINT oracle raises, so the failure mode would
+    // differ across engines and be invisible on the Spark side. The
+    // exact feasibility test is 1000·d²·(n·2¹⁴)⁴ < 10³⁸ (dot ≤
+    // d·(n·2¹⁴)², the binding form); one tiny count-agg action over
+    // the narrow (label, half, dim) projection buys the guarantee.
+    val capRow = q.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"), max(size(col("vq"))).as("d"))
+      .agg(max(col("n")), max(col("d"))).head()
+    if (!capRow.isNullAt(0)) {
+      val nmax = capRow.getLong(0)
+      val dmax = capRow.getInt(1).toDouble
+      require(1000.0 * dmax * dmax * math.pow(nmax * 16384.0, 4) < 1e38,
+        s"embeddingDrift capacity exceeded: $nmax vectors of dim ${capRow.getInt(1)} " +
+          "in one (label, half) — 1000*dot^2 would overflow DECIMAL(38,0) and " +
+          "silently NULL the graded columns; shard labels or lower the " +
+          "quantization scale")
+    }
     val byDim = sums.groupBy(col("label"), col("j"))
       .agg(sum(when(col("half") === 0L, col("s")).otherwise(0L)).as("sa"),
            sum(when(col("half") === 1L, col("s")).otherwise(0L)).as("sb"))
