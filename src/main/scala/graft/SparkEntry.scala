@@ -954,6 +954,23 @@ object SparkEntry {
     // rebuild the postings index into a fresh per-run path (timed) and
     // grade the PERSISTED artifact read back from disk — shingling,
     // xxhash64 bucket layout, and per-bucket postings populations
+    // the build half of the shared shingle/capped-common artifact,
+    // graded and TIMED on its own (the q172 precedent): rebuild the
+    // 3-shingle index and the df<=10 capped co-occurrence pair table
+    // from scratch — bypassing the session caches Bench pre-warms — and
+    // grade a bucketed summary of the artifact, so q116/q141/q142/q188/
+    // q189 time their own SCORING, not whichever of them runs first
+    "q194_capped_index_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = graft.dedup.Dedup.shingles(docs, 3).localCheckpoint()
+      graft.dedup.Dedup.cappedCommonPairs(sh, 10)
+        .groupBy(expr("doc_a div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_common")).as("sum_common"),
+          max(col("n_common")).as("max_common"),
+          countDistinct(col("doc_a")).as("n_docs_a"))
+        .orderBy(col("bucket"))
+    }),
     "q172_postings_build" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 250)
       val path = s"/tmp/graft_index/${s.sparkContext.applicationId}/build_${math.abs(d.hashCode)}"
@@ -972,6 +989,21 @@ object SparkEntry {
     * Build cost stays visible through q172_postings_build, which
     * rebuilds into a fresh path every invocation. Idempotent per
     * (session, corpus) — the same [[indexPath]] memo the queries use. */
+  /** Forces the session-scoped shingle/co-shingle/capped-common
+    * artifacts (the q46/q47/q116/q141/q142/q188/q189… inputs) so each
+    * consumer times its own SCORING instead of whichever query happens
+    * to run first in bench order paying the whole family's build (the
+    * round-7 q189/q102 attribution wart). Build cost stays visible and
+    * graded through q194_capped_index_build, which rebuilds from
+    * scratch — bypassing these caches — on every invocation. */
+  def prewarmSharedCaches(s: SparkSession, d: String): Unit = {
+    val docs = Tables.documents(s, d)
+    val sh = graft.dedup.Dedup.shinglesCached(d, docs, 3)
+    graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
+    graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10)
+    ()
+  }
+
   def prewarmIndexes(s: SparkSession, d: String): Unit = {
     val docs = Tables.documents(s, d)
     indexPath(s, d, "postings")(path =>
@@ -1086,6 +1118,7 @@ object SparkEntry {
     "q169_ppr" -> Seq("documents"),
     "q171_knn_graph" -> Seq("embeddings"),
     "q172_postings_build" -> Seq("documents"),
+    "q194_capped_index_build" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -4044,6 +4077,27 @@ object SparkEntry {
          |FROM cs
          |QUALIFY rn <= 5
          |ORDER BY vec_id, rn""".stripMargin,
+    // the capped pair artifact replayed from first principles: rare
+    // (df<=10) inverted index generates candidates, n_common then
+    // counts ALL shared shingles of each candidate pair (the q141
+    // chain), summarized per 50-doc bucket
+    "q194_capped_index_build" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(n_common) AS BIGINT) AS sum_common,
+        |  CAST(MAX(n_common) AS BIGINT) AS max_common,
+        |  CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a
+        |FROM common GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the persisted postings index replayed from first principles:
     // distinct 3-shingles of the indexed half, xxhash64 per shingle
     // (the q48/q162 CTE chain), bucket = unsigned hash mod 64
