@@ -122,6 +122,41 @@ object Graphs {
     labels.orderBy(col("id"))
   }
 
+  /** One synchronous min-label round of the SCC fixpoint: relax every
+    * edge (src adopts dst's label when smaller) then min-reduce per
+    * vertex. Package-private so PlanSpec can gate the per-round
+    * physical shape directly — an edge-keyed EQUI-join plus a
+    * partial+final hash aggregation, never anything pairwise — which
+    * the graded q188/q189 plans themselves can't show (lineage is
+    * truncated at each round's localCheckpoint). */
+  private[graft] def minLabelRound(e: DataFrame, lab: DataFrame): DataFrame =
+    e.join(lab.select(col("id").as("dst"), col("m")), "dst")
+      .select(col("src").as("id"), col("m"))
+      .unionByName(lab)
+      .groupBy(col("id")).agg(min(col("m")).as("m"))
+
+  /** One synchronous longest-path round over the contracted
+    * condensation DAG: level(v) = max(level(v), level(u)+1 over
+    * incoming edges). The [[minLabelRound]] shape with max in place of
+    * min — split out for the same PlanSpec gating reason. */
+  private[graft] def levelRound(ce: DataFrame, l: DataFrame): DataFrame =
+    ce.join(l.select(col("id").as("src"), col("lvl")), "src")
+      .select(col("dst").as("id"), (col("lvl") + 1L).as("lvl"))
+      .unionByName(l)
+      .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
+
+  /** Contract an edge list through an (id, scc_id) component map:
+    * intra-SCC edges drop, surviving endpoints relabel to their
+    * component, duplicates collapse (DISTINCT — the condensation DAG
+    * must stay edge-unique or the level DP re-relaxes per duplicate).
+    * Package-private for PlanSpec. */
+  private[graft] def contractEdges(edges: DataFrame, m: DataFrame): DataFrame =
+    edges
+      .join(m.select(col("id").as("src"), col("scc_id").as("s_a")), "src")
+      .join(m.select(col("id").as("dst"), col("scc_id").as("s_b")), "dst")
+      .filter(col("s_a") =!= col("s_b"))
+      .select(col("s_a").as("src"), col("s_b").as("dst")).distinct()
+
   /** Strongly connected components of a DIRECTED edge list `(src,
     * dst)` — forward–backward minimum-label peeling: each peel round
     * propagates the minimum vertex id to a fixpoint along out-edges
@@ -137,10 +172,11 @@ object Graphs {
     * Scale shape: the same iterated-join discipline as
     * [[ConnectedComponents]] — every step is an edge-cardinality
     * equi-join plus a min-aggregation keyed on vertex id, lineage
-    * truncated per step; nothing driver-side but O(1) convergence
-    * counts. Inner fixpoints run O(diameter) rounds. Output:
-    * (id, scc_id, scc_size) for every vertex incident to an edge,
-    * scc_id = min vertex id of the component. */
+    * truncated per step ([[minLabelRound]] is the round); nothing
+    * driver-side but O(1) convergence counts. Inner fixpoints run
+    * O(diameter) rounds. Output: (id, scc_id, scc_size) for every
+    * vertex incident to an edge, scc_id = min vertex id of the
+    * component. */
   def stronglyConnected(edges: DataFrame, maxPeels: Int = 32,
                         maxIters: Int = 64,
                         driverEdgeBound: Long = 2000000L): DataFrame = {
@@ -150,11 +186,7 @@ object Graphs {
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIters) {
-        val next = e.join(lab.select(col("id").as("dst"), col("m")), "dst")
-          .select(col("src").as("id"), col("m"))
-          .unionByName(lab)
-          .groupBy(col("id")).agg(min(col("m")).as("m"))
-          .localCheckpoint()
+        val next = minLabelRound(e, lab).localCheckpoint()
         changed = next.join(lab.select(col("id"), col("m").as("m_old")), "id")
           .filter(col("m") =!= col("m_old")).count()
         lab = next
@@ -316,12 +348,7 @@ object Graphs {
     val scc = sccPre.getOrElse(
       stronglyConnected(edges, driverEdgeBound = driverBound)).localCheckpoint()
     val m = scc.select(col("id"), col("scc_id"))
-    val ce = edges
-      .join(m.select(col("id").as("src"), col("scc_id").as("s_a")), "src")
-      .join(m.select(col("id").as("dst"), col("scc_id").as("s_b")), "dst")
-      .filter(col("s_a") =!= col("s_b"))
-      .select(col("s_a").as("src"), col("s_b").as("dst")).distinct()
-      .localCheckpoint()
+    val ce = contractEdges(edges, m).localCheckpoint()
     val spark = edges.sparkSession
     import spark.implicits._
     // condensation edges are ≤ |SCCs|² but in practice tiny next to the
@@ -366,11 +393,7 @@ object Graphs {
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIters) {
-        val next = ce.join(l.select(col("id").as("src"), col("lvl")), "src")
-          .select(col("dst").as("id"), (col("lvl") + 1L).as("lvl"))
-          .unionByName(l)
-          .groupBy(col("id")).agg(max(col("lvl")).as("lvl"))
-          .localCheckpoint()
+        val next = levelRound(ce, l).localCheckpoint()
         changed = next.join(l.select(col("id"), col("lvl").as("l_old")), "id")
           .filter(col("lvl") =!= col("l_old")).count()
         l = next

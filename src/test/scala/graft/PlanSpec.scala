@@ -359,6 +359,104 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("media codecs decode in mapPartitions straight off a pruned scan, no pre-shuffle") {
+    // q183 (image resize) and q184 (audio frames): the decode batch
+    // must sit DIRECTLY on the projected scan — MapPartitions above a
+    // doc_id-only FileScan, zero exchanges below it; the only Exchange
+    // in the whole plan is the final deterministic-order range
+    // partitioning. A shuffle before decode would move media bytes
+    // across the cluster for no reason.
+    Seq("q183_image_resize", "q184_audio_features").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("MapPartitions"), s"$q decode not a mapPartitions batch:\n$p")
+      assert(!p.contains("Join"), s"$q codec plan should not join:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$q should only exchange for the final sort, got $exchanges:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"$q scan must read doc_id only (media bytes synthesize per-partition):\n$p")
+    }
+  }
+
+  test("SCC/condensation per-round shape: edge-keyed equi-join + partial/final agg") {
+    // the graded q188/q189 plans truncate at each round's
+    // localCheckpoint, so gate the round transformations directly:
+    // every fixpoint step must be an equi-join on the edge endpoint
+    // plus a partial+final hash min/max aggregation — never a nested
+    // loop, never a cartesian.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.range(0, 2000).select(col("id").as("src"),
+        ((col("id") * 7 + 3) % 2000).as("dst")).localCheckpoint()
+    val lab = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("m")).localCheckpoint()
+    val pMin = graft.cluster.Graphs.minLabelRound(e, lab)
+      .queryExecution.executedPlan.toString
+    assert(!pMin.contains("CartesianProduct") && !pMin.contains("BroadcastNestedLoop"),
+      s"min-label round not an equi-join:\n$pMin")
+    assert("HashAggregate".r.findAllIn(pMin).length >= 2,
+      s"min reduction lost its map-side partial:\n$pMin")
+
+    val lvl = lab.select(col("id"), lit(0L).as("lvl")).localCheckpoint()
+    val pLvl = graft.cluster.Graphs.levelRound(e, lvl)
+      .queryExecution.executedPlan.toString
+    assert(!pLvl.contains("CartesianProduct") && !pLvl.contains("BroadcastNestedLoop"),
+      s"level round not an equi-join:\n$pLvl")
+    assert("HashAggregate".r.findAllIn(pLvl).length >= 2,
+      s"level reduction lost its map-side partial:\n$pLvl")
+
+    // contraction: both endpoint joins keyed, and the condensation
+    // edge set is DISTINCT (a duplicate contracted edge would re-relax
+    // the level DP once per copy)
+    val m = lab.select(col("id"), (col("id") % 10).as("scc_id")).localCheckpoint()
+    val pCe = graft.cluster.Graphs.contractEdges(e, m)
+      .queryExecution.executedPlan.toString
+    assert(!pCe.contains("CartesianProduct") && !pCe.contains("BroadcastNestedLoop"),
+      s"contraction joins not keyed:\n$pCe")
+    assert("HashAggregate".r.findAllIn(pCe).length >= 2,
+      s"contracted edges not deduplicated by a partial+final distinct:\n$pCe")
+  }
+
+  test("kmv daily overlap: adjacency pairing is a broadcast EQUI-join over sketches") {
+    // unlike q181/q186's (a < b) nested-loop pairing, q193's
+    // day-adjacency predicate grp_b = grp_a + 1 is an equi-join key —
+    // the pairing must plan as BroadcastHashJoin, and the per-day
+    // reduction stays the partial+final one-pass KMV aggregator
+    val p = planOf("q193_kmv_daily_overlap")
+    assert("kmvagg".r.findAllIn(p).length >= 2,
+      s"KMV reduction not partial+final:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"adjacent-day sketch pairing must broadcast-equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in daily-overlap plan:\n$p")
+  }
+
+  test("capped index build: checkpointed shingles, broadcast candidates, partial aggs") {
+    val p = planOf("q194_capped_index_build")
+    assert(p.contains("Scan ExistingRDD"),
+      s"shingle table must materialize once (localCheckpoint):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rare-index candidate join must broadcast the capped side:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"pair counting lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"capped build fell back to all-pairs:\n$p")
+  }
+
+  test("maintained sketch summaries read bounded state, join keyed, never cartesian") {
+    // q185/q192 execute a REAL checkpointed streaming query, then
+    // summarize the persisted state; gate the summary plans — the
+    // state scan must be a parquet read (bounded rows by the merge
+    // algebra), the exact-twin comparison an equi-join, and nothing
+    // pairwise anywhere.
+    Seq("q185_kmv_stream_state", "q192_quantile_stream_state").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q summary has a pairwise stage:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+        p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q exact twin lost its aggregation:\n$p")
+    }
+  }
+
   test("hll: one distinct + partial/final register agg before the arithmetic") {
     val p = planOf("q162_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
