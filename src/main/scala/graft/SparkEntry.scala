@@ -760,7 +760,8 @@ object SparkEntry {
     // sink's exactly-once merge loop end to end (the q179 trick for the
     // fifth sketch)
     "q185_kmv_stream_state" -> ((s, d) =>
-      graft.stream.CorpusStream.maintainedKmvSummary(Tables.documents(s, d), 4)),
+      graft.stream.CorpusStream.maintainedKmvSummary(
+        Tables.documents(s, d), 4, ThetaK)),
     // KMV/theta sketch per source over distinct 3-gram shingles: the
     // SET-ALGEBRA sketch next to HLL/CMS/Bloom/quantile — graded
     // estimate is one integral division of exact integers (q162 rule)
@@ -771,7 +772,7 @@ object SparkEntry {
         .groupBy(col("source").as("grp"))
         .agg(countDistinct(col("token")).as("n_exact"))
       graft.text.Theta.withEstimates(
-          graft.text.Theta.buildPerGroup(toks, col("source")))
+          graft.text.Theta.buildPerGroup(toks, col("source"), ThetaK), ThetaK)
         .join(exact, Seq("grp"))
         .select(col("grp").as("source"), col("n_exact"), col("n_sketch"),
           col("kth_f"), col("est_milli"))
@@ -791,7 +792,7 @@ object SparkEntry {
         .groupBy(col("grp_a"), col("grp_b"))
         .agg(count(lit(1)).as("n_exact_inter"))
       graft.text.Theta.intersections(
-          graft.text.Theta.buildPerGroup(toks, col("source")))
+          graft.text.Theta.buildPerGroup(toks, col("source"), ThetaK), ThetaK)
         .join(exact, Seq("grp_a", "grp_b"), "left")
         .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
           col("theta_f"), col("n_common"), col("inter_est_milli"),
@@ -821,7 +822,7 @@ object SparkEntry {
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
             .as("n_exact_union"))
       graft.text.Theta.setAlgebra(
-          graft.text.Theta.buildPerGroup(toks, col("source")))
+          graft.text.Theta.buildPerGroup(toks, col("source"), ThetaK), ThetaK)
         .join(exact, Seq("grp_a", "grp_b"))
         .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
           col("theta_f"), col("n_common"), col("n_only_a"), col("n_only_b"),
@@ -893,7 +894,8 @@ object SparkEntry {
           coalesce(col("n_inter"), lit(0L)).as("n_exact_inter"),
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
             .as("n_exact_union"))
-      graft.text.Theta.setAlgebra(graft.text.Theta.buildPerGroup(d0, col("day")))
+      graft.text.Theta.setAlgebra(
+          graft.text.Theta.buildPerGroup(d0, col("day"), ThetaK), ThetaK)
         .filter(col("grp_b") === col("grp_a") + 1L)
         .join(exact, Seq("grp_a", "grp_b"))
         .select(col("grp_a").as("day_a"), col("grp_b").as("day_b"),
@@ -1020,6 +1022,17 @@ object SparkEntry {
   /** (source, token) distinct-3-gram stream for the theta sketches
     * (q180/q181), served from the same per-session shingle artifact as
     * the other shingle consumers; source tags join back by doc_id. */
+  /** Sketch size for every graded theta/KMV query (q180/q181/q185/
+    * q186/q193), threaded through BOTH the engine calls and the oracle
+    * SQL below so one edit re-grades the family at another size (the
+    * PQ nlist discipline). 64 ~ 13% RSE is the demo size; ThetaScrubSpec
+    * proves the whole chain at non-default k, and SCALE.md records the
+    * K = 1024 (~3% RSE) production sizing. */
+  private val ThetaK = 64
+  /** 1000*(ThetaK-1)*2^64 — the graded estimator numerator. */
+  private val ThetaEstNum =
+    (BigInt(1000) * (ThetaK - 1) * (BigInt(1) << 64)).toString
+
   private def thetaShingleTokens(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     graft.dedup.Dedup.shinglesCached(d, docs, 3)
@@ -3466,13 +3479,13 @@ object SparkEntry {
          |rk AS (SELECT source, uu,
          |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
          |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
-         |    MAX(CASE WHEN rn = 64 THEN uu END) AS uk
-         |  FROM rk WHERE rn <= 64 GROUP BY source),
+         |    MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
+         |  FROM rk WHERE rn <= $ThetaK GROUP BY source),
          |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
          |SELECT p.source, e.n_exact, p.n_sketch,
          |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
          |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
-         |    ELSE CAST('1162144876643701751808000' AS HUGEINT) // p.uk
+         |    ELSE CAST('$ThetaEstNum' AS HUGEINT) // p.uk
          |  END AS BIGINT) AS est_milli
          |FROM per p JOIN ex e USING (source) ORDER BY p.source""".stripMargin,
     // the streamed KMV state replayed as a batch sketch over WORD
@@ -3493,15 +3506,15 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
          |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
          |    MIN(uu) AS u_min, MAX(uu) AS u_max,
-         |    MAX(CASE WHEN rn = 64 THEN uu END) AS uk
-         |  FROM rk WHERE rn <= 64 GROUP BY source),
+         |    MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
+         |  FROM rk WHERE rn <= $ThetaK GROUP BY source),
          |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
          |SELECT p.source, e.n_exact, p.n_sketch,
          |  CAST(p.u_min - 9223372036854775808 AS BIGINT) AS f_min,
          |  CAST(p.u_max - 9223372036854775808 AS BIGINT) AS f_max,
          |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
          |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
-         |    ELSE CAST('1162144876643701751808000' AS HUGEINT) // p.uk
+         |    ELSE CAST('$ThetaEstNum' AS HUGEINT) // p.uk
          |  END AS BIGINT) AS est_milli
          |FROM per p JOIN ex e USING (source) ORDER BY p.source""".stripMargin,
     // pairwise theta intersection over the same sketches: θ = smaller
@@ -3520,8 +3533,8 @@ object SparkEntry {
          |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
          |rk AS (SELECT source, uu,
          |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
-         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= 64),
-         |per AS (SELECT source, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= $ThetaK),
+         |per AS (SELECT source, MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
          |  FROM sk GROUP BY source),
          |th AS (SELECT pa.source AS source_a, pb.source AS source_b,
          |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk
@@ -3566,8 +3579,8 @@ object SparkEntry {
          |su AS (SELECT DISTINCT st.source, hu.uu FROM st JOIN hu USING (token)),
          |rk AS (SELECT source, uu,
          |    row_number() OVER (PARTITION BY source ORDER BY uu) AS rn FROM su),
-         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= 64),
-         |per AS (SELECT source, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |sk AS (SELECT source, uu, rn FROM rk WHERE rn <= $ThetaK),
+         |per AS (SELECT source, MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
          |  FROM sk GROUP BY source),
          |th AS (SELECT pa.source AS source_a, pb.source AS source_b,
          |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk
@@ -3829,8 +3842,8 @@ object SparkEntry {
          |su AS (SELECT DISTINCT st.day, hu.uu FROM st JOIN hu USING (token)),
          |rk AS (SELECT day, uu,
          |    row_number() OVER (PARTITION BY day ORDER BY uu) AS rn FROM su),
-         |sk AS (SELECT day, uu, rn FROM rk WHERE rn <= 64),
-         |per AS (SELECT day, MAX(CASE WHEN rn = 64 THEN uu END) AS uk
+         |sk AS (SELECT day, uu, rn FROM rk WHERE rn <= $ThetaK),
+         |per AS (SELECT day, MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
          |  FROM sk GROUP BY day),
          |th AS (SELECT pa.day AS grp_a, pb.day AS grp_b,
          |    CASE WHEN pa.uk IS NULL THEN pb.uk WHEN pb.uk IS NULL THEN pa.uk

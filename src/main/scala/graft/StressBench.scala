@@ -727,6 +727,42 @@ object StressBench {
         driverEdgeBound = 0L).count(),
       graft.cluster.Graphs.stronglyConnected(sccGraph(50000L * factor),
         driverEdgeBound = 0L).count())
+    // SCC depth scaling: the `scc` unit pins condensation depth
+    // constant; this one GROWS it as log(factor) — each unit is a
+    // chain of `depth` 3-cycles (cycle c bridges one-way into cycle
+    // c+1), so condensation depth = depth and the peel loop must run
+    // depth+1 rounds, each peel's fixpoint O(remaining chain
+    // diameter). Unit count is scaled so total nodes stay ~factor×
+    // the 1× graph; any slope excess over `scc` is then the measured
+    // price of depth itself — bounded logarithmically here, the
+    // worst honest regime for a containment condensation (graded
+    // corpora are near-flat; SCALE.md records the law).
+    def sccChainGraph(units: Long, depth: Int): DataFrame = {
+      val span = 3L * depth
+      val base = spark.range(units).select((col("id") * span).as("b"))
+      val cyc = base.select(col("b"),
+          explode(sequence(lit(0L), lit(depth - 1L))).as("c"))
+        .select((col("b") + col("c") * 3L).as("n"))
+      val cycleEdges = cyc.select(explode(array(
+          struct(col("n").as("src"), (col("n") + 1L).as("dst")),
+          struct((col("n") + 1L).as("src"), (col("n") + 2L).as("dst")),
+          struct((col("n") + 2L).as("src"), col("n").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val bridges = base.select(col("b"),
+          explode(sequence(lit(0L), lit(depth - 2L))).as("c"))
+        .select((col("b") + col("c") * 3L + 2L).as("src"),
+          (col("b") + col("c") * 3L + 3L).as("dst"))
+      cycleEdges.unionByName(bridges)
+    }
+    val deepD1 = 2
+    val deepDN = deepD1 + (31 - Integer.numberOfLeadingZeros(math.max(factor, 1)))
+    val deepU1 = 10000L
+    val deepUN = deepU1 * factor * deepD1 / deepDN
+    run("scc_deep",
+      graft.cluster.Graphs.stronglyConnected(sccChainGraph(deepU1, deepD1),
+        driverEdgeBound = 0L).count(),
+      graft.cluster.Graphs.stronglyConnected(sccChainGraph(deepUN, deepDN),
+        driverEdgeBound = 0L).count())
     // embedding drift: synthetic labeled vectors (the fixture table is
     // constant-size across SFs) — rows scale, the (label, half, dim)
     // agg state stays ≤ |labels|·2·64 rows; the linear term is the

@@ -223,20 +223,20 @@ object CorpusStream {
     * sketch of everything ingested so far (streamed == batch tested).
     * State is flattened to (grp, f) rows — ≤ K·|sources| forever.
     * Same exactly-once skeleton. */
-  def kmvMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+  def kmvMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String,
+                         k: Int = graft.text.Theta.K)
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintainState(docs, statePath, checkpoint, "kmvMaintenanceSink") {
       (batch, prior) =>
         val toks = batch.select(col("source"),
           explode(split(col("text"), " ")).as("token"))
-        val delta = graft.text.Theta.buildPerGroup(toks, col("source"))
+        val delta = graft.text.Theta.buildPerGroup(toks, col("source"), k)
           .select(col("grp"), explode(col("kmv")).as("f"))
         val merged = prior match {
           case Some(p) => p.unionByName(delta).distinct()
           case None => delta.distinct()
         }
-        graft.plans.TopK.topKPerKey(merged, Seq("grp"), Seq(("f", true)),
-            graft.text.Theta.K)
+        graft.plans.TopK.topKPerKey(merged, Seq("grp"), Seq(("f", true)), k)
           .select(col("grp"), col("f"))
     }
 
@@ -250,14 +250,15 @@ object CorpusStream {
     * state equals the batch sketch of the whole corpus, so a DuckDB
     * oracle replaying the batch KMV chain grades the sink end to
     * end. */
-  def maintainedKmvSummary(documents: DataFrame, nBatches: Int): DataFrame = {
+  def maintainedKmvSummary(documents: DataFrame, nBatches: Int,
+                           k: Int = graft.text.Theta.K): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv_graded").toString
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
-    val sink = kmvMaintenanceSink(mem.toDF().toDF("source", "text"), state, ckpt)
+    val sink = kmvMaintenanceSink(mem.toDF().toDF("source", "text"), state, ckpt, k)
     try {
       val rows = documents.select(col("doc_id"), col("source"), col("text"))
         .collect().sortBy(_.getLong(0))
@@ -282,7 +283,7 @@ object CorpusStream {
     // exhaustive (word-token groups sit below K, where kth_f is NULL by
     // contract): any dropped/duplicated/corrupted hash in the state
     // moves an extremum
-    graft.text.Theta.withEstimates(sketches)
+    graft.text.Theta.withEstimates(sketches, k)
       .join(exact, Seq("grp"))
       .select(col("grp").as("source"), col("n_exact"), col("n_sketch"),
         element_at(col("kmv"), 1).as("f_min"),

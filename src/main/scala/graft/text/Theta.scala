@@ -47,8 +47,12 @@ object Theta {
 
   /** 2⁶³ as decimal — the flip offset back to unsigned. */
   private val Flip = "9223372036854775808"
-  /** 1000·(K−1)·2⁶⁴ = 63000·18446744073709551616 exactly. */
-  private val EstNum = "1162144876643701751808000"
+  /** 1000·(k−1)·2⁶⁴ exactly, as the decimal literal the graded
+    * integral division consumes — computed from the SKETCH'S OWN k
+    * (a K=64 constant here would silently mis-scale every non-default
+    * sketch's estimate by (k−1)/63). */
+  private def estNum(k: Int): String =
+    (BigInt(1000) * (k - 1) * (BigInt(1) << 64)).toString
 
   private def domain(c: Column): Column = length(c) > 0 && length(c) < 32
 
@@ -127,7 +131,7 @@ object Theta {
         when(col("n_sketch") === k, element_at(col("kmv"), k)))
       .withColumn("est_milli",
         when(col("kth_f").isNull, col("n_sketch") * 1000L)
-          .otherwise(expr(s"CAST(CAST('$EstNum' AS DECIMAL(38,0)) div " +
+          .otherwise(expr(s"CAST(CAST('${estNum(k)}' AS DECIMAL(38,0)) div " +
             s"(CAST(kth_f AS DECIMAL(38,0)) + CAST('$Flip' AS DECIMAL(38,0))) AS BIGINT)")))
 
   /** Pairwise theta intersection over the sketch table itself (a < b

@@ -141,6 +141,27 @@ class GraphOpsSpec extends AnyFunSuite {
       20L -> (20L, 2L), 21L -> (20L, 2L)))
   }
 
+  test("SCC: peel count is bounded by condensation depth + 1 (chain of cycles)") {
+    // the StressBench scc_deep law, certified exactly: a chain of
+    // `depth` 3-cycles has condensation depth `depth`; maxPeels =
+    // depth + 1 must SUFFICE (stronglyConnected throws past the
+    // bound), and each cycle settles as its own 3-member SCC
+    val depth = 6
+    val g = (0 until depth).flatMap { c =>
+      val b = 3L * c
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b)) ++
+        (if (c < depth - 1) Seq((b + 2L) -> (b + 3L)) else Nil)
+    }
+    val out = Graphs.stronglyConnected(edgesDF(g),
+      maxPeels = depth + 1, driverEdgeBound = 0L).collect()
+    assert(out.length == 3 * depth)
+    assert(out.forall(_.getLong(2) == 3L), "every chain cycle is a 3-member SCC")
+    val lvl = Graphs.condensationLevels(edgesDF(g), driverBound = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lvl == (0 until depth).map(c => 3L * c -> c.toLong).toMap,
+      "condensation level = chain position")
+  }
+
   test("SCC: one-way containment cascade never merges; back edge fuses it") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     assert(scc(chain).values.map(_._1).toSet == Set(1L, 2L, 3L, 4L))

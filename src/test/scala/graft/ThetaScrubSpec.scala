@@ -113,6 +113,49 @@ class ThetaScrubSpec extends AnyFunSuite {
     assert(row.getAs[Long]("jaccard_milli") == 30000L / 45L) // 666
   }
 
+  test("theta chain at non-default k: estimate and set algebra equal the brute reference") {
+    // the full graded chain (build → estimate → set algebra) run at
+    // k = 16 against a from-scratch Scala reference — proves the
+    // sketch size is genuinely parameterized: the estimator numerator
+    // is 1000·(k−1)·2⁶⁴ computed from the sketch's OWN k (a K=64
+    // constant here would mis-scale by 15/63), the k-th-minimum
+    // column, the θ cut, and every scaled count follow k
+    import spark.implicits._
+    val k = 16
+    val a = (0 until 60).map(i => ("a", s"sh$i")) ++
+      (0 until 140).map(i => ("a", s"oa$i"))
+    val b = (0 until 60).map(i => ("b", s"sh$i")) ++
+      (0 until 90).map(i => ("b", s"ob$i"))
+    val sk = Theta.buildPerGroup((a ++ b).toDF("source", "token"), col("source"), k)
+    val bA = refKmv(a.map(_._2), k)
+    val bB = refKmv(b.map(_._2), k)
+    def unsignedOf(f: Long) = BigInt(f) + (BigInt(1) << 63)
+    def estMilli(kth: Long): Long =
+      ((BigInt(1000) * (k - 1) * (BigInt(1) << 64)) / unsignedOf(kth)).toLong
+    val est = Theta.withEstimates(sk, k).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(est("a").getAs[Long]("kth_f") == bA.last)
+    assert(est("a").getAs[Long]("est_milli") == estMilli(bA.last))
+    assert(est("b").getAs[Long]("est_milli") == estMilli(bB.last))
+
+    val row = Theta.setAlgebra(sk, k).head()
+    val theta = math.min(bA.last, bB.last)
+    assert(row.getAs[Long]("theta_f") == theta)
+    val belowA = bA.filter(_ < theta).toSet
+    val belowB = bB.filter(_ < theta).toSet
+    val nc = (belowA & belowB).size.toLong
+    val nu = (belowA ++ belowB).size.toLong
+    assert(row.getAs[Long]("n_common") == nc)
+    assert(row.getAs[Long]("n_only_a") == (belowA -- belowB).size.toLong)
+    assert(row.getAs[Long]("n_only_b") == (belowB -- belowA).size.toLong)
+    def scaled(n: Long): Long =
+      ((BigInt(n) * 1000 * (BigInt(1) << 64)) / unsignedOf(theta)).toLong
+    assert(row.getAs[Long]("union_est_milli") == scaled(nu))
+    assert(row.getAs[Long]("diff_a_est_milli") ==
+      scaled((belowA -- belowB).size.toLong))
+    assert(row.getAs[Long]("jaccard_milli") == nc * 1000 / nu)
+  }
+
   test("theta set algebra agrees with intersections under sampling (small k)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
