@@ -60,7 +60,25 @@ object Bench {
       args.headOption.map(_.split(",").toSeq)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration order: the session caches (shingle/capped, SCC,
+    // postings) make per-query attribution order-sensitive — whoever
+    // runs first pays any build the warm-up missed. The canonical
+    // order is the queries map's (stable for a fixed key set).
+    // SPARK_GRAFT_BENCH_SHUFFLE=<seed> runs the SAME surface in a
+    // seeded deterministic permutation instead; a total within noise
+    // of the canonical order's proves remaining attribution artifacts
+    // don't leak into the headline number (SCALE.md records the pair),
+    // and any future per-query regression can be re-checked under a
+    // different order before being believed.
+    val ordered: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
+        case Some(seed) =>
+          new scala.util.Random(seed.toLong)
+            .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+        case None => SparkEntry.queries.toSeq
+      }
+    ordered.foreach { case (name, fn) =>
       if (only.forall(_.exists(name.startsWith))) {
       val t0 = System.nanoTime()
       try {

@@ -141,7 +141,22 @@ object PlanDump {
     "q191_vocab_encode" -> ("the id rank is a window over the REDUCED vocab table " +
       "(post-minCount), never the corpus; the encode join brings the small vocab " +
       "to the token stream as a BroadcastHashJoin, and the per-doc reassembly is " +
-      "the shared collect_list + array_sort tail")
+      "the shared collect_list + array_sort tail"),
+    "q183_image_resize" -> ("decode→resize→histogram is one mapPartitions batch " +
+      "directly above a doc_id-only scan (media bytes synthesize per-partition, " +
+      "never shuffle); the single Exchange in the plan is the final presentation " +
+      "sort — the q173/q184 codec shape, gated in PlanSpec"),
+    "q193_kmv_daily_overlap" -> ("the temporal theta algebra: per-day KMV build is " +
+      "the partial+final one-pass aggregator, and the day-adjacency pairing " +
+      "grp_b = grp_a + 1 is an EQUI key — a BroadcastHashJoin over the " +
+      "one-row-per-day sketch table (tighter than q181/q186's nested-loop '<' " +
+      "pairing); set algebra is codegen'd array HOFs per adjacent pair"),
+    "q194_capped_index_build" -> ("the graded from-scratch build of the shared " +
+      "shingle/capped-common artifact: shingles materialize once (Scan " +
+      "ExistingRDD), the rare (df<=maxDf) inverted index generates candidates " +
+      "through a broadcast equi-join on the shingle key, pair counts are " +
+      "partial+final hash aggs — Bench pre-warms the session caches so every " +
+      "consumer times scoring, and THIS query alone times the build")
   )
 
   def main(args: Array[String]): Unit = {

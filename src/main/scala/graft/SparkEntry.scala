@@ -3565,7 +3565,8 @@ object SparkEntry {
     // the full theta set algebra: the sampled region below θ is cut
     // once per pair, then common/only-a/only-b counts scale back by
     // 2⁶⁴/θ (Jaccard is the unscaled count ratio); exact union joins
-    // per-source distinct counts with inclusion–exclusion
+    // per-source TOKEN-level distinct counts (st, same granularity as
+    // the Spark side — not hash-distinct su) with inclusion–exclusion
     "q186_theta_difference" ->
       s"""WITH tw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
          |st0 AS (SELECT DISTINCT source, array_to_string(w[i+1:i+3], ' ') AS token
