@@ -151,6 +151,11 @@ object PlanDump {
       "grp_b = grp_a + 1 is an EQUI key — a BroadcastHashJoin over the " +
       "one-row-per-day sketch table (tighter than q181/q186's nested-loop '<' " +
       "pairing); set algebra is codegen'd array HOFs per adjacent pair"),
+    "q195_tfidf_build" -> ("the graded from-scratch build of the tf-idf family's " +
+      "shared artifacts (q100/q102's serve inputs): weighted postings materialize " +
+      "once, the df-capped self-join meets on the shingle key, exact-long dots are " +
+      "partial+final hash aggs; Bench pre-warms the session caches so the consumers " +
+      "time serving and THIS query alone times the build"),
     "q194_capped_index_build" -> ("the graded from-scratch build of the shared " +
       "shingle/capped-common artifact: shingles materialize once (Scan " +
       "ExistingRDD), the rare (df<=maxDf) inverted index generates candidates " +

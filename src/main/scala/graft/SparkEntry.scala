@@ -962,6 +962,17 @@ object SparkEntry {
     // from scratch — bypassing the session caches Bench pre-warms — and
     // grade a bucketed summary of the artifact, so q116/q141/q142/q188/
     // q189 time their own SCORING, not whichever of them runs first
+    // the build half of the tf-idf index (weighted postings + the
+    // k-independent dot-pair table q100/q102 serve from) — rebuilt
+    // from scratch past the session caches Bench pre-warms, graded as
+    // a bucketed pair summary (the q194 discipline for the sparse
+    // family; the checksum is mod-1e9 for BIGINT portability)
+    "q195_tfidf_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sim.SparseSim.buildSummary(
+        graft.dedup.Dedup.shingles(docs, 3).localCheckpoint(),
+        graft.ops.Scalar.count(docs))
+    }),
     "q194_capped_index_build" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = graft.dedup.Dedup.shingles(docs, 3).localCheckpoint()
@@ -1003,6 +1014,10 @@ object SparkEntry {
     val sh = graft.dedup.Dedup.shinglesCached(d, docs, 3)
     graft.dedup.Dedup.coShinglePairsCached(d, sh, 3)
     graft.dedup.Dedup.cappedCommonCached(d, sh, 3, 10)
+    // the tf-idf posts/dots artifacts (k-independent — warming at k=3
+    // serves every consumer); the build is graded by q195_tfidf_build
+    graft.sim.SparseSim.shingleTfidfTopKCached(
+      d, sh, graft.ops.Scalar.count(docs), 3)
     ()
   }
 
@@ -1132,6 +1147,7 @@ object SparkEntry {
     "q171_knn_graph" -> Seq("embeddings"),
     "q172_postings_build" -> Seq("documents"),
     "q194_capped_index_build" -> Seq("documents"),
+    "q195_tfidf_build" -> Seq("documents"),
     "q50_knn_brute" -> Seq("embeddings"),
     "q69_knn_ivf" -> Seq("embeddings"),
     "q88_stratified_sample" -> Seq("documents"),
@@ -4091,6 +4107,29 @@ object SparkEntry {
          |FROM cs
          |QUALIFY rn <= 5
          |ORDER BY vec_id, rn""".stripMargin,
+    // the tf-idf dot-pair artifact replayed from first principles (the
+    // q100 chain's prefix): micro-unit idf weights, df-capped postings
+    // self-join, exact-long dots — summarized per 50-doc bucket with a
+    // mod-1e9 checksum (BIGINT-portable; dots are positive on both
+    // engines so % agrees)
+    "q195_tfidf_build" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+        |nn AS (SELECT COUNT(*) AS nd FROM documents),
+        |dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        |posts AS (SELECT doc_id, s.shingle, df,
+        |    CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1e6, 0) AS BIGINT) AS w
+        |  FROM sh s JOIN dfx USING (shingle) CROSS JOIN nn),
+        |j AS (SELECT * FROM posts WHERE df >= 2 AND df <= 1000),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        |  FROM j a JOIN j b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(dot) AS BIGINT) AS max_dot, CAST(MIN(dot) AS BIGINT) AS min_dot,
+        |  CAST(SUM(dot % 1000000000) AS BIGINT) AS chk
+        |FROM dots GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the capped pair artifact replayed from first principles: rare
     // (df<=10) inverted index generates candidates, n_common then
     // counts ALL shared shingles of each candidate pair (the q141

@@ -119,6 +119,29 @@ object SparseSim {
     topKFromDots(dots, norms, k)
   }
 
+  /** Graded from-scratch rebuild of the tf-idf artifacts (weighted
+    * postings + the k-independent dot-pair table) summarized per
+    * 50-doc bucket — the q172/q194 build-grading discipline for THIS
+    * family: Bench pre-warms [[shingleTfidfTopKCached]]'s session
+    * caches so q100/q102 time serving, and the build cost stays
+    * visible and attributed through the query wrapping this method.
+    * The checksum sums dot % 1e9 rather than dot itself: exact-long
+    * dot sums over a whole bucket could exceed BIGINT at corpus scale
+    * and Spark's non-ANSI sum wraps silently while DuckDB's HUGEINT
+    * doesn't — the mod keeps every term < 1e9 (dots are positive, so
+    * both engines agree on %) and the sum far inside the portable
+    * range while still moving if ANY pair's dot changes. */
+  def buildSummary(sh: DataFrame, nDocs: Long, maxDf: Long = 1000L): DataFrame = {
+    val (posts, _) = weightedFrom(sh, nDocs)
+    dotPairs(posts, nDocs, maxDf, headroomOverride = 0L)
+      .groupBy(expr("a_id div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("dot")).as("max_dot"),
+        min(col("dot")).as("min_dot"),
+        sum(col("dot") % 1000000000L).as("chk"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact micro-unit dot products for every co-shingled (a < b) pair
     * with the per-pair overflow-headroom guard. */
   private def dotPairs(posts: DataFrame, nDocs: Long, maxDf: Long,

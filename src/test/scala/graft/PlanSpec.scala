@@ -433,6 +433,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in daily-overlap plan:\n$p")
   }
 
+  test("tfidf build: checkpointed postings self-join on the shingle key, partial aggs") {
+    val p = planOf("q195_tfidf_build")
+    assert(p.contains("Scan ExistingRDD"),
+      s"weighted postings must materialize once (localCheckpoint):\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"dot aggregation lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dot-pair generation fell back to all-pairs:\n$p")
+  }
+
   test("capped index build: checkpointed shingles, broadcast candidates, partial aggs") {
     val p = planOf("q194_capped_index_build")
     assert(p.contains("Scan ExistingRDD"),
