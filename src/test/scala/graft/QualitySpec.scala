@@ -293,6 +293,25 @@ class QualitySpec extends AnyFunSuite {
     assert(out.isEmpty, "constant baseline has undefined z and must emit nothing")
   }
 
+  test("embedding drift: capacity guard fails loudly past the DECIMAL(38,0) bound") {
+    // 1000·d²·(n·2¹⁴)⁴ < 10³⁸ caps a 64-dim (label, half) at ~4286
+    // vectors; past it the squared forms would overflow and non-ANSI
+    // Spark would silently NULL the graded columns while the HUGEINT
+    // oracle raises — the guard must throw instead, and just-below
+    // the bound must still grade non-null
+    def emb(n: Long) = spark.range(n).select(
+      (col("id") * 2).as("vec_id"), // even ids → all in half 0
+      expr("transform(sequence(1, 64), j -> CAST(1.0 AS FLOAT))").as("embedding"),
+      lit(1).as("label"))
+    val e = intercept[IllegalArgumentException] {
+      graft.quality.Drift.embeddingDrift(emb(4300L))
+    }
+    assert(e.getMessage.contains("capacity exceeded"))
+    val ok = graft.quality.Drift.embeddingDrift(emb(4000L)).collect()
+    assert(ok.length == 1 && !ok.head.isNullAt(ok.head.fieldIndex("na2_hi")),
+      "below the bound the bilinear forms must grade non-null")
+  }
+
   test("embedding drift: collinear halves read 1000, orthogonal 0, opposed -1000") {
     val emb = Seq(
       // label 1: identical directions across halves → cos² = 1 exactly
