@@ -74,6 +74,9 @@ object Sampling {
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String, salt: String,
                     weights: Map[String, Double], default: Double = 0.0): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0), "weights must be in [0,1]")
+    // the fallback is a weight too: past 1.0 its 8-hex render would
+    // silently truncate (the temperatureSample lpad hazard)
+    require(default >= 0.0 && default <= 1.0, "default weight must be in [0,1]")
     val w = coalesce(
       element_at(typedlit(weights), col(groupCol)), lit(default))
     // per-row hex threshold, same scaling as thresholdHex
