@@ -3497,7 +3497,7 @@ object SparkEntry {
          |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
          |    MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
          |  FROM rk WHERE rn <= $ThetaK GROUP BY source),
-         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM st GROUP BY source)
          |SELECT p.source, e.n_exact, p.n_sketch,
          |  CAST(p.uk - 9223372036854775808 AS BIGINT) AS kth_f,
          |  CAST(CASE WHEN p.uk IS NULL THEN p.n_sketch * 1000
@@ -3524,7 +3524,7 @@ object SparkEntry {
          |    MIN(uu) AS u_min, MAX(uu) AS u_max,
          |    MAX(CASE WHEN rn = $ThetaK THEN uu END) AS uk
          |  FROM rk WHERE rn <= $ThetaK GROUP BY source),
-         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM su GROUP BY source)
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM st GROUP BY source)
          |SELECT p.source, e.n_exact, p.n_sketch,
          |  CAST(p.u_min - 9223372036854775808 AS BIGINT) AS f_min,
          |  CAST(p.u_max - 9223372036854775808 AS BIGINT) AS f_max,
