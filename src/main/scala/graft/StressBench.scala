@@ -101,6 +101,19 @@ object StressBench {
     run("jaccard_capped",
       graft.dedup.Dedup.ngramJaccardCapped(docs1, 3, 0.2, 100).count(),
       graft.dedup.Dedup.ngramJaccardCapped(docsN, 3, 0.2, 100).count())
+    // the graded BUILD queries (q194/q195) measured alone — the cost
+    // carriers after round 8 moved every shared-cache build out of its
+    // consumers, so their own slopes certify the attribution story at
+    // scale. Same decorrelated replicas and the jaccard_capped df cap
+    // regime (decorrelation tokens inflate df on unigram-keyed grams).
+    def cappedBuild(docs: DataFrame): Long = graft.dedup.Dedup
+      .cappedCommonPairs(graft.dedup.Dedup.shingles(docs, 3).localCheckpoint(), 100)
+      .count()
+    run("capped_build", cappedBuild(docs1), cappedBuild(docsN))
+    def tfidfBuild(docs: DataFrame): Long = graft.sim.SparseSim
+      .buildSummary(graft.dedup.Dedup.shingles(docs, 3).localCheckpoint(),
+        graft.ops.Scalar.count(docs), maxDf = 50).count()
+    run("tfidf_build", tfidfBuild(docs1), tfidfBuild(docsN))
     run("containment",
       graft.dedup.Dedup.ngramContainment(docs1, 3, 0.5).count(),
       graft.dedup.Dedup.ngramContainment(docsN, 3, 0.5).count())
