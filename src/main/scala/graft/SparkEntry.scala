@@ -267,6 +267,18 @@ object SparkEntry {
         Tables.documents(s, d), "lang", "doc_id", "temp")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+    // log-width histogram quantiles — the UNBOUNDED-domain member of
+    // the quantile family: bucket = bit length, 64 buckets cover every
+    // long, est_hi = 2^b - 1 is within 2x of the exact order statistic
+    // by construction (relative-error bound, no clamp, no domain
+    // sizing); cents via floor(price*100) — identical IEEE double ops
+    // on identical parquet bits, so both engines floor the same value
+    "q196_log_quantiles" -> ((s, d) =>
+      graft.quality.QuantileSketch.logQuantiles(
+        Tables.orders(s, d), col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        qMillis = Seq(250, 500, 900, 990))
+        .withColumnRenamed("grp", "o_orderpriority")),
     // histogram quantile sketch (merge = counter add): integer-exact
     // bucket-bound estimates next to the exact order statistic — the
     // est/exact contract of the HLL queries, for quantiles. buckets=32
@@ -2375,6 +2387,39 @@ object SparkEntry {
         |   OR substring(md5(concat(CAST(d.doc_id AS VARCHAR), '|temp')), 1, 8)
         |      < lpad(lower(to_hex(t.thr)), 8, '0')
         |ORDER BY d.doc_id""".stripMargin,
+    // the log histogram replayed: bit length as the HLL
+    // sum-of-comparisons chain (no string rendering), identical rank
+    // arithmetic, est_hi by exact integer shift
+    "q196_log_quantiles" -> {
+      val bitlen = (0 until 63)
+        .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT o_orderpriority AS grp,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |hist AS (SELECT grp, CAST($bitlen AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         |ns AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+         |qs AS (SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS r
+         |  FROM ns, (SELECT unnest([250, 500, 900, 990]) AS q_milli) q),
+         |cumh AS (SELECT grp, bucket, CAST(SUM(cnt) OVER (
+         |    PARTITION BY grp ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+         |est AS (SELECT q.grp, q.q_milli, q.n, MIN(c.bucket) AS bkt
+         |  FROM qs q JOIN cumh c ON c.grp = q.grp AND c.cum >= q.r
+         |  GROUP BY 1, 2, 3),
+         |byv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         |cumv AS (SELECT grp, v, CAST(SUM(cnt) OVER (
+         |    PARTITION BY grp ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+         |ex AS (SELECT q.grp, q.q_milli, MIN(c.v) AS exact_v
+         |  FROM qs q JOIN cumv c ON c.grp = q.grp AND c.cum >= q.r
+         |  GROUP BY 1, 2)
+         |SELECT e.grp AS o_orderpriority, CAST(e.q_milli AS BIGINT) AS q_milli,
+         |  CAST((CAST(1 AS BIGINT) << CAST(e.bkt AS INT)) - 1 AS BIGINT) AS est_hi,
+         |  x.exact_v, e.n
+         |FROM est e JOIN ex x ON x.grp = e.grp AND x.q_milli = e.q_milli
+         |ORDER BY o_orderpriority, q_milli""".stripMargin
+    },
     // bucket histogram + integer rank targets r = ceil(q·n); est = first
     // bucket's upper bound at cum ≥ r, exact = first value at cum ≥ r —
     // pure integer window cumsums, no interpolation anywhere; the

@@ -85,6 +85,60 @@ object QuantileSketch {
           .otherwise((col("bkt") + 1L) * lit(width) - 1L))
   }
 
+  /** Log-width histogram: bucket = bit length of v (0 for v = 0), so
+    * 64 buckets cover EVERY nonnegative long — the unbounded-domain
+    * complement of [[build]]'s equi-width form, with a RELATIVE error
+    * bound instead of an absolute one: the bucket upper bound
+    * 2^b − 1 < 2·v for any v ≥ 1, so est_hi/exact < 2 always, no
+    * clamp bucket, no domain sizing. Same counter-addition merge
+    * ([[merge]] works verbatim), same ≤64-row-per-group exchange
+    * shape. Bit length is the HLL sum-of-comparisons form — one
+    * comparison per power of two, exactly replayable in oracle SQL
+    * with no string rendering. */
+  def buildLog(df: DataFrame, grp: Column, value: Column): DataFrame =
+    df.select(grp.as("grp"), value.cast("long").as("v"))
+      .select(col("grp"),
+        (0 until 63).map(k => when(col("v") >= lit(1L << k), 1L).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantile estimates from the log sketch beside the exact
+    * order statistic: (grp, q_milli, est_hi, exact_v, n), all BIGINT;
+    * est_hi = 2^bucket − 1, the largest value of that bit length —
+    * within 2× of the true order statistic by construction. Values
+    * must be nonnegative (same contract as [[quantiles]]). */
+  def logQuantiles(df: DataFrame, grpCol: Column, value: Column,
+                   qMillis: Seq[Int]): DataFrame = {
+    val base = df.select(grpCol.as("grp"), value.cast("long").as("v"))
+      .localCheckpoint() // histogram + exact twin + counts re-consume
+    val hist = buildLog(base, col("grp"), col("v"))
+    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    logEstimatesFrom(hist, ns, qMillis)
+      .join(exactTwin(base, qMillis), Seq("grp", "q_milli"))
+      .select(col("grp"), col("q_milli"), col("est_hi"), col("exact_v"), col("n"))
+      .orderBy(col("grp"), col("q_milli"))
+  }
+
+  /** Rank selection over a prebuilt log histogram (merged across
+    * shards/days or maintained under a stream) — the
+    * [[estimatesFrom]] split for the log form. est_hi = 2^bkt − 1 by
+    * exact integer shift on both engines. */
+  def logEstimatesFrom(hist: DataFrame, ns: DataFrame,
+                       qMillis: Seq[Int]): DataFrame = {
+    val qs = ns.select(col("grp"), col("n"),
+        explode(typedlit(qMillis.map(_.toLong))).as("q_milli"))
+      .withColumn("r", expr("(q_milli * n + 999) div 1000"))
+    val wB = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumHist = hist.withColumn("cum", sum(col("cnt")).over(wB))
+    qs.join(cumHist, Seq("grp"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("grp"), col("q_milli"), col("n"))
+      .agg(min(col("bucket")).as("bkt"))
+      .withColumn("est_hi",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bkt AS INT)) - 1"))
+  }
+
   /** The exact type-1 order statistic per (grp, q_milli) from the raw
     * (grp, v) rows — the graded truth the sketch estimate sits beside. */
   def exactTwin(base: DataFrame, qMillis: Seq[Int]): DataFrame = {

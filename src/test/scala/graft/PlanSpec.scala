@@ -89,9 +89,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quantile sketch: bucket histogram is a partial+final hash agg") {
-    val p = planOf("q176_quantile_sketch")
-    assert(p.contains("HashAggregate"))
-    assert(!p.contains("CartesianProduct"))
+    Seq("q176_quantile_sketch", "q196_log_quantiles").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q lost its hash agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+    }
   }
 
   test("no query plan contains a cartesian product") {

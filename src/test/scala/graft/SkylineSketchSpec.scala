@@ -222,6 +222,38 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(q(500L)._2 == 100L && q(500L)._1 >= 100L && q(500L)._1 - 100L < 16L)
   }
 
+  test("QuantileSketch log form: 2x relative bracket on any domain; merge law holds") {
+    import spark.implicits._
+    import graft.quality.QuantileSketch
+    val rnd = new scala.util.Random(17)
+    // values spanning 8 orders of magnitude — the regime the equi-width
+    // form cannot size buckets for without clamping
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 3}", math.abs(rnd.nextLong()) % (1L << (1 + rnd.nextInt(40)))) }
+      .toDF("grp", "v")
+    val q = QuantileSketch.logQuantiles(rows, col("grp"), col("v"),
+      Seq(100, 500, 900, 1000)).collect()
+    assert(q.length == 12)
+    q.foreach { r =>
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"est below exact: $r")
+      assert(est < 2 * math.max(exact, 1L),
+        s"relative error bound 2x violated: $r")
+    }
+    // mergeability: [[merge]] works verbatim on the log histogram
+    val (h1, h2) = (rows.filter(col("v") % 2 === 0), rows.filter(col("v") % 2 === 1))
+    def hMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = hMap(QuantileSketch.merge(
+      QuantileSketch.buildLog(h1, col("grp"), col("v")),
+      QuantileSketch.buildLog(h2, col("grp"), col("v"))))
+    assert(merged == hMap(QuantileSketch.buildLog(rows, col("grp"), col("v"))))
+    // v = 0 lands in bucket 0 with est_hi = 0 (exact)
+    val z = QuantileSketch.logQuantiles(Seq(("z", 0L)).toDF("grp", "v"),
+      col("grp"), col("v"), Seq(1000)).head()
+    assert(z.getLong(2) == 0L && z.getLong(3) == 0L)
+  }
+
   test("Bloom: no false negatives, merge equals union sketch, probe matches referee bits") {
     import spark.implicits._
     val toks = (0 until 200).map(i => (s"s${i % 2}", s"tok$i")).toDF("source", "token")
