@@ -267,6 +267,16 @@ object SparkEntry {
         Tables.documents(s, d), "lang", "doc_id", "temp")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+    // trailing-7-day value quantiles by histogram MERGE — the q168
+    // trailing-window story for RANKS: per day, p50/p99 of the last
+    // week's event values from summing <=64-row daily log histograms,
+    // never re-scanning rows; graded beside exact order statistics
+    "q197_trailing_quantiles" -> ((s, d) =>
+      graft.quality.QuantileSketch.trailingLogQuantiles(
+        Tables.events(s, d),
+        expr("(ts div 1000) div 86400000000"),
+        expr("CAST(floor(value * 100) AS BIGINT)"),
+        window = 7, qMillis = Seq(500, 990))),
     // log-width histogram quantiles — the UNBOUNDED-domain member of
     // the quantile family: bucket = bit length, 64 buckets cover every
     // long, est_hi = 2^b - 1 is within 2x of the exact order statistic
@@ -2387,6 +2397,45 @@ object SparkEntry {
         |   OR substring(md5(concat(CAST(d.doc_id AS VARCHAR), '|temp')), 1, 8)
         |      < lpad(lower(to_hex(t.thr)), 8, '0')
         |ORDER BY d.doc_id""".stripMargin,
+    // daily log histograms fanned to their 7 trailing spine days and
+    // re-summed (merge = counter add), then the shared rank chain;
+    // exact twin joins raw rows to the spine the same way
+    "q197_trailing_quantiles" -> {
+      val bitlen = (0 until 63)
+        .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |days AS (SELECT DISTINCT day FROM base),
+         |hist AS (SELECT day AS hday, CAST($bitlen AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         |sp AS (SELECT d.day, h.bucket, CAST(SUM(h.cnt) AS BIGINT) AS cnt
+         |  FROM days d JOIN hist h ON h.hday BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2),
+         |ns AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM sp GROUP BY 1),
+         |qs AS (SELECT day, n, q_milli, (q_milli * n + 999) // 1000 AS r
+         |  FROM ns, (SELECT unnest([500, 990]) AS q_milli) q),
+         |cumh AS (SELECT day, bucket, CAST(SUM(cnt) OVER (
+         |    PARTITION BY day ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sp),
+         |est AS (SELECT q.day, q.q_milli, q.n, MIN(c.bucket) AS bkt
+         |  FROM qs q JOIN cumh c ON c.day = q.day AND c.cum >= q.r
+         |  GROUP BY 1, 2, 3),
+         |wr AS (SELECT d.day, b.v FROM days d
+         |  JOIN base b ON b.day BETWEEN d.day - 6 AND d.day),
+         |byv AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM wr GROUP BY 1, 2),
+         |cumv AS (SELECT day, v, CAST(SUM(cnt) OVER (
+         |    PARTITION BY day ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+         |ex AS (SELECT q.day, q.q_milli, MIN(c.v) AS exact_v
+         |  FROM qs q JOIN cumv c ON c.day = q.day AND c.cum >= q.r
+         |  GROUP BY 1, 2)
+         |SELECT e.day AS day, CAST(e.q_milli AS BIGINT) AS q_milli,
+         |  CAST((CAST(1 AS BIGINT) << CAST(e.bkt AS INT)) - 1 AS BIGINT) AS est_hi,
+         |  x.exact_v, e.n
+         |FROM est e JOIN ex x ON x.day = e.day AND x.q_milli = e.q_milli
+         |ORDER BY e.day, q_milli""".stripMargin
+    },
     // the log histogram replayed: bit length as the HLL
     // sum-of-comparisons chain (no string rendering), identical rank
     // arithmetic, est_hi by exact integer shift

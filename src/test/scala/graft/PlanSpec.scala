@@ -89,7 +89,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quantile sketch: bucket histogram is a partial+final hash agg") {
-    Seq("q176_quantile_sketch", "q196_log_quantiles").foreach { q =>
+    Seq("q176_quantile_sketch", "q196_log_quantiles",
+        "q197_trailing_quantiles").foreach { q =>
       val p = planOf(q)
       assert(p.contains("HashAggregate"), s"$q lost its hash agg:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")

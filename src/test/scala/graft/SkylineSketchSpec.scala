@@ -254,6 +254,31 @@ class SkylineSketchSpec extends AnyFunSuite {
     assert(z.getLong(2) == 0L && z.getLong(3) == 0L)
   }
 
+  test("trailing log quantiles: merged histograms equal the direct window computation") {
+    import spark.implicits._
+    import graft.quality.QuantileSketch
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 600).map(i => (100L + i % 10, // days 100..109
+      math.abs(rnd.nextLong()) % (1L << (1 + rnd.nextInt(20)))))
+    val df = data.toDF("day", "v")
+    val got = QuantileSketch.trailingLogQuantiles(df, col("day"), col("v"),
+        window = 3, qMillis = Seq(500, 1000)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == 20)
+    (100L to 109L).foreach { d =>
+      val win = data.filter(t => t._1 >= d - 2 && t._1 <= d)
+      val exp = QuantileSketch.logQuantiles(
+          win.toDF("day", "v").select(lit(d).as("g"), col("v")),
+          col("g"), col("v"), Seq(500, 1000)).collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      Seq(500L, 1000L).foreach { q =>
+        assert(got((d, q)) == exp(q),
+          s"day $d q$q: merged ${got((d, q))} != direct ${exp(q)}")
+      }
+    }
+  }
+
   test("Bloom: no false negatives, merge equals union sketch, probe matches referee bits") {
     import spark.implicits._
     val toks = (0 until 200).map(i => (s"s${i % 2}", s"tok$i")).toDF("source", "token")
