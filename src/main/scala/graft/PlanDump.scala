@@ -151,6 +151,15 @@ object PlanDump {
       "grp_b = grp_a + 1 is an EQUI key — a BroadcastHashJoin over the " +
       "one-row-per-day sketch table (tighter than q181/q186's nested-loop '<' " +
       "pairing); set algebra is codegen'd array HOFs per adjacent pair"),
+    "q196_log_quantiles" -> ("log-width histogram quantiles: ONE hash agg to a " +
+      "<=64-row bit-length histogram per group (covers ANY long, 2x relative-error " +
+      "bound, no clamp bucket), rank selection windows over the bounded histogram — " +
+      "the q176 shape freed from domain sizing"),
+    "q197_trailing_quantiles" -> ("trailing-window quantiles by histogram merge: " +
+      "daily <=64-row log histograms fan to their spine days via a narrow explode + " +
+      "broadcast day join, one hash agg re-merges per (day, bucket) — rows are " +
+      "scanned ONCE for the daily build and never again; the only row-cardinality " +
+      "work in the plan is the exact-twin grading join"),
     "q195_tfidf_build" -> ("the graded from-scratch build of the tf-idf family's " +
       "shared artifacts (q100/q102's serve inputs): weighted postings materialize " +
       "once, the df-capped self-join meets on the shingle key, exact-long dots are " +
