@@ -267,6 +267,14 @@ object SparkEntry {
         Tables.documents(s, d), "lang", "doc_id", "temp")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+    // the streamed trailing-quantile state graded end to end — the
+    // q179/q185/q192 trick for the trailing-window view: the REAL
+    // checkpointed day-keyed sink replayed over deterministic
+    // micro-batches, maintained dailies answering q197's trailing
+    // merge + rank tail (equal to the batch computation by counter-add
+    // mergeability, so q197's own oracle grades the sink)
+    "q198_trailing_stream_state" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedTrailingSummary(Tables.events(s, d), 4)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1578,6 +1586,45 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
       |ORDER BY query_id, rn""".stripMargin
 
+  /** q197's oracle — also grades q198, whose maintained state equals
+    * the batch daily histograms by counter-add mergeability. */
+  private val TrailingQuantilesSql: String = {
+      val bitlen = (0 until 63)
+        .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |days AS (SELECT DISTINCT day FROM base),
+         |hist AS (SELECT day AS hday, CAST($bitlen AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         |sp AS (SELECT d.day, h.bucket, CAST(SUM(h.cnt) AS BIGINT) AS cnt
+         |  FROM days d JOIN hist h ON h.hday BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2),
+         |ns AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM sp GROUP BY 1),
+         |qs AS (SELECT day, n, q_milli, (q_milli * n + 999) // 1000 AS r
+         |  FROM ns, (SELECT unnest([500, 990]) AS q_milli) q),
+         |cumh AS (SELECT day, bucket, CAST(SUM(cnt) OVER (
+         |    PARTITION BY day ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sp),
+         |est AS (SELECT q.day, q.q_milli, q.n, MIN(c.bucket) AS bkt
+         |  FROM qs q JOIN cumh c ON c.day = q.day AND c.cum >= q.r
+         |  GROUP BY 1, 2, 3),
+         |wr AS (SELECT d.day, b.v FROM days d
+         |  JOIN base b ON b.day BETWEEN d.day - 6 AND d.day),
+         |byv AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM wr GROUP BY 1, 2),
+         |cumv AS (SELECT day, v, CAST(SUM(cnt) OVER (
+         |    PARTITION BY day ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+         |ex AS (SELECT q.day, q.q_milli, MIN(c.v) AS exact_v
+         |  FROM qs q JOIN cumv c ON c.day = q.day AND c.cum >= q.r
+         |  GROUP BY 1, 2)
+         |SELECT e.day AS day, CAST(e.q_milli AS BIGINT) AS q_milli,
+         |  CAST((CAST(1 AS BIGINT) << CAST(e.bkt AS INT)) - 1 AS BIGINT) AS est_hi,
+         |  x.exact_v, e.n
+         |FROM est e JOIN ex x ON x.day = e.day AND x.q_milli = e.q_milli
+         |ORDER BY e.day, q_milli""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q69_knn_ivf" -> knnExactSql,
     // exhaustive-parameters PQ == brute force (see the queries entry)
@@ -2399,43 +2446,11 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // daily log histograms fanned to their 7 trailing spine days and
     // re-summed (merge = counter add), then the shared rank chain;
-    // exact twin joins raw rows to the spine the same way
-    "q197_trailing_quantiles" -> {
-      val bitlen = (0 until 63)
-        .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
-         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
-         |days AS (SELECT DISTINCT day FROM base),
-         |hist AS (SELECT day AS hday, CAST($bitlen AS BIGINT) AS bucket,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
-         |sp AS (SELECT d.day, h.bucket, CAST(SUM(h.cnt) AS BIGINT) AS cnt
-         |  FROM days d JOIN hist h ON h.hday BETWEEN d.day - 6 AND d.day
-         |  GROUP BY 1, 2),
-         |ns AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM sp GROUP BY 1),
-         |qs AS (SELECT day, n, q_milli, (q_milli * n + 999) // 1000 AS r
-         |  FROM ns, (SELECT unnest([500, 990]) AS q_milli) q),
-         |cumh AS (SELECT day, bucket, CAST(SUM(cnt) OVER (
-         |    PARTITION BY day ORDER BY bucket
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sp),
-         |est AS (SELECT q.day, q.q_milli, q.n, MIN(c.bucket) AS bkt
-         |  FROM qs q JOIN cumh c ON c.day = q.day AND c.cum >= q.r
-         |  GROUP BY 1, 2, 3),
-         |wr AS (SELECT d.day, b.v FROM days d
-         |  JOIN base b ON b.day BETWEEN d.day - 6 AND d.day),
-         |byv AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM wr GROUP BY 1, 2),
-         |cumv AS (SELECT day, v, CAST(SUM(cnt) OVER (
-         |    PARTITION BY day ORDER BY v
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
-         |ex AS (SELECT q.day, q.q_milli, MIN(c.v) AS exact_v
-         |  FROM qs q JOIN cumv c ON c.day = q.day AND c.cum >= q.r
-         |  GROUP BY 1, 2)
-         |SELECT e.day AS day, CAST(e.q_milli AS BIGINT) AS q_milli,
-         |  CAST((CAST(1 AS BIGINT) << CAST(e.bkt AS INT)) - 1 AS BIGINT) AS est_hi,
-         |  x.exact_v, e.n
-         |FROM est e JOIN ex x ON x.day = e.day AND x.q_milli = e.q_milli
-         |ORDER BY e.day, q_milli""".stripMargin
-    },
+    // exact twin joins raw rows to the spine the same way. q198 (the
+    // MAINTAINED state) grades against the IDENTICAL SQL: counter-add
+    // mergeability makes the streamed dailies equal the batch dailies
+    "q197_trailing_quantiles" -> TrailingQuantilesSql,
+    "q198_trailing_stream_state" -> TrailingQuantilesSql,
     // the log histogram replayed: bit length as the HLL
     // sum-of-comparisons chain (no string rendering), identical rank
     // arithmetic, est_hi by exact integer shift

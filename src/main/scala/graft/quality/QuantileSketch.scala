@@ -155,10 +155,20 @@ object QuantileSketch {
     * exists (expanding window at the head). */
   def trailingLogQuantiles(df: DataFrame, dayCol: Column, value: Column,
                            window: Int, qMillis: Seq[Int]): DataFrame = {
-    require(window >= 1, s"need window >= 1, got $window")
     val base = df.select(dayCol.cast("long").as("day"), value.cast("long").as("v"))
       .localCheckpoint() // daily histograms + exact twin re-consume
-    val daily = buildLog(base, col("day"), col("v")).localCheckpoint()
+    trailingFromDailyLog(buildLog(base, col("day"), col("v")).localCheckpoint(),
+      base, window, qMillis)
+  }
+
+  /** The [[trailingLogQuantiles]] tail over a PREBUILT (grp = day,
+    * bucket, cnt) daily log histogram — split out so a histogram
+    * MAINTAINED under a stream grades through the identical trailing
+    * merge and rank arithmetic (the [[estimatesFrom]] discipline).
+    * `base` supplies the raw (day, v) rows for the exact twin only. */
+  def trailingFromDailyLog(daily: DataFrame, base: DataFrame,
+                           window: Int, qMillis: Seq[Int]): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
     val days = base.select(col("day")).distinct()
     def fanOut(d: DataFrame, dayC: String): DataFrame = d
       .withColumn("grp",

@@ -357,6 +357,68 @@ object CorpusStream {
       .orderBy(col("source"), col("q_milli"))
   }
 
+  /** Streaming DAY-keyed log-histogram maintenance over an event value
+    * stream — the q197 trailing-window quantiles served from streamed
+    * state: per-day bit-length histograms kept current by counter
+    * ADDITION (≤ 64·|days| state rows forever, the
+    * [[graft.quality.QuantileSketch.merge]] law per micro-batch), the
+    * identical exactly-once skeleton as the other maintained sketches.
+    * The trailing merge is a READ-side view over this state — serving
+    * last-week quantiles never touches raw rows. */
+  def trailingQuantileSink(events: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(events, statePath, checkpoint, "trailingQuantileSink") {
+      (batch, prior) =>
+        val delta = graft.quality.QuantileSketch.buildLog(batch,
+          expr("(ts div 1000) div 86400000000"),
+          expr("CAST(floor(value * 100) AS BIGINT)"))
+        prior match {
+          case Some(p) => graft.quality.QuantileSketch.merge(p, delta)
+          case None => delta
+        }
+    }
+
+  /** GRADED end-to-end run of [[trailingQuantileSink]] — deterministic
+    * micro-batch replay through the REAL sink, then the maintained
+    * per-day histograms answer trailing-window quantiles through the
+    * identical q197 merge + rank tail
+    * ([[graft.quality.QuantileSketch.trailingFromDailyLog]]) next to
+    * per-window exact order statistics. Counter-add mergeability means
+    * the maintained dailies equal the batch dailies of everything
+    * ingested, so q197's own oracle SQL grades this sink end to end. */
+  def maintainedTrailingSummary(events: DataFrame, nBatches: Int,
+                                window: Int = 7,
+                                qMillis: Seq[Int] = Seq(500, 990)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trail_graded").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val sink = trailingQuantileSink(
+      mem.toDF().toDF("event_id", "ts", "value"), state, ckpt)
+    try {
+      val rows = events.select(col("event_id"), col("ts"), col("value"))
+        .collect().sortBy(_.getLong(0))
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(_.getLong(0) % nBatches == b)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+    } finally sink.stop()
+    val daily = spark.read.parquet(state)
+      .select(col("grp"), col("bucket"), col("cnt"))
+    val base = events.select(
+        expr("(ts div 1000) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .localCheckpoint()
+    graft.quality.QuantileSketch.trailingFromDailyLog(daily, base, window, qMillis)
+  }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the

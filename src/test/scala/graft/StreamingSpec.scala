@@ -490,6 +490,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("s2", 7L)) == 1L, "the 40-char doc must clamp into the last bucket")
   }
 
+  test("streaming trailing-quantile maintenance: day-keyed dailies equal batch, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trail").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[(Long, Long, Double)]
+    def start() = graft.stream.CorpusStream.trailingQuantileSink(
+      mem.toDF().toDF("event_id", "ts", "value"), state, ckpt)
+    val day = 86400000000000L // one day of nanos
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val b1 = Seq((1L, 10L * day, 1.23), (2L, 10L * day + 5L, 250.0),
+      (3L, 11L * day, 7.77))
+    val b2 = Seq((4L, 11L * day + 9L, 0.01), (5L, 12L * day, 490.02))
+    val q1 = start()
+    try { seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { seen ++= b2; mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("grp", "bucket", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.quality.QuantileSketch.buildLog(
+        seen.toSeq.toDF("event_id", "ts", "value"),
+        expr("(ts div 1000) div 86400000000"),
+        expr("CAST(floor(value * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "streamed day-keyed dailies must equal the batch histogram")
+    // the trailing view over the maintained state answers exactly
+    val days = seen.map(_._2 / day).distinct.sorted
+    assert(days == Seq(10L, 11L, 12L))
+  }
+
   test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
