@@ -63,6 +63,28 @@ object StressBench {
       Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
     run("topk_native",
       topkNative(o1).count(), topkNative(oN).count())
+    // trailing-window quantiles: the linear term is the one daily
+    // log-histogram scan; the trailing merge + rank tail runs over
+    // ≤64·|days| histogram rows however many raw rows exist (the
+    // exact twin is omitted here — it is the grading device, not the
+    // serving path, and its rows×window explode would dominate the
+    // measurement of the sketch's own cost)
+    def trailQ(ev: DataFrame): Long = {
+      val base = ev.select(expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        .localCheckpoint()
+      val daily = graft.quality.QuantileSketch
+        .buildLog(base, col("day"), col("v")).localCheckpoint()
+      val days = base.select(col("day")).distinct()
+      val merged = daily.withColumnRenamed("grp", "hday")
+        .withColumn("grp", explode(expr("sequence(hday, hday + 6L)")))
+        .join(broadcast(days.select(col("day").as("grp"))), "grp")
+        .groupBy(col("grp"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val ns = merged.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      graft.quality.QuantileSketch
+        .logEstimatesFrom(merged, ns, Seq(500, 990)).count()
+    }
+    run("trailing_quantiles", trailQ(ev1), trailQ(evN))
     run("sessionize",
       EventOps.sessionize(ev1, 30).count(), EventOps.sessionize(evN, 30).count())
     run("asof_join",
