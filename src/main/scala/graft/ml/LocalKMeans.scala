@@ -57,8 +57,48 @@ object LocalKMeans {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
 
+  /** Distributed assignment as a mapPartitions batch: the SAME argmin
+    * arithmetic as [[assignCol]] (float→double widening, t-ascending
+    * accumulation, strict-< lowest-index tiebreak — bit-identical,
+    * equality-tested in MLSpec) in tight JVM loops. Preferred for
+    * BUILDS: the expression form inlines k·dim terms per row, which
+    * (a) re-evaluates a DERIVED vector column's expression k·dim times
+    * (measured: hours on a transform()-derived stress corpus) and
+    * (b) outgrows whole-stage codegen at codebook sizes (k = 160
+    * measured ~9× slower interpreted). Here the vector materializes
+    * once per row into the object pipeline and the k·dim work is plain
+    * doubles — O(n·k·dim) flops, the flat-quantizer cost every IVF
+    * build pays (BLAS-shaped on a real cluster).
+    * Input (id, vec) → (id, vec, cell). */
+  def assignPartitions(df: DataFrame, idCol: String, vecCol: String,
+                       centers: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = centers.length
+    val dim = centers.head.length
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < k) {
+            var dd = 0.0; var t = 0
+            while (t < dim) {
+              val d0 = v(t).toDouble - centers(c)(t); dd += d0 * d0; t += 1
+            }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
   /** Distributed assignment: argmin-of-squared-L2 over the centers
-    * literal, as a codegen'd fold — the corpus never moves for a fit. */
+    * literal, as a codegen'd fold — the corpus never moves for a fit.
+    * Fine for probe-side use at small k; builds should prefer
+    * [[assignPartitions]] (see its scaladoc for the two measured
+    * hazards of the inline-expression form). */
   def assignCol(vec: Column, centers: Array[Array[Double]]): Column = {
     val k = centers.length
     val dim = centers.head.length

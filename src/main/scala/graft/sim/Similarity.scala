@@ -84,12 +84,20 @@ object Similarity {
     * projection, no ML pipeline, no vector-UDT conversion. */
   def ivfBuild(corpus: DataFrame, nlist: Int = 16,
                trainSample: Int = 16384): IvfIndex = {
+    // Assignment runs as the mapPartitions batch, not the inline
+    // argmin-fold expression: the fold references the vector nlist·dim
+    // times per row, which re-evaluates a DERIVED embedding column's
+    // expression that many times (measured: hours on a transform()-
+    // derived stress corpus) and outgrows codegen at codebook sizes —
+    // see LocalKMeans.assignPartitions. Bit-identical cells either way.
+    val mat = corpus.select(col("vec_id"), col("embedding"))
     val sample = graft.ml.LocalKMeans.sampleVectors(
-      corpus, "embedding", "vec_id", trainSample)
+      mat, "embedding", "vec_id", trainSample)
     val centers = graft.ml.LocalKMeans.fit(sample, nlist, iters = 10, seed = 42L)
-    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"),
-      graft.ml.LocalKMeans.assignCol(col("embedding"), centers).as("cell"))
+    val assigned = graft.ml.LocalKMeans
+      .assignPartitions(mat, "vec_id", "embedding", centers)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centers.zipWithIndex.toSeq

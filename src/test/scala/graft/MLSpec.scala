@@ -64,6 +64,30 @@ class MLSpec extends AnyFunSuite {
     assert(m.bestModel != null && m.avgMetrics.nonEmpty)
   }
 
+  test("k-means assignPartitions is bit-identical to the assignCol expression") {
+    // the build path's mapPartitions assignment must agree with the
+    // inline argmin fold on EVERY vector — same float->double widening,
+    // same t-ascending accumulation, same strict-< lowest-index
+    // tiebreak (duplicate centers exercise the tie rule)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ml.LocalKMeans
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(7)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val centers = base :+ base(3).clone() // an exact duplicate center
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = LocalKMeans.assignPartitions(df, "vec_id", "embedding", centers)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = df.select(col("vec_id"),
+        LocalKMeans.assignCol(col("embedding"), centers).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(!a.values.toSet.contains(7), "ties must resolve to the LOWER index")
+  }
+
   test("full reference grid builds 3×3×2 = 18 candidates (ml-sparkml.py:56-62)") {
     val cv = DurationPipeline.crossValidatedRfReferenceGrid(cat, num, "label")
     val maps = cv.getEstimatorParamMaps
