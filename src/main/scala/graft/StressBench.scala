@@ -136,9 +136,18 @@ object StressBench {
       .buildSummary(graft.dedup.Dedup.shingles(docs, 3).localCheckpoint(),
         graft.ops.Scalar.count(docs), maxDf = 50).count()
     run("tfidf_build", tfidfBuild(docs1), tfidfBuild(docsN))
-    run("containment",
-      graft.dedup.Dedup.ngramContainment(docs1, 3, 0.5).count(),
-      graft.dedup.Dedup.ngramContainment(docsN, 3, 0.5).count())
+    // UNCAPPED containment is the hazard its capped sibling exists to
+    // bound, and the decorrelation protocol makes it worse than real
+    // data would: the injected tokens create "uR word uR" shingles
+    // whose df tracks WORD document frequency, so the postings
+    // self-join regrows the unigram-hot pair explosion (the uncapped
+    // sparse_topk 6.68 s note) and a single hot-shingle partition
+    // straggles for tens of minutes at 10×. Measure the uncapped form
+    // only at small factors; the capped unit below is the scale path.
+    if (factor <= 3)
+      run("containment",
+        graft.dedup.Dedup.ngramContainment(docs1, 3, 0.5).count(),
+        graft.dedup.Dedup.ngramContainment(docsN, 3, 0.5).count())
     run("containment_capped",
       graft.dedup.Dedup.ngramContainmentCapped(docs1, 3, 0.5, 100).count(),
       graft.dedup.Dedup.ngramContainmentCapped(docsN, 3, 0.5, 100).count())
@@ -801,14 +810,21 @@ object StressBench {
     // embedding drift: synthetic labeled vectors (the fixture table is
     // constant-size across SFs) — rows scale, the (label, half, dim)
     // agg state stays ≤ |labels|·2·64 rows; the linear term is the
-    // explode + first hash agg.
-    def synthEmb(n: Long): DataFrame =
-      spark.range(n).select(col("id").as("vec_id"), (col("id") % 10).cast("int").as("label"),
+    // explode + first hash agg. LABELS scale with the factor, pinning
+    // per-(label, half) counts at ~1000 — the operator's documented
+    // DECIMAL(38,0) capacity is ~4300 vectors per (label, half), and
+    // the round-8 guard now FAILS LOUDLY past it (the earlier
+    // fixed-10-label unit was silently measuring overflowed-NULL
+    // bilinear forms at 10×+; "shard labels" is the guard's own
+    // prescription and the honest scale law for a drift monitor).
+    def synthEmb(n: Long, labels: Int): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        (col("id") % labels).cast("int").as("label"),
         expr("transform(sequence(1, 64), j -> CAST((vec_id * 31 + j * 17) % 2000 AS FLOAT) / 1000.0 - 1.0)")
           .as("embedding"))
     run("embedding_drift",
-      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L))),
-      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L * factor))))
+      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L, 10))),
+      mat(graft.quality.Drift.embeddingDrift(synthEmb(20000L * factor, 10 * factor))))
     // vocab encode: plain replicas grow token rows linearly while the
     // vocab table (and its global rank) stays fixed — the honest
     // regime for an id dictionary; the reassembly tail is the
