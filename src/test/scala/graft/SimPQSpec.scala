@@ -114,4 +114,56 @@ class SimPQSpec extends AnyFunSuite {
       assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (x, y) => x >= y })
     }
   }
+
+  // ---- two-level coarse quantization (the large-nlist build path) ----
+
+  test("two-level codebook: exactly nlist global cells, deterministic rebuild") {
+    import graft.ml.LocalKMeans
+    val sample = LocalKMeans.sampleVectors(emb, "embedding", "vec_id", 4096)
+    val cb1 = LocalKMeans.fitTwoLevel(spark, sample, nlist = 100, iters = 10, seed = 42L)
+    val cb2 = LocalKMeans.fitTwoLevel(spark, sample, nlist = 100, iters = 10, seed = 42L)
+    assert(cb1.nlist == 100)
+    assert(cb1.offsets.head == 0)
+    assert(cb1.subs.map(_.length).sum == 100)
+    // seeded bit-equality: rebuild reproduces every center exactly
+    assert(cb1.coarse.map(_.toSeq).toSeq == cb2.coarse.map(_.toSeq).toSeq)
+    assert(cb1.subs.map(_.map(_.toSeq).toSeq).toSeq == cb2.subs.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cb1.offsets.toSeq == cb2.offsets.toSeq)
+    // flatCenters covers [0, nlist) exactly once, in order
+    assert(cb1.flatCenters.map(_._1).toSeq == (0 until 100))
+  }
+
+  test("two-level assignment: hierarchical argmin semantics, in-range, deterministic") {
+    import graft.ml.LocalKMeans
+    val sample = LocalKMeans.sampleVectors(emb, "embedding", "vec_id", 4096)
+    val cb = LocalKMeans.fitTwoLevel(spark, sample, nlist = 100, iters = 10, seed = 42L)
+    val a = LocalKMeans.assignTwoLevelPartitions(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.values.forall(c => c >= 0 && c < 100))
+    // replay hierarchical argmin on the driver over a sample of vectors
+    val rows = emb.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val c = LocalKMeans.nearest(v, cb.coarse)
+      val j = LocalKMeans.nearest(v, cb.subs(c))
+      assert(a(r.getLong(0)) == cb.offsets(c) + j)
+    }
+    val b = LocalKMeans.assignTwoLevelPartitions(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("ivfBuild at large nlist (two-level path): exhaustive probe equals brute force") {
+    // the q69 law on the two-level build: probing EVERY cell re-ranks
+    // every assigned vector, so the answer must equal brute-force kNN
+    // regardless of quantizer shape
+    val q = emb.filter(col("vec_id") < 8)
+    val idx = Similarity.ivfBuild(emb, nlist = 100)
+    assert(idx.centroids.count() == 100)
+    assert(idx.assigned.count() == emb.count())
+    val got = Similarity.ivfSearch(idx, q, 5, nprobe = 100).collect().toSeq
+    val want = Similarity.bruteForceTopK(q, emb, 5).collect().toSeq
+    assert(got == want)
+  }
 }
