@@ -275,6 +275,15 @@ object SparkEntry {
     // mergeability, so q197's own oracle grades the sink)
     "q198_trailing_stream_state" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedTrailingSummary(Tables.events(s, d), 4)),
+    // the streaming near-dup ADMISSION loop graded end to end — the
+    // REAL checkpointed admissionSink (partitioned band index,
+    // strictly-earlier-batch probes, high-water-gated appends) replayed
+    // over 4 deterministic micro-batches; the admitted corpus equals
+    // the sequential-batch admission chain, which the oracle replays
+    // round by round with q87's murmur3/minhash decision CTEs
+    "q199_admission_stream" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedAdmissionCorpus(
+        Tables.documents(s, d), AdmissionBatches)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1074,6 +1083,10 @@ object SparkEntry {
     * proves the whole chain at non-default k, and SCALE.md records the
     * K = 1024 (~3% RSE) production sizing. */
   private val ThetaK = 64
+  /** Micro-batch count for the graded streaming-admission replay
+    * (q199): threaded through both the engine harness and the oracle's
+    * round-by-round CTE chain, the ThetaK discipline. */
+  private val AdmissionBatches = 4
   /** 1000*(ThetaK-1)*2^64 — the graded estimator numerator. */
   private val ThetaEstNum =
     (BigInt(1000) * (ThetaK - 1) * (BigInt(1) << 64)).toString
@@ -1248,7 +1261,8 @@ object SparkEntry {
     "q104_changelog_roundtrip" -> Seq("documents"),
     "q105_mad_outliers" -> Seq("documents"),
     "q106_pack_sequences" -> Seq("documents"),
-    "q107_langid_ngram" -> Seq("documents"))
+    "q107_langid_ngram" -> Seq("documents"),
+    "q199_admission_stream" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2150,6 +2164,36 @@ object SparkEntry {
          |rejected AS (SELECT DISTINCT doc_in AS doc_id FROM est WHERE ej >= 0.5)
          |SELECT d.doc_id FROM documents d LEFT JOIN rejected r ON d.doc_id = r.doc_id
          |WHERE d.doc_id >= 250 AND r.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
+    // the streamed admission loop: q87's decision CTEs iterated — batch
+    // b's candidates probe the UNION of earlier batches' admitted docs
+    // (exactly the sink's strictly-earlier-batch partition probe), so
+    // the chain replays the maintained corpus round by round
+    "q199_admission_stream" -> {
+      val rounds = (1 until AdmissionBatches).map { r =>
+        s"""c$r AS (SELECT DISTINCT x.doc_id AS doc_in, y.doc_id AS doc_ex
+           |  FROM bd x JOIN bt bx ON bx.doc_id = x.doc_id AND bx.b = $r
+           |  JOIN bd y ON x.band = y.band AND x.bucket = y.bucket
+           |  JOIN ad${r - 1} ay ON ay.doc_id = y.doc_id),
+           |e$r AS (SELECT c.doc_in, c.doc_ex,
+           |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)/32.0 AS ej
+           |  FROM c$r c JOIN minh ma ON ma.doc_id = c.doc_in
+           |  JOIN minh mb ON mb.doc_id = c.doc_ex AND mb.i = ma.i
+           |  GROUP BY 1, 2),
+           |r$r AS (SELECT DISTINCT doc_in AS doc_id FROM e$r WHERE ej >= 0.5),
+           |ad$r AS (SELECT doc_id FROM ad${r - 1}
+           |  UNION ALL
+           |  SELECT bx.doc_id FROM bt bx LEFT JOIN r$r rr ON rr.doc_id = bx.doc_id
+           |  WHERE bx.b = $r AND rr.doc_id IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${minhashCtes("documents")},
+         |bt AS (SELECT doc_id, CAST(doc_id % $AdmissionBatches AS BIGINT) AS b
+         |  FROM documents),
+         |ad0 AS (SELECT doc_id FROM bt WHERE b = 0),
+         |$rounds
+         |SELECT bt.doc_id, bt.b AS batch
+         |FROM bt JOIN ad${AdmissionBatches - 1} a ON a.doc_id = bt.doc_id
+         |ORDER BY bt.doc_id""".stripMargin
+    },
     // the persisted-band-index probe admits EXACTLY what the in-memory
     // probe admits (same admitAgainst) — q87's oracle verbatim
     "q152_admission_indexed" ->
