@@ -284,6 +284,16 @@ object SparkEntry {
     "q199_admission_stream" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedAdmissionCorpus(
         Tables.documents(s, d), AdmissionBatches)),
+    // BPE subword tokenizer TRAIN: per-round exact-integer pair counts
+    // over the VOCAB (never the corpus), argmax with (cnt desc, pair
+    // lexicographic) tiebreak, merge as one replace projection — the
+    // fixed-round discipline; the oracle replays every round as a CTE
+    "q200_bpe_train" -> ((s, d) =>
+      graft.text.BPE.trainedMerges(Tables.documents(s, d), BpeRounds)),
+    // BPE ENCODE: vocab-side merge folding + one corpus join + ordered
+    // per-doc reassembly (the q191 tail shape)
+    "q201_bpe_encode" -> ((s, d) =>
+      graft.text.BPE.trainEncode(Tables.documents(s, d), BpeRounds)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1087,6 +1097,11 @@ object SparkEntry {
     * (q199): threaded through both the engine harness and the oracle's
     * round-by-round CTE chain, the ThetaK discipline. */
   private val AdmissionBatches = 4
+  /** Merge rounds for the graded BPE tokenizer (q200/q201), threaded
+    * through engine and oracle alike. Must stay below the attainable
+    * merge count of the fixture vocabulary (the engine stops early when
+    * no pair remains; the oracle chain cannot). */
+  private val BpeRounds = 12
   /** 1000*(ThetaK-1)*2^64 — the graded estimator numerator. */
   private val ThetaEstNum =
     (BigInt(1000) * (ThetaK - 1) * (BigInt(1) << 64)).toString
@@ -1262,7 +1277,9 @@ object SparkEntry {
     "q105_mad_outliers" -> Seq("documents"),
     "q106_pack_sequences" -> Seq("documents"),
     "q107_langid_ngram" -> Seq("documents"),
-    "q199_admission_stream" -> Seq("documents"))
+    "q199_admission_stream" -> Seq("documents"),
+    "q200_bpe_train" -> Seq("documents"),
+    "q201_bpe_encode" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1347,6 +1364,30 @@ object SparkEntry {
        |    CAST((CAST(g3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS g4,
        |    xor(g4, g4//65536) AS $outCol FROM $in),
        |${out}p AS (SELECT doc_id, band, sg, $outCol FROM $out),""".stripMargin
+
+  /** The BPE fixed-round training chain (q200/q201 oracles): w0 is the
+    * vocab with char-level double-space symstrs; round r contributes
+    * p{r} (pair counts), b{r} (argmax merge), w{r} (rewritten vocab). */
+  private def bpeTrainCtes(src: String): String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT)+1] AS b,
+         |    CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+         |        FROM (SELECT cnt, list_filter(string_split(symstr, '  '), x -> x <> '') AS s
+         |              FROM w${r - 1}) t0) t1
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS (SELECT w.word, w.cnt,
+         |    replace(w.symstr, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS symstr
+         |  FROM w${r - 1} w, b$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    '  ' || array_to_string(list_transform(range(1, length(word) + 1),
+       |        j -> substr(word, CAST(j AS INT), 1)), '  ') || '  ' AS symstr
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $src) t
+       |  WHERE word <> '' GROUP BY word),
+       |$rounds""".stripMargin
+  }
 
   private def minhashCtes(src: String): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
@@ -2194,6 +2235,37 @@ object SparkEntry {
          |FROM bt JOIN ad${AdmissionBatches - 1} a ON a.doc_id = bt.doc_id
          |ORDER BY bt.doc_id""".stripMargin
     },
+    // BPE train: the fixed-round merge chain replayed as CTEs — each
+    // round counts adjacent symbol pairs over the vocab (exact integer
+    // weights), picks argmax under (cnt desc, a asc, b asc), and
+    // rewrites with the SAME boundary-safe double-space replace the
+    // engine uses (both engines' replace() substitutes non-overlapping
+    // occurrences left-to-right without rescanning — reference BPE)
+    "q200_bpe_train" ->
+      s"""WITH ${bpeTrainCtes("documents")}
+         |SELECT * FROM (
+         |${(1 to BpeRounds).map(r =>
+             s"  SELECT CAST($r AS BIGINT) AS rank, a, b, a || b AS merged, c AS cnt FROM b$r")
+            .mkString("  UNION ALL\n")}
+         |) ORDER BY rank""".stripMargin,
+    // BPE encode: the trained chain's FINAL vocab segmentation joined
+    // back to the corpus word stream, reassembled per doc in position
+    // order — equal to the engine's merge-in-rank-order fold because
+    // training applies exactly those rewrites in that order
+    "q201_bpe_encode" ->
+      s"""WITH ${bpeTrainCtes("documents")},
+         |wenc AS (SELECT word, list_filter(string_split(symstr, '  '), x -> x <> '') AS s
+         |  FROM w$BpeRounds),
+         |wtok AS (SELECT word, array_to_string(s, '|') AS toks,
+         |    CAST(len(s) AS BIGINT) AS ntok FROM wenc),
+         |dw AS (SELECT doc_id, i AS pos, w[CAST(i AS INT)+1] AS word
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+         |  WHERE w[CAST(i AS INT)+1] <> '')
+         |SELECT d.doc_id, CAST(SUM(t.ntok) AS BIGINT) AS n_subtokens,
+         |  array_to_string(list(t.toks ORDER BY d.pos), ' ') AS tok_str
+         |FROM dw d JOIN wtok t USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // the persisted-band-index probe admits EXACTLY what the in-memory
     // probe admits (same admitAgainst) — q87's oracle verbatim
     "q152_admission_indexed" ->

