@@ -895,9 +895,14 @@ object SparkEntry {
     // condensation levels over the same directed containment graph:
     // topological depth of each SCC — the dedup CASCADE depth (how many
     // one-way containment levels sit above a document family)
+    // FixtureGraphBound opt-in: the containment graph is candidate-
+    // bounded, so the hybrid local finish triggers at the first check
+    // (one count total) instead of tens of tiny fixpoint jobs; the
+    // at-scale DEFAULT (bound 0) never pays a per-peel count
     "q189_condensation_levels" -> ((s, d) =>
       graft.cluster.Graphs.condensationLevels(containmentEdges(s, d),
-        sccPre = Some(containmentSccCached(s, d)))),
+        sccPre = Some(containmentSccCached(s, d)),
+        driverBound = FixtureGraphBound)),
     // embedding-distribution drift between snapshot halves — the
     // vector-space complement of q97's scalar PSI: per-label centroid
     // ANGLE carried as exact bilinear forms (dot, norms as sub-2^32
@@ -1097,6 +1102,11 @@ object SparkEntry {
     * (q199): threaded through both the engine harness and the oracle's
     * round-by-round CTE chain, the ThetaK discipline. */
   private val AdmissionBatches = 4
+  /** Hybrid-finish opt-in for the graded SCC queries (q188/q189): the
+    * fixture containment graph is candidate-bounded, so the local
+    * finish triggers at the first check. The library DEFAULT is 0 —
+    * pure-distributed, no per-peel count action. */
+  private val FixtureGraphBound = 2000000L
   /** Merge rounds for the graded BPE tokenizer (q200/q201), threaded
     * through engine and oracle alike. Must stay below the attainable
     * merge count of the fixture vocabulary (the engine stops early when
@@ -1138,7 +1148,8 @@ object SparkEntry {
     val appId = s.sparkContext.applicationId
     sccCache.keySet.removeIf(_._1 != appId)
     sccCache.computeIfAbsent((appId, d), _ =>
-      graft.cluster.Graphs.stronglyConnected(containmentEdges(s, d))
+      graft.cluster.Graphs.stronglyConnected(containmentEdges(s, d),
+          driverEdgeBound = FixtureGraphBound)
         .localCheckpoint())
   }
 

@@ -103,19 +103,29 @@ object StressBench {
     // group) and the slope would measure the data's duplicate structure,
     // not the algorithm. (A first attempt that only appended one token /
     // added small noise measured slopes of 8–61 for exactly this reason:
-    // replicas stayed near-dups of each other.) Text: a replica-unique
-    // token is injected between EVERY pair of words, so every n-gram
-    // shingle contains it and replicas share no shingles. Vectors:
-    // per-(element, replica) pseudo-random sign flips drive expected
-    // cosine between replicas to ~0 (scaling alone would be invisible
-    // to cosine).
+    // replicas stayed near-dups of each other.) Text: LENGTH-PRESERVING
+    // replacement — every ODD-POSITION word becomes a (replica,
+    // position)-tagged token. Any 2–3 consecutive positions include an
+    // odd one, so replicas share no bigram/3-gram shingles with each
+    // other or the original, while token (and so shingle) volume stays
+    // exactly ∝ factor. Position-tagging matters: an earlier protocol
+    // that INJECTED a bare per-replica token between every pair of
+    // words both doubled document length (slope readings measured
+    // shingle inflation, not the operator — minhash_lsh read ≈2) and
+    // manufactured "uR word uR" shingles whose df tracked word df (the
+    // hot-postings artifact that forced the uncapped-containment ≤3×
+    // gate). Vectors: per-(element, replica) pseudo-random sign flips
+    // drive expected cosine between replicas to ~0 (scaling alone
+    // would be invisible to cosine).
     val docs1 = Tables.documents(spark, sf)
     val docsN = docs1
       .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
       .withColumn("text", when(col("__rep") === 0, col("text")).otherwise(
-        regexp_replace(col("text"), lit(" "),
-          concat(lit(" u"), col("__rep").cast("string"), lit(" ")))))
+        array_join(transform(split(col("text"), " "), (w, i) =>
+          when(i % 2 === 1,
+            concat(lit("u"), col("__rep").cast("string"),
+              lit("p"), i.cast("string"))).otherwise(w)), " ")))
       .drop("__rep")
     run("minhash_lsh",
       graft.dedup.Dedup.minhashLsh(docs1, 3, 8, 4, 0.3).count(),

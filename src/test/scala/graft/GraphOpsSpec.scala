@@ -193,14 +193,18 @@ class GraphOpsSpec extends AnyFunSuite {
       b <- 0L until 20L
       if a != b && rnd.nextDouble() < 0.15
     } yield (a, b)).toSeq
-    val local = Graphs.stronglyConnected(edgesDF(g)).collect()
+    // hybrid finish is an explicit opt-in; the default (bound 0) is the
+    // pure-distributed path with no per-peel count action
+    val local = Graphs.stronglyConnected(edgesDF(g), driverEdgeBound = 2000000L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    val dist = Graphs.stronglyConnected(edgesDF(g), driverEdgeBound = 0L).collect()
+    val dist = Graphs.stronglyConnected(edgesDF(g)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(local == dist)
-    val lvlLocal = Graphs.condensationLevels(edgesDF(g)).collect()
+    val lvlLocal = Graphs.condensationLevels(edgesDF(g), driverBound = 2000000L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    val lvlDist = Graphs.condensationLevels(edgesDF(g), driverBound = 0L).collect()
+    val lvlDist = Graphs.condensationLevels(edgesDF(g)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(lvlLocal == lvlDist)
   }
