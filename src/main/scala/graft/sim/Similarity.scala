@@ -112,8 +112,10 @@ object Similarity {
         // fits one-task-per-coarse-cell (LocalKMeans.fitTwoLevel), while
         // emitting the SAME serving artifacts: a flat nlist-row centroid
         // table and global cell ids, so ivfSearch / the persisted
-        // partitioned layout are unchanged. Seeded-deterministic
-        // end-to-end (hash-ordered sample, per-cell seeds).
+        // partitioned layout are unchanged (the hierarchical probe
+        // [[ivfSearchTwoLevel]] additionally serves straight off the
+        // codebook). Seeded-deterministic end-to-end (hash-ordered
+        // sample, per-cell seeds).
         val cb = graft.ml.LocalKMeans.fitTwoLevel(spark, sample, nlist,
           iters = 10, seed = 42L)
         val a = graft.ml.LocalKMeans
@@ -133,6 +135,81 @@ object Similarity {
     * scaladoc). Small graded configurations (nlist = 16) stay flat and
     * bit-identical to prior rounds. */
   val TwoLevelThreshold = 64
+
+  /** A two-level build that KEEPS the codebook hierarchy for serving:
+    * `centroids`/`assigned` are the flat artifacts (drop-in for
+    * [[ivfSearch]]/[[ivfWriteIndex]]), `codebook` additionally enables
+    * the hierarchical probe. */
+  case class IvfIndex2(codebook: graft.ml.LocalKMeans.TwoLevelCodebook,
+                       centroids: DataFrame, assigned: DataFrame)
+
+  def ivfBuildTwoLevel(corpus: DataFrame, nlist: Int,
+                       trainSample: Int = 16384): IvfIndex2 = {
+    val mat = corpus.select(col("vec_id"), col("embedding"))
+    val sample = graft.ml.LocalKMeans.sampleVectors(
+      mat, "embedding", "vec_id", trainSample)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = graft.ml.LocalKMeans.fitTwoLevel(spark, sample, nlist,
+      iters = 10, seed = 42L)
+    val assigned = graft.ml.LocalKMeans
+      .assignTwoLevelPartitions(mat, "vec_id", "embedding", cb)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell"))
+    val centroids = cb.flatCenters.toSeq
+      .map { case (i, c) => (i, c.toSeq.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+    IvfIndex2(cb, centroids, assigned)
+  }
+
+  /** Hierarchical IVF probe — the query-side twin of the two-level
+    * build: score the kc ≈ √nlist COARSE centroids first, keep the
+    * `nprobeCoarse` best, then score only THOSE cells' sub-centroids
+    * and keep the `nprobe` best global cells for the re-rank join.
+    * Query-side row volume is O(|Q|·(√nlist + nprobeCoarse·maxₖ k_c))
+    * instead of the flat probe's O(|Q|·nlist) — the difference between
+    * a broadcast of 10⁵ centroid rows exploding against every query
+    * and two bounded ones. Exhaustive parameters (nprobeCoarse = kc,
+    * nprobe = nlist) probe everything, so the flat-probe exactness law
+    * applies unchanged (spec-tested against brute force). */
+  def ivfSearchTwoLevel(index: IvfIndex2, queries: DataFrame, k: Int,
+                        nprobeCoarse: Int = 4, nprobe: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = index.codebook
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val coarseDF = cb.coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq.map(_.toFloat)) }
+      .toDF("coarse", "ccent")
+    val subDF = cb.subs.toSeq.zipWithIndex.flatMap { case (cs, c) =>
+      cs.toSeq.zipWithIndex.map { case (ctr, j) =>
+        (c, cb.offsets(c) + j, ctr.toSeq.map(_.toFloat))
+      }
+    }.toDF("coarse", "cell", "scent")
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("coarse"))
+    val probedCoarse = q.crossJoin(broadcast(coarseDF))
+      .withColumn("cdist", cosineFast(col("qe"), col("ccent")))
+      .withColumn("pr", row_number().over(wCoarse))
+      .filter(col("pr") <= nprobeCoarse)
+      .select(col("query_id"), col("qe"), col("coarse"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdist").desc, col("cell"))
+    val probed = probedCoarse.join(broadcast(subDF), "coarse")
+      .withColumn("sdist", cosineFast(col("qe"), col("scent")))
+      .withColumn("pr", row_number().over(wCell))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(index.assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 
   /** IVF query phase: probe the `nprobe` nearest centroids, exhaustively
     * re-rank only those cells' members. Centroids broadcast; the only

@@ -67,6 +67,19 @@ object BPE {
     * tiebreak, then the merge rewrite. Returns the merge table and the
     * final segmented vocabulary. Stops early if no pair is left
     * (fully merged words emit no pairs). */
+  /** One training round's pair statistic: (a, b, c) exact adjacent-pair
+    * counts over the segmented vocab — a hash agg over vocab rows
+    * (PlanSpec gates the shape). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), syms(col("symstr")).as("s"))
+      .filter(size(col("s")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(col("cnt"), explode(transform(sequence(lit(0), size(col("s")) - 2),
+        i => struct(element_at(col("s"), i + 1).as("a"),
+          element_at(col("s"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+
   def train(docs: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     var words = wordFreq(docs)
       .withColumn("symstr", symInit(col("word")))
@@ -75,14 +88,7 @@ object BPE {
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val best = words
-        .select(col("cnt"), syms(col("symstr")).as("s"))
-        .filter(size(col("s")) >= 2) // sequence(1, 0) would run DESCENDING
-        .select(col("cnt"), explode(transform(sequence(lit(0), size(col("s")) - 2),
-          i => struct(element_at(col("s"), i + 1).as("a"),
-            element_at(col("s"), i + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
+      val best = pairCounts(words)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) done = true

@@ -480,4 +480,44 @@ class PlanSpec extends AnyFunSuite {
       s"register reduction not partial+final:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in hll plan:\n$p")
   }
+
+  test("bpe train round: pair counts are a partial/final hash agg over the checkpointed vocab") {
+    // the per-round shape (the SCC round-gate trick): q200's own final
+    // plan is the collected merge table, so gate the statistic each
+    // round actually runs — vocab-sized input materialized once, pair
+    // explode feeding a map-side partial + final agg, nothing pairwise
+    import org.apache.spark.sql.functions._
+    val words = graft.text.BPE.wordFreq(graft.ops.Tables.documents(spark, sf))
+      .withColumn("symstr", graft.text.BPE.symInit(col("word")))
+      .localCheckpoint()
+    val p = graft.text.BPE.pairCounts(words).queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"round must read the checkpointed vocab, not re-derive it:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"pair counting lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the bpe round:\n$p")
+  }
+
+  test("bpe encode: one vocab equi-join + per-doc agg, nothing pairwise") {
+    val p = planOf("q201_bpe_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bpe encode has a pairwise stage:\n$p")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      s"encode lost its vocab equi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+      p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"per-doc reassembly lost its aggregation:\n$p")
+  }
+
+  test("admission stream summary: bounded corpus read, no pairwise stage") {
+    // q199 executes the REAL checkpointed sink; the graded tail reads
+    // the admitted-corpus parquet — gate that tail like the other
+    // maintained-state summaries
+    val p = planOf("q199_admission_stream")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      s"admitted corpus must be read from the maintained table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the admission summary:\n$p")
+  }
 }

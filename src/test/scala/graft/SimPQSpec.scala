@@ -154,6 +154,28 @@ class SimPQSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hierarchical probe: exhaustive parameters equal brute force; selective probe has recall") {
+    val q = emb.filter(col("vec_id") < 8)
+    val idx = Similarity.ivfBuildTwoLevel(emb, nlist = 100)
+    val kc = idx.codebook.coarse.length
+    // exhaustive: every coarse cell, every sub-cell probed -> exact
+    val got = Similarity.ivfSearchTwoLevel(idx, q, 5,
+      nprobeCoarse = kc, nprobe = 100).collect().toSeq
+    val want = Similarity.bruteForceTopK(q, emb, 5).collect().toSeq
+    assert(got == want)
+    // selective two-stage probe: bounded candidate volume, sane recall
+    val sel = Similarity.ivfSearchTwoLevel(idx, q, 5,
+        nprobeCoarse = 4, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = want.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sel & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"two-stage probe recall collapsed: $recall")
+    // flat artifacts of the same build serve identically (drop-in law)
+    val flatIdx = Similarity.IvfIndex(idx.centroids, idx.assigned)
+    val flatGot = Similarity.ivfSearch(flatIdx, q, 5, nprobe = 100).collect().toSeq
+    assert(flatGot == want)
+  }
+
   test("ivfBuild at large nlist (two-level path): exhaustive probe equals brute force") {
     // the q69 law on the two-level build: probing EVERY cell re-ranks
     // every assigned vector, so the answer must equal brute-force kNN
