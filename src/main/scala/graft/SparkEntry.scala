@@ -294,6 +294,13 @@ object SparkEntry {
     // per-doc reassembly (the q191 tail shape)
     "q201_bpe_encode" -> ((s, d) =>
       graft.text.BPE.trainEncode(Tables.documents(s, d), BpeRounds)),
+    // greedy max-coverage subset selection (diversity sampling): k
+    // rounds of anti-join + hash agg + Scalar argmax over the shingle
+    // table, exact integer gains, (gain desc, doc_id asc) tiebreak —
+    // the fixed-round oracle replays every round as a CTE
+    "q202_max_coverage" -> ((s, d) =>
+      graft.text.Curation.maxCoverageSelect(
+        Tables.documents(s, d), 3, MaxCovRounds)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1112,6 +1119,11 @@ object SparkEntry {
     * merge count of the fixture vocabulary (the engine stops early when
     * no pair remains; the oracle chain cannot). */
   private val BpeRounds = 12
+  /** Selection budget for the graded greedy max-coverage pass (q202),
+    * same engine/oracle threading. Must stay below the round at which
+    * fixture coverage saturates (the engine stops early; the CTE chain
+    * cannot). */
+  private val MaxCovRounds = 8
   /** 1000*(ThetaK-1)*2^64 — the graded estimator numerator. */
   private val ThetaEstNum =
     (BigInt(1000) * (ThetaK - 1) * (BigInt(1) << 64)).toString
@@ -1290,7 +1302,8 @@ object SparkEntry {
     "q107_langid_ngram" -> Seq("documents"),
     "q199_admission_stream" -> Seq("documents"),
     "q200_bpe_train" -> Seq("documents"),
-    "q201_bpe_encode" -> Seq("documents"))
+    "q201_bpe_encode" -> Seq("documents"),
+    "q202_max_coverage" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2277,6 +2290,36 @@ object SparkEntry {
          |  array_to_string(list(t.toks ORDER BY d.pos), ' ') AS tok_str
          |FROM dw d JOIN wtok t USING (word)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // greedy max-coverage: round r's gains anti-join the covered set
+    // c{r-1}; covered sets grow by UNION (dedup) with the pick's
+    // shingles; covered_total is the running gain sum (gains are
+    // marginal NEW shingles by construction)
+    "q202_max_coverage" -> {
+      val rounds = (2 to MaxCovRounds).map { r =>
+        s"""g$r AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+           |  FROM sh s LEFT JOIN c${r - 1} c ON s.shingle = c.shingle
+           |  WHERE c.shingle IS NULL GROUP BY s.doc_id),
+           |s$r AS (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id ASC LIMIT 1),
+           |c$r AS (SELECT shingle FROM c${r - 1}
+           |  UNION
+           |  SELECT s.shingle FROM sh s JOIN s$r p ON s.doc_id = p.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i FROM toks) u),
+         |g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh GROUP BY doc_id),
+         |s1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |c1 AS (SELECT DISTINCT s.shingle FROM sh s JOIN s1 p ON s.doc_id = p.doc_id),
+         |$rounds,
+         |sel AS (
+         |${(1 to MaxCovRounds).map(r =>
+             s"  SELECT CAST($r AS BIGINT) AS rank, doc_id, gain FROM s$r")
+            .mkString("  UNION ALL\n")}
+         |)
+         |SELECT rank, doc_id, gain,
+         |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+         |FROM sel ORDER BY rank""".stripMargin
+    },
     // the persisted-band-index probe admits EXACTLY what the in-memory
     // probe admits (same admitAgainst) — q87's oracle verbatim
     "q152_admission_indexed" ->

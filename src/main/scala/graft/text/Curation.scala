@@ -105,4 +105,58 @@ object Curation {
     Map("input" -> total, "after_quality" -> nQuality,
       "after_exact_dedup" -> nExact, "curated" -> curated)
   }
+
+  /** Greedy max-coverage subset selection — diversity sampling: pick k
+    * documents that greedily maximize the number of DISTINCT n-gram
+    * shingles covered (the classic (1 − 1/e)-approximate facility-
+    * location/set-cover greedy, the submodular-selection primitive a
+    * "diverse subset" curation pass runs). Deterministic: marginal
+    * gains are exact integer counts, argmax tiebreak (gain desc,
+    * doc_id asc). Already-covered documents have zero uncovered
+    * shingles and drop out of the gain aggregation by construction.
+    *
+    * Scale shape: each of the k rounds is one anti-join of the
+    * (doc_id, shingle) table against the covered-shingle set (hash
+    * equi-join on the shingle key) + one hash agg + a single-row
+    * argmax collect (Scalar-class); the covered set is bounded by k
+    * documents' shingles and re-materialized per round. k corpus-table
+    * passes total — the inherent cost of the greedy, run it at small k
+    * (selection budgets, not corpus scans).
+    *
+    * Output: (rank, doc_id, gain, covered_total), covered_total the
+    * running distinct-coverage count (= Σ gains, since gains are
+    * marginal NEW shingles). Stops early if coverage saturates. */
+  def maxCoverageSelect(documents: DataFrame, n: Int, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = Dedup.shingles(documents, n).localCheckpoint()
+    var covered: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val remaining =
+        if (covered == null) sh
+        else sh.join(covered, Seq("shingle"), "left_anti")
+      val best = remaining.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val doc = best.head.getLong(0)
+        val gain = best.head.getLong(1)
+        total += gain
+        picks += ((r.toLong, doc, gain, total))
+        val newCov = sh.filter(col("doc_id") === doc).select(col("shingle"))
+        covered = (if (covered == null) newCov
+          else covered.unionByName(newCov).dropDuplicates("shingle"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("rank", "doc_id", "gain", "covered_total")
+      .orderBy(col("rank"))
+  }
 }

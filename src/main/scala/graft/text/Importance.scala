@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-selection importance weights for training-corpus curation —
+  * the hashed n-gram importance-resampling score of Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling"
+  * (DSIR, NeurIPS 2023): score each raw document by how much more
+  * likely its hashed-token feature counts are under a TARGET corpus
+  * distribution than under the RAW corpus distribution, using add-1
+  * smoothed bag-of-features log-likelihood ratios. Documents with a
+  * high weight "look like" the target domain; resampling the raw
+  * corpus by these weights steers a 100 TB crawl toward a curated
+  * target mix.
+  *
+  * Engine shape (all hash aggregations + one broadcast join):
+  *   1. one corpus pass → per-(doc, feature) counts, feature =
+  *      `pmod(xxhash64(token), buckets)` (same Spark hash the other
+  *      sketches replay in their DuckDB oracles; `buckets` is a power
+  *      of two so unsigned-mod equals Spark's signed pmod);
+  *   2. one hash agg over the same pass → per-feature raw count and
+  *      target count (target membership is a source predicate, so both
+  *      marginals come from ONE aggregation, not two corpus passes);
+  *   3. λ(f) = ln p̂_t(f) − ln p̂_r(f), each ln rounded to 6dp and the
+  *      weighted sum carried as DECIMAL so the per-document aggregation
+  *      is order-insensitive (the q77 unigram-logprob discipline — a
+  *      raw double sum could never hash-match an oracle under partial
+  *      aggregation);
+  *   4. the λ table is `buckets` rows — broadcast to the per-doc
+  *      feature counts; the per-doc agg is the only shuffle keyed by
+  *      doc.
+  *
+  * At 100 TB: the feature table is fixed-size (buckets), totals are a
+  * 1-row aggregate, and everything corpus-sized is a single explode +
+  * two hash aggs — no self-joins, no driver-sized state.
+  *
+  * Reference anchor: the reference pipeline has no selection stage at
+  * all (`etl-incidents.py` keeps every cleaned row); this is part of
+  * the LLM-curation surface built beyond it.
+  *
+  * Output per document: `n_tok` (token occurrences), `n_feat`
+  * (distinct hashed features), `weight` (the DSIR log-ratio score,
+  * 6dp). Add-1 smoothing guarantees λ is defined for every feature. */
+object Importance {
+
+  def dsirWeights(documents: DataFrame, targetSource: String,
+      buckets: Int = 1024): DataFrame = {
+    require((buckets & (buckets - 1)) == 0 && buckets > 0,
+      s"buckets must be a power of two, got $buckets")
+    val tok = documents
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("f", pmod(xxhash64(col("token")), lit(buckets.toLong)))
+    val perDoc = tok.groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val feat = tok.groupBy(col("f")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("source") === targetSource, lit(1L)).otherwise(lit(0L)))
+        .as("tc"))
+      .localCheckpoint() // ≤ buckets rows; totals + broadcast reuse it
+    val totals = feat.agg(
+      sum(col("rc")).as("rr"), sum(col("tc")).as("tt")).first()
+    val bigR = totals.getLong(0).toDouble + buckets
+    val bigT = totals.getLong(1).toDouble + buckets
+    val lam = feat.select(col("f"),
+      (round(log((col("tc") + lit(1L)).cast("double") / lit(bigT)), 6)
+          .cast("decimal(18,6)") -
+        round(log((col("rc") + lit(1L)).cast("double") / lit(bigR)), 6)
+          .cast("decimal(18,6)")).as("lam"))
+    perDoc.join(broadcast(lam), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        count(lit(1)).as("n_feat"),
+        round(sum(col("cnt") * col("lam")).cast("double"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+}

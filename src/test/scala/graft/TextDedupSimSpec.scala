@@ -376,6 +376,35 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(fps == curated.count())
   }
 
+  test("greedy max-coverage: submodular gains, exact coverage accounting") {
+    import graft.text.Curation
+    val k = 5
+    val sel = Curation.maxCoverageSelect(docs, 3, k).collect()
+    assert(sel.nonEmpty && sel.length <= k)
+    // ranks are 1..m with no gaps
+    assert(sel.map(_.getLong(0)).toSeq == (1L to sel.length.toLong))
+    // submodularity: greedy marginal gains are non-increasing
+    val gains = sel.map(_.getLong(2)).toSeq
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be non-increasing: $gains")
+    // first pick = argmax distinct-shingle count (doc_id asc tiebreak)
+    val best = Dedup.shingles(docs, 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("doc_id").asc).first()
+    assert(sel.head.getLong(1) == best.getLong(0))
+    assert(sel.head.getLong(2) == best.getLong(1))
+    // covered_total = running gain sum AND = true distinct coverage of
+    // the selected prefix (independent recomputation)
+    assert(sel.map(_.getLong(3)).toSeq == gains.scanLeft(0L)(_ + _).tail)
+    val picked = sel.map(_.getLong(1)).toSeq
+    val trueCov = Dedup.shingles(docs, 3)
+      .filter(col("doc_id").isin(picked: _*))
+      .select("shingle").distinct().count()
+    assert(sel.last.getLong(3) == trueCov)
+    // no document selected twice
+    assert(picked.distinct.length == picked.length)
+  }
+
   test("regex tokenizer splits words, numbers, punctuation") {
     import spark.implicits._
     val got = Seq("Hello, world! 42x").toDF("text")
