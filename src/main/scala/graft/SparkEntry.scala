@@ -301,6 +301,22 @@ object SparkEntry {
     "q202_max_coverage" -> ((s, d) =>
       graft.text.Curation.maxCoverageSelect(
         Tables.documents(s, d), 3, MaxCovRounds)),
+    // DSIR importance weights (Xie et al. 2023): hashed-token add-1
+    // log-likelihood ratio of target (src0) vs raw corpus; λ carried
+    // at exactly 6dp so the graded weight is integer micro-nats
+    "q203_dsir_weights" -> ((s, d) =>
+      graft.text.Importance.dsirWeights(
+        Tables.documents(s, d), "src0", DsirBuckets)),
+    // Gonzalez k-center greedy (farthest-point traversal) over the
+    // corpus-wide int8 quantization codes — exact integer squared-L2,
+    // (dist desc, vec_id asc) argmax, fixed-round CTE oracle replaying
+    // the q101 quantization chain round by round
+    "q204_kcenter_coreset" -> ((s, d) =>
+      graft.sim.Coreset.kCenterSelect(Tables.embeddings(s, d), KCenterK)),
+    // tokenizer fertility + bytes-per-subtoken compression ratio from
+    // the trained BPE merges — exact integer permille, pure BIGINT
+    "q205_bpe_fertility" -> ((s, d) =>
+      graft.text.BPE.fertility(Tables.documents(s, d), BpeRounds)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1124,6 +1140,14 @@ object SparkEntry {
     * fixture coverage saturates (the engine stops early; the CTE chain
     * cannot). */
   private val MaxCovRounds = 8
+  /** Hashed-feature bucket count for the graded DSIR pass (q203);
+    * power of two so unsigned-mod in the oracle equals Spark's signed
+    * pmod. */
+  private val DsirBuckets = 1024
+  /** Selection budget for the graded k-center pass (q204): each round
+    * is one fixed-shape CTE trio in the oracle, so k stays small the
+    * same way MaxCovRounds/BpeRounds do. */
+  private val KCenterK = 6
   /** 1000*(ThetaK-1)*2^64 — the graded estimator numerator. */
   private val ThetaEstNum =
     (BigInt(1000) * (ThetaK - 1) * (BigInt(1) << 64)).toString
@@ -1303,7 +1327,10 @@ object SparkEntry {
     "q199_admission_stream" -> Seq("documents"),
     "q200_bpe_train" -> Seq("documents"),
     "q201_bpe_encode" -> Seq("documents"),
-    "q202_max_coverage" -> Seq("documents"))
+    "q202_max_coverage" -> Seq("documents"),
+    "q203_dsir_weights" -> Seq("documents"),
+    "q204_kcenter_coreset" -> Seq("embeddings"),
+    "q205_bpe_fertility" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2319,6 +2346,101 @@ object SparkEntry {
          |SELECT rank, doc_id, gain,
          |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
          |FROM sel ORDER BY rank""".stripMargin
+    },
+    // DSIR: per-feature marginals from ONE pass (rc = raw count, tc =
+    // target-source count), add-1 λ as the DIFFERENCE of two 6dp-graded
+    // DECIMALs, per-doc weight Σ cnt·λ scaled 10⁶ → exact BIGINT
+    // micro-nats (no decimal→double cast on the graded surface); the
+    // feature id replays Spark's xxhash64 via the byte chain, and 1024
+    // is a power of two so unsigned % equals Spark's signed pmod
+    "q203_dsir_weights" ->
+      s"""WITH tokd AS (SELECT doc_id, source,
+         |    unnest(string_split(text, ' ')) AS token FROM documents),
+         |tokf AS (SELECT doc_id, source, token FROM tokd WHERE length(token) > 0),
+         |tokc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokf GROUP BY 1),
+         |$xxhash64Ctes,
+         |hf AS (SELECT token,
+         |    CAST((CASE WHEN h < 0 THEN h + $xxB64 ELSE h END) % 1024 AS BIGINT) AS f
+         |  FROM hashes),
+         |tf AS (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tokf JOIN hf USING (token) GROUP BY 1, 2),
+         |feat AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS rc,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |  FROM tokf JOIN hf USING (token) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rc) AS DOUBLE) + 1024 AS bigr,
+         |    CAST(SUM(tc) AS DOUBLE) + 1024 AS bigt FROM feat),
+         |lam AS (SELECT f,
+         |    CAST(ROUND(LN(CAST(tc + 1 AS DOUBLE) / bigt), 6) AS DECIMAL(18,6))
+         |  - CAST(ROUND(LN(CAST(rc + 1 AS DOUBLE) / bigr), 6) AS DECIMAL(18,6)) AS lam
+         |  FROM feat CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_feat,
+         |  CAST(SUM(cnt * lam) * 1000000 AS BIGINT) AS weight_micro
+         |FROM tf JOIN lam USING (f)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fertility/compression from the SAME trained chain as q200/q201:
+    // per-doc bytes (strlen = UTF-8 bytes, Spark octet_length), word
+    // and subtoken counts, and the two permille ratios as positive
+    // integer floor division (Spark `div` truncation == DuckDB `//`
+    // floor on positive operands)
+    "q205_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtes("documents")},
+         |wenc AS (SELECT word, list_filter(string_split(symstr, '  '), x -> x <> '') AS s
+         |  FROM w$BpeRounds),
+         |wtok AS (SELECT word, CAST(len(s) AS BIGINT) AS ntok FROM wenc),
+         |dw AS (SELECT doc_id, w[CAST(i AS INT)+1] AS word
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+         |  WHERE w[CAST(i AS INT)+1] <> ''),
+         |enc AS (SELECT d.doc_id, CAST(SUM(t.ntok) AS BIGINT) AS n_subtokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words
+         |  FROM dw d JOIN wtok t USING (word) GROUP BY d.doc_id),
+         |byt AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents)
+         |SELECT e.doc_id, b.n_bytes, e.n_words, e.n_subtokens,
+         |  e.n_subtokens * 1000 // e.n_words AS fert_permille,
+         |  b.n_bytes * 1000 // e.n_subtokens AS bpt_permille
+         |FROM enc e JOIN byt b USING (doc_id) ORDER BY e.doc_id""".stripMargin,
+    // Gonzalez k-center: the q101 quantization chain kept FLAT as
+    // (vec_id, i, code); round r is one equi-join distance agg to the
+    // previous pick + a LEAST fold into the min-distance state + an
+    // argmax excluding the selected set — exact integers throughout
+    "q204_kcenter_coreset" -> {
+      val rounds = (3 to KCenterK).map { r =>
+        s"""d$r AS (SELECT a.vec_id,
+           |    CAST(SUM((a.code - b.code)*(a.code - b.code)) AS BIGINT) AS d2
+           |  FROM cf a JOIN cf b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM p${r - 1})
+           |  GROUP BY a.vec_id),
+           |m$r AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2
+           |  FROM m${r - 1} m JOIN d$r d USING (vec_id)),
+           |s$r AS (SELECT vec_id FROM s${r - 1} UNION ALL SELECT vec_id FROM p${r - 1}),
+           |p$r AS (SELECT vec_id, d2 FROM m$r
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM s$r)
+           |  ORDER BY d2 DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+         |dims AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i),
+         |cf AS (SELECT vec_id, i,
+         |    CAST(least(greatest(round((x - lo) *
+         |      CASE WHEN hi > lo THEN 255.0/(hi - lo) ELSE 0.0 END, 0), 0), 255)
+         |      AS BIGINT) AS code
+         |  FROM flat f JOIN dims d USING (i)),
+         |seed AS (SELECT MIN(vec_id) AS vec_id FROM cf),
+         |m2 AS (SELECT a.vec_id,
+         |    CAST(SUM((a.code - b.code)*(a.code - b.code)) AS BIGINT) AS d2
+         |  FROM cf a JOIN cf b ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM seed)
+         |  GROUP BY a.vec_id),
+         |s2 AS (SELECT vec_id FROM seed),
+         |p2 AS (SELECT vec_id, d2 FROM m2 WHERE vec_id NOT IN (SELECT vec_id FROM s2)
+         |  ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+         |$rounds,
+         |sel AS (SELECT CAST(1 AS BIGINT) AS rank,
+         |    (SELECT vec_id FROM seed) AS vec_id, CAST(0 AS BIGINT) AS d2
+         |${(2 to KCenterK).map(r =>
+             s"  UNION ALL SELECT CAST($r AS BIGINT), vec_id, d2 FROM p$r")
+            .mkString("\n")}
+         |)
+         |SELECT rank, vec_id, d2 FROM sel ORDER BY rank""".stripMargin
     },
     // the persisted-band-index probe admits EXACTLY what the in-memory
     // probe admits (same admitAgainst) — q87's oracle verbatim

@@ -371,6 +371,24 @@ object StressBench {
     run("bpe_encode",
       graft.text.BPE.trainEncode(docs1, 12).count(),
       graft.text.BPE.trainEncode(docsPlainN, 12).count())
+    // Greedy max-coverage with DECORRELATED replicas (the coverage
+    // universe grows with the corpus, no cross-replica ties): k is
+    // fixed, so cost is k corpus-sized anti-join passes — the design
+    // claim is slope ≈ 1 (linear per pass), never k-quadratic.
+    run("max_coverage",
+      graft.text.Curation.maxCoverageSelect(docs1, 3, 8).count(),
+      graft.text.Curation.maxCoverageSelect(docsN, 3, 8).count())
+    // DSIR: the feature table is fixed at 1024 buckets regardless of
+    // corpus size — cost must track the two corpus-pass hash aggs
+    run("dsir_weights",
+      graft.text.Importance.dsirWeights(docs1, "src0", 1024).count(),
+      graft.text.Importance.dsirWeights(docsPlainN, "src0", 1024).count())
+    // k-center traversal with sign-decorrelated replicas: k fixed, so
+    // cost is one quantization pass + k narrow projection passes —
+    // linear per pass, no joins anywhere
+    run("kcenter_coreset",
+      graft.sim.Coreset.kCenterSelect(emb1, 8).count(),
+      graft.sim.Coreset.kCenterSelect(embN, 8).count())
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

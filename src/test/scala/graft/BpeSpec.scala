@@ -63,4 +63,23 @@ class BpeSpec extends AnyFunSuite {
     // every merge must have been the max of its round: cnt > 0
     assert(a.forall(_.getLong(4) > 0))
   }
+
+  test("fertility: subtoken accounting matches encode; ratios bounded below") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.ops.Tables.documents(spark, TestSpark.sf)
+    val f = BPE.fertility(corpus, 6).cache()
+    // n_subtokens agrees with the graded encode surface
+    val enc = BPE.trainEncode(corpus, 6)
+      .select(col("doc_id"), col("n_subtokens").as("enc_sub"))
+    assert(f.join(enc, "doc_id")
+      .filter(col("n_subtokens") =!= col("enc_sub")).count() == 0)
+    // every word is >= 1 subtoken, every subtoken >= 1 byte (plus the
+    // inter-word spaces), so both permille ratios are >= 1000
+    assert(f.filter(col("n_subtokens") < col("n_words")).count() == 0)
+    assert(f.filter(col("fert_permille") < 1000 ||
+      col("bpt_permille") < 1000).count() == 0)
+    // bytes dominate subtokens + separators
+    assert(f.filter(col("n_bytes") <
+      col("n_subtokens") + col("n_words") - 1).count() == 0)
+  }
 }

@@ -474,6 +474,58 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("max-coverage round: shingle-keyed anti equi-join + partial/final gain agg") {
+    // q202's own final plan is the collected picks table, so gate the
+    // per-round shape directly (the SCC round-gate trick): uncovered
+    // filtering must be a LeftAnti equi-join on the shingle key against
+    // the checkpointed covered set, the gain count a map-side partial +
+    // final hash agg — never a nested loop, never a cartesian.
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val sh = graft.dedup.Dedup.shingles(docs, 3).localCheckpoint()
+    val cov = sh.filter(col("doc_id") === 1L).select(col("shingle"))
+      .localCheckpoint()
+    val p = graft.text.Curation.coverageGainRound(sh, Some(cov))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"),
+      s"uncovered filtering must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"anti join fell back to a pairwise stage:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"gain counting lost its map-side partial:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"round must read the checkpointed shingle table, not re-derive it:\n$p")
+  }
+
+  test("dsir: broadcast λ join, partial/final doc agg, no pairwise stage") {
+    val p = planOf("q203_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row λ table must broadcast to the doc features:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"per-doc weight sum lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the dsir plan:\n$p")
+  }
+
+  test("k-center round: state update is a narrow projection — no join, no exchange") {
+    // q204's own final plan is the collected picks table; gate the
+    // per-round state update directly — folding the new center literal
+    // over the codes column must stay a projection over the
+    // checkpointed state (embarrassingly parallel at any corpus size)
+    import org.apache.spark.sql.functions._
+    val emb = graft.ops.Tables.embeddings(spark, sf)
+    val state = graft.sim.Quantize.codes(emb)
+      .withColumn("min_d2", lit(Long.MaxValue)).localCheckpoint()
+    val center = Seq.fill(64)(128)
+    val p = state.withColumn("min_d2",
+        least(col("min_d2"), graft.sim.Coreset.d2ToCenter(center)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"round must read the checkpointed state:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"k-center round update must not shuffle or join:\n$p")
+  }
+
   test("hll: one distinct + partial/final register agg before the arithmetic") {
     val p = planOf("q162_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).length >= 4,

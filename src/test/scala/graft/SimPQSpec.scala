@@ -188,4 +188,33 @@ class SimPQSpec extends AnyFunSuite {
     val want = Similarity.bruteForceTopK(q, emb, 5).collect().toSeq
     assert(got == want)
   }
+
+  test("k-center greedy: seed, monotone radii, exact distances, distinct picks") {
+    import graft.sim.{Coreset, Quantize}
+    val k = 5
+    val sel = Coreset.kCenterSelect(emb, k).collect()
+    assert(sel.length == k)
+    assert(sel.map(_.getLong(0)).toSeq == (1L to k.toLong))
+    // seed is the smallest vec_id at distance 0
+    val minId = emb.agg(min(col("vec_id"))).first().getLong(0)
+    assert(sel.head.getLong(1) == minId && sel.head.getLong(2) == 0L)
+    // the covering radius shrinks: pick distances are non-increasing
+    val d2s = sel.map(_.getLong(2)).toSeq
+    assert(d2s.tail.zip(d2s.tail.tail).forall { case (a, b) => a >= b },
+      s"pick distances must be non-increasing: $d2s")
+    // every pick's d2 equals the true min distance to the EARLIER picks,
+    // recomputed independently from the shared code table
+    val codes = Quantize.codes(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def dist(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => val d = (x - y).toLong; d * d }.sum
+    sel.tail.foreach { row =>
+      val prior = sel.takeWhile(_.getLong(0) < row.getLong(0))
+        .map(p => codes(p.getLong(1)))
+      val want = prior.map(c => dist(codes(row.getLong(1)), c)).min
+      assert(row.getLong(2) == want,
+        s"rank ${row.getLong(0)} d2 ${row.getLong(2)} != recomputed $want")
+    }
+    assert(sel.map(_.getLong(1)).distinct.length == k)
+  }
 }

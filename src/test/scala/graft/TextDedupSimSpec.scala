@@ -405,6 +405,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(picked.distinct.length == picked.length)
   }
 
+  test("dsir weights: target docs score above raw mean, exact token accounting") {
+    import graft.text.Importance
+    val w = Importance.dsirWeights(docs, "src0", 1024).cache()
+    // token accounting matches the independent tokenizer count
+    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+    assert(w.join(toks, "doc_id")
+      .filter(col("n_tok") =!= col("n_tokens")).count() == 0)
+    // features per doc bounded by min(tokens, buckets)
+    assert(w.filter(col("n_feat") > col("n_tok") ||
+      col("n_feat") > 1024).count() == 0)
+    // the likelihood-ratio direction: PER-TOKEN mean weight over the
+    // TARGET source exceeds the mean over the rest (the KL ≥ 0
+    // direction importance resampling relies on; per-token because the
+    // raw total confounds document length with the add-1 smoothing
+    // wedge — all λ shift negative when T ≪ R, longer docs more so)
+    val bySrc = w.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("weight_micro").cast("double") / col("n_tok")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySrc(true) > bySrc(false),
+      s"target per-token mean ${bySrc(true)} must exceed raw ${bySrc(false)}")
+  }
+
   test("regex tokenizer splits words, numbers, punctuation") {
     import spark.implicits._
     val got = Seq("Hello, world! 42x").toDF("text")
