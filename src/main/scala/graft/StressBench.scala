@@ -121,11 +121,18 @@ object StressBench {
     val docsN = docs1
       .withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      // the d{doc_id % 997} component spreads each replacement token's
+      // df across ~997 classes: a (rep, pos)-only tag is shared by ALL
+      // documents of a replica at that position (df ≈ docs with ≥pos
+      // words — corpus-hot unigrams), so unigram-df-driven costs could
+      // still measure protocol-manufactured heat (ADVICE r9)
       .withColumn("text", when(col("__rep") === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "), (w, i) =>
           when(i % 2 === 1,
             concat(lit("u"), col("__rep").cast("string"),
-              lit("p"), i.cast("string"))).otherwise(w)), " ")))
+              lit("p"), i.cast("string"),
+              lit("d"), pmod(col("doc_id"), lit(997L)).cast("string")))
+            .otherwise(w)), " ")))
       .drop("__rep")
     run("minhash_lsh",
       graft.dedup.Dedup.minhashLsh(docs1, 3, 8, 4, 0.3).count(),

@@ -191,11 +191,19 @@ object LocalKMeans {
       .collect()
       .map { case (c, cs) => c -> cs.map(_.toArray).toArray }
       .toMap
+    // An EMPTY coarse cell (no sample point mapped to it) still owns
+    // kSub(c) global ids — pad with clones of the coarse center so the
+    // id space stays exactly [0, nlist) (duplicate centers are harmless
+    // under the strict-< lowest-index tiebreak; the duplicates simply
+    // never win an argmin against the first copy).
     val subs = Array.tabulate(kc) { c =>
-      fitted.getOrElse(c, Array(coarse(c).clone())) // empty cell: its coarse center
+      fitted.getOrElse(c, Array.fill(kSub(c))(coarse(c).clone()))
     }
     val offsets = subs.scanLeft(0)(_ + _.length).dropRight(1)
-    TwoLevelCodebook(coarse, subs, offsets)
+    val cb = TwoLevelCodebook(coarse, subs, offsets)
+    require(cb.nlist == nlist,
+      s"fitTwoLevel: built ${cb.nlist} cells, requested $nlist")
+    cb
   }
 
   /** Two-level assignment as a mapPartitions batch (same rationale and

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * two hash aggs — no self-joins, no driver-sized state.
   *
   * Reference anchor: the reference pipeline has no selection stage at
-  * all (`etl-incidents.py` keeps every cleaned row); this is part of
+  * all (`etl-ml.py` keeps every cleaned row); this is part of
   * the LLM-curation surface built beyond it.
   *
   * Output per document: `n_tok` (token occurrences), `n_feat`
