@@ -205,7 +205,12 @@ object PlanDump {
     "q205_bpe_fertility" -> ("fertility/compression reuses the q201 encode shape " +
       "— vocab-side merge fold, one corpus equi-join, per-doc hash agg — and the " +
       "permille ratios are exact integer division in the final projection; pure " +
-      "BIGINT surface, no double anywhere")
+      "BIGINT surface, no double anywhere"),
+    "q206_bigram_nll" -> ("bigram-LM perplexity scoring: count tables are two " +
+      "hash aggs (unigram/bigram-keyed, vocabulary-shaped), scoring is key-equi " +
+      "joins (word, (a,b), doc_id) + a partial/final per-doc sum — the corpus is " +
+      "tokenized twice and never self-joined; per-term λ is the 6dp-decimal " +
+      "log discipline so the graded surface is exact BIGINT micro-nats")
   )
 
   def main(args: Array[String]): Unit = {

@@ -317,6 +317,11 @@ object SparkEntry {
     // the trained BPE merges — exact integer permille, pure BIGINT
     "q205_bpe_fertility" -> ((s, d) =>
       graft.text.BPE.fertility(Tables.documents(s, d), BpeRounds)),
+    // bigram-LM perplexity scoring (CCNet-style quality filter): add-1
+    // smoothed bigram NLL per document in exact integer micro-nats —
+    // the q203 6dp-decimal log discipline, pure BIGINT surface
+    "q206_bigram_nll" -> ((s, d) =>
+      graft.text.LanguageModel.bigramNll(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1335,7 +1340,8 @@ object SparkEntry {
     "q202_max_coverage" -> Seq("documents"),
     "q203_dsir_weights" -> Seq("documents"),
     "q204_kcenter_coreset" -> Seq("embeddings"),
-    "q205_bpe_fertility" -> Seq("documents"))
+    "q205_bpe_fertility" -> Seq("documents"),
+    "q206_bigram_nll" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2427,6 +2433,46 @@ object SparkEntry {
          |  e.n_subtokens * 1000 // e.n_words AS fert_permille,
          |  b.n_bytes * 1000 // e.n_subtokens AS bpt_permille
          |FROM enc e JOIN byt b USING (doc_id) ORDER BY e.doc_id""".stripMargin,
+    // bigram-LM NLL: counts are exact integers, each per-term λ is a
+    // DIFFERENCE of 6dp-rounded LNs of exact-integer doubles (the q203
+    // discipline — DECIMAL(18,6) end to end), ×10⁶ → exact BIGINT
+    // micro-nats; per-token score is positive // (floor == Spark div)
+    "q206_bigram_nll" ->
+      """WITH toksd AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |toksf AS MATERIALIZED (SELECT doc_id, w FROM toksd WHERE len(w) >= 1),
+        |uni AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM (SELECT unnest(w) AS a FROM toksf) u GROUP BY 1),
+        |nv AS MATERIALIZED (SELECT CAST(SUM(ca) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS MATERIALIZED (SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT)+1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM toksf WHERE len(w) >= 2) t),
+        |cab AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM bi GROUP BY 1, 2),
+        |lamu AS MATERIALIZED (SELECT a AS word,
+        |    CAST(ROUND(LN(CAST((SELECT n + v FROM nv) AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |  - CAST(ROUND(LN(CAST(ca + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+        |  FROM uni),
+        |lamb AS MATERIALIZED (SELECT c.a, c.b,
+        |    CAST(ROUND(LN(CAST(u.ca + (SELECT v FROM nv) AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |  - CAST(ROUND(LN(CAST(c.cab + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+        |  FROM cab c JOIN uni u ON u.a = c.a),
+        |st AS (SELECT s.doc_id, s.n_tok, l.lam AS lam0
+        |  FROM (SELECT doc_id, w[1] AS word, CAST(len(w) AS BIGINT) AS n_tok
+        |        FROM toksf) s
+        |  JOIN lamu l USING (word)),
+        |chain AS (SELECT bm.doc_id, SUM(bm.mult * lb.lam) AS lamsum
+        |  FROM (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS mult
+        |        FROM bi GROUP BY 1, 2, 3) bm
+        |  JOIN lamb lb ON lb.a = bm.a AND lb.b = bm.b GROUP BY 1)
+        |SELECT st.doc_id, st.n_tok,
+        |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) AS nll_micro,
+        |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) // st.n_tok
+        |    AS nll_per_tok_micro
+        |FROM st LEFT JOIN chain ch ON ch.doc_id = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
     // Gonzalez k-center: the q101 quantization chain kept FLAT as
     // (vec_id, i, code); round r is one equi-join distance agg to the
     // previous pick + a LEAST fold into the min-distance state + an

@@ -368,6 +368,13 @@ object StressBench {
     run("bigram_pmi",
       mat(graft.text.TextOps.bigramPmi(docs1, 3)),
       mat(graft.text.TextOps.bigramPmi(docsPlainN, 3)))
+    // bigram-LM NLL with DECORRELATED replicas: the per-doc-tagged
+    // tokens grow the unigram AND bigram count tables ∝ corpus — the
+    // honest worst case for the vocabulary-shaped aggs and the
+    // (a,b)-keyed scoring join
+    run("bigram_nll",
+      mat(graft.text.LanguageModel.bigramNll(docs1)),
+      mat(graft.text.LanguageModel.bigramNll(docsN)))
     // BPE with PLAIN replicas: the vocabulary (and so every training
     // round's pair agg) is FIXED while the corpus grows — train cost
     // should track the single wordFreq scan, encode the one corpus

@@ -256,4 +256,29 @@ class CorpusPrepSpec extends AnyFunSuite {
       assert(pairs.get(key).contains(nfp.toLong), s"mirror pair for $s wrong: ${pairs.get(key)}")
     }
   }
+
+  test("bigram NLL: every doc scored, scores positive, LM laws hold") {
+    val out = graft.text.LanguageModel.bigramNll(docs).collect()
+    assert(out.length == docs.count(), "every document gets a score")
+    out.foreach { r =>
+      val (n, nll, perTok) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1)
+      assert(nll > 0, "add-1 NLL is strictly positive (num < den in every term)")
+      assert(perTok == nll / n, "per-token score is floor division")
+    }
+    // identical duplicate docs must score identically (pure function of
+    // (corpus counts, text)); build a corpus with a known repetition
+    val dup = spark.createDataFrame(Seq(
+      (0L, "a b a b"), (1L, "a b a b"), (2L, "c d"), (3L, "a b c d")
+    )).toDF("doc_id", "text")
+    val scored = graft.text.LanguageModel.bigramNll(dup).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored(0L) == scored(1L), "equal text ⇒ equal NLL")
+    // the frequent pattern (a b: seen 5x) must beat the rare one (c d:
+    // 2x) per token — the filter-signal direction the operator exists for
+    val perTok = graft.text.LanguageModel.bigramNll(dup).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(perTok(0L) < perTok(2L),
+      s"frequent bigrams must score cheaper per token: ${perTok(0L)} vs ${perTok(2L)}")
+  }
 }

@@ -507,6 +507,19 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the dsir plan:\n$p")
   }
 
+  test("bigram nll: key-equi joins + partial/final doc agg, no pairwise stage") {
+    // q206: the count tables are hash aggs, every scoring join is on a
+    // natural key (word / (a,b) / doc_id), the per-doc sum has its
+    // map-side partial — never a nested loop, never a cartesian
+    val p = planOf("q206_bigram_nll")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the bigram-nll plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+      p.contains("ObjectHashAggregate"),
+      s"per-doc NLL sum lost its map-side partial:\n$p")
+    assert(p.contains("Join"), s"scoring lost its count-table equi-joins:\n$p")
+  }
+
   test("k-center round: state update is a narrow projection — no join, no exchange") {
     // q204's own final plan is the collected picks table; gate the
     // per-round state update directly — folding the new center literal

@@ -133,6 +133,21 @@ class SimPQSpec extends AnyFunSuite {
     assert(cb1.flatCenters.map(_._1).toSeq == (0 until 100))
   }
 
+  test("two-level codebook: empty coarse cells still own their allocated ids") {
+    import graft.ml.LocalKMeans
+    // Degenerate sample: every point identical → the strict-< argmin
+    // sends ALL points to coarse cell 0, so cells 1..kc-1 are EMPTY.
+    // The nlist contract must hold anyway: empty cells pad with clones
+    // of their coarse center (ADVICE r9 — the old fallback returned a
+    // single center regardless of the cell's largest-remainder quota,
+    // silently shrinking the id space).
+    val sample = Array.fill(64)(Array(1.0, 2.0, 3.0))
+    val cb = LocalKMeans.fitTwoLevel(spark, sample, nlist = 25, iters = 3, seed = 7L)
+    assert(cb.nlist == 25)
+    assert(cb.flatCenters.map(_._1).toSeq == (0 until 25))
+    assert(cb.subs.map(_.length).sum == 25)
+  }
+
   test("two-level assignment: hierarchical argmin semantics, in-range, deterministic") {
     import graft.ml.LocalKMeans
     val sample = LocalKMeans.sampleVectors(emb, "embedding", "vec_id", 4096)
