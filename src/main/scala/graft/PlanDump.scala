@@ -210,7 +210,12 @@ object PlanDump {
       "hash aggs (unigram/bigram-keyed, vocabulary-shaped), scoring is key-equi " +
       "joins (word, (a,b), doc_id) + a partial/final per-doc sum — the corpus is " +
       "tokenized twice and never self-joined; per-term λ is the 6dp-decimal " +
-      "log discipline so the graded surface is exact BIGINT micro-nats")
+      "log discipline so the graded surface is exact BIGINT micro-nats"),
+    "q207_bigram_nll_slice" -> ("the production LM-filter shape: counts come " +
+      "from the trusted slice only (slice-sized tables — broadcast-able at a " +
+      "bounded slice), scoring LEFT-joins with count-0 coalesce so OOV terms " +
+      "pay the add-1 floor; the big corpus is tokenized once and flows through " +
+      "two equi-joins + one per-doc agg")
   )
 
   def main(args: Array[String]): Unit = {

@@ -322,6 +322,15 @@ object SparkEntry {
     // the q203 6dp-decimal log discipline, pure BIGINT surface
     "q206_bigram_nll" -> ((s, d) =>
       graft.text.LanguageModel.bigramNll(Tables.documents(s, d))),
+    // the PRODUCTION LM-filter shape: train the bigram LM on the
+    // trusted src0 slice, score the WHOLE corpus — OOV tokens/bigrams
+    // take count 0 under the same add-1 smoothing, so the score is a
+    // domain distance from the trusted slice
+    "q207_bigram_nll_slice" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.LanguageModel.bigramNllFrom(
+        docs.filter(col("source") === "src0"), docs)
+    }),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1341,7 +1350,8 @@ object SparkEntry {
     "q203_dsir_weights" -> Seq("documents"),
     "q204_kcenter_coreset" -> Seq("embeddings"),
     "q205_bpe_fertility" -> Seq("documents"),
-    "q206_bigram_nll" -> Seq("documents"))
+    "q206_bigram_nll" -> Seq("documents"),
+    "q207_bigram_nll_slice" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2467,6 +2477,50 @@ object SparkEntry {
         |  FROM (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS mult
         |        FROM bi GROUP BY 1, 2, 3) bm
         |  JOIN lamb lb ON lb.a = bm.a AND lb.b = bm.b GROUP BY 1)
+        |SELECT st.doc_id, st.n_tok,
+        |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) AS nll_micro,
+        |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) // st.n_tok
+        |    AS nll_per_tok_micro
+        |FROM st LEFT JOIN chain ch ON ch.doc_id = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
+    // slice-trained LM scoring (q206's production shape): counts come
+    // from the src0 slice only; scoring LEFT-joins with count-0
+    // coalesce so OOV terms pay the add-1 floor — λ computed at score
+    // time from the coalesced counts, same 6dp decimal discipline
+    "q207_bigram_nll_slice" ->
+      """WITH trtoks AS MATERIALIZED (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE source = 'src0'),
+        |trtoksf AS MATERIALIZED (SELECT w FROM trtoks WHERE len(w) >= 1),
+        |uni AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM (SELECT unnest(w) AS a FROM trtoksf) u GROUP BY 1),
+        |nv AS MATERIALIZED (SELECT CAST(SUM(ca) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |cab AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT)+1] AS b
+        |        FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |              FROM trtoksf WHERE len(w) >= 2) t0) t1
+        |  GROUP BY 1, 2),
+        |toksf AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS MATERIALIZED (SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT)+1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM toksf WHERE len(w) >= 2) t),
+        |st AS (SELECT s.doc_id, s.n_tok,
+        |    CAST(ROUND(LN(CAST((SELECT n + v FROM nv) AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |  - CAST(ROUND(LN(CAST(COALESCE(u.ca, 0) + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam0
+        |  FROM (SELECT doc_id, w[1] AS word, CAST(len(w) AS BIGINT) AS n_tok
+        |        FROM toksf WHERE len(w) >= 1) s
+        |  LEFT JOIN uni u ON u.a = s.word),
+        |chain AS (SELECT bm.doc_id, SUM(bm.mult * (
+        |    CAST(ROUND(LN(CAST(COALESCE(u.ca, 0) + (SELECT v FROM nv) AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |  - CAST(ROUND(LN(CAST(COALESCE(c.cab, 0) + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)))) AS lamsum
+        |  FROM (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS mult
+        |        FROM bi GROUP BY 1, 2, 3) bm
+        |  LEFT JOIN cab c ON c.a = bm.a AND c.b = bm.b
+        |  LEFT JOIN uni u ON u.a = bm.a
+        |  GROUP BY 1)
         |SELECT st.doc_id, st.n_tok,
         |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) AS nll_micro,
         |  CAST((st.lam0 + COALESCE(ch.lamsum, 0)) * 1000000 AS BIGINT) // st.n_tok

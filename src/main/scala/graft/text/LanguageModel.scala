@@ -99,4 +99,75 @@ object LanguageModel {
       .withColumn("nll_per_tok_micro", expr("nll_micro div n_tok"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[bigramNll]] in the PRODUCTION configuration: the LM trains on a
+    * TRUSTED SLICE (`train`) and scores a different corpus — the CCNet
+    * shape ("train on Wikipedia, score the crawl"). Out-of-vocabulary
+    * tokens and unseen bigrams take count 0 under the same add-1
+    * smoothing (every probability stays defined), which is what makes
+    * the score a DOMAIN distance: text far from the training slice
+    * pays the OOV floor ln(N+V) / ln(C(a)+V) per term.
+    *
+    * Same exact-integer grading as [[bigramNll]]. Scale posture is
+    * BETTER than the self-trained form: both count tables are
+    * slice-sized, so with a bounded trusted slice the λ sides broadcast
+    * and the score side stays one tokenize + two equi-joins + one
+    * per-doc agg over the big corpus. */
+  def bigramNllFrom(train: DataFrame, docs: DataFrame): DataFrame = {
+    val trainToks = train.select(
+      filter(TextOps.tokens(col("text")), t => length(t) > 0).as("w"))
+      .filter(size(col("w")) >= 1)
+    val cu = trainToks.select(explode(col("w")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint()
+    val nv = cu.agg(sum(col("ca")).as("n"), count(lit(1)).as("v")).first()
+    val bigNV = nv.getLong(0) + nv.getLong(1)
+    val vocab = nv.getLong(1)
+    val cab = trainToks
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("a"),
+          element_at(col("w"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+    // scored corpus token/bigram streams
+    val toks = docs.select(col("doc_id"),
+      filter(TextOps.tokens(col("text")), t => length(t) > 0).as("w"))
+      .filter(size(col("w")) >= 1)
+    val biStream = toks
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("a"),
+            element_at(col("w"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    // OOV-aware terms: LEFT joins against the slice counts, count 0
+    // when absent — λ computed AT SCORE TIME from the coalesced counts
+    // under the identical 6dp decimal discipline
+    val startTerm = toks
+      .select(col("doc_id"), element_at(col("w"), 1).as("word"),
+        size(col("w")).cast("long").as("n_tok"))
+      .join(cu.withColumnRenamed("a", "word"), Seq("word"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (round(log(lit(bigNV.toDouble)), 6).cast("decimal(18,6)") -
+          round(log((coalesce(col("ca"), lit(0L)) + lit(1L)).cast("double")), 6)
+            .cast("decimal(18,6)")).as("lam0"))
+    val chainTerms = biStream.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("mult"))
+      .join(cab, Seq("a", "b"), "left")
+      .join(cu, Seq("a"), "left")
+      .select(col("doc_id"), col("mult"),
+        (round(log((coalesce(col("ca"), lit(0L)) + lit(vocab)).cast("double")), 6)
+            .cast("decimal(18,6)") -
+          round(log((coalesce(col("cab"), lit(0L)) + lit(1L)).cast("double")), 6)
+            .cast("decimal(18,6)")).as("lam"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mult") * col("lam")).as("lamSum"))
+    startTerm.join(chainTerms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        ((col("lam0") + coalesce(col("lamSum"), lit(0).cast("decimal(18,6)")))
+          * lit(1000000L)).cast("long").as("nll_micro"))
+      .withColumn("nll_per_tok_micro", expr("nll_micro div n_tok"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -281,4 +281,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(perTok(0L) < perTok(2L),
       s"frequent bigrams must score cheaper per token: ${perTok(0L)} vs ${perTok(2L)}")
   }
+
+  test("slice-trained NLL: self-training matches, OOV text pays the floor") {
+    import graft.text.LanguageModel
+    // training on the whole corpus must reproduce bigramNll exactly —
+    // the OOV left-join path degenerates to the inner-join path when
+    // every key is in vocabulary
+    val self = LanguageModel.bigramNllFrom(docs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = LanguageModel.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self == base, "bigramNllFrom(docs, docs) must equal bigramNll(docs)")
+    // a corpus with an in-domain and an out-of-domain doc: the OOV doc
+    // must score strictly higher per token (the domain-distance signal)
+    val train = spark.createDataFrame(Seq(
+      (0L, "the cat sat on the mat"), (1L, "the dog sat on the rug")
+    )).toDF("doc_id", "text")
+    val score = spark.createDataFrame(Seq(
+      (10L, "the cat sat on the rug"), (11L, "zq xv qqq zz vv xx")
+    )).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNllFrom(train, score).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(10L) < out(11L),
+      s"OOV text must pay more per token: ${out(10L)} vs ${out(11L)}")
+  }
 }

@@ -518,6 +518,10 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ObjectHashAggregate"),
       s"per-doc NLL sum lost its map-side partial:\n$p")
     assert(p.contains("Join"), s"scoring lost its count-table equi-joins:\n$p")
+    // the slice-trained production shape keeps the same plan family
+    val ps = planOf("q207_bigram_nll_slice")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the slice-trained nll plan:\n$ps")
   }
 
   test("k-center round: state update is a narrow projection — no join, no exchange") {
