@@ -215,7 +215,12 @@ object PlanDump {
       "from the trusted slice only (slice-sized tables — broadcast-able at a " +
       "bounded slice), scoring LEFT-joins with count-0 coalesce so OOV terms " +
       "pay the add-1 floor; the big corpus is tokenized once and flows through " +
-      "two equi-joins + one per-doc agg")
+      "two equi-joins + one per-doc agg"),
+    "q208_gopher_rules" -> ("the Gopher hard-filter battery: five rules are " +
+      "pure codegen'd HOF projections over the token array (no join, no " +
+      "shuffle); the repetition rule is the only aggregation — per-(doc, " +
+      "token) count + per-doc max, doc-keyed and map-side combined; every " +
+      "flag is an exact-integer comparison, pure BIGINT surface")
   )
 
   def main(args: Array[String]): Unit = {

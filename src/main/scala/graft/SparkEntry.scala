@@ -331,6 +331,11 @@ object SparkEntry {
       graft.text.LanguageModel.bigramNllFrom(
         docs.filter(col("source") === "src0"), docs)
     }),
+    // Gopher-rule hard filter battery: six exact-integer pass/fail
+    // heuristics + the conjunction — pure BIGINT 0/1, ratio thresholds
+    // cross-multiplied so no division anywhere
+    "q208_gopher_rules" -> ((s, d) =>
+      graft.text.QualityRules.gopherRules(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1351,7 +1356,8 @@ object SparkEntry {
     "q204_kcenter_coreset" -> Seq("embeddings"),
     "q205_bpe_fertility" -> Seq("documents"),
     "q206_bigram_nll" -> Seq("documents"),
-    "q207_bigram_nll_slice" -> Seq("documents"))
+    "q207_bigram_nll_slice" -> Seq("documents"),
+    "q208_gopher_rules" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2527,6 +2533,44 @@ object SparkEntry {
         |    AS nll_per_tok_micro
         |FROM st LEFT JOIN chain ch ON ch.doc_id = st.doc_id
         |ORDER BY st.doc_id""".stripMargin,
+    // Gopher rules: every flag is an exact-integer comparison (ratio
+    // thresholds cross-multiplied); the stopword list interpolates from
+    // TextOps.Stopwords so engine and oracle can never drift
+    "q208_gopher_rules" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |base AS MATERIALIZED (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tok,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_intersect(list_distinct(w), $stopList)) AS BIGINT) AS n_stop_d,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(w, x -> x = '#' OR x = '...' OR x = chr(8230))) AS BIGINT) AS n_sym
+         |  FROM toksf),
+         |mc AS MATERIALIZED (SELECT doc_id, MAX(c) AS max_tok_cnt FROM (
+         |    SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, unnest(w) AS t FROM toksf) u GROUP BY 1, 2) g
+         |  GROUP BY 1)
+         |SELECT b.doc_id, b.n_tok,
+         |  CAST(CASE WHEN b.n_tok >= 50 AND b.n_tok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+         |  CAST(CASE WHEN b.sum_len * 10 >= b.n_tok * 30 AND b.sum_len * 10 <= b.n_tok * 100
+         |    THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+         |  CAST(CASE WHEN b.n_alpha * 5 >= b.n_tok * 4 THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+         |  CAST(CASE WHEN b.n_stop_d >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+         |  CAST(CASE WHEN b.n_sym * 10 <= b.n_tok THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol,
+         |  CAST(CASE WHEN COALESCE(m.max_tok_cnt, 0) * 5 <= b.n_tok THEN 1 ELSE 0 END AS BIGINT) AS ok_repeat,
+         |  CAST(CASE WHEN (CASE WHEN b.n_tok >= 50 AND b.n_tok <= 100000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN b.sum_len * 10 >= b.n_tok * 30 AND b.sum_len * 10 <= b.n_tok * 100 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN b.n_alpha * 5 >= b.n_tok * 4 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN b.n_stop_d >= 2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN b.n_sym * 10 <= b.n_tok THEN 1 ELSE 0 END)
+         |    + (CASE WHEN COALESCE(m.max_tok_cnt, 0) * 5 <= b.n_tok THEN 1 ELSE 0 END)
+         |    = 6 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM base b LEFT JOIN mc m ON m.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
     // Gonzalez k-center: the q101 quantization chain kept FLAT as
     // (vec_id, i, code); round r is one equi-join distance agg to the
     // previous pick + a LEAST fold into the min-distance state + an

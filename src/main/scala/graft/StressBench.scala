@@ -375,6 +375,11 @@ object StressBench {
     run("bigram_nll",
       mat(graft.text.LanguageModel.bigramNll(docs1)),
       mat(graft.text.LanguageModel.bigramNll(docsN)))
+    // Gopher rules: five narrow projections + one doc-keyed mode agg —
+    // should track the tokenize scan
+    run("gopher_rules",
+      mat(graft.text.QualityRules.gopherRules(docs1)),
+      mat(graft.text.QualityRules.gopherRules(docsN)))
     // BPE with PLAIN replicas: the vocabulary (and so every training
     // round's pair agg) is FIXED while the corpus grows — train cost
     // should track the single wordFreq scan, encode the one corpus

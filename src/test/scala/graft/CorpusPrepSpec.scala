@@ -305,4 +305,33 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out(10L) < out(11L),
       s"OOV text must pay more per token: ${out(10L)} vs ${out(11L)}")
   }
+
+  test("gopher rules: each rule fires on its designed violation") {
+    import graft.text.QualityRules
+    // 12 distinct words/repeat (modal count stays 5/60 ≤ 20%), mean
+    // word length 43/12 ≈ 3.6 ∈ [3,10], stopwords {the, and, in}
+    val good = ("the cats and dogs sat upon some mats in his sunny yard " * 5).trim
+    val fixture = spark.createDataFrame(Seq(
+      (0L, good),                                  // passes everything
+      (1L, "too short"),                           // ok_len fails
+      (2L, good + " " + Seq.fill(40)("x").mkString(" ")), // mean word len < 3
+      (3L, good + " " + Seq.fill(20)("9 9 #").mkString(" ")), // alpha+symbol fail
+      (4L, Seq.fill(60)("lorem").mkString(" ")),   // no stopwords + repetition
+      (5L, good + " " + Seq.fill(30)("the").mkString(" ")) // modal token > 20%
+    )).toDF("doc_id", "text")
+    val out = QualityRules.gopherRules(fixture, minTok = 50, maxTok = 100000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(out(0L) == ((1L, 1L, 1L, 1L, 1L, 1L, 1L)), s"clean doc: ${out(0L)}")
+    assert(out(1L)._1 == 0L, "short doc must fail ok_len")
+    assert(out(2L)._2 == 0L, s"1-char padding must fail ok_wordlen: ${out(2L)}")
+    assert(out(3L)._3 == 0L && out(3L)._5 == 0L,
+      s"digit+symbol flood must fail ok_alpha and ok_symbol: ${out(3L)}")
+    assert(out(4L)._4 == 0L && out(4L)._6 == 0L,
+      s"stopword-free repetition must fail ok_stop and ok_repeat: ${out(4L)}")
+    assert(out(5L)._6 == 0L, s"modal-token flood must fail ok_repeat: ${out(5L)}")
+    assert(out.filter(_._1 != 0L).forall(_._2._7 == 0L),
+      "every violating doc must fail the conjunction")
+  }
 }

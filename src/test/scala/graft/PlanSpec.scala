@@ -524,6 +524,18 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the slice-trained nll plan:\n$ps")
   }
 
+  test("gopher rules: narrow projections + one doc-keyed mode agg, no pairwise") {
+    // q208: five rules are pure HOF projections; the repetition rule is
+    // the only agg (per-(doc, token) count + per-doc max) — doc-keyed,
+    // map-side combined, never a join over data pairs
+    val p = planOf("q208_gopher_rules")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the gopher-rules plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+      p.contains("ObjectHashAggregate"),
+      s"repetition rule lost its map-side partial:\n$p")
+  }
+
   test("k-center round: state update is a narrow projection — no join, no exchange") {
     // q204's own final plan is the collected picks table; gate the
     // per-round state update directly — folding the new center literal
