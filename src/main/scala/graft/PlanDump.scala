@@ -220,7 +220,14 @@ object PlanDump {
       "pure codegen'd HOF projections over the token array (no join, no " +
       "shuffle); the repetition rule is the only aggregation — per-(doc, " +
       "token) count + per-doc max, doc-keyed and map-side combined; every " +
-      "flag is an exact-integer comparison, pure BIGINT surface")
+      "flag is an exact-integer comparison, pure BIGINT surface"),
+    "q209_winnow_fingerprints" -> ("winnowing (MOSS) fingerprints: the " +
+      "token-hash table materializes ONCE (Scan ExistingRDD — xxhash64 stays " +
+      "in the expression layer, bit-identical to the oracle's replayed " +
+      "chain); gram folding + window selection run as a mapPartitions batch " +
+      "(the assignPartitions split — the nested-HOF form measured ~2.5 ms/doc " +
+      "interpreted and re-inlined the hash chain on derived inputs); the " +
+      "summary is doc-keyed aggs + one join — nothing pairwise")
   )
 
   def main(args: Array[String]): Unit = {

@@ -336,6 +336,12 @@ object SparkEntry {
     // cross-multiplied so no division anywhere
     "q208_gopher_rules" -> ((s, d) =>
       graft.text.QualityRules.gopherRules(Tables.documents(s, d))),
+    // winnowing (MOSS) fingerprints: rightmost-min-per-window selection
+    // over mod-p polynomial k-gram hashes — per-doc count + extrema of
+    // the selected set, exact BIGINT; oracle replays the xxhash64
+    // token chain + the same window argmin arithmetic
+    "q209_winnow_fingerprints" -> ((s, d) =>
+      graft.dedup.Winnow.summary(Tables.documents(s, d), 3, 4)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1357,7 +1363,8 @@ object SparkEntry {
     "q205_bpe_fertility" -> Seq("documents"),
     "q206_bigram_nll" -> Seq("documents"),
     "q207_bigram_nll_slice" -> Seq("documents"),
-    "q208_gopher_rules" -> Seq("documents"))
+    "q208_gopher_rules" -> Seq("documents"),
+    "q209_winnow_fingerprints" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2533,6 +2540,38 @@ object SparkEntry {
         |    AS nll_per_tok_micro
         |FROM st LEFT JOIN chain ch ON ch.doc_id = st.doc_id
         |ORDER BY st.doc_id""".stripMargin,
+    // winnowing fingerprints: the token-hash chain is the replayed
+    // xxhash64 (mod p = 2^31-1), k-gram hashes the exact polynomial
+    // fold, and the window selection the same rightmost-argmin — all
+    // BIGINT arithmetic on both engines (k=3, w=4 inlined)
+    "q209_winnow_fingerprints" ->
+      s"""WITH tokd AS MATERIALIZED (SELECT doc_id, i AS pos, w[CAST(i AS INT)+1] AS token
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |              FROM documents) t0) t1),
+         |tokc AS MATERIALIZED (SELECT token FROM tokd GROUP BY token),
+         |$xxhash64Ctes,
+         |thm AS MATERIALIZED (SELECT token, ((h % 2147483647) + 2147483647) % 2147483647 AS th
+         |  FROM hashes),
+         |docseq AS MATERIALIZED (SELECT d.doc_id, list(t.th ORDER BY d.pos) AS ths
+         |  FROM tokd d JOIN thm t USING (token) GROUP BY d.doc_id),
+         |gseq AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(range(0, len(ths) - 2), i ->
+         |      ((ths[CAST(i AS INT)+1] * 1000003 + ths[CAST(i AS INT)+2]) % 2147483647
+         |        * 1000003 + ths[CAST(i AS INT)+3]) % 2147483647) AS g
+         |  FROM docseq WHERE len(ths) >= 3),
+         |sel AS MATERIALIZED (SELECT doc_id, g, CAST(len(g) AS BIGINT) AS ng,
+         |    list_distinct(list_transform(range(0, len(g) - LEAST(4, len(g)) + 1), i ->
+         |      list_max(list_transform(range(0, LEAST(4, len(g))), d ->
+         |        CASE WHEN g[CAST(i + d AS INT) + 1]
+         |          = list_min(list_slice(g, CAST(i AS INT) + 1, CAST(i + LEAST(4, len(g)) AS INT)))
+         |        THEN i + d ELSE -1 END)))) AS picks
+         |  FROM gseq WHERE len(g) >= 1)
+         |SELECT doc_id, ng AS n_gram,
+         |  CAST(len(picks) AS BIGINT) AS n_fp,
+         |  CAST(list_min(list_transform(picks, p -> g[CAST(p AS INT) + 1])) AS BIGINT) AS fp_min,
+         |  CAST(list_max(list_transform(picks, p -> g[CAST(p AS INT) + 1])) AS BIGINT) AS fp_max
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // Gopher rules: every flag is an exact-integer comparison (ratio
     // thresholds cross-multiplied); the stopword list interpolates from
     // TextOps.Stopwords so engine and oracle can never drift

@@ -380,6 +380,19 @@ object StressBench {
     run("gopher_rules",
       mat(graft.text.QualityRules.gopherRules(docs1)),
       mat(graft.text.QualityRules.gopherRules(docsN)))
+    // winnowing: token-hash build (one checkpointed corpus pass) +
+    // mapPartitions gram/selection loops + doc-keyed summary aggs.
+    // Inputs are MATERIALIZED text (real corpora are parquet
+    // attributes, not derived expressions — the decorrelation
+    // transform would otherwise bill its own re-evaluation to the
+    // operator).
+    run("winnow_fp", {
+      val d1 = docs1.select(col("doc_id"), col("text")).localCheckpoint()
+      mat(graft.dedup.Winnow.summary(d1, 3, 4))
+    }, {
+      val dN = docsN.select(col("doc_id"), col("text")).localCheckpoint()
+      mat(graft.dedup.Winnow.summary(dN, 3, 4))
+    })
     // BPE with PLAIN replicas: the vocabulary (and so every training
     // round's pair agg) is FIXED while the corpus grows — train cost
     // should track the single wordFreq scan, encode the one corpus

@@ -524,6 +524,18 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the slice-trained nll plan:\n$ps")
   }
 
+  test("winnow summary: selection reads the materialized gram table, no pairwise") {
+    // q209: the gram-hash table materializes ONCE (Scan ExistingRDD —
+    // nested-lambda selection over a derived column would re-inline the
+    // hash fold per reference, the IVF-assignment blowup class); the
+    // summary is doc-keyed aggs + one join, nothing pairwise
+    val p = planOf("q209_winnow_fingerprints")
+    assert(p.contains("ExistingRDD"),
+      s"selection must read the checkpointed gram table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the winnow plan:\n$p")
+  }
+
   test("gopher rules: narrow projections + one doc-keyed mode agg, no pairwise") {
     // q208: five rules are pure HOF projections; the repetition rule is
     // the only agg (per-(doc, token) count + per-doc max) — doc-keyed,

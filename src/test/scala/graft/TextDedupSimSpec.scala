@@ -654,4 +654,42 @@ class TextDedupSimSpec extends AnyFunSuite {
       assert(n == best(group)._2 && tot == best(group)._3)
     }
   }
+
+  test("winnowing: density bound, determinism, and the detection guarantee") {
+    import graft.dedup.Winnow
+    val (k, w) = (3, 4)
+    val fp = Winnow.fingerprints(docs, k, w).cache()
+    val summ = Winnow.summary(docs, k, w).collect()
+    assert(summ.length == docs.count(), "every doc (>= k tokens) fingerprints")
+    summ.foreach { r =>
+      val (ng, nfp) = (r.getLong(1), r.getLong(2))
+      // upper: one pick per window; lower: a position sits in at most
+      // w windows, so nWindows/w distinct picks at minimum
+      val nWindows = ng - math.min(w, ng) + 1
+      assert(nfp <= nWindows, s"more picks than windows: $r")
+      assert(nfp >= (nWindows + w - 1) / w, s"picks below the density floor: $r")
+    }
+    // determinism: rebuilding selects the identical set
+    val a = fp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Winnow.fingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "winnowing must be deterministic")
+    // the winnowing GUARANTEE: two docs sharing a substring of
+    // w + k - 1 = 6 tokens share at least one fingerprint VALUE
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val pair = spark.createDataFrame(Seq(
+      (100L, s"one two three $shared four five six"),
+      (200L, s"$shared seven eight nine ten eleven twelve")
+    )).toDF("doc_id", "text")
+    val pf = Winnow.fingerprints(pair, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val common = pf.filter(_._1 == 100L).map(_._2).toSet
+      .intersect(pf.filter(_._1 == 200L).map(_._2).toSet)
+    assert(common.nonEmpty,
+      "docs sharing a (w+k-1)-token substring must share a fingerprint")
+    // and matches() surfaces exactly that pair
+    val m = Winnow.matches(pair, k, w).collect()
+    assert(m.exists(r => r.getLong(0) == 100L && r.getLong(1) == 200L),
+      "matches must emit the overlapping pair once (a < b)")
+  }
 }
