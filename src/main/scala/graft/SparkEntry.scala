@@ -3795,9 +3795,13 @@ object SparkEntry {
         |    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |  FROM lineitem GROUP BY 1),
-        |g AS (SELECT *, ROUND(p25 - ROUND(p75 - p25, 4) * 1.5, 4) AS lo_fence,
-        |    ROUND(p75 + ROUND(p75 - p25, 4) * 1.5, 4) AS hi_fence,
-        |    ROUND(p75 - p25, 4) AS iqr FROM qs),
+        |qi AS (SELECT *, CAST(ROUND(p25 * 10000) AS BIGINT) AS p25i,
+        |    CAST(ROUND(p75 * 10000) AS BIGINT) AS p75i FROM qs),
+        |g AS (SELECT l_returnflag, n, p25, p50, p75,
+        |    CAST(p75i - p25i AS DOUBLE) / 10000.0 AS iqr,
+        |    CAST(p25i * 2 - (p75i - p25i) * 3 AS DOUBLE) / 20000.0 AS lo_fence,
+        |    CAST(p75i * 2 + (p75i - p25i) * 3 AS DOUBLE) / 20000.0 AS hi_fence
+        |  FROM qi),
         |o AS (SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers
         |  FROM lineitem l JOIN g ON l.l_returnflag = g.l_returnflag
         |  WHERE l_extendedprice < lo_fence OR l_extendedprice > hi_fence GROUP BY 1)

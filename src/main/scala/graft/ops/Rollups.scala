@@ -226,6 +226,12 @@ object Rollups {
     // ONE array-percentile agg (one sort buffer, not three) — and the
     // group-cardinality result is materialized so the value-buffering
     // aggregation doesn't re-run for each of its two consumers below
+    // Fences on the exact integer ten-thousandths grid: p25/p75 are
+    // 4dp-rounded, so ×10⁴ recovers exact longs, and 1.5·IQR lives on
+    // the HALF grid (2e-5 units) — `round(p25 - 1.5·iqr, 4)` put a
+    // fixture value exactly on the .00005 boundary where engine ulp
+    // noise decided the direction (sf0.001 hash mismatch). Integer
+    // arithmetic + ONE correctly-rounded division is bit-identical.
     val qs = lineitem.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
@@ -233,9 +239,15 @@ object Rollups {
         round(element_at(col("ps"), 1), 4).as("p25"),
         round(element_at(col("ps"), 2), 4).as("p50"),
         round(element_at(col("ps"), 3), 4).as("p75"))
-      .withColumn("iqr", round(col("p75") - col("p25"), 4))
-      .withColumn("lo_fence", round(col("p25") - col("iqr") * 1.5, 4))
-      .withColumn("hi_fence", round(col("p75") + col("iqr") * 1.5, 4))
+      .withColumn("p25i", round(col("p25") * 10000, 0).cast("long"))
+      .withColumn("p75i", round(col("p75") * 10000, 0).cast("long"))
+      .withColumn("iqr",
+        (col("p75i") - col("p25i")).cast("double") / 10000.0)
+      .withColumn("lo_fence",
+        (col("p25i") * 2 - (col("p75i") - col("p25i")) * 3).cast("double") / 20000.0)
+      .withColumn("hi_fence",
+        (col("p75i") * 2 + (col("p75i") - col("p25i")) * 3).cast("double") / 20000.0)
+      .drop("p25i", "p75i")
       .localCheckpoint()
     // second pass counts outliers against the broadcast fences (an
     // aggregate can't reference a sibling aggregate in one pass)
