@@ -342,6 +342,33 @@ object SparkEntry {
     // token chain + the same window argmin arithmetic
     "q209_winnow_fingerprints" -> ((s, d) =>
       graft.dedup.Winnow.summary(Tables.documents(s, d), 3, 4)),
+    // classifier evaluation over embeddings: centroid linear probe
+    // (cross-multiplied class-mean difference over the q101 int8
+    // codes — exact BIGINT, closed form) + rank-free tie-corrected
+    // Mann-Whitney AUC from the distinct-score table; no global row
+    // sort anywhere
+    "q210_probe_auc" -> ((s, d) =>
+      graft.quality.Eval.aucReport(Tables.embeddings(s, d))),
+    // the probe's calibration table: 10 exact-integer equi-width bins
+    // over [lo, hi], per-bin count/positives/floor'd per-mille rate +
+    // the exact shifted score mass
+    "q211_calibration_bins" -> ((s, d) =>
+      graft.quality.Eval.calibrationBins(Tables.embeddings(s, d))),
+    // token-budget-constrained quality selection: greedy prefix over
+    // (score desc, doc_id) kept until the running token total exceeds
+    // 30% of the corpus — computed class-wise (distinct-score sweep +
+    // two-phase tie-class cumsum), never as a global corpus sort
+    "q212_budget_select" -> ((s, d) =>
+      graft.text.Curation.budgetSelect(Tables.documents(s, d))),
+    // source-mixture plan: uniform-target largest-remainder token
+    // allocation (sums exactly to the budget) + floor'd ppm epoch
+    // factors — the LLM data-mixing table
+    "q213_mixture_plan" -> ((s, d) =>
+      graft.text.Curation.mixturePlan(Tables.documents(s, d))),
+    // the probe's full precision/recall curve: one exact-integer
+    // confusion row per distinct score threshold, descending
+    "q214_pr_curve" -> ((s, d) =>
+      graft.quality.Eval.prCurve(Tables.embeddings(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1364,7 +1391,12 @@ object SparkEntry {
     "q206_bigram_nll" -> Seq("documents"),
     "q207_bigram_nll_slice" -> Seq("documents"),
     "q208_gopher_rules" -> Seq("documents"),
-    "q209_winnow_fingerprints" -> Seq("documents"))
+    "q209_winnow_fingerprints" -> Seq("documents"),
+    "q210_probe_auc" -> Seq("embeddings"),
+    "q211_calibration_bins" -> Seq("embeddings"),
+    "q212_budget_select" -> Seq("documents"),
+    "q213_mixture_plan" -> Seq("documents"),
+    "q214_pr_curve" -> Seq("embeddings"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1449,6 +1481,33 @@ object SparkEntry {
        |    CAST((CAST(g3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS g4,
        |    xor(g4, g4//65536) AS $outCol FROM $in),
        |${out}p AS MATERIALIZED (SELECT doc_id, band, sg, $outCol FROM $out),""".stripMargin
+
+  /** Shared CTE chain for the classifier-evaluation oracles
+    * (q210/q211/q214): the q204 int8 quantization law verbatim, the
+    * cross-multiplied centroid-probe weights (w_i = n0·Σ₁ − n1·Σ₀,
+    * exact BIGINT — the engine's [[graft.quality.Eval.probeScores]]),
+    * and the per-vector score table `sc(vec_id, y, score)`. */
+  private val probeScoreCtes: String =
+    s"""flat AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+       |dims AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i),
+       |cf AS MATERIALIZED (SELECT vec_id,
+       |    CASE WHEN label >= ${graft.quality.Eval.LabelSplit} THEN 1 ELSE 0 END AS y, i,
+       |    CAST(least(greatest(round((x - lo) *
+       |      CASE WHEN hi > lo THEN 255.0/(hi - lo) ELSE 0.0 END, 0), 0), 255)
+       |      AS BIGINT) AS code
+       |  FROM flat f JOIN dims d USING (i)),
+       |cnts AS (SELECT CAST(SUM(y) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+       |  FROM (SELECT vec_id, MAX(y) AS y FROM cf GROUP BY vec_id) pv),
+       |wts AS MATERIALIZED (SELECT i,
+       |    CAST(SUM(CASE WHEN y = 1 THEN code ELSE 0 END) AS BIGINT) * (SELECT n0 FROM cnts)
+       |      - CAST(SUM(CASE WHEN y = 0 THEN code ELSE 0 END) AS BIGINT) * (SELECT n1 FROM cnts) AS w
+       |  FROM cf GROUP BY i),
+       |sc AS MATERIALIZED (SELECT c.vec_id, CAST(MAX(c.y) AS BIGINT) AS y,
+       |    CAST(SUM(c.code * w.w) AS BIGINT) AS score
+       |  FROM cf c JOIN wts w USING (i) GROUP BY c.vec_id)""".stripMargin
 
   /** The BPE fixed-round training chain (q200/q201 oracles): w0 is the
     * vocab with char-level double-space symstrs; round r contributes
@@ -2572,6 +2631,90 @@ object SparkEntry {
          |  CAST(list_min(list_transform(picks, p -> g[CAST(p AS INT) + 1])) AS BIGINT) AS fp_min,
          |  CAST(list_max(list_transform(picks, p -> g[CAST(p AS INT) + 1])) AS BIGINT) AS fp_max
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // centroid-probe AUC: the q204 quantization chain, the
+    // cross-multiplied class-mean weights, then the tie-corrected
+    // Mann-Whitney numerator off the distinct-score table — every
+    // term BIGINT, the rank arithmetic replayed as a window cumsum
+    "q210_probe_auc" ->
+      s"""WITH $probeScoreCtes,
+         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+         |  FROM sc GROUP BY score),
+         |cum AS (SELECT pos, neg,
+         |    CAST(COALESCE(SUM(neg) OVER (ORDER BY score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+         |  FROM bys)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |  CAST(COUNT(*) AS BIGINT) AS n_scores,
+         |  CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num2,
+         |  CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) * 1000000
+         |    // (CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT) * 2) AS auc_ppm
+         |FROM cum""".stripMargin,
+    // calibration bins over the probe score: exact-integer equi-width
+    // law ((score-lo)*10 // (hi-lo+1)); non-negative operands so
+    // DuckDB // == Spark div
+    "q211_calibration_bins" ->
+      s"""WITH $probeScoreCtes,
+         |ext AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc)
+         |SELECT ((score - lo) * 10) // (hi - lo + 1) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_pm,
+         |  CAST(SUM(score - lo) AS BIGINT) AS sum_shift
+         |FROM sc, ext GROUP BY 1 ORDER BY bin""".stripMargin,
+    // PR curve: one confusion row per distinct threshold, cumulatives
+    // swept descending
+    "q214_pr_curve" ->
+      s"""WITH $probeScoreCtes,
+         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+         |  FROM sc GROUP BY score)
+         |SELECT score, pos_at, neg_at,
+         |  CAST(SUM(pos_at) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         |  CAST(SUM(pos_at + neg_at) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+         |FROM bys ORDER BY score DESC""".stripMargin,
+    // budget selection: the oracle states the law in its simplest
+    // global form (one running sum over (score desc, doc_id)); the
+    // engine's class-wise computation must coincide exactly
+    "q212_budget_select" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sb AS MATERIALIZED (SELECT doc_id,
+         |    (CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS BIGINT)
+         |      * 1000000) // CAST(len(w) AS BIGINT) AS score,
+         |    CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM toksf WHERE len(w) > 0),
+         |tot AS (SELECT (CAST(SUM(n_tok) AS BIGINT) * 3) // 10 AS budget FROM sb),
+         |cum AS (SELECT doc_id, score, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM sb)
+         |SELECT doc_id, score, n_tok FROM cum, tot
+         |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+    },
+    // mixture plan: uniform-target largest-remainder allocation; the
+    // equal fractional remainders make source-name order the rule
+    "q213_mixture_plan" ->
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tok_s
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT (CAST(SUM(tok_s) AS BIGINT) * 3) // 10 AS budget,
+         |    CAST(COUNT(*) AS BIGINT) AS k FROM per),
+         |r AS (SELECT source, n_docs, tok_s,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY source ASC) AS BIGINT) AS rn FROM per),
+         |t AS (SELECT source, n_docs, tok_s,
+         |    (budget // k) + (CASE WHEN rn <= budget % k THEN 1 ELSE 0 END) AS target_tok
+         |  FROM r, g)
+         |SELECT source, n_docs, tok_s, CAST(target_tok AS BIGINT) AS target_tok,
+         |  (CAST(target_tok AS BIGINT) * 1000000) // tok_s AS epochs_ppm,
+         |  CAST(CASE WHEN target_tok > tok_s THEN 1 ELSE 0 END AS BIGINT) AS upsample
+         |FROM t ORDER BY source""".stripMargin,
     // Gopher rules: every flag is an exact-integer comparison (ratio
     // thresholds cross-multiplied); the stopword list interpolates from
     // TextOps.Stopwords so engine and oracle can never drift

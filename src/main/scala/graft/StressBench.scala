@@ -421,6 +421,27 @@ object StressBench {
     run("kcenter_coreset",
       graft.sim.Coreset.kCenterSelect(emb1, 8).count(),
       graft.sim.Coreset.kCenterSelect(embN, 8).count())
+    // Centroid-probe evaluation with PLAIN replicas (the label/class
+    // structure is exactly what the probe fits — decorrelating it would
+    // destroy the task): the probe fit is a d·2-row hash agg, scoring a
+    // literal-fold projection, and the rank arithmetic runs on the
+    // distinct-score table — replicas duplicate scores, so that table
+    // (and the sweep) is corpus-size-INDEPENDENT; cost must track the
+    // two corpus passes alone.
+    run("probe_auc",
+      mat(graft.quality.Eval.aucReport(emb1)),
+      mat(graft.quality.Eval.aucReport(embPlainN)))
+    // Budget selection: the threshold sweep is score-grid-bounded; the
+    // single tie class pays the bucketed two-phase cumsum. Plain
+    // replicas keep the score distribution (the tie class grows ∝
+    // factor — exactly the stress the two-phase window must absorb).
+    run("budget_select",
+      graft.text.Curation.budgetSelect(docs1).count(),
+      graft.text.Curation.budgetSelect(docsPlainN).count())
+    // Mixture plan: one corpus-pass hash agg to a source-sized table.
+    run("mixture_plan",
+      graft.text.Curation.mixturePlan(docs1).count(),
+      graft.text.Curation.mixturePlan(docsPlainN).count())
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

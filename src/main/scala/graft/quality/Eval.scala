@@ -1,0 +1,161 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Quantize
+
+/** Classifier evaluation over the embedding table — the missing tail
+  * of a production quality-filter pipeline (CCNet / Gopher / Llama
+  * style): after a filter model scores every document, the pipeline
+  * needs (a) its discriminative power (ROC-AUC), (b) its full
+  * precision/recall tradeoff curve to pick an operating threshold,
+  * and (c) a calibration table so the score can be read as a
+  * probability. The reference's ML stage stops at regression metrics
+  * (`ml.py`, `ml-gbt.py`: RMSE/R²); this family is the
+  * classification-side evaluation a data-curation deployment runs at
+  * corpus scale.
+  *
+  * The scored model is a CENTROID LINEAR PROBE, fit in closed form on
+  * the corpus itself: w = n0·Σ_{y=1} c  −  n1·Σ_{y=0} c per dimension
+  * over the corpus-wide affine int8 codes from [[Quantize]] (the
+  * cross-multiplied form of the class-mean difference m1 − m0, exact
+  * in BIGINT — no division anywhere), and score(v) = Σ_i c_i·w_i.
+  * Labels y = [label ≥ split] binarize the 10-class column. This is
+  * the Fisher-style nearest-class-mean direction: a real probe with
+  * real separation, yet bit-reproducible on any engine that replays
+  * the quantization (which q101/q204 already grade).
+  *
+  * Exactness bounds: |w_i| ≤ 255·n0·n1 and |score| ≤ d·255·|w|, so the
+  * graded config (d=64) stays inside BIGINT up to ~10⁶ vectors; a
+  * 100-TB deployment would fit the probe on a bounded sample (the
+  * probe is 2·d aggregates — sample-sized) and score with double
+  * weights, keeping the one-pass scoring shape below.
+  *
+  * Scale shape — the point of the design: AUC needs ranks, but a
+  * global row sort of the corpus is the one thing a 100-TB run must
+  * not do. Every consumer here reduces the corpus with ONE map-side-
+  * combined hash agg to a DISTINCT-SCORE table (cardinality bounded
+  * by the score grid, ≪ corpus) and runs the rank arithmetic — a
+  * cumulative sum — on that bounded table in a single partition
+  * (Scalar-class, like the sketch merges). Mann–Whitney with the
+  * standard tie correction comes out exactly:
+  *   AUC·2·P·N = Σ_s pos_s · (2·negBelow_s + neg_s)
+  * all in BIGINT. */
+object Eval {
+
+  /** Binarization threshold over the 10-class label column. */
+  val LabelSplit = 5
+
+  /** (vec_id, y, score): the exact-integer centroid-probe score for
+    * every vector. Two corpus passes — one (i, y)-keyed hash agg to
+    * fit the probe (d·2 output rows, map-side combined), one narrow
+    * codegen'd fold projection to score (the [[graft.sim.Coreset]]
+    * literal-fold discipline: no join, no shuffle in the scoring
+    * pass). */
+  def probeScores(embeddings: DataFrame): DataFrame = {
+    val enc = Quantize.encodedWithExtrema(embeddings)._1
+      .select(col("vec_id"),
+        when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
+        col("codes"))
+    // probe fit: per-(dimension, class) code sums + class sizes.
+    // posexplode shuffles d·2 grouped rows after map-side combine.
+    val sums = enc
+      .select(col("y"), posexplode(col("codes")).as(Seq("i", "c")))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("y") === 1L, col("c").cast("long")).otherwise(0L)).as("s1"),
+        sum(when(col("y") === 0L, col("c").cast("long")).otherwise(0L)).as("s0"))
+      .collect()
+    val counts = enc.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n0 = counts.getOrElse(0L, 0L)
+    val n1 = counts.getOrElse(1L, 0L)
+    require(n0 > 0 && n1 > 0,
+      s"probeScores: both classes must be nonempty (n0=$n0, n1=$n1)")
+    val w: Seq[Long] = sums.sortBy(_.getInt(0))
+      .map(r => r.getLong(1) * n0 - r.getLong(2) * n1).toSeq
+    val wLit = typedlit(w)
+    val score = aggregate(
+      sequence(lit(1), lit(w.length)), lit(0L),
+      (acc: Column, i: Column) =>
+        acc + element_at(col("codes"), i).cast("long") * element_at(wLit, i))
+    enc.select(col("vec_id"), col("y"), score.as("score"))
+  }
+
+  /** One-row exact ROC-AUC: (n_pos, n_neg, n_scores, auc_num2,
+    * auc_ppm) with auc_num2 = AUC·2·P·N (the tie-corrected
+    * Mann–Whitney numerator, exact BIGINT) and auc_ppm its floor'd
+    * parts-per-million rendering. The corpus collapses to the
+    * distinct-score table in one hash agg; the cumulative-negatives
+    * sweep runs on that bounded table coalesced to one partition. */
+  def aucReport(embeddings: DataFrame): DataFrame = {
+    val byScore = probeScores(embeddings)
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+      .coalesce(1)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(win), lit(0L)))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("pos") * (col("neg_below") * 2L + col("neg"))).as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"), col("auc_num2"),
+        expr("(auc_num2 * 1000000) div (n_pos * n_neg * 2)").as("auc_ppm"))
+  }
+
+  /** The full precision/recall curve as an exact-integer table: one
+    * row per distinct score threshold t (descending), with the
+    * confusion counts of the rule "keep iff score ≥ t":
+    * (score, pos_at, neg_at, cum_pos = TP, cum_n = TP+FP). Precision
+    * = cum_pos/cum_n and recall = cum_pos/P are exact rationals the
+    * reader forms; nothing lossy is graded. Same scale shape as
+    * [[aucReport]]: corpus → distinct-score table → bounded sweep. */
+  def prCurve(embeddings: DataFrame): DataFrame = {
+    val byScore = probeScores(embeddings)
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos_at"),
+        (count(lit(1)) - sum(col("y"))).as("neg_at"))
+      .coalesce(1)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byScore
+      .select(col("score"), col("pos_at"), col("neg_at"),
+        sum(col("pos_at")).over(win).as("cum_pos"),
+        sum(col("pos_at") + col("neg_at")).over(win).as("cum_n"))
+      .orderBy(col("score").desc)
+  }
+
+  /** Equi-width calibration table over the probe score: B bins over
+    * [lo, hi] (corpus extrema, Scalar-class literals), bin index
+    * (score−lo)·B // (hi−lo+1) — exact BIGINT, the +1 keeping the max
+    * score inside bin B−1 with no float edge anywhere (the q138
+    * rounding-boundary lesson). Per bin: n, n_pos, the floor'd
+    * per-mille empirical positive rate, and Σ(score−lo) so the
+    * reader can place the bin's mean score exactly. A reliability
+    * diagram / Brier reliability term is a projection of these exact
+    * columns. One corpus pass beyond the probe; bins ≪ corpus. */
+  def calibrationBins(embeddings: DataFrame, bins: Int = 10): DataFrame = {
+    val scores = probeScores(embeddings)
+    val ext = scores.agg(min(col("score")), max(col("score"))).collect().head
+    val lo = ext.getLong(0)
+    val width = ext.getLong(1) - lo + 1L
+    scores
+      .withColumn("bin", expr(s"((score - ${lo}L) * $bins) div ${width}L"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("score") - lo).as("sum_shift"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000) div n").as("pos_rate_pm"),
+        col("sum_shift"))
+      .orderBy(col("bin"))
+  }
+}

@@ -165,4 +165,115 @@ object Curation {
     picks.toSeq.toDF("rank", "doc_id", "gain", "covered_total")
       .orderBy(col("rank"))
   }
+
+  /** Token-budget-constrained quality selection — the operating-point
+    * decision a filter pipeline ends with: keep the highest-scoring
+    * documents whose token mass fits a budget (budgetNum/budgetDen of
+    * the corpus total). Score is the exact-integer stopword-density
+    * permille-of-permille (n_stop·10⁶ div n_tok — the same family
+    * [[qualityPass]] thresholds on, floor'd so ties are real and the
+    * tie law is exercised). The selection law is the global greedy
+    * prefix over (score desc, doc_id asc): keep every document whose
+    * running token total (inclusive) stays ≤ budget.
+    *
+    * Scale shape — the reason this is NOT a global corpus sort: the
+    * corpus reduces to its DISTINCT-SCORE class table (one map-side-
+    * combined hash agg, cardinality ≤ 10⁶+1), the threshold class is
+    * found by a cumulative sweep over that bounded table, and only
+    * the single tie class pays an ordered cumulative sum — via the
+    * bucketed two-phase [[graft.ops.Windows.globalRunningSum]], so no
+    * task sees the whole class either. Two corpus passes + one
+    * class-sized sweep; equivalent to the sort law because the
+    * running total is monotone along the order.
+    *
+    * Output: (doc_id, score, n_tok) of the selected set, doc_id
+    * order. Zero-token documents are excluded up front (no score). */
+  def budgetSelect(documents: DataFrame,
+                   budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
+    // empty-token filter: the q206-family tokenization law (split can
+    // emit "" on leading/trailing/double spaces; the oracle filters)
+    val toks = filter(TextOps.tokens(col("text")), t => length(t) > 0)
+    val stopArr = array(TextOps.Stopwords.map(lit): _*)
+    val base = documents
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0L)
+      .withColumn("score", expr("(n_stop * 1000000) div n_tok"))
+      .select(col("doc_id"), col("score"), col("n_tok"))
+      .localCheckpoint()
+    val total = base.agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val budget = total * budgetNum / budgetDen
+    // distinct-score classes, swept descending: a class is fully kept
+    // iff every token above it plus its own mass fits; the FIRST class
+    // that does not fit is the (single) tie class.
+    val classes = base.groupBy(col("score"))
+      .agg(sum(col("n_tok")).as("tok_s")).coalesce(1)
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = classes
+      .withColumn("cum_above", coalesce(sum(col("tok_s")).over(wAbove), lit(0L)))
+      .filter(col("cum_above") + col("tok_s") > budget)
+      .orderBy(col("score").desc).limit(1).collect()
+    if (boundary.isEmpty) {
+      // everything fits
+      base.select(col("doc_id"), col("score"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    } else {
+      val tieScore = boundary.head.getLong(0)
+      val remaining = budget - boundary.head.getLong(2)
+      val fullIn = base.filter(col("score") > tieScore)
+      val tieIn = graft.ops.Windows.globalRunningSum(
+          base.filter(col("score") === tieScore)
+            .select(col("doc_id"), col("score"), col("n_tok")),
+          "doc_id", col("n_tok"), "cum")
+        .filter(col("cum") <= remaining)
+        .select(col("doc_id"), col("score"), col("n_tok"))
+      fullIn.select(col("doc_id"), col("score"), col("n_tok"))
+        .unionByName(tieIn)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Source-mixture plan: flatten the corpus' source distribution to a
+    * UNIFORM target under a token budget (budgetNum/budgetDen of the
+    * corpus total) — the data-mixing table an LLM training run is
+    * configured from (upsample rare sources, downsample common ones).
+    * Integer-exact largest-remainder allocation: every source gets
+    * budget div k target tokens and the budget mod k leftover tokens
+    * go one each to the first sources in source-name order (uniform
+    * targets make every fractional remainder equal, so the tiebreak
+    * IS the remainder rule), hence Σ target_tok == budget exactly.
+    *
+    * Output per source: observed (n_docs, tok_s), target_tok, the
+    * floor'd parts-per-million epoch factor target·10⁶ div tok_s
+    * (> 10⁶ means upsampling — the source repeats epochs), and the
+    * upsample flag. One corpus-pass hash agg; everything downstream
+    * is source-cardinality-sized (a broadcast-scale table on any
+    * corpus — sources number in the thousands, not billions). */
+  def mixturePlan(documents: DataFrame,
+                  budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
+    val perSrc = documents
+      .select(col("source"),
+        size(filter(TextOps.tokens(col("text")), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_s"))
+      .coalesce(1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("source").asc)
+    perSrc
+      .withColumn("total", sum(col("tok_s")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("budget", expr(s"(total * $budgetNum) div $budgetDen"))
+      .withColumn("rn", row_number().over(wRank))
+      .select(col("source"), col("n_docs"), col("tok_s"),
+        expr("(budget div k) + (CASE WHEN rn <= budget % k THEN 1 ELSE 0 END)")
+          .as("target_tok"))
+      .withColumn("epochs_ppm", expr("(target_tok * 1000000) div tok_s"))
+      .withColumn("upsample", (col("target_tok") > col("tok_s")).cast("long"))
+      .orderBy(col("source"))
+  }
 }

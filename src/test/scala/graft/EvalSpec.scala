@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.quality.Eval
+import graft.text.Curation
+
+/** Classifier-evaluation family (q210/q211/q214) + budget selection /
+  * mixture planning (q212/q213). Unit laws are brute-force replays on
+  * tiny in-memory fixtures — the value-level gate at sf is the DuckDB
+  * oracle (tools/compare_local.py / driver t2).
+  */
+class EvalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** 8 vectors, 2 dims, linearly separable: label>=5 (positive) sits
+    * high on dim0 / low on dim1; two positive and two negative score
+    * ties are forced by duplicating vectors. */
+  private lazy val emb = Seq(
+    (1L, 9, Array(0.9f, 0.1f)),
+    (2L, 8, Array(0.9f, 0.1f)), // tie with vec 1
+    (3L, 7, Array(0.8f, 0.2f)),
+    (4L, 6, Array(0.7f, 0.3f)),
+    (5L, 1, Array(0.1f, 0.9f)),
+    (6L, 2, Array(0.1f, 0.9f)), // tie with vec 5
+    (7L, 3, Array(0.2f, 0.8f)),
+    (8L, 0, Array(0.3f, 0.6f))
+  ).toDF("vec_id", "label", "embedding")
+
+  private lazy val scored: Map[Long, (Long, Long)] =
+    Eval.probeScores(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("probe scores separate a linearly separable fixture") {
+    val pos = scored.collect { case (_, (1L, s)) => s }
+    val neg = scored.collect { case (_, (0L, s)) => s }
+    assert(pos.size == 4 && neg.size == 4)
+    assert(pos.min > neg.max,
+      s"probe failed to separate: pos=$pos neg=$neg")
+    // duplicated vectors must score identically (exact integer probe)
+    assert(scored(1L)._2 == scored(2L)._2)
+    assert(scored(5L)._2 == scored(6L)._2)
+  }
+
+  test("aucReport equals the brute-force pairwise Mann-Whitney") {
+    val pos = scored.values.collect { case (1L, s) => s }.toSeq
+    val neg = scored.values.collect { case (0L, s) => s }.toSeq
+    val num2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val r = Eval.aucReport(emb).collect().head
+    assert(r.getAs[Long]("n_pos") == pos.size && r.getAs[Long]("n_neg") == neg.size)
+    assert(r.getAs[Long]("auc_num2") == num2,
+      s"tie-corrected numerator mismatch: ${r.getAs[Long]("auc_num2")} vs $num2")
+    assert(r.getAs[Long]("auc_ppm") ==
+      num2 * 1000000L / (pos.size.toLong * neg.size * 2))
+    // separable fixture: AUC == 1 exactly
+    assert(r.getAs[Long]("auc_ppm") == 1000000L)
+  }
+
+  test("prCurve replays the keep-iff-score>=t confusion table") {
+    val all = scored.values.toSeq
+    val rows = Eval.prCurve(emb).collect()
+    val thresholds = rows.map(_.getLong(0))
+    assert(thresholds.toSeq == thresholds.sorted(Ordering[Long].reverse).toSeq)
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val kept = all.filter(_._2 >= t)
+      assert(r.getAs[Long]("cum_pos") == kept.count(_._1 == 1L), s"TP at $t")
+      assert(r.getAs[Long]("cum_n") == kept.size.toLong, s"TP+FP at $t")
+    }
+    assert(rows.last.getAs[Long]("cum_n") == all.size.toLong)
+  }
+
+  test("calibrationBins: exact partition of the score range") {
+    val rows = Eval.calibrationBins(emb, bins = 4).collect()
+    val lo = scored.values.map(_._2).min
+    val hi = scored.values.map(_._2).max
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 4))
+    assert(rows.map(_.getAs[Long]("n")).sum == scored.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == 4L)
+    // the integer bin law keeps both extrema inside [0, B-1]
+    val binOf = (s: Long) => (s - lo) * 4 / (hi - lo + 1)
+    assert(binOf(lo) == 0L && binOf(hi) == 3L)
+    rows.foreach { r =>
+      val members = scored.values.filter(v => binOf(v._2) == r.getLong(0))
+      assert(r.getAs[Long]("n") == members.size.toLong)
+      assert(r.getAs[Long]("sum_shift") == members.map(_._2 - lo).sum)
+      assert(r.getAs[Long]("pos_rate_pm") ==
+        members.count(_._1 == 1L).toLong * 1000 / members.size)
+    }
+  }
+
+  test("probeScores requires both classes nonempty") {
+    val oneClass = emb.filter(col("label") >= 5)
+    val e = intercept[Exception] { Eval.probeScores(oneClass).collect() }
+    assert(e.getMessage.contains("both classes"),
+      s"expected the loud class guard, got: ${e.getMessage}")
+  }
+
+  // ---- budget selection (q212) ----
+
+  /** Stopword-density fixture with a deliberate tie class: docs 2 and
+    * 3 share a score, and the budget lands inside their class. */
+  private lazy val docs = Seq(
+    (1L, "the a of the a of"),              // 6 tok, all stop: score 1000000
+    (2L, "the a zz qq"),                    // 4 tok, 2 stop: 500000
+    (3L, "of in ww ee"),                    // 4 tok, 2 stop: 500000 (tie)
+    (4L, "a xx yy zz"),                     // 4 tok, 1 stop: 250000
+    (5L, "xx yy zz qq ww ee rr tt"),        // 8 tok, 0 stop: 0
+    (6L, "")                                // 0 tok: excluded
+  ).toDF("doc_id", "text")
+
+  private def bruteBudget(num: Long, den: Long): Seq[Long] = {
+    val base = Seq((1L, 1000000L, 6L), (2L, 500000L, 4L), (3L, 500000L, 4L),
+      (4L, 250000L, 4L), (5L, 0L, 8L))
+    val budget = base.map(_._3).sum * num / den
+    val ordered = base.sortBy { case (id, s, _) => (-s, id) }
+    ordered.scanLeft((0L, 0L)) { case ((_, cum), (id, _, t)) => (id, cum + t) }
+      .drop(1).takeWhile(_._2 <= budget).map(_._1).sorted
+  }
+
+  test("budgetSelect equals the global greedy prefix, tie class split") {
+    // budget = 26*3/10 = 7: doc 1 (6 tok) fits, tie class {2,3} has
+    // room for exactly nothing more (6+4 > 7) — the tie sweep must
+    // admit zero tie docs
+    val got = Curation.budgetSelect(docs, 3, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == bruteBudget(3, 10), s"got $got")
+    // budget = 26*6/10 = 15: doc1 + doc2 (tie winner by doc_id) fit
+    // (10 ≤ 15), doc3 would reach 14 ≤ 15 too — both tie docs in
+    val got6 = Curation.budgetSelect(docs, 6, 10).collect().map(_.getLong(0)).toSeq
+    assert(got6 == bruteBudget(6, 10), s"got $got6")
+    // budget = everything: the boundary-empty branch
+    val all = Curation.budgetSelect(docs, 1, 1).collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L, 5L), s"got $all")
+  }
+
+  test("budgetSelect output carries the exact score and token columns") {
+    val m = Curation.budgetSelect(docs, 1, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((1000000L, 6L)))
+    assert(m(2L) == ((500000L, 4L)))
+    assert(m(5L) == ((0L, 8L)))
+  }
+
+  // ---- mixture plan (q213) ----
+
+  test("mixturePlan: largest-remainder targets sum exactly to the budget") {
+    val src = Seq(
+      (1L, "aa bb cc dd ee", "web"),     // 5 tok
+      (2L, "aa bb", "web"),              // 2 tok -> web 7
+      (3L, "aa bb cc", "books"),         // 3 tok
+      (4L, "aa", "code")                 // 1 tok; total 11
+    ).toDF("doc_id", "text", "source")
+    val rows = Curation.mixturePlan(src, 1, 2).collect()
+    // budget = 11/2 = 5, k = 3: base 1 each, 5 % 3 = 2 leftovers to
+    // books and code (source-name order)
+    val m = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("tok_s"), r.getAs[Long]("target_tok"),
+        r.getAs[Long]("epochs_ppm"), r.getAs[Long]("upsample"))).toMap
+    assert(rows.map(_.getAs[Long]("target_tok")).sum == 5L)
+    assert(m("books") == ((3L, 2L, 666666L, 0L)))
+    assert(m("code") == ((1L, 2L, 2000000L, 1L)))
+    assert(m("web") == ((7L, 1L, 142857L, 0L)))
+  }
+}

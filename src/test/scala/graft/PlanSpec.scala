@@ -614,4 +614,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"pairwise stage in the admission summary:\n$p")
   }
+
+  test("probe auc family: literal-fold scoring + distinct-score agg, no rank sort") {
+    // q210/q211/q214: the probe weights are a driver literal, so the
+    // scoring pass is a narrow projection over the materialized codes
+    // (ExistingRDD) — no join against a weights table; the corpus then
+    // collapses via a partial+final hash agg to the distinct-score
+    // table, and the rank arithmetic runs there. A SortMergeJoin or a
+    // pairwise stage anywhere means the scale shape regressed.
+    for (q <- Seq("q210_probe_auc", "q214_pr_curve", "q211_calibration_bins")) {
+      val p = planOf(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q must read the materialized codes table:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q scoring must be a projection, not a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q distinct-score reduction lost its map-side partial:\n$p")
+    }
+  }
+
+  test("budget select: class sweep + bucketed tie cumsum, no corpus rank sort") {
+    // q212: the threshold is found on the distinct-score class table;
+    // only the tie class pays an ordered cumsum, via the two-phase
+    // bucketed globalRunningSum whose offsets join is a BROADCAST on
+    // the bucket id — a SortMergeJoin or pairwise stage would mean the
+    // corpus is being globally sorted/joined by rank
+    val p = planOf("q212_budget_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tie-class cumsum lost its broadcast bucket-offset join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the budget-select plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"score computation lost its map-side partial:\n$p")
+  }
+
+  test("mixture plan: one corpus-pass hash agg, everything after source-sized") {
+    val p = planOf("q213_mixture_plan")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"per-source token agg lost its map-side partial:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("SortMergeJoin"),
+      s"pairwise/join stage in the mixture plan:\n$p")
+  }
 }
