@@ -227,7 +227,49 @@ object PlanDump {
       "chain); gram folding + window selection run as a mapPartitions batch " +
       "(the assignPartitions split — the nested-HOF form measured ~2.5 ms/doc " +
       "interpreted and re-inlined the hash chain on derived inputs); the " +
-      "summary is doc-keyed aggs + one join — nothing pairwise")
+      "summary is doc-keyed aggs + one join — nothing pairwise"),
+    "q210_probe_auc" -> ("classifier AUC without a global rank sort: the " +
+      "probe weights are a driver literal so scoring is a narrow projection " +
+      "over the materialized codes (Scan ExistingRDD, no weights join); one " +
+      "partial+final hash agg collapses the corpus to the distinct-score " +
+      "table and the Mann-Whitney cumulative runs there (single-partition " +
+      "window over a bounded table)"),
+    "q211_calibration_bins" -> ("calibration bins: the same literal-fold " +
+      "scoring pass, extrema as Scalar-class literals, then ONE corpus hash " +
+      "agg keyed by the exact-integer bin id — bins ≪ corpus"),
+    "q212_budget_select" -> ("token-budget selection: the threshold comes " +
+      "from the distinct-score class sweep; only the single tie class pays " +
+      "an ordered cumsum via the bucketed two-phase running sum, whose " +
+      "offsets join must stay a BroadcastHashJoin on the bucket id — the " +
+      "corpus is never globally sorted by rank"),
+    "q213_mixture_plan" -> ("mixture plan: one corpus-pass hash agg to a " +
+      "source-cardinality table; the largest-remainder allocation is " +
+      "arithmetic on that bounded table"),
+    "q214_pr_curve" -> ("PR curve: distinct-score reduction + descending " +
+      "cumulative confusion counts on the bounded table — same shape as " +
+      "q210, one row per threshold"),
+    "q215_best_f1" -> ("best-F1 operating point: the q214 sweep plus an " +
+      "exact floor'd-ppm argmax — the final TakeOrderedAndProject runs on " +
+      "the bounded distinct-score table, never the corpus"),
+    "q216_auc_by_lang" -> ("per-language AUC: the slice column arrives by a " +
+      "1:1 id-key equi join pruned to (doc_id, lang) — no text column in " +
+      "the documents scan — then the distinct-score reduction keyed " +
+      "(lang, score) with the rank window PARTITIONED by lang (parallel " +
+      "across slices, no coalesce(1))"),
+    "q217_ks_separation" -> ("two-sample KS: ascending CDF sweep on the " +
+      "bounded distinct-score table; the argmax is pure BIGINT (shared " +
+      "denominator P·N) — no fraction comparison, no corpus sort"),
+    "q218_good_turing" -> ("Good-Turing/Chao1: two stacked map-side-" +
+      "combined hash aggs (corpus → vocabulary → frequency-of-frequencies) " +
+      "then a constant-size reduction — no join, no sort anywhere"),
+    "q219_simpson_diversity" -> ("inverse Simpson: the same stacked FoF " +
+      "reduction with the pair-collision sum — identical plan class to " +
+      "q218"),
+    "q220_vocab_coverage" -> ("vocabulary budget coverage: FoF reduction + " +
+      "a single-partition window sweep over frequency classes; the pct " +
+      "fan-out is a literal explode (no cross join) and the boundary-class " +
+      "split is arithmetic — no token-level sort, no rangepartitioning " +
+      "exchange")
   )
 
   def main(args: Array[String]): Unit = {

@@ -369,6 +369,38 @@ object SparkEntry {
     // confusion row per distinct score threshold, descending
     "q214_pr_curve" -> ((s, d) =>
       graft.quality.Eval.prCurve(Tables.embeddings(s, d))),
+    // the deployed operating point: argmax of floor'd-ppm F1 over the
+    // descending threshold sweep, ties toward the higher threshold —
+    // one exact-integer row, the final sort on the bounded
+    // distinct-score table only
+    "q215_best_f1" -> ((s, d) =>
+      graft.quality.Eval.bestF1(Tables.embeddings(s, d))),
+    // per-language AUC of the one global probe (the multilingual
+    // filter-quality audit): id-key equi join to documents for lang,
+    // then the distinct-score reduction keyed (lang, score) with the
+    // rank window PARTITIONED by lang
+    "q216_auc_by_lang" -> ((s, d) =>
+      graft.quality.Eval.aucBySlice(Tables.embeddings(s, d), Tables.documents(s, d))),
+    // exact two-sample KS separation between class score CDFs: a
+    // pure-BIGINT argmax (shared denominator P·N — no fraction
+    // comparison), reporting the max gap and the threshold attaining it
+    "q217_ks_separation" -> ((s, d) =>
+      graft.quality.Eval.ksSeparation(Tables.embeddings(s, d))),
+    // Good-Turing unseen mass + Chao1 richness off the frequency-of-
+    // frequencies table: two hash aggs reduce the corpus to the
+    // distinct-frequency table, then constant-size exact arithmetic
+    "q218_good_turing" -> ((s, d) =>
+      graft.text.Coverage.goodTuring(Tables.documents(s, d))),
+    // inverse-Simpson effective vocabulary size + hapax per-mille —
+    // the pair-collision diversity law, same FoF reduction
+    "q219_simpson_diversity" -> ((s, d) =>
+      graft.text.Coverage.simpsonDiversity(Tables.documents(s, d))),
+    // smallest vocabulary covering 50/90/99% of corpus token mass —
+    // the greedy prefix resolved per frequency CLASS (k = ceil
+    // remaining/f whole tokens of the boundary class), no token-level
+    // sort anywhere
+    "q220_vocab_coverage" -> ((s, d) =>
+      graft.text.Coverage.vocabCoverage(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1396,7 +1428,13 @@ object SparkEntry {
     "q211_calibration_bins" -> Seq("embeddings"),
     "q212_budget_select" -> Seq("documents"),
     "q213_mixture_plan" -> Seq("documents"),
-    "q214_pr_curve" -> Seq("embeddings"))
+    "q214_pr_curve" -> Seq("embeddings"),
+    "q215_best_f1" -> Seq("embeddings"),
+    "q216_auc_by_lang" -> Seq("embeddings", "documents"),
+    "q217_ks_separation" -> Seq("embeddings"),
+    "q218_good_turing" -> Seq("documents"),
+    "q219_simpson_diversity" -> Seq("documents"),
+    "q220_vocab_coverage" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2676,6 +2714,120 @@ object SparkEntry {
          |  CAST(SUM(pos_at + neg_at) OVER (ORDER BY score DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
          |FROM bys ORDER BY score DESC""".stripMargin,
+    // best-F1 operating point: the identical exact-integer argmax law
+    // (floor'd-ppm F1 maximized, ties to the higher threshold) — LIMIT 1
+    // over the bounded distinct-score sweep
+    "q215_best_f1" ->
+      s"""WITH $probeScoreCtes,
+         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+         |  FROM sc GROUP BY score),
+         |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p FROM bys),
+         |cum AS (SELECT score,
+         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
+         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
+         |  FROM bys WINDOW w AS (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
+         |  (tp * 2000000) // (cum_n + p) AS f1_ppm
+         |FROM cum, tot ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
+    // per-language AUC: the q210 sweep keyed (lang, score), the
+    // negatives-below window partitioned by lang; a one-class slice
+    // grades auc_ppm NULL on both engines
+    "q216_auc_by_lang" ->
+      s"""WITH $probeScoreCtes,
+         |sl AS (SELECT d.lang, s.score, s.y
+         |  FROM sc s JOIN documents d ON s.vec_id = d.doc_id),
+         |bys AS (SELECT lang, score, CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+         |  FROM sl GROUP BY lang, score),
+         |cum AS (SELECT lang, pos, neg,
+         |    CAST(COALESCE(SUM(neg) OVER (PARTITION BY lang ORDER BY score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+         |  FROM bys)
+         |SELECT lang, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |  CAST(COUNT(*) AS BIGINT) AS n_scores,
+         |  CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_num2,
+         |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         |    CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) * 1000000
+         |      // (CAST(SUM(pos) AS BIGINT) * CAST(SUM(neg) AS BIGINT) * 2)
+         |  ELSE NULL END AS auc_ppm
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+    // two-sample KS: shared-denominator BIGINT argmax over the
+    // ascending CDF sweep, ties to the lowest attaining score
+    "q217_ks_separation" ->
+      s"""WITH $probeScoreCtes,
+         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+         |  FROM sc GROUP BY score),
+         |cum AS (SELECT score,
+         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS cpos,
+         |    CAST(SUM(neg_at) OVER w AS BIGINT) AS cneg,
+         |    CAST(SUM(pos_at) OVER wa AS BIGINT) AS p,
+         |    CAST(SUM(neg_at) OVER wa AS BIGINT) AS n
+         |  FROM bys WINDOW
+         |    w AS (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT p AS n_pos, n AS n_neg,
+         |  ABS(cpos * n - cneg * p) AS ks_num,
+         |  (ABS(cpos * n - cneg * p) * 1000000) // (p * n) AS ks_ppm,
+         |  score AS score_at
+         |FROM cum ORDER BY ks_num DESC, score_at ASC LIMIT 1""".stripMargin,
+    // Good-Turing / Chao1: the FoF reduction replayed, constant-size
+    // exact arithmetic on top
+    "q218_good_turing" ->
+      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |fof AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_f FROM tc GROUP BY cnt),
+        |agg AS (SELECT CAST(SUM(cnt * n_f) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_f) AS BIGINT) AS vocab,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN n_f END), 0) AS BIGINT) AS n1,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN n_f END), 0) AS BIGINT) AS n2
+        |  FROM fof)
+        |SELECT n_tokens, vocab, n1, n2,
+        |  (n1 * 1000000) // n_tokens AS unseen_ppm,
+        |  vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1
+        |FROM agg""".stripMargin,
+    // inverse Simpson: ordered-pair collision count over the FoF table
+    "q219_simpson_diversity" ->
+      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |fof AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_f FROM tc GROUP BY cnt),
+        |agg AS (SELECT CAST(SUM(cnt * n_f) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_f) AS BIGINT) AS vocab,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN n_f END), 0) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt * (cnt - 1) * n_f) AS BIGINT) AS sum_ff1
+        |  FROM fof)
+        |SELECT n_tokens, vocab, sum_ff1,
+        |  CASE WHEN sum_ff1 > 0 THEN (n_tokens * (n_tokens - 1)) // sum_ff1
+        |    ELSE NULL END AS inv_simpson,
+        |  (n1 * 1000) // vocab AS singleton_pm
+        |FROM agg""".stripMargin,
+    // vocabulary budget coverage: the greedy prefix law resolved on
+    // frequency classes — boundary class found by the descending
+    // cumulative, k whole tokens complete the budget
+    "q220_vocab_coverage" ->
+      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |fof AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_f FROM tc GROUP BY cnt),
+        |cum AS (SELECT cnt, n_f,
+        |    CAST(COALESCE(SUM(cnt * n_f) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS mass_before,
+        |    CAST(COALESCE(SUM(n_f) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS v_before,
+        |    CAST(SUM(cnt * n_f) OVER () AS BIGINT) AS n_total
+        |  FROM fof),
+        |t AS (SELECT p.pct, cum.*, (p.pct * n_total + 99) // 100 AS target
+        |  FROM cum, (VALUES (CAST(50 AS BIGINT)), (90), (99)) p(pct))
+        |SELECT pct, n_total AS n_tokens,
+        |  v_before + (target - mass_before + cnt - 1) // cnt AS v_needed,
+        |  mass_before + ((target - mass_before + cnt - 1) // cnt) * cnt AS mass
+        |FROM t WHERE mass_before < target AND mass_before + cnt * n_f >= target
+        |ORDER BY pct""".stripMargin,
     // budget selection: the oracle states the law in its simplest
     // global form (one running sum over (score desc, doc_id)); the
     // engine's class-wise computation must coincide exactly

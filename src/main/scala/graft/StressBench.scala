@@ -442,6 +442,26 @@ object StressBench {
     run("mixture_plan",
       graft.text.Curation.mixturePlan(docs1).count(),
       graft.text.Curation.mixturePlan(docsPlainN).count())
+    // Sliced AUC (q216): probe_auc plus the 1:1 id-key equi join that
+    // attaches the lang column (both replica sets remap ids with the
+    // same id*factor+rep law, so the join stays 1:1 at every factor)
+    // and a lang-partitioned window instead of the coalesce(1) sweep.
+    // The join is the only corpus-×-corpus stage in the eval family —
+    // this unit prices it.
+    run("sliced_auc",
+      mat(graft.quality.Eval.aucBySlice(emb1, docs1)),
+      mat(graft.quality.Eval.aucBySlice(embPlainN, docsPlainN)))
+    // FoF corpus statistics (q218-q220 share the reduction): corpus →
+    // vocab agg → frequency-of-frequencies agg → constant arithmetic.
+    // Plain replicas multiply every count by factor — the FoF table
+    // shifts but stays distinct-frequency-bounded; cost must track the
+    // tokenize+agg scan. vocab_coverage adds only the bounded sweep.
+    run("fof_stats",
+      mat(graft.text.Coverage.goodTuring(docs1)),
+      mat(graft.text.Coverage.goodTuring(docsPlainN)))
+    run("vocab_coverage",
+      mat(graft.text.Coverage.vocabCoverage(docs1)),
+      mat(graft.text.Coverage.vocabCoverage(docsPlainN)))
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

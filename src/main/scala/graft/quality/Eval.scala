@@ -132,6 +132,119 @@ object Eval {
       .orderBy(col("score").desc)
   }
 
+  /** The best-F1 operating point: ONE row — the threshold the
+    * pipeline would actually deploy. The graded law is exact-integer:
+    * over the descending distinct-score sweep (TP = cum_pos,
+    * FP = cum_n − TP, FN = P − TP), maximize the floor'd
+    * parts-per-million F1
+    *   f1_ppm = (2·TP·10⁶) div (cum_n + P)
+    * (F1 = 2TP/(2TP+FP+FN) = 2TP/(cum_n+P)), ties broken toward the
+    * HIGHER threshold (the conservative operating point). The argmax
+    * law is stated identically on both engines, so parity is exact;
+    * the final orderBy/limit runs on the bounded distinct-score
+    * table, never the corpus. |2·TP·10⁶| ≤ 2n·10⁶ stays in BIGINT to
+    * n ≈ 4.6·10¹². */
+  def bestF1(embeddings: DataFrame): DataFrame = {
+    val byScore = probeScores(embeddings)
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos_at"),
+        (count(lit(1)) - sum(col("y"))).as("neg_at"))
+      .coalesce(1)
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+    val run = desc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = desc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byScore
+      .select(col("score"),
+        sum(col("pos_at")).over(run).as("tp"),
+        sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
+        sum(col("pos_at")).over(all).as("p"))
+      .select(col("score"), col("tp"),
+        (col("cum_n") - col("tp")).as("fp"),
+        (col("p") - col("tp")).as("fn"),
+        expr("(tp * 2000000) div (cum_n + p)").as("f1_ppm"))
+      .orderBy(col("f1_ppm").desc, col("score").desc)
+      .limit(1)
+  }
+
+  /** Per-slice AUC of the ONE globally-fit probe — the per-language
+    * quality audit a multilingual curation pipeline runs (CCNet trains
+    * per-language models precisely because filter quality varies by
+    * language; this table is how you detect that). The slice column
+    * comes from the documents table (vec_id = doc_id, the corpus'
+    * 1:1 embedding↔document key): an equi join on the id key —
+    * co-partitionable at scale, column-pruned to (doc_id, lang) —
+    * then the same distinct-score reduction as [[aucReport]], now
+    * keyed (lang, score) with the cumulative-negatives window
+    * PARTITIONED by lang: bounded per-slice tables, no coalesce(1)
+    * needed. A slice with one class gets auc_ppm NULL (loud, not
+    * wrong) — both engines state the same guard. */
+  def aucBySlice(embeddings: DataFrame, documents: DataFrame): DataFrame = {
+    val slices = documents.select(col("doc_id").as("vec_id"), col("lang"))
+    val byScore = probeScores(embeddings)
+      .join(slices, Seq("vec_id"))
+      .groupBy(col("lang"), col("score"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(win), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("pos") * (col("neg_below") * 2L + col("neg"))).as("auc_num2"))
+      .select(col("lang"), col("n_pos"), col("n_neg"), col("n_scores"),
+        col("auc_num2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("(auc_num2 * 1000000) div (n_pos * n_neg * 2)")).as("auc_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov separation between the
+    * positive- and negative-class score distributions — the
+    * distribution-level counterpart of AUC (AUC integrates the
+    * separation; KS reports its maximum and WHERE it occurs, which is
+    * itself a threshold candidate). Exactness comes free here: both
+    * empirical CDFs share the common denominator P·N, so
+    *   D·P·N = max_s |cumPos_s·N − cumNeg_s·P|
+    * is a pure-BIGINT argmax — no fraction comparison anywhere
+    * (products ≤ n²/4, in-range to n ≈ 6·10⁹). One row:
+    * (n_pos, n_neg, ks_num, ks_ppm, score_at), ties toward the LOWEST
+    * attaining score. Same scale shape as [[aucReport]]. */
+  def ksSeparation(embeddings: DataFrame): DataFrame = {
+    val byScore = probeScores(embeddings)
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos_at"),
+        (count(lit(1)) - sum(col("y"))).as("neg_at"))
+      .coalesce(1)
+    val asc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+    val run = asc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = asc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byScore
+      .select(col("score"),
+        sum(col("pos_at")).over(run).as("cpos"),
+        sum(col("neg_at")).over(run).as("cneg"),
+        sum(col("pos_at")).over(all).as("p"),
+        sum(col("neg_at")).over(all).as("n"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        abs(col("cpos") * col("n") - col("cneg") * col("p")).as("ks_num"),
+        expr("(abs(cpos * n - cneg * p) * 1000000) div (p * n)").as("ks_ppm"),
+        col("score").as("score_at"))
+      .orderBy(col("ks_num").desc, col("score_at").asc)
+      .limit(1)
+  }
+
   /** Equi-width calibration table over the probe score: B bins over
     * [lo, hi] (corpus extrema, Scalar-class literals), bin index
     * (score−lo)·B // (hi−lo+1) — exact BIGINT, the +1 keeping the max

@@ -93,6 +93,75 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("bestF1 equals the brute-force threshold sweep (q215)") {
+    val all = scored.values.toSeq
+    val p = all.count(_._1 == 1L).toLong
+    val best = all.map(_._2).distinct.sorted(Ordering[Long].reverse).map { t =>
+      val kept = all.filter(_._2 >= t)
+      val tp = kept.count(_._1 == 1L).toLong
+      val cumN = kept.size.toLong
+      (t, tp, cumN - tp, p - tp, tp * 2000000L / (cumN + p))
+    }.maxBy { case (t, _, _, _, f1) => (f1, t) } // ties -> higher threshold
+    val r = Eval.bestF1(emb).collect()
+    assert(r.length == 1)
+    val g = (r.head.getAs[Long]("score"), r.head.getAs[Long]("tp"),
+      r.head.getAs[Long]("fp"), r.head.getAs[Long]("fn"),
+      r.head.getAs[Long]("f1_ppm"))
+    assert(g == best, s"got $g want $best")
+    // separable fixture: perfect F1 at the positive minimum
+    assert(g._5 == 1000000L && g._3 == 0L && g._4 == 0L)
+  }
+
+  test("ksSeparation equals the brute-force CDF gap scan (q217)") {
+    val all = scored.values.toSeq
+    val p = all.count(_._1 == 1L).toLong
+    val n = all.size.toLong - p
+    val best = all.map(_._2).distinct.sorted.map { s =>
+      val cpos = all.count(v => v._1 == 1L && v._2 <= s).toLong
+      val cneg = all.count(v => v._1 == 0L && v._2 <= s).toLong
+      (math.abs(cpos * n - cneg * p), s)
+    }.maxBy { case (num, s) => (num, -s) } // ties -> lowest score
+    val r = Eval.ksSeparation(emb).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pos") == p && r.head.getAs[Long]("n_neg") == n)
+    assert(r.head.getAs[Long]("ks_num") == best._1 &&
+      r.head.getAs[Long]("score_at") == best._2,
+      s"got (${r.head.getAs[Long]("ks_num")}, ${r.head.getAs[Long]("score_at")}) want $best")
+    assert(r.head.getAs[Long]("ks_ppm") == best._1 * 1000000L / (p * n))
+    // separable fixture: the CDFs separate completely -> KS == 1
+    assert(r.head.getAs[Long]("ks_ppm") == 1000000L)
+  }
+
+  test("aucBySlice: per-slice pairwise replay, one-class slice NULL (q216)") {
+    // en: both classes (two tied pairs); fr: positives only and
+    // zh: negatives only — both one-class slices must grade auc_ppm
+    // NULL while keeping exact counts
+    val langDocs = Seq(
+      (1L, "en"), (2L, "en"), (5L, "en"), (6L, "en"),
+      (3L, "fr"), (4L, "fr"),
+      (7L, "zh"), (8L, "zh")
+    ).toDF("doc_id", "lang")
+    val rows = Eval.aucBySlice(emb, langDocs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("en", "fr", "zh"))
+    val byLang = Map(
+      "en" -> Seq(1L, 2L, 5L, 6L), "fr" -> Seq(3L, 4L), "zh" -> Seq(7L, 8L))
+    rows.foreach { r =>
+      val vs = byLang(r.getString(0)).map(scored)
+      val pos = vs.collect { case (1L, s) => s }
+      val neg = vs.collect { case (0L, s) => s }
+      assert(r.getAs[Long]("n_pos") == pos.size.toLong)
+      assert(r.getAs[Long]("n_neg") == neg.size.toLong)
+      val num2 = (for (pp <- pos; nn <- neg)
+        yield if (pp > nn) 2L else if (pp == nn) 1L else 0L).sum
+      assert(r.getAs[Long]("auc_num2") == num2, s"${r.getString(0)}: num2")
+      if (pos.nonEmpty && neg.nonEmpty)
+        assert(r.getAs[Long]("auc_ppm") ==
+          num2 * 1000000L / (pos.size.toLong * neg.size * 2))
+      else assert(r.isNullAt(r.fieldIndex("auc_ppm")),
+        s"one-class slice ${r.getString(0)} must grade NULL")
+    }
+  }
+
   test("probeScores requires both classes nonempty") {
     val oneClass = emb.filter(col("label") >= 5)
     val e = intercept[Exception] { Eval.probeScores(oneClass).collect() }

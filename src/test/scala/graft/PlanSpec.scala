@@ -622,7 +622,8 @@ class PlanSpec extends AnyFunSuite {
     // collapses via a partial+final hash agg to the distinct-score
     // table, and the rank arithmetic runs there. A SortMergeJoin or a
     // pairwise stage anywhere means the scale shape regressed.
-    for (q <- Seq("q210_probe_auc", "q214_pr_curve", "q211_calibration_bins")) {
+    for (q <- Seq("q210_probe_auc", "q214_pr_curve", "q211_calibration_bins",
+        "q215_best_f1", "q217_ks_separation")) {
       val p = planOf(q)
       assert(p.contains("ExistingRDD"),
         s"$q must read the materialized codes table:\n$p")
@@ -647,6 +648,48 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the budget-select plan:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"score computation lost its map-side partial:\n$p")
+  }
+
+  test("sliced auc: id-key equi join pruned to (doc_id, lang), no pairwise stage") {
+    // q216: attaching the slice column is an equi join on the 1:1 id
+    // key (co-partitionable at scale); the documents side must be
+    // pruned to two columns — reading `text` here would drag the
+    // corpus' heaviest column through a join that needs 16 bytes/row
+    val p = planOf("q216_auc_by_lang")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the sliced-auc plan:\n$p")
+    // check the ACTUAL scan node serving the documents side: when
+    // another suite has cached the full documents table, the pruning
+    // shows at the InMemoryTableScan (the cached relation's interior
+    // FileScan legitimately renders all five columns) — match the
+    // serving node, not the whole plan string
+    val docScan = p.linesIterator.find(l =>
+      l.contains("InMemoryTableScan") ||
+        (l.contains("FileScan") && l.contains("documents.parquet")))
+      .getOrElse(fail(s"no documents scan node found:\n$p"))
+    assert(!docScan.contains("text#"),
+      s"documents scan reads the text column:\n$docScan\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"distinct-score reduction lost its map-side partial:\n$p")
+  }
+
+  test("FoF family: two stacked hash aggs, no join and no corpus sort") {
+    // q218/q219/q220: corpus -> vocabulary agg -> frequency-of-
+    // frequencies agg -> constant-size arithmetic. Any join, pairwise
+    // stage, or a rangepartitioning exchange (global sort) means the
+    // reduction chain regressed; the q220 pct fan-out must be a
+    // literal explode, not a cross join.
+    for (q <- Seq("q218_good_turing", "q219_simpson_diversity",
+        "q220_vocab_coverage")) {
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 4,
+        s"$q lost a stacked agg's map-side partial:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q grew a join stage:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"$q pays a global range-partitioned sort:\n$p")
+    }
   }
 
   test("mixture plan: one corpus-pass hash agg, everything after source-sized") {
