@@ -269,7 +269,15 @@ object PlanDump {
       "a single-partition window sweep over frequency classes; the pct " +
       "fan-out is a literal explode (no cross join) and the boundary-class " +
       "split is arithmetic — no token-level sort, no rangepartitioning " +
-      "exchange")
+      "exchange"),
+    "q221_dup_mass" -> ("dedup ROI report: the q57 CC machinery (checkpointed " +
+      "banded signatures, hub-star contraction), then a group-keyed hash agg " +
+      "and a cluster-size agg — the FoF idea applied to dedup clusters; " +
+      "nothing pairwise, the histogram bounded by the largest cluster"),
+    "q222_selection_shift" -> ("selection composition audit: budgetSelect's " +
+      "distinct-score class sweep, then ONE id-key left join back to the " +
+      "per-source universe (kept ids carry their token counts — no second " +
+      "tokenize pass) and a source-keyed hash agg")
   )
 
   def main(args: Array[String]): Unit = {

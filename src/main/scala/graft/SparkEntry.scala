@@ -401,6 +401,16 @@ object SparkEntry {
     // sort anywhere
     "q220_vocab_coverage" -> ((s, d) =>
       graft.text.Coverage.vocabCoverage(Tables.documents(s, d))),
+    // the dedup ROI report: cluster-size histogram over the q57 groups
+    // with exact doc and token mass, keep-one doc losses and keep-best
+    // token losses — group agg + the FoF idea applied to clusters
+    "q221_dup_mass" -> ((s, d) =>
+      graft.dedup.Dedup.dupMassReport(Tables.documents(s, d), 3, 8, 4)),
+    // the composition audit AFTER q212's budget cut: per source, doc
+    // and token survival (per-mille, exact) — the mixture shift a
+    // score-driven selection silently applies
+    "q222_selection_shift" -> ((s, d) =>
+      graft.text.Curation.selectionShift(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1434,7 +1444,9 @@ object SparkEntry {
     "q217_ks_separation" -> Seq("embeddings"),
     "q218_good_turing" -> Seq("documents"),
     "q219_simpson_diversity" -> Seq("documents"),
-    "q220_vocab_coverage" -> Seq("documents"))
+    "q220_vocab_coverage" -> Seq("documents"),
+    "q221_dup_mass" -> Seq("documents"),
+    "q222_selection_shift" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2774,6 +2786,61 @@ object SparkEntry {
          |  (ABS(cpos * n - cneg * p) * 1000000) // (p * n) AS ks_ppm,
          |  score AS score_at
          |FROM cum ORDER BY ks_num DESC, score_at ASC LIMIT 1""".stripMargin,
+    // dedup ROI: q57's CC chain + per-group mass agg + the cluster-size
+    // histogram; tok_kept = per-group MAX token count (deterministic
+    // without naming a tiebreak — only the max VALUE enters)
+    "q221_dup_mass" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
+         |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
+         |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |r(a, b) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b),
+         |g AS (SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a),
+         |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |pg AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS sz,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tok, CAST(MAX(n_tok) AS BIGINT) AS tok_kept
+         |  FROM g JOIN tk USING (doc_id) GROUP BY group_id)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  sz * CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  (sz - 1) * CAST(COUNT(*) AS BIGINT) AS dup_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS tok_total,
+         |  CAST(SUM(tok) - SUM(tok_kept) AS BIGINT) AS tok_dup
+         |FROM pg GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // selection composition shift: the q212 greedy-prefix law replayed,
+    // then a LEFT JOIN back to the full per-source universe
+    "q222_selection_shift" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS (SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sb AS MATERIALIZED (SELECT doc_id,
+         |    (CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS BIGINT)
+         |      * 1000000) // CAST(len(w) AS BIGINT) AS score,
+         |    CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM toksf WHERE len(w) > 0),
+         |tot AS (SELECT (CAST(SUM(n_tok) AS BIGINT) * 3) // 10 AS budget FROM sb),
+         |cum AS (SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM sb),
+         |kept AS (SELECT doc_id, n_tok AS kept_tok FROM cum, tot WHERE cum <= budget),
+         |base AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok FROM toksf)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_total,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(COUNT(k.kept_tok) AS BIGINT) AS docs_kept,
+         |  CAST(COALESCE(SUM(k.kept_tok), 0) AS BIGINT) AS tok_kept,
+         |  (CAST(COUNT(k.kept_tok) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS keep_pm,
+         |  CASE WHEN SUM(n_tok) > 0 THEN
+         |    (CAST(COALESCE(SUM(k.kept_tok), 0) AS BIGINT) * 1000)
+         |      // CAST(SUM(n_tok) AS BIGINT)
+         |  ELSE NULL END AS tok_keep_pm
+         |FROM base b LEFT JOIN kept k USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     // Good-Turing / Chao1: the FoF reduction replayed, constant-size
     // exact arithmetic on top
     "q218_good_turing" ->

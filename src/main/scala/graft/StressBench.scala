@@ -462,6 +462,18 @@ object StressBench {
     run("vocab_coverage",
       mat(graft.text.Coverage.vocabCoverage(docs1)),
       mat(graft.text.Coverage.vocabCoverage(docsPlainN)))
+    // Dedup ROI report: the q57 CC cost class plus two stacked aggs —
+    // plain replicas keep per-group structure (each replica is its own
+    // cluster family since doc_ids remap but text repeats: clusters
+    // GROW with the replica count, the realistic dedup-stress regime).
+    run("dup_mass",
+      mat(graft.dedup.Dedup.dupMassReport(docs1, 3, 8, 4)),
+      mat(graft.dedup.Dedup.dupMassReport(docsPlainN, 3, 8, 4)))
+    // Selection shift: budget_select's class sweep + one id-key left
+    // join + source-keyed agg.
+    run("selection_shift",
+      mat(graft.text.Curation.selectionShift(docs1)),
+      mat(graft.text.Curation.selectionShift(docsPlainN)))
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

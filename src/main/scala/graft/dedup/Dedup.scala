@@ -449,6 +449,39 @@ object Dedup {
       .orderBy(col("group_id"))
   }
 
+  /** The dedup ROI report — "what did near-dup dedup buy": cluster-size
+    * histogram over [[minhashDedupGroups]] with exact doc and token
+    * mass. One row per cluster size s: how many groups have exactly s
+    * members, the doc/token mass they hold, the docs a keep-one policy
+    * drops (n_docs − n_groups), and the tokens it drops under the
+    * keep-BEST rule (total − Σ per-group max — deterministic without
+    * naming a tiebreak, since only the max VALUE enters). This is the
+    * table a curation run publishes to justify its dedup stage.
+    *
+    * Scale shape: the q57 CC machinery, then a group-keyed hash agg
+    * (group table is doc-cardinality, key-uniform) and a second agg
+    * keyed by cluster size — the FoF reduction idea applied to dedup
+    * clusters; the final table is bounded by the largest cluster. */
+  def dupMassReport(documents: DataFrame, n: Int, bands: Int,
+                    rowsPerBand: Int): DataFrame = {
+    val groups = minhashDedupGroups(documents, n, bands, rowsPerBand)
+    val toks = documents.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    groups.join(toks, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("tok"),
+        max(col("n_tok")).as("tok_kept"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("tok")).as("tok_total"),
+        sum(col("tok_kept")).as("tok_keep"))
+      .select(col("sz").as("cluster_size"), col("n_groups"),
+        (col("sz") * col("n_groups")).as("n_docs"),
+        ((col("sz") - 1L) * col("n_groups")).as("dup_docs"),
+        col("tok_total"),
+        (col("tok_total") - col("tok_keep")).as("tok_dup"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles appear anywhere in `evalSet` (the
     * train-set hygiene check every LLM pipeline runs before training).

@@ -276,4 +276,42 @@ object Curation {
       .withColumn("upsample", (col("target_tok") > col("tok_s")).cast("long"))
       .orderBy(col("source"))
   }
+
+  /** Selection composition shift — the audit a pipeline publishes
+    * AFTER running [[budgetSelect]]: per source, what fraction of docs
+    * and token mass survived the quality-budget cut. A score-driven
+    * selection silently reweights the source mixture (high-quality
+    * sources over-survive); this table makes that shift visible so the
+    * [[mixturePlan]] targets can be re-balanced against the SELECTED
+    * corpus, not the raw one.
+    *
+    * Exact integers: docs_total counts every document (zero-token docs
+    * included — they can never be selected), tok_total uses the same
+    * empty-filtered token law as the selection itself; keep_pm =
+    * docs_kept·1000 div docs_total, tok_keep_pm guarded NULL for a
+    * source with no token mass. Scale shape: [[budgetSelect]]'s class
+    * sweep plus ONE id-key left join (kept ids carried with their
+    * token counts — no second tokenize pass) and a source-keyed hash
+    * agg; output is source-cardinality-sized. */
+  def selectionShift(documents: DataFrame,
+                     budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
+    val kept = budgetSelect(documents, budgetNum, budgetDen)
+      .select(col("doc_id"), col("n_tok").as("kept_tok"))
+    val base = documents.select(col("doc_id"), col("source"),
+      size(filter(TextOps.tokens(col("text")), t => length(t) > 0))
+        .cast("long").as("n_tok"))
+    base.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(col("n_tok")).as("tok_total"),
+        count(col("kept_tok")).as("docs_kept"),
+        coalesce(sum(col("kept_tok")), lit(0L)).as("tok_kept"))
+      .select(col("source"), col("docs_total"), col("tok_total"),
+        col("docs_kept"), col("tok_kept"),
+        expr("(docs_kept * 1000) div docs_total").as("keep_pm"),
+        when(col("tok_total") > 0L,
+          expr("(tok_kept * 1000) div tok_total")).as("tok_keep_pm"))
+      .orderBy(col("source"))
+  }
 }

@@ -214,6 +214,32 @@ class EvalSpec extends AnyFunSuite {
     assert(m(5L) == ((0L, 8L)))
   }
 
+  // ---- selection composition shift (q222) ----
+
+  test("selectionShift audits budgetSelect exactly, per source") {
+    val src = docs.withColumn("source",
+      when(col("doc_id") <= 3L, "web").otherwise("books"))
+    val keptIds = Curation.budgetSelect(src, 3, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_tok
+    // token law over ALL docs (zero-token doc 6 counts in docs_total)
+    val base = Map(1L -> 6L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 8L, 6L -> 0L)
+    val srcOf = (id: Long) => if (id <= 3L) "web" else "books"
+    val rows = Curation.selectionShift(src, 3, 10).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("books", "web"))
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val ids = base.keys.toSeq.filter(srcOf(_) == s)
+      val kept = ids.filter(keptIds.contains)
+      assert(r.getAs[Long]("docs_total") == ids.size.toLong)
+      assert(r.getAs[Long]("tok_total") == ids.map(base).sum)
+      assert(r.getAs[Long]("docs_kept") == kept.size.toLong)
+      assert(r.getAs[Long]("tok_kept") == kept.map(base).sum)
+      assert(r.getAs[Long]("keep_pm") == kept.size.toLong * 1000 / ids.size)
+      assert(r.getAs[Long]("tok_keep_pm") ==
+        kept.map(base).sum * 1000 / ids.map(base).sum)
+    }
+  }
+
   // ---- mixture plan (q213) ----
 
   test("mixturePlan: largest-remainder targets sum exactly to the budget") {

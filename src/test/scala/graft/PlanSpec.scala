@@ -692,6 +692,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup ROI + selection shift: keyed joins and stacked aggs, nothing pairwise") {
+    // q221: the q57 CC machinery + group-keyed agg + cluster-size agg;
+    // q222: budgetSelect's class sweep + ONE id-key left join back to
+    // the per-source universe + a source-keyed agg
+    for (q <- Seq("q221_dup_mass", "q222_selection_shift")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q has a pairwise stage:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost a map-side partial agg:\n$p")
+    }
+  }
+
   test("mixture plan: one corpus-pass hash agg, everything after source-sized") {
     val p = planOf("q213_mixture_plan")
     assert("HashAggregate".r.findAllIn(p).length >= 2,

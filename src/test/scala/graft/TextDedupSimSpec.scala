@@ -655,6 +655,35 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("dupMassReport: cluster-size histogram with exact doc/token masses (q221)") {
+    val groups = Dedup.minhashDedupGroups(docs, 3, 8, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val tokOf = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byGroup = groups.groupBy(_._2).map { case (_, ms) =>
+      val toks = ms.map(m => tokOf(m._1))
+      (ms.length.toLong, toks.sum, toks.max)
+    }.toSeq
+    val want = byGroup.groupBy(_._1).map { case (sz, gs) =>
+      sz -> (gs.size.toLong, gs.map(_._2).sum, gs.map(_._2).sum - gs.map(_._3).sum)
+    }
+    val got = Dedup.dupMassReport(docs, 3, 8, 4).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      val (nGroups, tokTotal, tokDup) = want(sz)
+      assert(r.getAs[Long]("n_groups") == nGroups, s"size $sz n_groups")
+      assert(r.getAs[Long]("n_docs") == sz * nGroups)
+      assert(r.getAs[Long]("dup_docs") == (sz - 1) * nGroups)
+      assert(r.getAs[Long]("tok_total") == tokTotal, s"size $sz tok_total")
+      assert(r.getAs[Long]("tok_dup") == tokDup, s"size $sz tok_dup")
+    }
+    // conservation: summing the histogram recovers the corpus
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(got.map(_.getAs[Long]("tok_total")).sum == tokOf.values.sum)
+  }
+
   test("winnowing: density bound, determinism, and the detection guarantee") {
     import graft.dedup.Winnow
     val (k, w) = (3, 4)
