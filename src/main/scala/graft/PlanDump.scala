@@ -277,7 +277,22 @@ object PlanDump {
     "q222_selection_shift" -> ("selection composition audit: budgetSelect's " +
       "distinct-score class sweep, then ONE id-key left join back to the " +
       "per-source universe (kept ids carry their token counts — no second " +
-      "tokenize pass) and a source-keyed hash agg")
+      "tokenize pass) and a source-keyed hash agg"),
+    "q223_spearman_quality_len" -> ("exact Spearman components: the graded " +
+      "output is a one-row Scalar-class literal; the work plan (gated in " +
+      "PlanSpec via RankCorr.rankedPairs) attaches doubled average ranks by " +
+      "BROADCAST joins against two distinct-value class tables — the corpus " +
+      "never sorts or shuffles for ranks"),
+    "q224_mann_kendall" -> ("Mann-Kendall trend: the corpus reduces to the " +
+      "checkpointed calendar-bounded day table FIRST (one map-side-combined " +
+      "hash agg), then the |days|^2 sign sweep runs as a broadcast " +
+      "nested-loop theta join over that bounded table — the honest pairwise, " +
+      "with the raw events scan provably outside it"),
+    "q225_vocab_stream_state" -> ("maintained-vocabulary sink summary: the " +
+      "Good-Turing tail reads the FINAL streamed state (checkpointed " +
+      "ExistingRDD — the replay harness already ran), one stacked " +
+      "partial+final agg chain, nothing pairwise; the sink itself is the " +
+      "exactly-once staged-rename skeleton shared with q179/q185/q192")
   )
 
   def main(args: Array[String]): Unit = {

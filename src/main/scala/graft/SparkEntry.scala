@@ -411,6 +411,22 @@ object SparkEntry {
     // score-driven selection silently applies
     "q222_selection_shift" -> ((s, d) =>
       graft.text.Curation.selectionShift(Tables.documents(s, d))),
+    // exact Spearman components (quality score vs doc length): ranks
+    // via distinct-value class tables (2x average rank = pure integer),
+    // centered moments in BIGINT, rho the reader's one division
+    "q223_spearman_quality_len" -> ((s, d) =>
+      graft.quality.RankCorr.spearmanComponents(Tables.documents(s, d))),
+    // Mann-Kendall trend over daily event volumes: corpus reduces to
+    // the calendar-bounded day table, then the |days|^2 sign sweep —
+    // exact S decomposed as pos/neg/tie pair counts
+    "q224_mann_kendall" -> ((s, d) =>
+      graft.quality.Drift.mannKendallDailyCounts(Tables.events(s, d))),
+    // streamed maintained VOCABULARY (exact-count twin of the q179 HLL
+    // sink): 3 real checkpointed micro-batches, additive (token, cnt)
+    // state, Good-Turing/Chao1 read off the FINAL state — graded by
+    // q218's batch oracle since additive merge == batch vocabulary
+    "q225_vocab_stream_state" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedVocabStats(Tables.documents(s, d), 3)),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1446,7 +1462,10 @@ object SparkEntry {
     "q219_simpson_diversity" -> Seq("documents"),
     "q220_vocab_coverage" -> Seq("documents"),
     "q221_dup_mass" -> Seq("documents"),
-    "q222_selection_shift" -> Seq("documents"))
+    "q222_selection_shift" -> Seq("documents"),
+    "q223_spearman_quality_len" -> Seq("documents"),
+    "q224_mann_kendall" -> Seq("events"),
+    "q225_vocab_stream_state" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -1531,6 +1550,24 @@ object SparkEntry {
        |    CAST((CAST(g3 AS HUGEINT)*3266489909)%4294967296 AS BIGINT) AS g4,
        |    xor(g4, g4//65536) AS $outCol FROM $in),
        |${out}p AS MATERIALIZED (SELECT doc_id, band, sg, $outCol FROM $out),""".stripMargin
+
+  /** The Good–Turing/Chao1 batch law — grades BOTH q218 (batch FoF
+    * statistics) and q225 (the streamed maintained-vocabulary sink,
+    * whose additive state equals the batch vocabulary by merge law). */
+  private val goodTuringSql: String =
+    """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY token),
+      |fof AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_f FROM tc GROUP BY cnt),
+      |agg AS (SELECT CAST(SUM(cnt * n_f) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_f) AS BIGINT) AS vocab,
+      |    CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN n_f END), 0) AS BIGINT) AS n1,
+      |    CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN n_f END), 0) AS BIGINT) AS n2
+      |  FROM fof)
+      |SELECT n_tokens, vocab, n1, n2,
+      |  (n1 * 1000000) // n_tokens AS unseen_ppm,
+      |  vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1
+      |FROM agg""".stripMargin
 
   /** Shared CTE chain for the classifier-evaluation oracles
     * (q210/q211/q214): the q204 int8 quantization law verbatim, the
@@ -2841,22 +2878,60 @@ object SparkEntry {
          |FROM base b LEFT JOIN kept k USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    // Spearman components: the rank2 class law replayed (2*below +
+    // cnt + 1 over distinct-value cumulatives), centered moments via
+    // the n(n+1)^2 identity — every graded column BIGINT
+    "q223_spearman_quality_len" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sb AS MATERIALIZED (SELECT doc_id,
+         |    (CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS BIGINT)
+         |      * 1000000) // CAST(len(w) AS BIGINT) AS x,
+         |    CAST(len(w) AS BIGINT) AS y
+         |  FROM toksf WHERE len(w) > 0),
+         |rx AS (SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2x
+         |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM sb GROUP BY x) cx),
+         |ry AS (SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2y
+         |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM sb GROUP BY y) cy),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r2x * r2y) AS BIGINT) AS sxy_raw,
+         |    CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+         |    CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+         |  FROM sb JOIN rx USING (x) JOIN ry USING (y))
+         |SELECT n, sxy_raw - n * (n + 1) * (n + 1) AS sxy,
+         |  sxx - n * (n + 1) * (n + 1) AS varx,
+         |  syy - n * (n + 1) * (n + 1) AS vary,
+         |  CAST(CASE WHEN sxy_raw > n * (n + 1) * (n + 1) THEN 1
+         |       WHEN sxy_raw < n * (n + 1) * (n + 1) THEN -1
+         |       ELSE 0 END AS BIGINT) AS rho_sign
+         |FROM t""".stripMargin
+    },
+    // Mann-Kendall: day-table pairwise sign sweep, all-BIGINT
+    "q224_mann_kendall" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+        |  FROM daily a JOIN daily b ON a.day < b.day)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        |  n_pos, n_neg, n_tie, n_pos - n_neg AS s_stat,
+        |  CAST(CASE WHEN n_pos > n_neg THEN 1 WHEN n_pos < n_neg THEN -1
+        |    ELSE 0 END AS BIGINT) AS trend_sign
+        |FROM p""".stripMargin,
     // Good-Turing / Chao1: the FoF reduction replayed, constant-size
     // exact arithmetic on top
-    "q218_good_turing" ->
-      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
-        |  GROUP BY token),
-        |fof AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_f FROM tc GROUP BY cnt),
-        |agg AS (SELECT CAST(SUM(cnt * n_f) AS BIGINT) AS n_tokens,
-        |    CAST(SUM(n_f) AS BIGINT) AS vocab,
-        |    CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN n_f END), 0) AS BIGINT) AS n1,
-        |    CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN n_f END), 0) AS BIGINT) AS n2
-        |  FROM fof)
-        |SELECT n_tokens, vocab, n1, n2,
-        |  (n1 * 1000000) // n_tokens AS unseen_ppm,
-        |  vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1
-        |FROM agg""".stripMargin,
+    "q218_good_turing" -> goodTuringSql,
+    // the streamed maintained-vocabulary sink is graded by the SAME
+    // batch law: additive (token, cnt) merge makes the final state
+    // equal the batch vocabulary, so the q218 oracle IS its oracle
+    "q225_vocab_stream_state" -> goodTuringSql,
     // inverse Simpson: ordered-pair collision count over the FoF table
     "q219_simpson_diversity" ->
       """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -474,6 +474,18 @@ object StressBench {
     run("selection_shift",
       mat(graft.text.Curation.selectionShift(docs1)),
       mat(graft.text.Curation.selectionShift(docsPlainN)))
+    // Spearman: two class-table aggs + broadcast rank joins + one
+    // moment agg. Plain replicas fix the class tables while corpus
+    // rows multiply — the rank-without-sort claim under stress.
+    run("spearman",
+      mat(graft.quality.RankCorr.spearmanComponents(docs1)),
+      mat(graft.quality.RankCorr.spearmanComponents(docsPlainN)))
+    // Mann-Kendall: event replicas multiply corpus rows; the day table
+    // (and so the pair stage) stays calendar-bounded — cost must track
+    // the daily-count scan alone.
+    run("mann_kendall",
+      mat(graft.quality.Drift.mannKendallDailyCounts(ev1)),
+      mat(graft.quality.Drift.mannKendallDailyCounts(evN)))
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

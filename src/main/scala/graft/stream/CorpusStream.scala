@@ -174,6 +174,74 @@ object CorpusStream {
       .orderBy(col("source"))
   }
 
+  /** Streaming maintained VOCABULARY: the exact-count twin of
+    * [[sketchMaintenanceSink]] — state is the full (token, cnt) table,
+    * merged by ADDITION, so after any prefix of batches it equals the
+    * batch vocabulary of everything ingested (counts are additive; no
+    * approximation). This is the streamed substrate of the FoF corpus
+    * statistics ([[graft.text.Coverage]]): a crawl ingests
+    * continuously, and Good–Turing/Chao1/diversity are read off the
+    * maintained state at any moment without re-scanning history.
+    *
+    * State size is vocabulary-sized (10⁷–10⁸ rows at 100 TB under
+    * Heaps' law) — bounded ≪ corpus but materially bigger than the
+    * sketch sinks' ≤2048-row states; that is the honest price of
+    * EXACT maintained statistics, and [[sketchMaintenanceSink]] (HLL)
+    * is the bounded-state alternative when approximate distinct counts
+    * suffice. Same exactly-once skeleton (staged rename + high-water).
+    * State schema: (token, cnt). */
+  def vocabMaintenanceSink(docs: DataFrame, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainState(docs, statePath, checkpoint, "vocabMaintenanceSink") {
+      (batch, prior) =>
+        val delta = batch
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        prior match {
+          case Some(p) => p.unionByName(delta)
+            .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+          case None => delta
+        }
+    }
+
+  /** GRADED end-to-end run of [[vocabMaintenanceSink]]: the documents
+    * table replays as deterministic micro-batches (doc_id mod nBatches,
+    * ascending) through a MemoryStream into the REAL sink — checkpoint,
+    * staged-rename state, high-water replay gate — then the Good–Turing
+    * row is computed off the FINAL MAINTAINED STATE via the same
+    * [[graft.text.Coverage.goodTuringFromFoF]] tail the batch query
+    * uses. Additive merge ⇒ maintained state == batch vocabulary, so
+    * q218's batch oracle SQL grades the streaming sink end to end (the
+    * q179 trick for exact counts). Driver-side collect is the
+    * MemoryStream harness contract, fixture-scale by definition. */
+  def maintainedVocabStats(documents: DataFrame, nBatches: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab_graded").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sink = vocabMaintenanceSink(mem.toDF().toDF("text"), state, ckpt)
+    val fof = try {
+      val rows = documents.select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(_.getLong(0) % nBatches == b).map(_.getString(1))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+      graft.text.Coverage.freqOfFreqFromVocab(
+          spark.read.parquet(state).select(col("token"), col("cnt")))
+        .localCheckpoint()
+    } finally {
+      sink.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    graft.text.Coverage.goodTuringFromFoF(fof)
+  }
+
   /** Streaming Count-Min maintenance: the counting twin of
     * [[sketchMaintenanceSink]]. CMS counters are a sum sketch, so each
     * micro-batch contributes its own ≤2048-cell sketch and the merge

@@ -47,15 +47,25 @@ object Coverage {
     * occur exactly cnt times. Two hash aggs from the raw corpus; the
     * result is bounded by the count of distinct frequencies. */
   def freqOfFreq(documents: DataFrame): DataFrame =
-    documents.select(explode(TextOps.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("cnt")).agg(count(lit(1)).as("n_f"))
+    freqOfFreqFromVocab(
+      documents.select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+
+  /** The FoF reduction from an existing (token, cnt) vocabulary table —
+    * shared by the batch path and the streaming maintained-vocabulary
+    * sink (whose state IS such a table, additively merged). */
+  def freqOfFreqFromVocab(vocab: DataFrame): DataFrame =
+    vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n_f"))
 
   /** One exact-integer row: (n_tokens, vocab, n1, n2, unseen_ppm,
     * chao1). unseen_ppm = n₁·10⁶ div N (Good–Turing); chao1 = V +
     * n₁(n₁−1) div (2(n₂+1)) (bias-corrected — total when n₂ = 0). */
   def goodTuring(documents: DataFrame): DataFrame =
-    freqOfFreq(documents)
+    goodTuringFromFoF(freqOfFreq(documents))
+
+  /** The Good–Turing/Chao1 tail off a prebuilt FoF table. */
+  def goodTuringFromFoF(fof: DataFrame): DataFrame =
+    fof
       .agg(
         sum(col("cnt") * col("n_f")).as("n_tokens"),
         sum(col("n_f")).as("vocab"),

@@ -74,4 +74,19 @@ class CoverageSpec extends AnyFunSuite {
     val rows = Coverage.vocabCoverage(docs).collect()
     assert(rows.forall(_.getAs[Long]("n_tokens") == 9L))
   }
+
+  test("maintained vocabulary sink: streamed state stats == batch stats (q225)") {
+    // additive (token, cnt) merge across real checkpointed micro-batches
+    // must reproduce the batch Good-Turing row bit for bit — and a
+    // batch count that does NOT divide the doc count exercises the
+    // uneven-residue-class path
+    val many = Seq(
+      (1L, "a a a b b c"), (2L, "a b d"), (3L, "c c e"),
+      (4L, "f"), (5L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+    val batch = Coverage.goodTuring(many).collect().toSeq
+    val streamed = graft.stream.CorpusStream
+      .maintainedVocabStats(many, 3).collect().toSeq
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
 }

@@ -240,6 +240,48 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Spearman components (q223) ----
+
+  test("spearmanComponents equals brute-force average-rank Pearson moments") {
+    // doc metrics: x = stopword ppm, y = token count (docs fixture,
+    // doc 6 empty -> excluded): x ties on docs 2/3, y ties on 2/3/4
+    val xs = Map(1L -> 1000000L, 2L -> 500000L, 3L -> 500000L,
+      4L -> 250000L, 5L -> 0L)
+    val ys = Map(1L -> 6L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 8L)
+    def rank2(m: Map[Long, Long]): Map[Long, Long] = m.map { case (id, v) =>
+      id -> (2L * m.values.count(_ < v) + m.values.count(_ == v) + 1L)
+    }
+    val (r2x, r2y) = (rank2(xs), rank2(ys))
+    val n = xs.size.toLong
+    val c = n * (n + 1) * (n + 1)
+    val ids = xs.keys.toSeq
+    val sxy = ids.map(i => r2x(i) * r2y(i)).sum - c
+    val varx = ids.map(i => r2x(i) * r2x(i)).sum - c
+    val vary = ids.map(i => r2y(i) * r2y(i)).sum - c
+    val r = graft.quality.RankCorr.spearmanComponents(docs).collect().head
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("sxy") == sxy, s"sxy ${r.getAs[Long]("sxy")} vs $sxy")
+    assert(r.getAs[Long]("varx") == varx && r.getAs[Long]("vary") == vary)
+    assert(r.getAs[Long]("rho_sign") == java.lang.Long.signum(sxy).toLong)
+    // sanity vs scipy-style check: rho = sxy/sqrt(varx*vary) in [-1, 1]
+    val rho = sxy.toDouble / math.sqrt(varx.toDouble * vary.toDouble)
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("spearmanComponents: a perfect monotone pair reads rho == 1 exactly") {
+    val mono = Seq(
+      (1L, "the a b"),            // 3 tok, 2 stop -> x=666666
+      (2L, "the a b c"),          // 4 tok, 2 stop -> x=500000
+      (3L, "the a b c d e f g")   // 8 tok, 2 stop -> x=250000
+    ).toDF("doc_id", "text")
+    // x strictly decreasing in y: rho must be exactly -1 -> sxy^2 == varx*vary
+    val r = graft.quality.RankCorr.spearmanComponents(mono).collect().head
+    val (sxy, vx, vy) = (r.getAs[Long]("sxy"), r.getAs[Long]("varx"),
+      r.getAs[Long]("vary"))
+    assert(r.getAs[Long]("rho_sign") == -1L)
+    assert(sxy * sxy == vx * vy, s"|rho| != 1: $sxy^2 vs $vx*$vy")
+  }
+
   // ---- mixture plan (q213) ----
 
   test("mixturePlan: largest-remainder targets sum exactly to the budget") {

@@ -464,7 +464,8 @@ class PlanSpec extends AnyFunSuite {
     // state scan must be a parquet read (bounded rows by the merge
     // algebra), the exact-twin comparison an equi-join, and nothing
     // pairwise anywhere.
-    Seq("q185_kmv_stream_state", "q192_quantile_stream_state").foreach { q =>
+    Seq("q185_kmv_stream_state", "q192_quantile_stream_state",
+        "q225_vocab_stream_state").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q summary has a pairwise stage:\n$p")
@@ -703,6 +704,40 @@ class PlanSpec extends AnyFunSuite {
       assert("HashAggregate".r.findAllIn(p).length >= 2,
         s"$q lost a map-side partial agg:\n$p")
     }
+  }
+
+  test("spearman: broadcast rank joins on bounded class tables, no pairwise") {
+    // q223: the two rank tables are distinct-value-bounded and must
+    // come back as BROADCAST equi joins; a SortMergeJoin would mean
+    // the corpus shuffles for a dictionary-sized lookup. The graded
+    // output is a one-row literal (Scalar-class), so gate the exposed
+    // internal join plan, not planOf.
+    val p = graft.quality.RankCorr.rankedPairs(
+        graft.quality.RankCorr.scoredBase(
+          graft.ops.Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank lookups lost their broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"pairwise/shuffle stage in the spearman plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"class reduction lost its map-side partial:\n$p")
+  }
+
+  test("mann-kendall: corpus reduces to the day table BEFORE the pair stage") {
+    // q224: the |days|^2 nested-loop join is the honest plan for a
+    // calendar-bounded table — but the EVENTS corpus must never enter
+    // it: the aggregation to daily counts happens first (both join
+    // children read the checkpointed day table, not a file scan)
+    val p = planOf("q224_mann_kendall")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the bounded day-table theta join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("events.parquet")),
+      s"the pair stage reads the raw corpus, not the day table:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"daily reduction lost its map-side partial:\n$p")
   }
 
   test("mixture plan: one corpus-pass hash agg, everything after source-sized") {

@@ -226,6 +226,30 @@ class QualitySpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("mannKendall equals the brute-force pair sweep (q224)") {
+    val counts = Seq(100L, 90L, 110L, 100L, 250L, 260L, 240L, 30L, 100L, 100L)
+    val r = graft.quality.Drift
+      .mannKendallDailyCounts(eventsWithCounts(counts)).collect().head
+    val pairs = for (i <- counts.indices; j <- counts.indices if i < j)
+      yield java.lang.Long.signum(counts(j) - counts(i))
+    assert(r.getAs[Long]("n_days") == counts.size.toLong)
+    assert(r.getAs[Long]("n_pos") == pairs.count(_ > 0).toLong)
+    assert(r.getAs[Long]("n_neg") == pairs.count(_ < 0).toLong)
+    assert(r.getAs[Long]("n_tie") == pairs.count(_ == 0).toLong)
+    assert(r.getAs[Long]("s_stat") == pairs.map(_.toLong).sum)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") +
+      r.getAs[Long]("n_tie") == counts.size.toLong * (counts.size - 1) / 2)
+  }
+
+  test("mannKendall: strictly increasing series reads S = n(n-1)/2, sign +1") {
+    val n = 8
+    val r = graft.quality.Drift
+      .mannKendallDailyCounts(eventsWithCounts((1L to n).map(_ * 10L)))
+      .collect().head
+    assert(r.getAs[Long]("s_stat") == n.toLong * (n - 1) / 2)
+    assert(r.getAs[Long]("trend_sign") == 1L && r.getAs[Long]("n_neg") == 0L)
+  }
+
   test("cusum: constant series never accumulates or flags") {
     val out = graft.quality.Drift.cusumDailyCounts(eventsWithCounts(Seq.fill(12)(50L)))
       .collect()
