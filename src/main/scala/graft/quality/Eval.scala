@@ -47,13 +47,30 @@ object Eval {
   /** Binarization threshold over the 10-class label column. */
   val LabelSplit = 5
 
+  /** Session-scoped probe-score cache (the [[graft.sim.Quantize]]
+    * encodeCache pattern): SIX graded consumers (q210/q211/q214/q215/
+    * q216/q217) read the same (vec_id, y, score) table — fit + score
+    * once per (session, input plan), every consumer sees bit-identical
+    * scores off the checkpointed table. Entries for dead sessions are
+    * evicted on access; a failed fit (one-class input) is never
+    * cached. */
+  private val scoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), DataFrame]()
+
   /** (vec_id, y, score): the exact-integer centroid-probe score for
     * every vector. Two corpus passes — one (i, y)-keyed hash agg to
     * fit the probe (d·2 output rows, map-side combined), one narrow
     * codegen'd fold projection to score (the [[graft.sim.Coreset]]
     * literal-fold discipline: no join, no shuffle in the scoring
-    * pass). */
+    * pass) — computed once per (session, plan) via [[scoreCache]]. */
   def probeScores(embeddings: DataFrame): DataFrame = {
+    val appId = embeddings.sparkSession.sparkContext.applicationId
+    scoreCache.keySet.removeIf(_._1 != appId)
+    scoreCache.computeIfAbsent((appId, embeddings.semanticHash()),
+      _ => probeScoresUncached(embeddings).localCheckpoint())
+  }
+
+  private def probeScoresUncached(embeddings: DataFrame): DataFrame = {
     val enc = Quantize.encodedWithExtrema(embeddings)._1
       .select(col("vec_id"),
         when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
