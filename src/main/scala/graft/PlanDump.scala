@@ -292,7 +292,13 @@ object PlanDump {
       "Good-Turing tail reads the FINAL streamed state (checkpointed " +
       "ExistingRDD — the replay harness already ran), one stacked " +
       "partial+final agg chain, nothing pairwise; the sink itself is the " +
-      "exactly-once staged-rename skeleton shared with q179/q185/q192")
+      "exactly-once staged-rename skeleton shared with q179/q185/q192"),
+    "q226_source_ks_drift" -> ("per-source KS drift: the corpus reduces to " +
+      "checkpointed scores then (source, score) / score-class hash aggs; the " +
+      "grid densification is the bounded global class table crossed with a " +
+      "BROADCAST source-totals table (a handful of rows), cumOut derived as " +
+      "cumAll - cumIn so the out-group needs no second pass; per-source " +
+      "argmax is one max(struct) agg")
   )
 
   def main(args: Array[String]): Unit = {

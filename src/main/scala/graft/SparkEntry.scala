@@ -427,6 +427,11 @@ object SparkEntry {
     // q218's batch oracle since additive merge == batch vocabulary
     "q225_vocab_stream_state" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedVocabStats(Tables.documents(s, d), 3)),
+    // per-source one-vs-rest KS drift of the quality score: the global
+    // distinct-score grid densified per source (bounded x handful),
+    // cumOut = cumAll - cumIn, per-source BIGINT argmax via max(struct)
+    "q226_source_ks_drift" -> ((s, d) =>
+      graft.quality.Drift.sourceScoreKs(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1465,7 +1470,8 @@ object SparkEntry {
     "q222_selection_shift" -> Seq("documents"),
     "q223_spearman_quality_len" -> Seq("documents"),
     "q224_mann_kendall" -> Seq("events"),
-    "q225_vocab_stream_state" -> Seq("documents"))
+    "q225_vocab_stream_state" -> Seq("documents"),
+    "q226_source_ks_drift" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2910,6 +2916,45 @@ object SparkEntry {
          |       WHEN sxy_raw < n * (n + 1) * (n + 1) THEN -1
          |       ELSE 0 END AS BIGINT) AS rho_sign
          |FROM t""".stripMargin
+    },
+    // per-source KS drift: the engine's densified-grid law replayed —
+    // global classes x sources, left-joined per-source counts, window
+    // cumulatives, per-source argmax with the lowest-score tiebreak
+    "q226_source_ks_drift" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS (SELECT source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sb AS MATERIALIZED (SELECT source,
+         |    (CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS BIGINT)
+         |      * 1000000) // CAST(len(w) AS BIGINT) AS score
+         |  FROM toksf WHERE len(w) > 0),
+         |pss AS (SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c_in
+         |  FROM sb GROUP BY source, score),
+         |gl AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c_all FROM sb GROUP BY score),
+         |ga AS (SELECT score, CAST(SUM(c_all) OVER (ORDER BY score ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+         |  FROM gl),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS p FROM sb GROUP BY source),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sb),
+         |grid AS (SELECT st.source, ga.score, ga.cum_all, st.p,
+         |    (SELECT n FROM tot) - st.p AS n_out,
+         |    CAST(SUM(COALESCE(pss.c_in, 0)) OVER (PARTITION BY st.source
+         |      ORDER BY ga.score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+         |  FROM ga CROSS JOIN st
+         |  LEFT JOIN pss ON pss.source = st.source AND pss.score = ga.score),
+         |ks AS (SELECT source, p AS n_in, n_out, score,
+         |    ABS(cum_in * n_out - (cum_all - cum_in) * p) AS ks_at,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ABS(cum_in * n_out - (cum_all - cum_in) * p) DESC,
+         |        score ASC) AS rn
+         |  FROM grid)
+         |SELECT source, n_in, n_out, ks_at AS ks_num,
+         |  (ks_at * 1000000) // (n_in * n_out) AS ks_ppm,
+         |  score AS score_at
+         |FROM ks WHERE rn = 1 ORDER BY source""".stripMargin
     },
     // Mann-Kendall: day-table pairwise sign sweep, all-BIGINT
     "q224_mann_kendall" ->

@@ -486,6 +486,12 @@ object StressBench {
     run("mann_kendall",
       mat(graft.quality.Drift.mannKendallDailyCounts(ev1)),
       mat(graft.quality.Drift.mannKendallDailyCounts(evN)))
+    // Per-source KS drift: plain replicas multiply corpus rows while
+    // the score grid and source list stay fixed — cost must track the
+    // tokenize + two class aggs, the grid stage is size-invariant.
+    run("source_ks_drift",
+      mat(graft.quality.Drift.sourceScoreKs(docs1)),
+      mat(graft.quality.Drift.sourceScoreKs(docsPlainN)))
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

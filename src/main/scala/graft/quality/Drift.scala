@@ -200,6 +200,65 @@ object Drift {
       .orderBy(col("day"))
   }
 
+  /** Per-source quality-score KS drift — for every source, the exact
+    * two-sample Kolmogorov–Smirnov distance between ITS documents'
+    * quality-score distribution and the REST of the corpus (the
+    * one-vs-rest audit that catches a crawl slice whose quality
+    * profile silently diverges — the per-slice companion of
+    * [[graft.quality.Eval.ksSeparation]]'s class-separation form).
+    * Score law = the q212 stopword-density ppm.
+    *
+    * Exactness: per source s, D·P_s·N_s = max_t |cumIn(t)·N_s −
+    * cumOut(t)·P_s| over the GLOBAL distinct-score grid, pure BIGINT
+    * (shared per-source denominator — no fraction comparison). The
+    * grid is densified per source as bounded × bounded: the global
+    * class table (≪ corpus, one hash agg) crossed with the source list
+    * (a broadcast of a handful of rows), LEFT-joined to per-(source,
+    * score) counts, cumOut = cumAll − cumIn. The per-source argmax is
+    * one max(struct) — ties to the LOWEST attaining score via the
+    * negated-score field. Output: (source, n_in, n_out, ks_num,
+    * ks_ppm, score_at), ordered by source. */
+  def sourceScoreKs(documents: DataFrame): DataFrame = {
+    val toks = filter(graft.text.TextOps.tokens(col("text")), t => length(t) > 0)
+    val stopArr = array(graft.text.TextOps.Stopwords.map(lit): _*)
+    val scored = documents
+      .select(col("source"), size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0L)
+      .select(col("source"), expr("(n_stop * 1000000) div n_tok").as("score"))
+      .localCheckpoint() // three bounded reductions read it
+    val perSrcScore = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c_in"))
+    val global = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c_all")).coalesce(1)
+    val srcTotals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("p")).coalesce(1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grid = global
+      .withColumn("cum_all", sum(col("c_all")).over(wAll))
+      .crossJoin(broadcast(srcTotals)) // bounded classes x handful of sources
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = scored.count()
+    grid
+      .join(perSrcScore, Seq("source", "score"), "left")
+      .withColumn("cum_in", sum(coalesce(col("c_in"), lit(0L))).over(wSrc))
+      .withColumn("n_out", lit(tot) - col("p"))
+      .withColumn("ks_at",
+        abs(col("cum_in") * col("n_out") - (col("cum_all") - col("cum_in")) * col("p")))
+      .groupBy(col("source"))
+      .agg(first(col("p")).as("n_in"), first(col("n_out")).as("n_out"),
+        max(struct(col("ks_at"), (-col("score")).as("neg_score"))).as("m"))
+      .select(col("source"), col("n_in"), col("n_out"),
+        col("m.ks_at").as("ks_num"),
+        expr("(m.ks_at * 1000000) div (n_in * n_out)").as("ks_ppm"),
+        (-col("m.neg_score")).as("score_at"))
+      .orderBy(col("source"))
+  }
+
   /** Mann–Kendall trend test over daily event volumes — the
     * MONOTONE-trend complement of [[cusumDailyCounts]]'s level-shift
     * detector (CUSUM finds a step; Mann–Kendall finds a drift, rank-

@@ -740,6 +740,19 @@ class PlanSpec extends AnyFunSuite {
       s"daily reduction lost its map-side partial:\n$p")
   }
 
+  test("source ks drift: grid densification is bounded x broadcast, corpus aggs first") {
+    // q226: the corpus reduces to (source, score) / score class tables
+    // by hash aggs; the only product stage is the global class grid x
+    // the broadcast source-totals table (bounded x handful) — a
+    // CartesianProduct over file scans would mean the corpus entered it
+    val p = planOf("q226_source_ks_drift")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"class reductions lost their map-side partials:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")),
+      s"the grid stage reads the raw corpus, not the checkpointed scores:\n$p")
+  }
+
   test("mixture plan: one corpus-pass hash agg, everything after source-sized") {
     val p = planOf("q213_mixture_plan")
     assert("HashAggregate".r.findAllIn(p).length >= 2,

@@ -226,6 +226,45 @@ class QualitySpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("sourceScoreKs equals the brute-force one-vs-rest CDF scan (q226)") {
+    import spark.implicits._
+    // scores: web {1000000, 500000, 0}, books {500000, 250000}
+    val d = Seq(
+      (1L, "the a of", "web"),        // 3/3 stop -> 1000000
+      (2L, "the a zz qq", "web"),     // 2/4 -> 500000
+      (3L, "xx yy zz qq", "web"),     // 0/4 -> 0
+      (4L, "of in ww ee", "books"),   // 2/4 -> 500000
+      (5L, "a xx yy zz", "books"),    // 1/4 -> 250000
+      (6L, "", "books")               // empty -> excluded
+    ).toDF("doc_id", "text", "source")
+    val scores = Map(1L -> 1000000L, 2L -> 500000L, 3L -> 0L,
+      4L -> 500000L, 5L -> 250000L)
+    val srcOf = Map(1L -> "web", 2L -> "web", 3L -> "web",
+      4L -> "books", 5L -> "books")
+    val grid = scores.values.toSeq.distinct.sorted
+    def brute(s: String): (Long, Long) = {
+      val in = scores.collect { case (id, v) if srcOf(id) == s => v }.toSeq
+      val out = scores.collect { case (id, v) if srcOf(id) != s => v }.toSeq
+      grid.map { t =>
+        val ci = in.count(_ <= t).toLong
+        val co = out.count(_ <= t).toLong
+        (math.abs(ci * out.size - co * in.size), t)
+      }.maxBy { case (num, t) => (num, -t) } // ties -> lowest score
+    }
+    val rows = graft.quality.Drift.sourceScoreKs(d).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("books", "web"))
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val (num, at) = brute(s)
+      assert(r.getAs[Long]("n_in") == srcOf.values.count(_ == s).toLong)
+      assert(r.getAs[Long]("n_out") == srcOf.size.toLong - r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("ks_num") == num, s"$s ks_num")
+      assert(r.getAs[Long]("score_at") == at, s"$s score_at")
+      assert(r.getAs[Long]("ks_ppm") ==
+        num * 1000000L / (r.getAs[Long]("n_in") * r.getAs[Long]("n_out")))
+    }
+  }
+
   test("mannKendall equals the brute-force pair sweep (q224)") {
     val counts = Seq(100L, 90L, 110L, 100L, 250L, 260L, 240L, 30L, 100L, 100L)
     val r = graft.quality.Drift
