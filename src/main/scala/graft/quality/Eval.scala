@@ -90,6 +90,13 @@ object Eval {
     val n1 = counts.getOrElse(1L, 0L)
     require(n0 > 0 && n1 > 0,
       s"probeScores: both classes must be nonempty (n0=$n0, n1=$n1)")
+    val d = sums.length.toLong
+    // exactness envelope, enforced loudly: |score| ≤ d·255²·n0·n1 must
+    // stay inside BIGINT (scaladoc bound) — past it, fit the probe on a
+    // bounded sample and score with double weights instead
+    require(n0 <= Long.MaxValue / 65025L / d / n1,
+      s"probeScores: d·255²·n0·n1 exceeds the exact BIGINT envelope " +
+        s"(d=$d, n0=$n0, n1=$n1); fit on a bounded sample")
     val w: Seq[Long] = sums.sortBy(_.getInt(0))
       .map(r => r.getLong(1) * n0 - r.getLong(2) * n1).toSeq
     val wLit = typedlit(w)

@@ -80,6 +80,10 @@ object RankCorr {
         sum(col("r2y") * col("r2y")).as("syy"))
       .collect().head
     val n = sums.getAs[Long]("n")
+    // the 4n³ moment envelope, enforced loudly (scaladoc bound): past
+    // ~1.3M docs the moments must be computed in double instead
+    require(n <= 1300000L,
+      s"spearmanComponents: n=$n exceeds the exact 4n³ BIGINT envelope")
     // the doubled-rank invariant: any drift here means the class
     // arithmetic broke, and every moment below would be silently wrong
     require(sums.getAs[Long]("tx") == n * (n + 1) &&
