@@ -298,7 +298,12 @@ object PlanDump {
       "grid densification is the bounded global class table crossed with a " +
       "BROADCAST source-totals table (a handful of rows), cumOut derived as " +
       "cumAll - cumIn so the out-group needs no second pass; per-source " +
-      "argmax is one max(struct) agg")
+      "argmax is one max(struct) agg"),
+    "q227_selection_tv" -> ("selection TV distortion: the corpus tokenizes " +
+      "ONCE (checkpointed, feeding both vocabulary aggs), the two count " +
+      "tables align by a token-keyed LEFT join (kept is a subset, so no " +
+      "full-outer), totals cross in as a broadcast one-row table, and the " +
+      "shared-denominator TV sum is one map-side-combined agg")
   )
 
   def main(args: Array[String]): Unit = {

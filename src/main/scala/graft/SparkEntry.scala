@@ -432,6 +432,11 @@ object SparkEntry {
     // cumOut = cumAll - cumIn, per-source BIGINT argmax via max(struct)
     "q226_source_ks_drift" -> ((s, d) =>
       graft.quality.Drift.sourceScoreKs(Tables.documents(s, d))),
+    // exact total-variation distance between the selected subset's and
+    // the full corpus' unigram distributions: the shared-denominator
+    // trick on distributions — Σ|c_sel·N_all − c_all·N_sel| pure BIGINT
+    "q227_selection_tv" -> ((s, d) =>
+      graft.text.Curation.selectionTvDistortion(Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1471,7 +1476,8 @@ object SparkEntry {
     "q223_spearman_quality_len" -> Seq("documents"),
     "q224_mann_kendall" -> Seq("events"),
     "q225_vocab_stream_state" -> Seq("documents"),
-    "q226_source_ks_drift" -> Seq("documents"))
+    "q226_source_ks_drift" -> Seq("documents"),
+    "q227_selection_tv" -> Seq("documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2955,6 +2961,42 @@ object SparkEntry {
          |  (ks_at * 1000000) // (n_in * n_out) AS ks_ppm,
          |  score AS score_at
          |FROM ks WHERE rn = 1 ORDER BY source""".stripMargin
+    },
+    // selection TV distortion: the q212 prefix law replayed, then the
+    // two unigram count tables aligned by LEFT join and the shared-
+    // denominator TV sum — floor-of-floor ppm stated identically
+    "q227_selection_tv" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH toksf AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |sb AS MATERIALIZED (SELECT doc_id,
+         |    (CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS BIGINT)
+         |      * 1000000) // CAST(len(w) AS BIGINT) AS score,
+         |    CAST(len(w) AS BIGINT) AS n_tok
+         |  FROM toksf WHERE len(w) > 0),
+         |tot0 AS (SELECT (CAST(SUM(n_tok) AS BIGINT) * 3) // 10 AS budget FROM sb),
+         |cum AS (SELECT doc_id, CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM sb),
+         |kept AS (SELECT doc_id FROM cum, tot0 WHERE cum <= budget),
+         |tk AS MATERIALIZED (SELECT doc_id, unnest(w) AS token FROM toksf),
+         |av AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_all FROM tk GROUP BY token),
+         |sv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_sel
+         |  FROM tk JOIN kept USING (doc_id) GROUP BY token),
+         |j AS (SELECT av.c_all, COALESCE(sv.c_sel, 0) AS c_sel
+         |  FROM av LEFT JOIN sv USING (token)),
+         |t AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all_tok,
+         |    CAST(SUM(c_sel) AS BIGINT) AS n_sel_tok,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab FROM j),
+         |tv AS (SELECT CAST(SUM(ABS(j.c_sel * t.n_all_tok - j.c_all * t.n_sel_tok))
+         |    AS BIGINT) AS tv_num FROM j, t)
+         |SELECT n_all_tok, n_sel_tok, vocab, tv_num,
+         |  CASE WHEN (n_sel_tok * n_all_tok * 2) // 1000000 > 0 THEN
+         |    tv_num // ((n_sel_tok * n_all_tok * 2) // 1000000)
+         |  ELSE NULL END AS tv_ppm
+         |FROM t, tv""".stripMargin
     },
     // Mann-Kendall: day-table pairwise sign sweep, all-BIGINT
     "q224_mann_kendall" ->

@@ -492,6 +492,11 @@ object StressBench {
     run("source_ks_drift",
       mat(graft.quality.Drift.sourceScoreKs(docs1)),
       mat(graft.quality.Drift.sourceScoreKs(docsPlainN)))
+    // Selection TV: budget_select + one extra tokenize-and-two-aggs
+    // pass; vocab tables fixed under plain replicas.
+    run("selection_tv",
+      mat(graft.text.Curation.selectionTvDistortion(docs1)),
+      mat(graft.text.Curation.selectionTvDistortion(docsPlainN)))
     // CDC apply: the DELTA stays fixed while the base replicates — the
     // design claim is that cost tracks the scan + delta, never a
     // base-table shuffle.

@@ -314,4 +314,52 @@ object Curation {
           expr("(tok_kept * 1000) div tok_total")).as("tok_keep_pm"))
       .orderBy(col("source"))
   }
+
+  /** Selection token-distribution distortion — the EXACT total-
+    * variation distance between the selected subset's and the full
+    * corpus' unigram distributions: [[selectionShift]] audits the
+    * SOURCE mixture, this audits the CONTENT mixture (a quality cut
+    * that deletes informal text shifts the whole token distribution
+    * even within a source; TV is the standard distribution-shift
+    * number). The q217 shared-denominator idea applied to
+    * distributions instead of CDFs:
+    *   TV·2·N_sel·N_all = Σ_t |c_sel(t)·N_all − c_all(t)·N_sel|
+    * is pure BIGINT — the per-token fractions c/N never materialize.
+    *
+    * One row: (n_all_tok, n_sel_tok, vocab, tv_num, tv_ppm) with
+    * tv_ppm = tv_num div ((2·N_sel·N_all) div 10⁶) — the floor-of-
+    * floor rendering both engines state identically (guarded NULL
+    * when the denominator underflows to 0, i.e. 2·N_sel·N_all < 10⁶).
+    *
+    * Scale shape: the corpus tokenizes ONCE (checkpointed) and feeds
+    * both vocabulary aggs; kept ⊆ corpus, so a LEFT join (vocab keyed,
+    * token-uniform) aligns the two count tables — no full-outer, no
+    * second tokenize; totals cross in as a broadcast one-row table.
+    * Every sum ≤ 2·N_sel·N_all — in BIGINT to ~2·10⁹ total tokens
+    * (past that: per-term doubles, counts stay exact). */
+  def selectionTvDistortion(documents: DataFrame,
+                            budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
+    val kept = budgetSelect(documents, budgetNum, budgetDen).select(col("doc_id"))
+    val toks = documents
+      .select(col("doc_id"),
+        explode(filter(TextOps.tokens(col("text")), t => length(t) > 0)).as("token"))
+      .localCheckpoint() // two vocabulary aggs read it
+    val allV = toks.groupBy(col("token")).agg(count(lit(1)).as("c_all"))
+    val selV = toks.join(kept, Seq("doc_id"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_sel"))
+    val j = allV.join(selV, Seq("token"), "left")
+      .select(col("c_all"), coalesce(col("c_sel"), lit(0L)).as("c_sel"))
+    val tot = j.agg(sum(col("c_all")).as("n_all"), sum(col("c_sel")).as("n_sel"))
+    j.crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_all")).as("n_all_tok"),
+        first(col("n_sel")).as("n_sel_tok"),
+        count(lit(1)).as("vocab"),
+        sum(abs(col("c_sel") * col("n_all") - col("c_all") * col("n_sel")))
+          .as("tv_num"))
+      .select(col("n_all_tok"), col("n_sel_tok"), col("vocab"), col("tv_num"),
+        when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
+          expr("tv_num div ((n_sel_tok * n_all_tok * 2) div 1000000)"))
+          .as("tv_ppm"))
+  }
 }

@@ -282,6 +282,39 @@ class EvalSpec extends AnyFunSuite {
     assert(sxy * sxy == vx * vy, s"|rho| != 1: $sxy^2 vs $vx*$vy")
   }
 
+  // ---- selection TV distortion (q227) ----
+
+  test("selectionTvDistortion equals the brute-force shared-denominator TV") {
+    val texts = Map(1L -> "the a of the a of", 2L -> "the a zz qq",
+      3L -> "of in ww ee", 4L -> "a xx yy zz", 5L -> "xx yy zz qq ww ee rr tt")
+    val keptIds = Curation.budgetSelect(docs, 3, 10).collect()
+      .map(_.getLong(0)).toSet
+    val allToks = texts.values.flatMap(_.split(" ")).toSeq
+    val selToks = texts.collect { case (id, t) if keptIds(id) => t }
+      .flatMap(_.split(" ")).toSeq
+    val cAll = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cSel = selToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nAll, nSel) = (allToks.size.toLong, selToks.size.toLong)
+    val tvNum = cAll.keys.toSeq.map(t =>
+      math.abs(cSel.getOrElse(t, 0L) * nAll - cAll(t) * nSel)).sum
+    val r = Curation.selectionTvDistortion(docs, 3, 10).collect().head
+    assert(r.getAs[Long]("n_all_tok") == nAll && r.getAs[Long]("n_sel_tok") == nSel)
+    assert(r.getAs[Long]("vocab") == cAll.size.toLong)
+    assert(r.getAs[Long]("tv_num") == tvNum, s"tv_num ${r.getAs[Long]("tv_num")} vs $tvNum")
+    // the fixture denominator underflows the ppm floor -> NULL, loudly
+    if (nSel * nAll * 2 / 1000000 > 0)
+      assert(r.getAs[Long]("tv_ppm") == tvNum / (nSel * nAll * 2 / 1000000))
+    else assert(r.isNullAt(r.fieldIndex("tv_ppm")))
+    // TV bound: tv_num <= 2 * nSel * nAll always
+    assert(tvNum <= 2 * nSel * nAll)
+  }
+
+  test("selectionTvDistortion: selecting everything reads TV == 0") {
+    val r = Curation.selectionTvDistortion(docs, 1, 1).collect().head
+    assert(r.getAs[Long]("tv_num") == 0L)
+    assert(r.getAs[Long]("n_sel_tok") == r.getAs[Long]("n_all_tok"))
+  }
+
   // ---- mixture plan (q213) ----
 
   test("mixturePlan: largest-remainder targets sum exactly to the budget") {

@@ -753,6 +753,20 @@ class PlanSpec extends AnyFunSuite {
       s"the grid stage reads the raw corpus, not the checkpointed scores:\n$p")
   }
 
+  test("selection TV: one tokenize, vocab-keyed left join, broadcast totals") {
+    // q227: the corpus tokenizes ONCE (checkpointed ExistingRDD feeds
+    // both vocabulary aggs), the count tables align by a token-keyed
+    // LEFT join, and the totals cross in broadcast — nothing pairwise
+    // over corpus-sized inputs
+    val p = planOf("q227_selection_tv")
+    assert(p.contains("ExistingRDD"),
+      s"tokenized corpus not materialized once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise stage in the TV plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"vocabulary reductions lost their map-side partials:\n$p")
+  }
+
   test("mixture plan: one corpus-pass hash agg, everything after source-sized") {
     val p = planOf("q213_mixture_plan")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
