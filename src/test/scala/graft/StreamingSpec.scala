@@ -412,6 +412,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "streamed register table must equal the batch sketch")
   }
 
+  test("streaming vocabulary maintenance: additive counts equal the batch vocab, survive restart") {
+    implicit val sctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    val mem = MemoryStream[String]
+    def start() = graft.stream.CorpusStream.vocabMaintenanceSink(
+      mem.toDF().toDF("text"), state, ckpt)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val b1 = Seq("alpha beta alpha", "beta gamma")
+    val b2 = Seq("alpha delta")
+    val b3 = Seq("gamma gamma epsilon")
+    val q1 = start()
+    try {
+      seen ++= b1; mem.addData(b1: _*); q1.processAllAvailable()
+      seen ++= b2; mem.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: counts keep adding exactly once
+    val q2 = start()
+    try { seen ++= b3; mem.addData(b3: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(state).select("token", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = seen.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    assert(got == want, s"streamed vocab $got must equal batch counts $want")
+  }
+
   test("streaming Bloom maintenance: OR-merged bits equal the batch filter, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
