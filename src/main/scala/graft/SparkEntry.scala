@@ -3003,9 +3003,9 @@ object SparkEntry {
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
         |p AS (SELECT
-        |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |    CAST(SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-        |    CAST(SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+        |    CAST(COALESCE(SUM(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos,
+        |    CAST(COALESCE(SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neg,
+        |    CAST(COALESCE(SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tie
         |  FROM daily a JOIN daily b ON a.day < b.day)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
         |  n_pos, n_neg, n_tie, n_pos - n_neg AS s_stat,

@@ -281,10 +281,13 @@ object Drift {
     val pairs = daily.select(col("day").as("d1"), col("cnt").as("c1"))
       .join(broadcast(daily.select(col("day").as("d2"), col("cnt").as("c2"))),
         col("d1") < col("d2"))
+    // 0- or 1-day inputs have an EMPTY pair table: the sums must
+    // coalesce to 0 so (n_pos, n_neg, n_tie, s_stat) stay exact BIGINT
+    // zeros instead of degrading to NULL (oracle mirrors the COALESCE)
     pairs.agg(
-        sum(when(col("c2") > col("c1"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("c2") < col("c1"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("c2") === col("c1"), 1L).otherwise(0L)).as("n_tie"))
+        coalesce(sum(when(col("c2") > col("c1"), 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+        coalesce(sum(when(col("c2") < col("c1"), 1L).otherwise(0L)), lit(0L)).as("n_neg"),
+        coalesce(sum(when(col("c2") === col("c1"), 1L).otherwise(0L)), lit(0L)).as("n_tie"))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
       .select(col("n_days"), col("n_pos"), col("n_neg"), col("n_tie"),
         (col("n_pos") - col("n_neg")).as("s_stat"),

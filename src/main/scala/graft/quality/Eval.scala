@@ -27,10 +27,14 @@ import graft.sim.Quantize
   * the quantization (which q101/q204 already grade).
   *
   * Exactness bounds: |w_i| ≤ 255·n0·n1 and |score| ≤ d·255·|w|, so the
-  * graded config (d=64) stays inside BIGINT up to ~10⁶ vectors; a
-  * 100-TB deployment would fit the probe on a bounded sample (the
-  * probe is 2·d aggregates — sample-sized) and score with double
-  * weights, keeping the one-pass scoring shape below.
+  * graded config (d=64) stays inside BIGINT up to ~10⁶ vectors. Past
+  * that the fit AUTOMATICALLY switches (logged loudly) to a bounded
+  * hash-deterministic 1/k sample — the probe is 2·d aggregates, so a
+  * sample fit is the production form anyway — and because the score
+  * bound depends only on the SAMPLE class sizes, full-corpus scoring
+  * stays exact BIGINT with the same one-pass shape (see
+  * [[probeScoresSampled]]; property-tested equal to the exact path at
+  * k = 1 in EvalSpec).
   *
   * Scale shape — the point of the design: AUC needs ranks, but a
   * global row sort of the corpus is the one thing a 100-TB run must
@@ -47,15 +51,24 @@ object Eval {
   /** Binarization threshold over the 10-class label column. */
   val LabelSplit = 5
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Session-scoped probe-score cache (the [[graft.sim.Quantize]]
-    * encodeCache pattern): SIX graded consumers (q210/q211/q214/q215/
-    * q216/q217) read the same (vec_id, y, score) table — fit + score
-    * once per (session, input plan), every consumer sees bit-identical
-    * scores off the checkpointed table. Entries for dead sessions are
-    * evicted on access; a failed fit (one-class input) is never
+    * encodeCache pattern, now a bounded LRU): SIX graded consumers
+    * (q210/q211/q214/q215/q216/q217) read the same (vec_id, y, score)
+    * table — fit + score once per (session, input plan), every consumer
+    * sees bit-identical scores off the checkpointed table. Bounded at 8
+    * distinct input plans; eviction unpersists the checkpoint blocks.
+    * Plan-hash keying assumes IMMUTABLE inputs
+    * ([[graft.ops.BoundedCache]]'s contract) — call [[clearScoreCache]]
+    * after an in-place rewrite. A failed fit (one-class input) is never
     * cached. */
-  private val scoreCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), DataFrame]()
+  private val scoreCache = new graft.ops.BoundedCache[Int, DataFrame](
+    maxEntries = 8,
+    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+
+  /** Explicit invalidation hook for in-place input rewrites. */
+  def clearScoreCache(): Unit = scoreCache.clear()
 
   /** (vec_id, y, score): the exact-integer centroid-probe score for
     * every vector. Two corpus passes — one (i, y)-keyed hash agg to
@@ -63,42 +76,83 @@ object Eval {
     * codegen'd fold projection to score (the [[graft.sim.Coreset]]
     * literal-fold discipline: no join, no shuffle in the scoring
     * pass) — computed once per (session, plan) via [[scoreCache]]. */
-  def probeScores(embeddings: DataFrame): DataFrame = {
-    val appId = embeddings.sparkSession.sparkContext.applicationId
-    scoreCache.keySet.removeIf(_._1 != appId)
-    scoreCache.computeIfAbsent((appId, embeddings.semanticHash()),
-      _ => probeScoresUncached(embeddings).localCheckpoint())
+  def probeScores(embeddings: DataFrame): DataFrame =
+    scoreCache.getOrCompute(
+      embeddings.sparkSession.sparkContext.applicationId,
+      embeddings.semanticHash())(
+      probeScoresUncached(embeddings).localCheckpoint())
+
+  /** The smallest power-of-two hash modulus k such that fitting the
+    * probe on the expected 1/k hash-deterministic sample keeps
+    * d·255²·ns0·ns1 inside BIGINT with a 4× variance margin. k = 1 —
+    * the whole corpus, the exact path — whenever the full counts are
+    * already in-envelope (every graded config). BigInt planning
+    * arithmetic so the check itself can't overflow. */
+  private[graft] def planSampleMod(d: Long, n0: Long, n1: Long): Long = {
+    val cap = BigInt(Long.MaxValue) / 65025 / d
+    var k = 1L
+    while ((BigInt(n0) / k) * (BigInt(n1) / k) * 4 > cap) k *= 2
+    k
   }
 
   private def probeScoresUncached(embeddings: DataFrame): DataFrame = {
-    val enc = Quantize.encodedWithExtrema(embeddings)._1
-      .select(col("vec_id"),
-        when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
-        col("codes"))
-    // probe fit: per-(dimension, class) code sums + class sizes.
-    // posexplode shuffles d·2 grouped rows after map-side combine.
-    val sums = enc
-      .select(col("y"), posexplode(col("codes")).as(Seq("i", "c")))
-      .groupBy(col("i"))
-      .agg(
-        sum(when(col("y") === 1L, col("c").cast("long")).otherwise(0L)).as("s1"),
-        sum(when(col("y") === 0L, col("c").cast("long")).otherwise(0L)).as("s0"))
-      .collect()
+    val (encoded, extrema) = Quantize.encodedWithExtrema(embeddings)
+    val enc = encoded.select(col("vec_id"),
+      when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
+      col("codes"))
     val counts = enc.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n0 = counts.getOrElse(0L, 0L)
     val n1 = counts.getOrElse(1L, 0L)
     require(n0 > 0 && n1 > 0,
       s"probeScores: both classes must be nonempty (n0=$n0, n1=$n1)")
+    // past the d·255²·n0·n1 BIGINT envelope the probe fits on a bounded
+    // hash-deterministic sample instead of refusing; the automatic
+    // switch is logged loudly and every graded config stays on k = 1
+    val k = planSampleMod(extrema.length.toLong, n0, n1)
+    if (k > 1)
+      log.warn(s"probeScores: d·255²·n0·n1 exceeds the exact BIGINT " +
+        s"envelope (d=${extrema.length}, n0=$n0, n1=$n1); fitting the " +
+        s"probe on the deterministic 1/$k hash sample (scores stay exact)")
+    probeScoresSampled(enc, k)
+  }
+
+  /** Fit on the 1/`sampleMod` xxhash64-deterministic sample, score the
+    * WHOLE corpus. `sampleMod = 1` is the exact path verbatim. The
+    * fallback is stronger than the scaladoc's original "score with
+    * double weights" prescription: |score| ≤ d·255²·ns0·ns1 depends
+    * only on the SAMPLE class sizes, so with the sample in-envelope the
+    * full-corpus scores stay exact BIGINT and every downstream
+    * integer-div consumer ([[aucReport]], [[calibrationBins]], …) is
+    * unchanged. */
+  private[graft] def probeScoresSampled(enc: DataFrame, sampleMod: Long): DataFrame = {
+    val fitBase =
+      if (sampleMod <= 1L) enc
+      else enc.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0L)
+    // probe fit: per-(dimension, class) code sums + class sizes.
+    // posexplode shuffles d·2 grouped rows after map-side combine.
+    val sums = fitBase
+      .select(col("y"), posexplode(col("codes")).as(Seq("i", "c")))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("y") === 1L, col("c").cast("long")).otherwise(0L)).as("s1"),
+        sum(when(col("y") === 0L, col("c").cast("long")).otherwise(0L)).as("s0"))
+      .collect()
+    val fitCounts = fitBase.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ns0 = fitCounts.getOrElse(0L, 0L)
+    val ns1 = fitCounts.getOrElse(1L, 0L)
+    require(ns0 > 0 && ns1 > 0,
+      s"probeScores: both classes must survive the 1/$sampleMod fit " +
+        s"sample (ns0=$ns0, ns1=$ns1)")
     val d = sums.length.toLong
-    // exactness envelope, enforced loudly: |score| ≤ d·255²·n0·n1 must
-    // stay inside BIGINT (scaladoc bound) — past it, fit the probe on a
-    // bounded sample and score with double weights instead
-    require(n0 <= Long.MaxValue / 65025L / d / n1,
-      s"probeScores: d·255²·n0·n1 exceeds the exact BIGINT envelope " +
-        s"(d=$d, n0=$n0, n1=$n1); fit on a bounded sample")
+    // exactness envelope on the FIT sample, enforced loudly: the 4×
+    // planning margin makes a violation a hash-distribution anomaly
+    require(ns0 <= Long.MaxValue / 65025L / d / ns1,
+      s"probeScores: d·255²·ns0·ns1 exceeds the exact BIGINT envelope " +
+        s"even at sampleMod=$sampleMod (d=$d, ns0=$ns0, ns1=$ns1)")
     val w: Seq[Long] = sums.sortBy(_.getInt(0))
-      .map(r => r.getLong(1) * n0 - r.getLong(2) * n1).toSeq
+      .map(r => r.getLong(1) * ns0 - r.getLong(2) * ns1).toSeq
     val wLit = typedlit(w)
     val score = aggregate(
       sequence(lit(1), lit(w.length)), lit(0L),
@@ -106,6 +160,13 @@ object Eval {
         acc + element_at(col("codes"), i).cast("long") * element_at(wLit, i))
     enc.select(col("vec_id"), col("y"), score.as("score"))
   }
+
+  /** Test seam: the exact-path (vec_id, y, codes) projection feeding
+    * [[probeScoresSampled]]. */
+  private[graft] def encodedClasses(embeddings: DataFrame): DataFrame =
+    Quantize.encodedWithExtrema(embeddings)._1.select(col("vec_id"),
+      when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
+      col("codes"))
 
   /** One-row exact ROC-AUC: (n_pos, n_neg, n_scores, auc_num2,
     * auc_ppm) with auc_num2 = AUC·2·P·N (the tie-corrected

@@ -31,11 +31,23 @@ import graft.text.TextOps
   * discipline).
   *
   * Exactness envelope: r2 ≤ 2n, so every sum is ≤ 4n³ — in BIGINT to
-  * n ≈ 1.3·10⁶ documents; past that a production run computes the
-  * moments in double (the class tables and r2 law stay exact at any
-  * n). The graded fixtures are ≤ 5·10³.
+  * n ≈ 1.3·10⁶ documents. Past that [[spearmanComponents]]
+  * AUTOMATICALLY switches (logged loudly) to computing the three
+  * QUADRATIC moments in double — the class tables, the r2 law, n and
+  * the linear rank sums (and so the Σr2 = n(n+1) invariant check) stay
+  * exact BIGINT at any realistic n; only sxy/varx/vary degrade to
+  * double (bit-exact vs the BIGINT path to n ≈ 4.7·10⁷, then rounding —
+  * ρ is a double division anyway). The fallback is property-tested
+  * equal to the exact path on in-envelope fixtures in QualitySpec. The
+  * graded fixtures are ≤ 5·10³ and always take the exact path.
   */
 object RankCorr {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** 4n³ ≤ Long.MaxValue boundary: the largest n whose quadratic rank
+    * moments are safe in BIGINT. */
+  val ExactEnvelopeDocs = 1300000L
 
   /** (doc_id, x, y): the two metrics, empty docs excluded, checkpointed
     * once for the three consumers (two class tables + the join). */
@@ -68,11 +80,30 @@ object RankCorr {
       .join(broadcast(rank2("y")), Seq("y"))
   }
 
-  /** One exact row: (n, sxy, varx, vary, rho_sign) for x = stopword
-    * density (ppm, the [[graft.text.Curation.budgetSelect]] score law)
-    * vs y = token count, over documents with ≥1 token. */
+  /** One row: (n, sxy, varx, vary, rho_sign) for x = stopword density
+    * (ppm, the [[graft.text.Curation.budgetSelect]] score law) vs
+    * y = token count, over documents with ≥1 token. In-envelope
+    * (n ≤ [[ExactEnvelopeDocs]], every graded config) the moments are
+    * exact BIGINT; past it the quadratic moments switch to double
+    * automatically (logged loudly) — same law, sxy/varx/vary columns
+    * become DoubleType. */
   def spearmanComponents(documents: DataFrame): DataFrame = {
-    val sums = rankedPairs(scoredBase(documents))
+    val base = scoredBase(documents)
+    // the checkpointed base makes this pre-count one cheap local scan;
+    // it only picks the arithmetic, the law below derives its own n
+    val n = base.count()
+    if (n <= ExactEnvelopeDocs) spearmanExact(base)
+    else {
+      log.warn(s"spearmanComponents: n=$n exceeds the exact 4n³ BIGINT " +
+        s"envelope (≤ $ExactEnvelopeDocs); computing quadratic moments " +
+        "in double (linear sums and the rank invariant stay exact)")
+      spearmanDouble(base)
+    }
+  }
+
+  /** The exact-BIGINT moment path — unchanged law. */
+  private[graft] def spearmanExact(base: DataFrame): DataFrame = {
+    val sums = rankedPairs(base)
       .agg(count(lit(1)).as("n"),
         sum(col("r2x")).as("tx"), sum(col("r2y")).as("ty"),
         sum(col("r2x") * col("r2y")).as("sxy_raw"),
@@ -80,10 +111,8 @@ object RankCorr {
         sum(col("r2y") * col("r2y")).as("syy"))
       .collect().head
     val n = sums.getAs[Long]("n")
-    // the 4n³ moment envelope, enforced loudly (scaladoc bound): past
-    // ~1.3M docs the moments must be computed in double instead
-    require(n <= 1300000L,
-      s"spearmanComponents: n=$n exceeds the exact 4n³ BIGINT envelope")
+    require(n <= ExactEnvelopeDocs,
+      s"spearmanExact: n=$n exceeds the exact 4n³ BIGINT envelope")
     // the doubled-rank invariant: any drift here means the class
     // arithmetic broke, and every moment below would be silently wrong
     require(sums.getAs[Long]("tx") == n * (n + 1) &&
@@ -92,10 +121,40 @@ object RankCorr {
         s"${sums.getAs[Long]("ty")} vs ${n * (n + 1)}")
     val c = n * (n + 1) * (n + 1)
     val sxy = sums.getAs[Long]("sxy_raw") - c
-    val spark = documents.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
     Seq((n, sxy, sums.getAs[Long]("sxx") - c, sums.getAs[Long]("syy") - c,
       java.lang.Long.signum(sxy).toLong))
+      .toDF("n", "sxy", "varx", "vary", "rho_sign")
+  }
+
+  /** The past-envelope path: identical class tables, r2 law, count and
+    * LINEAR sums (still exact BIGINT — Σr2 = n(n+1) is safe to
+    * n ≈ 3·10⁹, and the invariant still hard-checks); only the three
+    * quadratic moments accumulate as double (each factor cast BEFORE
+    * the product so no intermediate overflows). Bit-equal to
+    * [[spearmanExact]] (cast to double) while 4n³ ≤ 2⁵³. */
+  private[graft] def spearmanDouble(base: DataFrame): DataFrame = {
+    val dx = col("r2x").cast("double")
+    val dy = col("r2y").cast("double")
+    val sums = rankedPairs(base)
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("tx"), sum(col("r2y")).as("ty"),
+        sum(dx * dy).as("sxy_raw"),
+        sum(dx * dx).as("sxx"),
+        sum(dy * dy).as("syy"))
+      .collect().head
+    val n = sums.getAs[Long]("n")
+    require(sums.getAs[Long]("tx") == n * (n + 1) &&
+      sums.getAs[Long]("ty") == n * (n + 1),
+      s"rank2 invariant violated: ${sums.getAs[Long]("tx")} / " +
+        s"${sums.getAs[Long]("ty")} vs ${n * (n + 1)}")
+    val c = n.toDouble * (n + 1).toDouble * (n + 1).toDouble
+    val sxy = sums.getAs[Double]("sxy_raw") - c
+    val spark = base.sparkSession
+    import spark.implicits._
+    Seq((n, sxy, sums.getAs[Double]("sxx") - c, sums.getAs[Double]("syy") - c,
+      math.signum(sxy).toLong))
       .toDF("n", "sxy", "varx", "vary", "rho_sign")
   }
 }

@@ -50,28 +50,32 @@ object Quantize {
     * `codes` instead of re-inlining the fold per consumer (projection
     * collapse would otherwise quadruple the generated code; measured
     * 5.6 s → ~2 s on the bench line). */
-  /** Session-scoped cache of the materialized encode, keyed by
+  /** Session-scoped bounded LRU of the materialized encode, keyed by
     * (applicationId, input-plan semantic hash) — the
     * [[graft.dedup.Dedup.shinglesCached]] discipline: the code table
     * is a build-once/serve-many artifact, so a pipeline using both
     * [[codes]] and [[quantized]] over the same input pays the extrema
-    * aggregation and the encode checkpoint ONCE (previously each
-    * consumer re-ran both). Entries from stopped contexts are dropped
-    * on access. */
-  private val encodeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (DataFrame, Seq[(Double, Double)])]()
+    * aggregation and the encode checkpoint ONCE. Bounded at 8 distinct
+    * input plans; eviction unpersists the checkpoint blocks. Plan-hash
+    * keying assumes IMMUTABLE inputs (see [[graft.ops.BoundedCache]]'s
+    * contract) — a source rewritten in place under the same plan must
+    * call [[clearEncodeCache]]. */
+  private val encodeCache = new graft.ops.BoundedCache[
+    Int, (DataFrame, Seq[(Double, Double)])](maxEntries = 8,
+    onEvict = v => org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(v._1))
+
+  /** Explicit invalidation hook for in-place input rewrites. */
+  def clearEncodeCache(): Unit = encodeCache.clear()
 
   /** The affine int8 encode materialized once: the input plus a
     * `codes` array<int> column, and the extrema the dequantization
     * needs. Shared by [[quantized]] and the coreset/selection
     * consumers ([[Coreset]]) so every user sees bit-identical codes —
     * and, via [[encodeCache]], computed once per (session, plan). */
-  def encodedWithExtrema(embeddings: DataFrame): (DataFrame, Seq[(Double, Double)]) = {
-    val appId = embeddings.sparkSession.sparkContext.applicationId
-    encodeCache.keySet.removeIf(_._1 != appId)
-    encodeCache.computeIfAbsent((appId, embeddings.semanticHash()),
-      _ => encodeUncached(embeddings))
-  }
+  def encodedWithExtrema(embeddings: DataFrame): (DataFrame, Seq[(Double, Double)]) =
+    encodeCache.getOrCompute(
+      embeddings.sparkSession.sparkContext.applicationId,
+      embeddings.semanticHash())(encodeUncached(embeddings))
 
   private def encodeUncached(embeddings: DataFrame): (DataFrame, Seq[(Double, Double)]) = {
     val extrema = dimExtrema(embeddings, "embedding")

@@ -14,4 +14,16 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Free the block-manager storage behind a `localCheckpoint()`'d
+    * DataFrame. `Dataset.unpersist` only talks to the cache manager, so
+    * the MEMORY_AND_DISK blocks a local checkpoint pins are otherwise
+    * unreachable from public API — this reaches the `LogicalRDD` the
+    * checkpoint wrapped and unpersists its RDD. No-op for any other
+    * plan shape. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.BoundedCache
+
+/** The bounded session cache behind Quantize.encodeCache /
+  * Eval.scoreCache: LRU size bound with onEvict, cross-app eviction,
+  * and the explicit clear() invalidation hook. */
+class BoundedCacheSpec extends AnyFunSuite {
+
+  test("LRU evicts the least-recently-used entry past maxEntries, running onEvict") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new BoundedCache[Int, String](maxEntries = 2, onEvict = evicted += _)
+    c.getOrCompute("app", 1)("v1")
+    c.getOrCompute("app", 2)("v2")
+    assert(c.getOrCompute("app", 1)("MISS") == "v1") // touch 1 -> 2 is LRU
+    c.getOrCompute("app", 3)("v3")
+    assert(evicted.toSeq == Seq("v2"))
+    assert(c.getOrCompute("app", 2)("v2b") == "v2b") // 2 recomputes
+    assert(evicted.toSeq == Seq("v2", "v1"))
+    assert(c.size == 2)
+  }
+
+  test("entries from other application ids are evicted on access") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new BoundedCache[Int, String](maxEntries = 8, onEvict = evicted += _)
+    c.getOrCompute("app-old", 1)("stale")
+    assert(c.getOrCompute("app-new", 1)("fresh") == "fresh")
+    assert(evicted.toSeq == Seq("stale") && c.size == 1)
+  }
+
+  test("clear() is the invalidation hook: evicts everything, next access recomputes") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new BoundedCache[Int, String](maxEntries = 8, onEvict = evicted += _)
+    c.getOrCompute("app", 1)("v1")
+    c.getOrCompute("app", 2)("v2")
+    c.clear()
+    assert(evicted.toSet == Set("v1", "v2") && c.size == 0)
+    assert(c.getOrCompute("app", 1)("v1b") == "v1b")
+  }
+
+  test("hit does not recompute") {
+    var computes = 0
+    val c = new BoundedCache[Int, String](maxEntries = 2, onEvict = _ => ())
+    c.getOrCompute("app", 1) { computes += 1; "v" }
+    c.getOrCompute("app", 1) { computes += 1; "v" }
+    assert(computes == 1)
+  }
+}

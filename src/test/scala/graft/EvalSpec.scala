@@ -268,6 +268,59 @@ class EvalSpec extends AnyFunSuite {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  // ---- past-envelope fallbacks (round-11: automatic switch, not refusal) ----
+
+  test("probeScoresSampled at sampleMod=1 is the exact path verbatim") {
+    val enc = Eval.encodedClasses(emb)
+    val exact = Eval.probeScores(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val viaSeam = Eval.probeScoresSampled(enc, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(viaSeam.toSeq == exact.toSeq)
+  }
+
+  test("probeScoresSampled: sample-fit probe still separates and stays deterministic") {
+    // 64 separable vectors so any hash half-sample keeps both classes
+    val big = (1L to 64L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) 9 else 1,
+        if (pos) Array(0.8f + (i % 5) * 0.02f, 0.1f)
+        else Array(0.1f, 0.8f + (i % 5) * 0.02f))
+    }.toDF("vec_id", "label", "embedding")
+    val enc = Eval.encodedClasses(big)
+    def run() = Eval.probeScoresSampled(enc, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run()
+    assert(a == run(), "hash-deterministic sample must reproduce bit-identically")
+    val pos = a.collect { case (_, 1L, s) => s }
+    val neg = a.collect { case (_, 0L, s) => s }
+    assert(pos.size == 32 && neg.size == 32, "fallback scores the WHOLE corpus")
+    assert(pos.min > neg.max, s"sample-fit probe failed to separate")
+  }
+
+  test("planSampleMod: in-envelope keeps k=1; past-envelope picks the bounding power of two") {
+    assert(Eval.planSampleMod(64L, 1000L, 1000L) == 1L)
+    assert(Eval.planSampleMod(64L, 100000L, 100000L) == 1L) // graded SFs
+    val (d, n0, n1) = (64L, 3000000000L, 3000000000L) // far past envelope
+    val k = Eval.planSampleMod(d, n0, n1)
+    assert(k > 1L && (k & (k - 1)) == 0L, s"k=$k must be a power of two")
+    val cap = BigInt(Long.MaxValue) / 65025 / d
+    assert((BigInt(n0) / k) * (BigInt(n1) / k) * 4 <= cap, s"k=$k too small")
+    assert((BigInt(n0) / (k / 2)) * (BigInt(n1) / (k / 2)) * 4 > cap,
+      s"k=$k not minimal")
+  }
+
+  test("spearmanDouble equals spearmanExact (cast) on in-envelope fixtures") {
+    val base = graft.quality.RankCorr.scoredBase(docs)
+    val e = graft.quality.RankCorr.spearmanExact(base).collect().head
+    val d = graft.quality.RankCorr.spearmanDouble(base).collect().head
+    assert(d.getAs[Long]("n") == e.getAs[Long]("n"))
+    assert(d.getAs[Double]("sxy") == e.getAs[Long]("sxy").toDouble)
+    assert(d.getAs[Double]("varx") == e.getAs[Long]("varx").toDouble)
+    assert(d.getAs[Double]("vary") == e.getAs[Long]("vary").toDouble)
+    assert(d.getAs[Long]("rho_sign") == e.getAs[Long]("rho_sign"))
+  }
+
   test("spearmanComponents: a perfect monotone pair reads rho == 1 exactly") {
     val mono = Seq(
       (1L, "the a b"),            // 3 tok, 2 stop -> x=666666

@@ -280,6 +280,16 @@ class QualitySpec extends AnyFunSuite {
       r.getAs[Long]("n_tie") == counts.size.toLong * (counts.size - 1) / 2)
   }
 
+  test("mannKendall: degenerate 1-day input reads exact zeros, not NULLs") {
+    val r = graft.quality.Drift
+      .mannKendallDailyCounts(eventsWithCounts(Seq(42L))).collect().head
+    assert(r.getAs[Long]("n_days") == 1L)
+    Seq("n_pos", "n_neg", "n_tie", "s_stat", "trend_sign").foreach { c =>
+      assert(!r.isNullAt(r.fieldIndex(c)), s"$c must not be NULL")
+      assert(r.getAs[Long](c) == 0L, s"$c must be 0")
+    }
+  }
+
   test("mannKendall: strictly increasing series reads S = n(n-1)/2, sign +1") {
     val n = 8
     val r = graft.quality.Drift

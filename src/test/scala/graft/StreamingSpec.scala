@@ -7,9 +7,25 @@ import graft.stream.EventStream
 
 /** Structured-Streaming ETL (SURVEY §2.9): MemoryStream-driven T2 chain,
   * watermarked dedup, empty-batch-skipping parquet sink. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   import TestSpark._
   import spark.implicits._
+
+  /** Temp dirs registered here are removed in afterAll — the graded
+    * harnesses clean their trees in `finally`; the specs must too. */
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tempDir(prefix: String): String = synchronized {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    super.afterAll()
+  }
 
   private def eventJson(id: String, created: String, severity: String = "MINOR"): String =
     s"""{"events":[{"id":"$id","headline":"INCIDENT","status":"ACTIVE",
@@ -19,8 +35,8 @@ class StreamingSpec extends AnyFunSuite {
        |"roads":[],"areas":[]}]}""".stripMargin.replaceAll("\n", "")
 
   test("parse → clean chain over a memory stream, empty batch skipped") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val dir = tempDir("stream_out")
+    val ckpt = tempDir("stream_ckpt")
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
     val cleaned = EventStream.cleanEvents(
@@ -41,8 +57,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("checkpoint resume: restart continues without reprocessing") {
-    val dir = java.nio.file.Files.createTempDirectory("resume_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("resume_ckpt").toString
+    val dir = tempDir("resume_out")
+    val ckpt = tempDir("resume_ckpt")
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[String]
     def startQuery() = EventStream.parquetSink(
@@ -236,7 +252,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming admission gate: clean batches accepted, poisoned batches quarantined") {
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ck").toString
+    val ckpt = tempDir("graft_gate_ck")
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
     val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
     val rules = Seq[graft.quality.Expectations.Rule](
@@ -306,7 +322,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming materialized view: state merges per batch, survives restart, equals recompute") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val dir = tempDir("graft_mv")
     val state = s"$dir/state"
     val ckpt = s"$dir/ckpt"
     val mem = MemoryStream[(String, Long)]
@@ -337,7 +353,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("admissionSink: streamed admission == sequential batch admission; restart-safe") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_adm").toString
+    val dir = tempDir("graft_adm")
     val (idx, corpus, ckpt) = (s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
     implicit val sctx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -386,7 +402,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val dir = tempDir("graft_hll")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(String, String)]
     def start() = graft.stream.CorpusStream.sketchMaintenanceSink(
@@ -414,7 +430,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming vocabulary maintenance: additive counts equal the batch vocab, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    val dir = tempDir("graft_vocab")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[String]
     def start() = graft.stream.CorpusStream.vocabMaintenanceSink(
@@ -440,7 +456,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming Bloom maintenance: OR-merged bits equal the batch filter, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val dir = tempDir("graft_bloom")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(String, String)]
     def start() = graft.stream.CorpusStream.bloomMaintenanceSink(
@@ -465,7 +481,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming KMV maintenance: distinct-union-cut state equals the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val dir = tempDir("graft_kmv")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(String, String)]
     def start() = graft.stream.CorpusStream.kmvMaintenanceSink(
@@ -493,7 +509,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming quantile maintenance: added counters equal the batch histogram, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    val dir = tempDir("graft_quant")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(String, String)]
     def start() = graft.stream.CorpusStream.quantileMaintenanceSink(
@@ -518,7 +534,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming trailing-quantile maintenance: day-keyed dailies equal batch, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_trail").toString
+    val dir = tempDir("graft_trail")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(Long, Long, Double)]
     def start() = graft.stream.CorpusStream.trailingQuantileSink(
@@ -547,7 +563,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming CMS maintenance: summed counters equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val dir = tempDir("graft_cms")
     val (state, ckpt) = (s"$dir/state", s"$dir/ckpt")
     val mem = MemoryStream[(Long, String)]
     def start() = graft.stream.CorpusStream.cmsMaintenanceSink(
