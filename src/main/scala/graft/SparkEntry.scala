@@ -437,6 +437,19 @@ object SparkEntry {
     // trick on distributions — Σ|c_sel·N_all − c_all·N_sel| pure BIGINT
     "q227_selection_tv" -> ((s, d) =>
       graft.text.Curation.selectionTvDistortion(Tables.documents(s, d))),
+    // the deployed operating point's FULL confusion matrix: q215's
+    // argmax law re-stated with TN and the floor'd-ppm precision/
+    // recall/accuracy — one exact-BIGINT row off the bounded
+    // distinct-score sweep
+    "q228_confusion_best_f1" -> ((s, d) =>
+      graft.quality.Eval.confusionAtBestF1(Tables.embeddings(s, d))),
+    // per-source calibration of the one global probe: q211's exact
+    // equi-width bin law on the GLOBAL [lo,hi] grid, partitioned by
+    // the documents' source via the id-key equi join (q216 slice
+    // discipline); output bounded by sources x bins
+    "q229_calibration_by_source" -> ((s, d) =>
+      graft.quality.Eval.calibrationBySource(
+        Tables.embeddings(s, d), Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1477,7 +1490,9 @@ object SparkEntry {
     "q224_mann_kendall" -> Seq("events"),
     "q225_vocab_stream_state" -> Seq("documents"),
     "q226_source_ks_drift" -> Seq("documents"),
-    "q227_selection_tv" -> Seq("documents"))
+    "q227_selection_tv" -> Seq("documents"),
+    "q228_confusion_best_f1" -> Seq("embeddings"),
+    "q229_calibration_by_source" -> Seq("embeddings", "documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2835,6 +2850,41 @@ object SparkEntry {
          |  (ABS(cpos * n - cneg * p) * 1000000) // (p * n) AS ks_ppm,
          |  score AS score_at
          |FROM cum ORDER BY ks_num DESC, score_at ASC LIMIT 1""".stripMargin,
+    // the full confusion matrix at the best-F1 threshold: q215's exact
+    // argmax law restated with TN + floor'd-ppm operating rates —
+    // non-negative operands so DuckDB // == Spark div
+    "q228_confusion_best_f1" ->
+      s"""WITH $probeScoreCtes,
+         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+         |  FROM sc GROUP BY score),
+         |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p,
+         |    CAST(SUM(neg_at) AS BIGINT) AS n FROM bys),
+         |cum AS (SELECT score,
+         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
+         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
+         |  FROM bys WINDOW w AS (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
+         |  n - (cum_n - tp) AS tn,
+         |  (tp * 1000000) // cum_n AS precision_ppm,
+         |  (tp * 1000000) // p AS recall_ppm,
+         |  ((tp + n - (cum_n - tp)) * 1000000) // (p + n) AS accuracy_ppm,
+         |  (tp * 2000000) // (cum_n + p) AS f1_ppm
+         |FROM cum, tot ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
+    // per-source calibration: q211's exact bin law on the GLOBAL
+    // [lo, hi] grid, keyed (source, bin) via the id-key join
+    "q229_calibration_by_source" ->
+      s"""WITH $probeScoreCtes,
+         |ext AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc),
+         |sl AS (SELECT d.source, s.score, s.y
+         |  FROM sc s JOIN documents d ON s.vec_id = d.doc_id)
+         |SELECT source, ((score - lo) * 10) // (hi - lo + 1) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_pm,
+         |  CAST(SUM(score - lo) AS BIGINT) AS sum_shift
+         |FROM sl, ext GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     // dedup ROI: q57's CC chain + per-group mass agg + the cluster-size
     // histogram; tok_kept = per-group MAX token count (deterministic
     // without naming a tiebreak — only the max VALUE enters)

@@ -356,4 +356,75 @@ object Eval {
         col("sum_shift"))
       .orderBy(col("bin"))
   }
+
+  /** The FULL confusion matrix at the deployed operating point — the
+    * one-row report that closes the eval family: [[bestF1]] picks the
+    * threshold, this states what deploying it does, with TN (which the
+    * F1 sweep never needs) and the three floor'd-ppm operating rates
+    * a reviewer actually reads (precision, recall, accuracy). Same
+    * argmax law as [[bestF1]] (floor'd-ppm F1, ties to the HIGHER
+    * threshold) so the two queries name the same threshold by
+    * construction; all columns exact BIGINT on both engines. Same
+    * scale shape: corpus → distinct-score table in one hash agg, the
+    * sweep + argmax on the bounded table only. */
+  def confusionAtBestF1(embeddings: DataFrame): DataFrame = {
+    val byScore = probeScores(embeddings)
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos_at"),
+        (count(lit(1)) - sum(col("y"))).as("neg_at"))
+      .coalesce(1)
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+    val run = desc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = desc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byScore
+      .select(col("score"),
+        sum(col("pos_at")).over(run).as("tp"),
+        sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
+        sum(col("pos_at")).over(all).as("p"),
+        sum(col("neg_at")).over(all).as("n"))
+      .select(col("score"), col("tp"),
+        (col("cum_n") - col("tp")).as("fp"),
+        (col("p") - col("tp")).as("fn"),
+        (col("n") - (col("cum_n") - col("tp"))).as("tn"),
+        expr("(tp * 1000000) div cum_n").as("precision_ppm"),
+        expr("(tp * 1000000) div p").as("recall_ppm"),
+        expr("((tp + n - (cum_n - tp)) * 1000000) div (p + n)").as("accuracy_ppm"),
+        expr("(tp * 2000000) div (cum_n + p)").as("f1_ppm"))
+      .orderBy(col("f1_ppm").desc, col("score").desc)
+      .limit(1)
+  }
+
+  /** Per-source calibration of the ONE global probe — [[calibrationBins]]
+    * partitioned by the documents' source column (the [[aucBySlice]]
+    * slice discipline): a filter calibrated on the pooled corpus can be
+    * badly miscalibrated per source (web vs books), and this is the
+    * table that shows it. The bin grid is the GLOBAL [lo, hi] (one
+    * Scalar-class extrema pass) so every source's rows land on
+    * comparable bins; the slice column arrives by the id-key equi join
+    * (co-partitionable, column-pruned); one corpus pass beyond the
+    * probe, output bounded by sources × bins. */
+  def calibrationBySource(embeddings: DataFrame, documents: DataFrame,
+                          bins: Int = 10): DataFrame = {
+    val scores = probeScores(embeddings)
+    val ext = scores.agg(min(col("score")), max(col("score"))).collect().head
+    val lo = ext.getLong(0)
+    val width = ext.getLong(1) - lo + 1L
+    val slices = documents.select(col("doc_id").as("vec_id"), col("source"))
+    scores
+      .join(slices, Seq("vec_id"))
+      .withColumn("bin", expr(s"((score - ${lo}L) * $bins) div ${width}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("score") - lo).as("sum_shift"))
+      .select(col("source"), col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000) div n").as("pos_rate_pm"),
+        col("sum_shift"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

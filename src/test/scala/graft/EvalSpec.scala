@@ -268,6 +268,66 @@ class EvalSpec extends AnyFunSuite {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  // ---- confusion at best F1 (q228) + per-source calibration (q229) ----
+
+  test("confusionAtBestF1 replays the brute-force sweep and agrees with bestF1") {
+    val all = scored.values.toSeq
+    val p = all.count(_._1 == 1L).toLong
+    val nneg = all.count(_._1 == 0L).toLong
+    val cand = all.map(_._2).distinct.map { t =>
+      val tp = all.count(v => v._1 == 1L && v._2 >= t).toLong
+      val cumN = all.count(_._2 >= t).toLong
+      (t, tp, cumN - tp, p - tp, nneg - (cumN - tp),
+        tp * 2000000L / (cumN + p))
+    }
+    val want = cand.maxBy { case (t, _, _, _, _, f1) => (f1, t) }
+    val r = Eval.confusionAtBestF1(emb).collect().head
+    assert(r.getAs[Long]("score") == want._1)
+    assert(r.getAs[Long]("tp") == want._2 && r.getAs[Long]("fp") == want._3)
+    assert(r.getAs[Long]("fn") == want._4 && r.getAs[Long]("tn") == want._5)
+    assert(r.getAs[Long]("f1_ppm") == want._6)
+    assert(r.getAs[Long]("precision_ppm") ==
+      want._2 * 1000000L / (want._2 + want._3))
+    assert(r.getAs[Long]("recall_ppm") == want._2 * 1000000L / p)
+    assert(r.getAs[Long]("accuracy_ppm") ==
+      (want._2 + want._5) * 1000000L / (p + nneg))
+    // the two queries must name the SAME deployed threshold
+    val bf = Eval.bestF1(emb).collect().head
+    assert(bf.getAs[Long]("score") == r.getAs[Long]("score"))
+    assert(bf.getAs[Long]("tp") == r.getAs[Long]("tp"))
+    // separable fixture: the best threshold commits zero errors
+    assert(r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Long]("accuracy_ppm") == 1000000L)
+  }
+
+  test("calibrationBySource replays q211's bin law per source on the global grid") {
+    val srcOf = Map(1L -> "web", 2L -> "books", 3L -> "web", 4L -> "books",
+      5L -> "web", 6L -> "books", 7L -> "web", 8L -> "books")
+    val srcDocs = srcOf.toSeq.map { case (id, s) => (id, s"doc $id", "en", s, 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = scored.toSeq.map { case (id, (y, s)) => (id, y, s) }
+    val lo = all.map(_._3).min
+    val width = all.map(_._3).max - lo + 1L
+    val want = all.groupBy(v => (srcOf(v._1), (v._3 - lo) * 10L / width))
+      .map { case ((src, bin), vs) =>
+        (src, bin) -> (vs.size.toLong, vs.map(_._2).sum,
+          vs.map(_._2).sum * 1000L / vs.size, vs.map(_._3 - lo).sum)
+      }
+    val rows = Eval.calibrationBySource(emb, srcDocs).collect()
+    assert(rows.length == want.size)
+    // sorted by (source, bin)
+    val keys = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (n, npos, rate, shift) = want(k)
+      assert(r.getAs[Long]("n") == n, s"$k n")
+      assert(r.getAs[Long]("n_pos") == npos, s"$k n_pos")
+      assert(r.getAs[Long]("pos_rate_pm") == rate, s"$k rate")
+      assert(r.getAs[Long]("sum_shift") == shift, s"$k shift")
+    }
+  }
+
   // ---- past-envelope fallbacks (round-11: automatic switch, not refusal) ----
 
   test("probeScoresSampled at sampleMod=1 is the exact path verbatim") {

@@ -624,7 +624,7 @@ class PlanSpec extends AnyFunSuite {
     // table, and the rank arithmetic runs there. A SortMergeJoin or a
     // pairwise stage anywhere means the scale shape regressed.
     for (q <- Seq("q210_probe_auc", "q214_pr_curve", "q211_calibration_bins",
-        "q215_best_f1", "q217_ks_separation")) {
+        "q215_best_f1", "q217_ks_separation", "q228_confusion_best_f1")) {
       val p = planOf(q)
       assert(p.contains("ExistingRDD"),
         s"$q must read the materialized codes table:\n$p")
@@ -672,6 +672,24 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan reads the text column:\n$docScan\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"distinct-score reduction lost its map-side partial:\n$p")
+  }
+
+  test("per-source calibration: id-key equi join pruned to (doc_id, source), no pairwise stage") {
+    // q229: the q216 slice discipline for the calibration table — the
+    // slice join is an id-key equi join with the documents side pruned
+    // to (doc_id, source); dragging `text` through it would move the
+    // corpus' heaviest column for a 16-byte/row lookup
+    val p = planOf("q229_calibration_by_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the per-source calibration plan:\n$p")
+    val docScan = p.linesIterator.find(l =>
+      l.contains("InMemoryTableScan") ||
+        (l.contains("FileScan") && l.contains("documents.parquet")))
+      .getOrElse(fail(s"no documents scan node found:\n$p"))
+    assert(!docScan.contains("text#"),
+      s"documents scan reads the text column:\n$docScan\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"bin reduction lost its map-side partial:\n$p")
   }
 
   test("FoF family: two stacked hash aggs, no join and no corpus sort") {
