@@ -303,7 +303,17 @@ object PlanDump {
       "ONCE (checkpointed, feeding both vocabulary aggs), the two count " +
       "tables align by a token-keyed LEFT join (kept is a subset, so no " +
       "full-outer), totals cross in as a broadcast one-row table, and the " +
-      "shared-denominator TV sum is one map-side-combined agg")
+      "shared-denominator TV sum is one map-side-combined agg"),
+    "q228_confusion_best_f1" -> ("confusion at the best-F1 threshold: the " +
+      "checkpointed probe-score table (ExistingRDD) collapses to the " +
+      "distinct-score table via a partial+final hash agg; the descending " +
+      "sweep, the window totals, and the F1 argmax all run on that bounded " +
+      "coalesce(1) table — no join, no corpus sort"),
+    "q229_calibration_by_source" -> ("per-source calibration: the probe " +
+      "scores join the documents slice pruned to (doc_id, source) on the " +
+      "1:1 id key, the global [lo,hi] bin law is a literal-folded integer " +
+      "projection, and one (source, bin)-keyed map-side-combined hash agg " +
+      "produces the sources x bins table")
   )
 
   def main(args: Array[String]): Unit = {

@@ -47,4 +47,17 @@ class BoundedCacheSpec extends AnyFunSuite {
     c.getOrCompute("app", 1) { computes += 1; "v" }
     assert(computes == 1)
   }
+
+  test("GraftBridge.unpersistLocalCheckpoint frees the checkpoint's RDD blocks") {
+    import TestSpark._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = spark.range(100).toDF("id").localCheckpoint()
+    df.count()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "localCheckpoint must pin RDD blocks")
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pinned.forall(!after.contains(_)),
+      s"checkpoint blocks still pinned after unpersist: ${pinned & after}")
+  }
 }
