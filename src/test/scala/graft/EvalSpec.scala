@@ -370,6 +370,24 @@ class EvalSpec extends AnyFunSuite {
       s"k=$k not minimal")
   }
 
+  test("selection TV: double fallback equals the exact BIGINT path on in-envelope fixtures") {
+    val kept = Curation.budgetSelect(docs, 3, 10).select(col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      explode(filter(graft.text.TextOps.tokens(col("text")),
+        t => length(t) > 0)).as("token"))
+    val e = Curation.tvFromTokens(toks, kept, exact = true).collect().head
+    val d = Curation.tvFromTokens(toks, kept, exact = false).collect().head
+    assert(d.getAs[Long]("n_all_tok") == e.getAs[Long]("n_all_tok"))
+    assert(d.getAs[Long]("n_sel_tok") == e.getAs[Long]("n_sel_tok"))
+    assert(d.getAs[Long]("vocab") == e.getAs[Long]("vocab"))
+    assert(d.getAs[Double]("tv_num") == e.getAs[Long]("tv_num").toDouble)
+    // tiny fixture: 2*N_sel*N_all < 1e6, so tv_ppm is the guarded NULL
+    // on BOTH paths (the floor mirror is exercised by the values above)
+    assert(d.isNullAt(d.fieldIndex("tv_ppm")) == e.isNullAt(e.fieldIndex("tv_ppm")))
+    if (!e.isNullAt(e.fieldIndex("tv_ppm")))
+      assert(d.getAs[Long]("tv_ppm") == e.getAs[Long]("tv_ppm"))
+  }
+
   test("spearmanDouble equals spearmanExact (cast) on in-envelope fixtures") {
     val base = graft.quality.RankCorr.scoredBase(docs)
     val e = graft.quality.RankCorr.spearmanExact(base).collect().head
