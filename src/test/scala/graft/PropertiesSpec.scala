@@ -266,4 +266,60 @@ class PropertiesSpec extends AnyFunSuite {
     val total = df.agg(round(Num.sumMoney(col("o_totalprice")), 2)).first().getDouble(0)
     assert(cellSum == total)
   }
+
+  test("property: planSampleMod picks the minimal power of two inside the envelope") {
+    val gen = for {
+      d <- Gen.chooseNum(1L, 4096L)
+      n0 <- Gen.chooseNum(1L, 10000000000L)
+      n1 <- Gen.chooseNum(1L, 10000000000L)
+    } yield (d, n0, n1)
+    samples(gen, 200).foreach { case (d, n0, n1) =>
+      val k = graft.quality.Eval.planSampleMod(d, n0, n1)
+      val cap = BigInt(Long.MaxValue) / 65025 / d
+      assert(k >= 1L && (k & (k - 1)) == 0L, s"k=$k not a power of two")
+      assert((BigInt(n0) / k) * (BigInt(n1) / k) * 4 <= cap,
+        s"envelope violated at k=$k for (d=$d, n0=$n0, n1=$n1)")
+      if (k > 1L)
+        assert((BigInt(n0) / (k / 2)) * (BigInt(n1) / (k / 2)) * 4 > cap,
+          s"k=$k not minimal for (d=$d, n0=$n0, n1=$n1)")
+    }
+  }
+
+  test("property: spearman double fallback == exact BIGINT path on random corpora") {
+    // random small documents: mixed stopword densities and lengths,
+    // ties likely (token pool is tiny) — the tie-heavy corner is where
+    // the rank arithmetic could drift
+    val word = Gen.oneOf("the", "a", "of", "zz", "qq", "ww", "ee")
+    val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+    samples(Gen.listOfN(40, doc), 3).foreach { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val base = graft.quality.RankCorr.scoredBase(docs)
+      val e = graft.quality.RankCorr.spearmanExact(base).collect().head
+      val d = graft.quality.RankCorr.spearmanDouble(base).collect().head
+      assert(d.getAs[Long]("n") == e.getAs[Long]("n"))
+      assert(d.getAs[Double]("sxy") == e.getAs[Long]("sxy").toDouble)
+      assert(d.getAs[Double]("varx") == e.getAs[Long]("varx").toDouble)
+      assert(d.getAs[Double]("vary") == e.getAs[Long]("vary").toDouble)
+      assert(d.getAs[Long]("rho_sign") == e.getAs[Long]("rho_sign"))
+    }
+  }
+
+  test("property: TV double fallback == exact BIGINT path on random token tables") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val row = for { d <- Gen.chooseNum(0L, 9L); w <- word } yield (d, w)
+    samples(Gen.listOfN(120, row), 3).foreach { rows =>
+      val toks = rows.toDF("doc_id", "token")
+      val kept = (0L to 4L).toDF("doc_id") // fixed half split
+      val e = graft.text.Curation.tvFromTokens(toks, kept, exact = true)
+        .collect().head
+      val d = graft.text.Curation.tvFromTokens(toks, kept, exact = false)
+        .collect().head
+      assert(d.getAs[Long]("n_all_tok") == e.getAs[Long]("n_all_tok"))
+      assert(d.getAs[Long]("n_sel_tok") == e.getAs[Long]("n_sel_tok"))
+      assert(d.getAs[Long]("vocab") == e.getAs[Long]("vocab"))
+      assert(d.getAs[Double]("tv_num") == e.getAs[Long]("tv_num").toDouble)
+    }
+  }
 }
