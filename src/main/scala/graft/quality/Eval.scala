@@ -114,7 +114,10 @@ object Eval {
       log.warn(s"probeScores: d·255²·n0·n1 exceeds the exact BIGINT " +
         s"envelope (d=${extrema.length}, n0=$n0, n1=$n1); fitting the " +
         s"probe on the deterministic 1/$k hash sample (scores stay exact)")
-    probeScoresSampled(enc, k)
+    // k = 1: fitBase == enc, so the class counts above ARE the fit
+    // counts — don't pay the aggregation twice on the hot path
+    probeScoresSampled(enc, k,
+      knownFitCounts = if (k <= 1L) Some((n0, n1)) else None)
   }
 
   /** Fit on the 1/`sampleMod` xxhash64-deterministic sample, score the
@@ -125,7 +128,8 @@ object Eval {
     * full-corpus scores stay exact BIGINT and every downstream
     * integer-div consumer ([[aucReport]], [[calibrationBins]], …) is
     * unchanged. */
-  private[graft] def probeScoresSampled(enc: DataFrame, sampleMod: Long): DataFrame = {
+  private[graft] def probeScoresSampled(enc: DataFrame, sampleMod: Long,
+      knownFitCounts: Option[(Long, Long)] = None): DataFrame = {
     val fitBase =
       if (sampleMod <= 1L) enc
       else enc.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0L)
@@ -138,10 +142,11 @@ object Eval {
         sum(when(col("y") === 1L, col("c").cast("long")).otherwise(0L)).as("s1"),
         sum(when(col("y") === 0L, col("c").cast("long")).otherwise(0L)).as("s0"))
       .collect()
-    val fitCounts = fitBase.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ns0 = fitCounts.getOrElse(0L, 0L)
-    val ns1 = fitCounts.getOrElse(1L, 0L)
+    val (ns0, ns1) = knownFitCounts.getOrElse {
+      val fitCounts = fitBase.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (fitCounts.getOrElse(0L, 0L), fitCounts.getOrElse(1L, 0L))
+    }
     require(ns0 > 0 && ns1 > 0,
       s"probeScores: both classes must survive the 1/$sampleMod fit " +
         s"sample (ns0=$ns0, ns1=$ns1)")
@@ -339,11 +344,24 @@ object Eval {
     * reader can place the bin's mean score exactly. A reliability
     * diagram / Brier reliability term is a projection of these exact
     * columns. One corpus pass beyond the probe; bins ≪ corpus. */
-  def calibrationBins(embeddings: DataFrame, bins: Int = 10): DataFrame = {
-    val scores = probeScores(embeddings)
+  /** The shared [lo, width] bin grid off the corpus score extrema
+    * (Scalar-class), guarded loudly against the one latent wrap: a
+    * near-envelope probe only bounds |score| ≤ Long.MaxValue, so a
+    * range straddling zero could overflow (hi − lo + 1) or the
+    * (score − lo)·bins product — refuse with the inputs named rather
+    * than bin on silently wrapped arithmetic. */
+  private def binGrid(scores: DataFrame, bins: Int): (Long, Long) = {
     val ext = scores.agg(min(col("score")), max(col("score"))).collect().head
     val lo = ext.getLong(0)
-    val width = ext.getLong(1) - lo + 1L
+    val widthB = BigInt(ext.getLong(1)) - BigInt(lo) + 1
+    require(widthB * bins <= BigInt(Long.MaxValue),
+      s"calibration bin grid exceeds BIGINT: [$lo, ${ext.getLong(1)}] × $bins")
+    (lo, widthB.toLong)
+  }
+
+  def calibrationBins(embeddings: DataFrame, bins: Int = 10): DataFrame = {
+    val scores = probeScores(embeddings)
+    val (lo, width) = binGrid(scores, bins)
     scores
       .withColumn("bin", expr(s"((score - ${lo}L) * $bins) div ${width}L"))
       .groupBy(col("bin"))
@@ -410,9 +428,7 @@ object Eval {
   def calibrationBySource(embeddings: DataFrame, documents: DataFrame,
                           bins: Int = 10): DataFrame = {
     val scores = probeScores(embeddings)
-    val ext = scores.agg(min(col("score")), max(col("score"))).collect().head
-    val lo = ext.getLong(0)
-    val width = ext.getLong(1) - lo + 1L
+    val (lo, width) = binGrid(scores, bins)
     val slices = documents.select(col("doc_id").as("vec_id"), col("source"))
     scores
       .join(slices, Seq("vec_id"))

@@ -36,10 +36,16 @@ import graft.text.TextOps
   * QUADRATIC moments in double — the class tables, the r2 law, n and
   * the linear rank sums (and so the Σr2 = n(n+1) invariant check) stay
   * exact BIGINT at any realistic n; only sxy/varx/vary degrade to
-  * double (bit-exact vs the BIGINT path to n ≈ 4.7·10⁷, then rounding —
-  * ρ is a double division anyway). The fallback is property-tested
-  * equal to the exact path on in-envelope fixtures in QualitySpec. The
-  * graded fixtures are ≤ 5·10³ and always take the exact path.
+  * double. Honest precision statement: the per-TERM products stay
+  * exact to n ≈ 4.7·10⁷ (4n² ≤ 2⁵³), but the ACCUMULATED moments
+  * exceed 2⁵³ already at n ≈ 1.3·10⁵, so at every n the fallback
+  * actually serves (> 1.3·10⁶) the moments carry double rounding and
+  * partition-order sensitivity at the ulp level — acceptable because
+  * ρ = sxy/√(varx·vary) is a double division regardless, with ~10⁻¹⁶
+  * relative error against moments of magnitude ≥ 10¹⁸. The fallback is
+  * property-tested bit-equal to the exact path on in-envelope fixtures
+  * (small n, sums < 2⁵³) in EvalSpec/PropertiesSpec. The graded
+  * fixtures are ≤ 5·10³ and always take the exact path.
   */
 object RankCorr {
 
@@ -133,7 +139,10 @@ object RankCorr {
     * n ≈ 3·10⁹, and the invariant still hard-checks); only the three
     * quadratic moments accumulate as double (each factor cast BEFORE
     * the product so no intermediate overflows). Bit-equal to
-    * [[spearmanExact]] (cast to double) while 4n³ ≤ 2⁵³. */
+    * [[spearmanExact]] (cast to double) only while 4n³ ≤ 2⁵³
+    * (n ≈ 1.3·10⁵ — the property-test regime); at the n it actually
+    * serves, the moments are correctly-rounded doubles (see the object
+    * scaladoc's precision statement). */
   private[graft] def spearmanDouble(base: DataFrame): DataFrame = {
     val dx = col("r2x").cast("double")
     val dy = col("r2y").cast("double")

@@ -338,13 +338,17 @@ object Curation {
     * token-uniform) aligns the two count tables — no full-outer, no
     * second tokenize; totals cross in as a broadcast one-row table.
     * Every sum ≤ 2·N_sel·N_all — in BIGINT to ~2·10⁹ total tokens;
-    * past that the per-term products and the two divisions switch to
+    * past that the per-term products AND the ppm divisor switch to
     * double AUTOMATICALLY (logged loudly; counts and totals stay exact
-    * BIGINT, tv_num/tv_ppm become DoubleType — bit-equal to the exact
-    * path while the products stay under 2⁵³, property-tested). The
-    * switch is decided by one cheap count of the checkpointed token
-    * table against the conservative 2·N_all² bound (N_sel ≤ N_all), so
-    * the graded exact-path plan is byte-identical to before. */
+    * BIGINT). Fallback semantics: tv_num becomes DoubleType (bit-equal
+    * to the exact path while products stay under 2⁵³ — property-
+    * tested); tv_ppm states the single-floor law floor(tv_num·10⁶/2K)
+    * — a [0, 10⁶] ratio safe at any corpus size, within one ppm unit
+    * of the exact path's floor-of-floor once 2K ≫ 10⁶ (always true
+    * past envelope). The switch is decided by one cheap count of the
+    * checkpointed token table against the conservative 2·N_all² bound
+    * (N_sel ≤ N_all), so the graded exact-path plan is byte-identical
+    * to before. */
   def selectionTvDistortion(documents: DataFrame,
                             budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
     val kept = budgetSelect(documents, budgetNum, budgetDen).select(col("doc_id"))
@@ -384,9 +388,17 @@ object Curation {
           when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
             expr("tv_num div ((n_sel_tok * n_all_tok * 2) div 1000000)"))
             .as("tv_ppm"))
-    else
+    else {
       // factors cast BEFORE the product so no BIGINT intermediate
-      // overflows; the linear count sums stay exact
+      // overflows; the linear count sums stay exact. The ppm divisor
+      // must ALSO stay in double — the 2*N_sel*N_all product is the
+      // very thing that overflowed BIGINT in this regime — so the
+      // fallback states the single-floor law floor(tv_num*1e6/(2K)):
+      // the ratio is in [0, 1e6], safe at ANY corpus size, and within
+      // one ppm unit of the exact path's floor-of-floor once 2K >> 1e6
+      // (which past-envelope inputs are by definition).
+      val twoK = col("n_sel_tok").cast("double") *
+        col("n_all_tok").cast("double") * lit(2.0)
       base.agg(
           first(col("n_all")).as("n_all_tok"),
           first(col("n_sel")).as("n_sel_tok"),
@@ -395,11 +407,8 @@ object Curation {
             col("c_all").cast("double") * col("n_sel").cast("double")))
             .as("tv_num"))
         .select(col("n_all_tok"), col("n_sel_tok"), col("vocab"), col("tv_num"),
-          // floor mirrors the exact path's integral div, so the two
-          // paths are bit-equal while products stay under 2^53
-          when(expr("(n_sel_tok * n_all_tok * 2) div 1000000") > 0L,
-            floor(col("tv_num") /
-              expr("(n_sel_tok * n_all_tok * 2) div 1000000").cast("double")))
-            .as("tv_ppm"))
+          when(twoK >= lit(1e6),
+            floor(col("tv_num") * lit(1e6) / twoK)).as("tv_ppm"))
+    }
   }
 }

@@ -381,11 +381,11 @@ class EvalSpec extends AnyFunSuite {
     assert(d.getAs[Long]("n_sel_tok") == e.getAs[Long]("n_sel_tok"))
     assert(d.getAs[Long]("vocab") == e.getAs[Long]("vocab"))
     assert(d.getAs[Double]("tv_num") == e.getAs[Long]("tv_num").toDouble)
-    // tiny fixture: 2*N_sel*N_all < 1e6, so tv_ppm is the guarded NULL
-    // on BOTH paths (the floor mirror is exercised by the values above)
+    // the NULL guard threshold (2K >= 1e6) is shared by both paths;
+    // tiny fixture sits below it, so tv_ppm is NULL on both (tv_ppm's
+    // fallback law is single-floor — deliberately NOT asserted equal,
+    // see the tvFromTokens scaladoc)
     assert(d.isNullAt(d.fieldIndex("tv_ppm")) == e.isNullAt(e.fieldIndex("tv_ppm")))
-    if (!e.isNullAt(e.fieldIndex("tv_ppm")))
-      assert(d.getAs[Long]("tv_ppm") == e.getAs[Long]("tv_ppm"))
   }
 
   test("spearmanDouble equals spearmanExact (cast) on in-envelope fixtures") {
