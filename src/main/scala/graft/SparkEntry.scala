@@ -1316,16 +1316,14 @@ object SparkEntry {
     * corpus) — q188 grades it directly and q189's condensation levels
     * contract through it; without the cache the peel loop (tens of
     * small fixpoint jobs) runs twice per bench pass. */
-  private val sccCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def containmentSccCached(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    sccCache.keySet.removeIf(_._1 != appId)
-    sccCache.computeIfAbsent((appId, d), _ =>
+  private val sccCache = new graft.ops.BoundedCache[String, DataFrame](
+    maxEntries = 8,
+    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+  private def containmentSccCached(s: SparkSession, d: String): DataFrame =
+    sccCache.getOrCompute(s.sparkContext.applicationId, d)(
       graft.cluster.Graphs.stronglyConnected(containmentEdges(s, d),
           driverEdgeBound = FixtureGraphBound)
         .localCheckpoint())
-  }
 
   private def simGraphPairs(s: SparkSession, d: String): DataFrame = {
     val sh = graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3)

@@ -62,15 +62,14 @@ object Dedup {
     * measure the serve path, not a rebuild. Keyed by applicationId with
     * the [[graft.sim.Similarity]] ivfCache eviction rule (entries from
     * stopped contexts are dropped on access). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+  private val shingleCache = new graft.ops.BoundedCache[(String, Int), DataFrame](
+    maxEntries = 8,
+    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
 
-  def shinglesCached(corpusKey: String, documents: DataFrame, n: Int): DataFrame = {
-    val appId = documents.sparkSession.sparkContext.applicationId
-    shingleCache.keySet.removeIf(_._1 != appId)
-    shingleCache.computeIfAbsent((appId, corpusKey, n),
-      _ => shingles(documents, n).localCheckpoint())
-  }
+  def shinglesCached(corpusKey: String, documents: DataFrame, n: Int): DataFrame =
+    shingleCache.getOrCompute(
+      documents.sparkSession.sparkContext.applicationId, (corpusKey, n))(
+      shingles(documents, n).localCheckpoint())
 
   /** Exact pairwise n-gram Jaccard over an inverted shingle index.
     * Only pairs sharing >= 1 shingle are generated (no cross product);
@@ -157,15 +156,14 @@ object Dedup {
     * this is only viable downstream of a df cap ([[cappedCommonCached]]
     * is the capped twin); for moderate-df corpora it turns three
     * self-joins into one. */
-  private val coPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+  private val coPairsCache = new graft.ops.BoundedCache[(String, Int), DataFrame](
+    maxEntries = 8,
+    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
 
-  def coShinglePairsCached(corpusKey: String, sh: DataFrame, n: Int): DataFrame = {
-    val appId = sh.sparkSession.sparkContext.applicationId
-    coPairsCache.keySet.removeIf(_._1 != appId)
-    coPairsCache.computeIfAbsent((appId, corpusKey, n),
-      _ => coShinglePairs(sh).localCheckpoint())
-  }
+  def coShinglePairsCached(corpusKey: String, sh: DataFrame, n: Int): DataFrame =
+    coPairsCache.getOrCompute(
+      sh.sparkSession.sparkContext.applicationId, (corpusKey, n))(
+      coShinglePairs(sh).localCheckpoint())
 
   /** [[ngramJaccardFrom]]'s scoring tail over a prebuilt
     * [[coShinglePairs]] table — bit-identical output. */
@@ -261,15 +259,15 @@ object Dedup {
     * it is built once per (corpus, n, maxDf) and served to both, like
     * [[shinglesCached]] serves the raw index. */
   private val cappedPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), DataFrame]()
+    new graft.ops.BoundedCache[(String, Int, Long), DataFrame](
+      maxEntries = 8,
+      onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
 
   def cappedCommonCached(corpusKey: String, sh: DataFrame, n: Int,
-                         maxDf: Long): DataFrame = {
-    val appId = sh.sparkSession.sparkContext.applicationId
-    cappedPairsCache.keySet.removeIf(_._1 != appId)
-    cappedPairsCache.computeIfAbsent((appId, corpusKey, n, maxDf),
-      _ => cappedCommonPairs(sh, maxDf).localCheckpoint())
-  }
+                         maxDf: Long): DataFrame =
+    cappedPairsCache.getOrCompute(
+      sh.sparkSession.sparkContext.applicationId, (corpusKey, n, maxDf))(
+      cappedCommonPairs(sh, maxDf).localCheckpoint())
 
   /** Containment scoring over a prebuilt [[cappedCommonPairs]] table. */
   def ngramContainmentCappedScore(sh: DataFrame, common: DataFrame,

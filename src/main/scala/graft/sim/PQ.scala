@@ -233,18 +233,22 @@ object PQ {
     * localCheckpointed so a hit re-runs nothing; every serve re-applies
     * its own broadcast of the tiny centroid side. */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int), PqIndex]()
+    new graft.ops.BoundedCache[(String, Int, Int, Int), PqIndex](
+      maxEntries = 8,
+      onEvict = idx => {
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.centroids)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.codes)
+      })
 
   def pqTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
                    k: Int, nlist: Int = 16, m: Int = 4, ksub: Int = 16,
                    nprobe: Int = 4, refine: Int = 64): DataFrame = {
-    val appId = corpus.sparkSession.sparkContext.applicationId
-    pqCache.keySet.removeIf(_._1 != appId)
-    val idx = pqCache.computeIfAbsent((appId, corpusKey, nlist, m, ksub), _ => {
+    val idx = pqCache.getOrCompute(
+      corpus.sparkSession.sparkContext.applicationId, (corpusKey, nlist, m, ksub)) {
       val b = pqBuild(corpus, nlist, m, ksub)
       PqIndex(b.centroids.localCheckpoint(), b.codes.localCheckpoint(),
         b.codebooks, b.dim)
-    })
+    }
     pqSearch(idx, corpus, queries, k, nprobe, refine)
   }
 }

@@ -252,24 +252,23 @@ object Similarity {
     * production the same split is a bucketed-by-cell table write plus a
     * partition-pruned probe read. Keyed by applicationId so entries from
     * a stopped SparkContext are never served to a new session. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), IvfIndex]()
+  /** Bounded session LRU of built indexes ([[graft.ops.BoundedCache]]:
+    * size-bounded, entries from stopped contexts dropped on access,
+    * checkpoint blocks unpersisted on eviction). */
+  private val ivfCache = new graft.ops.BoundedCache[(String, Int), IvfIndex](
+    maxEntries = 8,
+    onEvict = idx => {
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.centroids)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.assigned)
+    })
 
   def ivfTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val appId = corpus.sparkSession.sparkContext.applicationId
-    // Evict entries left behind by stopped SparkContexts: the appId key
-    // prevents SERVING a stale index but not RETAINING it, and a
-    // long-lived JVM that cycles sessions would otherwise accumulate dead
-    // checkpointed-DataFrame references for its lifetime. Any entry whose
-    // appId differs from the current one belongs to a stopped context
-    // (one JVM runs one local SparkContext at a time), so drop it here —
-    // its RDD blocks died with the context; this releases the references.
-    ivfCache.keySet.removeIf(_._1 != appId)
-    val idx = ivfCache.computeIfAbsent((appId, corpusKey, nlist), _ => {
+    val idx = ivfCache.getOrCompute(
+      corpus.sparkSession.sparkContext.applicationId, (corpusKey, nlist)) {
       val b = ivfBuild(corpus, nlist)
       IvfIndex(b.centroids.localCheckpoint(), b.assigned.localCheckpoint())
-    })
+    }
     ivfSearch(idx, queries, k, nprobe)
   }
 

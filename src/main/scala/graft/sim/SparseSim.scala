@@ -98,24 +98,28 @@ object SparseSim {
     * once per (session, corpus) and served by every consumer (top-k,
     * rank fusion). Same applicationId eviction hygiene as the others. */
   private val tfidfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+    new graft.ops.BoundedCache[String, (DataFrame, DataFrame)](
+      maxEntries = 8,
+      onEvict = { case (posts, norms) =>
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(posts)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(norms)
+      })
 
   /** The (a_id < b_id, dot) exact-long dot-product pair table is
     * k-INDEPENDENT — q100 (k=3) and the fusion leg (k=5) rank the same
     * pairs — so it caches separately from the postings, keyed by the
     * df cap that shapes it. */
-  private val dotsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), DataFrame]()
+  private val dotsCache = new graft.ops.BoundedCache[(String, Long), DataFrame](
+    maxEntries = 8,
+    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
 
   def shingleTfidfTopKCached(corpusKey: String, sh: DataFrame, nDocs: Long,
                              k: Int, maxDf: Long = 1000L): DataFrame = {
     val appId = sh.sparkSession.sparkContext.applicationId
-    tfidfCache.keySet.removeIf(_._1 != appId)
-    dotsCache.keySet.removeIf(_._1 != appId)
-    val (posts, norms) = tfidfCache.computeIfAbsent((appId, corpusKey),
-      _ => weightedFrom(sh, nDocs))
-    val dots = dotsCache.computeIfAbsent((appId, corpusKey, maxDf),
-      _ => dotPairs(posts, nDocs, maxDf, headroomOverride = 0L).localCheckpoint())
+    val (posts, norms) = tfidfCache.getOrCompute(appId, corpusKey)(
+      weightedFrom(sh, nDocs))
+    val dots = dotsCache.getOrCompute(appId, (corpusKey, maxDf))(
+      dotPairs(posts, nDocs, maxDf, headroomOverride = 0L).localCheckpoint())
     topKFromDots(dots, norms, k)
   }
 
