@@ -93,15 +93,21 @@ object RankCorr {
     * exact BIGINT; past it the quadratic moments switch to double
     * automatically (logged loudly) — same law, sxy/varx/vary columns
     * become DoubleType. */
-  def spearmanComponents(documents: DataFrame): DataFrame = {
+  def spearmanComponents(documents: DataFrame): DataFrame =
+    spearmanComponents(documents, ExactEnvelopeDocs)
+
+  /** Envelope-parameterized entry (test seam: a lowered envelope forces
+    * the auto-switch through the PUBLIC wiring on a tiny fixture). */
+  private[graft] def spearmanComponents(documents: DataFrame,
+                                        envelope: Long): DataFrame = {
     val base = scoredBase(documents)
     // the checkpointed base makes this pre-count one cheap local scan;
     // it only picks the arithmetic, the law below derives its own n
     val n = base.count()
-    if (n <= ExactEnvelopeDocs) spearmanExact(base)
+    if (n <= envelope) spearmanExact(base)
     else {
       log.warn(s"spearmanComponents: n=$n exceeds the exact 4n³ BIGINT " +
-        s"envelope (≤ $ExactEnvelopeDocs); computing quadratic moments " +
+        s"envelope (≤ $envelope); computing quadratic moments " +
         "in double (linear sums and the rank invariant stay exact)")
       spearmanDouble(base)
     }

@@ -350,14 +350,20 @@ object Curation {
     * (N_sel ≤ N_all), so the graded exact-path plan is byte-identical
     * to before. */
   def selectionTvDistortion(documents: DataFrame,
-                            budgetNum: Long = 3, budgetDen: Long = 10): DataFrame = {
+                            budgetNum: Long = 3, budgetDen: Long = 10): DataFrame =
+    selectionTvDistortion(documents, budgetNum, budgetDen, BigInt(Long.MaxValue))
+
+  /** Envelope-parameterized entry (test seam: a lowered cap forces the
+    * auto-switch through the PUBLIC wiring on a tiny fixture). */
+  private[graft] def selectionTvDistortion(documents: DataFrame, budgetNum: Long,
+                                           budgetDen: Long, exactCap: BigInt): DataFrame = {
     val kept = budgetSelect(documents, budgetNum, budgetDen).select(col("doc_id"))
     val toks = documents
       .select(col("doc_id"),
         explode(filter(TextOps.tokens(col("text")), t => length(t) > 0)).as("token"))
       .localCheckpoint() // two vocabulary aggs read it
     val nAll = toks.count()
-    val exact = BigInt(nAll) * nAll * 2 <= BigInt(Long.MaxValue)
+    val exact = BigInt(nAll) * nAll * 2 <= exactCap
     if (!exact)
       log.warn(s"selectionTvDistortion: ~$nAll tokens exceeds the exact " +
         "2*N_sel*N_all BIGINT envelope; computing per-term TV products in " +

@@ -388,6 +388,24 @@ class EvalSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("tv_ppm")) == e.isNullAt(e.fieldIndex("tv_ppm")))
   }
 
+  test("auto-switch wiring: a lowered envelope routes the PUBLIC entries to the double paths") {
+    // spearman: envelope=1 < n=5 -> the double path must come back
+    // through the public wiring with DoubleType moments equal to exact
+    val e = graft.quality.RankCorr.spearmanComponents(docs).collect().head
+    val sw = graft.quality.RankCorr.spearmanComponents(docs, envelope = 1L)
+    assert(sw.schema("sxy").dataType == org.apache.spark.sql.types.DoubleType)
+    val d = sw.collect().head
+    assert(d.getAs[Long]("n") == e.getAs[Long]("n"))
+    assert(d.getAs[Double]("sxy") == e.getAs[Long]("sxy").toDouble)
+    // TV: cap=0 forces the double branch through the public wiring
+    val te = Curation.selectionTvDistortion(docs, 3, 10).collect().head
+    val tsw = Curation.selectionTvDistortion(docs, 3, 10, exactCap = BigInt(0))
+    assert(tsw.schema("tv_num").dataType == org.apache.spark.sql.types.DoubleType)
+    val td = tsw.collect().head
+    assert(td.getAs[Long]("vocab") == te.getAs[Long]("vocab"))
+    assert(td.getAs[Double]("tv_num") == te.getAs[Long]("tv_num").toDouble)
+  }
+
   test("spearmanDouble equals spearmanExact (cast) on in-envelope fixtures") {
     val base = graft.quality.RankCorr.scoredBase(docs)
     val e = graft.quality.RankCorr.spearmanExact(base).collect().head
