@@ -48,6 +48,20 @@ class BoundedCacheSpec extends AnyFunSuite {
     assert(computes == 1)
   }
 
+  test("evict -> re-access recomputes a correct checkpoint end-to-end (Quantize encode)") {
+    import TestSpark._
+    import spark.implicits._
+    def emb(seed: Long) = (1L to 4L)
+      .map(i => (i, Array((seed + i).toFloat / 10f, (seed - i).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val first = graft.sim.Quantize.quantized(emb(0L)).collect().map(_.toSeq)
+    // 9 further distinct plans overflow the 8-entry LRU -> plan 0 evicts
+    (1L to 9L).foreach(s => graft.sim.Quantize.codes(emb(s)).count())
+    val again = graft.sim.Quantize.quantized(emb(0L)).collect().map(_.toSeq)
+    assert(again.toSeq == first.toSeq,
+      "recomputed encode after eviction must be bit-identical")
+  }
+
   test("GraftBridge.unpersistLocalCheckpoint frees the checkpoint's RDD blocks") {
     import TestSpark._
     val before = spark.sparkContext.getPersistentRDDs.keySet
