@@ -39,14 +39,27 @@ package graft.ops
   */
 final class BoundedCache[K, V](maxEntries: Int, onEvict: V => Unit) {
 
-  /** Per-entry memo: `value`'s lazy init gives per-key compute
+  /** Per-entry memo: per-cell synchronization gives per-key compute
     * serialization; `computedValue` lets eviction unpersist only what
     * was actually built (an entry evicted mid-compute is skipped — its
-    * builder still holds the result it is about to return). */
-  private final class Cell(compute0: () => V) {
-    @volatile private var done: Option[V] = None
-    lazy val value: V = { val v = compute0(); done = Some(v); v }
-    def computedValue: Option[V] = done
+    * builder still holds the result it is about to return). The
+    * compute closure is RELEASED after a successful build so a cached
+    * entry pins only its value, not the first caller's captured
+    * DataFrames/plan trees. */
+  private final class Cell(c0: () => V) {
+    private var compute0: () => V = c0
+    @volatile private var result: Option[V] = None
+    def value: V = this.synchronized {
+      result match {
+        case Some(v) => v
+        case None =>
+          val v = compute0()
+          result = Some(v)
+          compute0 = null
+          v
+      }
+    }
+    def computedValue: Option[V] = result
   }
 
   private def safeEvict(c: Cell): Unit =
@@ -61,20 +74,29 @@ final class BoundedCache[K, V](maxEntries: Int, onEvict: V => Unit) {
   }
 
   /** The cached value for (appId, key), computing (and storing) it on
-    * miss. Evicts entries from other application ids first. */
+    * miss. Evicts entries from other application ids first. A FAILED
+    * compute is never cached: its cell is removed so it neither
+    * occupies an LRU slot (evicting healthy checkpoints early) nor
+    * replays the failed caller's closure on a later retry — the old
+    * `computeIfAbsent` insert-nothing-on-exception semantics. */
   def getOrCompute(appId: String, key: K)(compute: => V): V = {
+    val k = (appId, key)
     val cell = synchronized {
       val it = map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey._1 != appId) { it.remove(); safeEvict(e.getValue) }
       }
-      val k = (appId, key)
       val hit = map.get(k)
       if (hit != null) hit
       else { val c = new Cell(() => compute); map.put(k, c); c }
     }
-    cell.value // per-cell lazy: same-key builders serialize, others don't
+    try cell.value // per-cell lock: same-key builders serialize, others don't
+    catch {
+      case t: Throwable =>
+        synchronized { if (map.get(k) eq cell) map.remove(k) }
+        throw t
+    }
   }
 
   /** Explicit invalidation: evict everything (best-effort `onEvict` on

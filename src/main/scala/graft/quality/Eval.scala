@@ -96,10 +96,8 @@ object Eval {
   }
 
   private def probeScoresUncached(embeddings: DataFrame): DataFrame = {
-    val (encoded, extrema) = Quantize.encodedWithExtrema(embeddings)
-    val enc = encoded.select(col("vec_id"),
-      when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
-      col("codes"))
+    val extrema = Quantize.encodedWithExtrema(embeddings)._2
+    val enc = encodedClasses(embeddings) // THE projection (shared with the spec seam)
     val counts = enc.groupBy(col("y")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n0 = counts.getOrElse(0L, 0L)
@@ -166,8 +164,10 @@ object Eval {
     enc.select(col("vec_id"), col("y"), score.as("score"))
   }
 
-  /** Test seam: the exact-path (vec_id, y, codes) projection feeding
-    * [[probeScoresSampled]]. */
+  /** The (vec_id, y, codes) projection feeding [[probeScoresSampled]] —
+    * the ONE definition of the binarized-class code table, used by both
+    * the production path ([[probeScoresUncached]]) and the spec seam,
+    * so a change to the class law cannot desynchronize them. */
   private[graft] def encodedClasses(embeddings: DataFrame): DataFrame =
     Quantize.encodedWithExtrema(embeddings)._1.select(col("vec_id"),
       when(col("label") >= LabelSplit, 1L).otherwise(0L).as("y"),
@@ -234,7 +234,15 @@ object Eval {
     * the final orderBy/limit runs on the bounded distinct-score
     * table, never the corpus. |2·TP·10⁶| ≤ 2n·10⁶ stays in BIGINT to
     * n ≈ 4.6·10¹². */
-  def bestF1(embeddings: DataFrame): DataFrame = {
+  /** The descending distinct-score F1 sweep [[bestF1]] and
+    * [[confusionAtBestF1]] both argmax over — the ONE definition of
+    * the running/total window frames, the floor'd-ppm F1 law, and (via
+    * [[f1Argmax]]) the tie law, so the two graded queries name the
+    * same deployed threshold BY CONSTRUCTION rather than by keeping
+    * two hand-maintained copies in sync. Columns:
+    * (score, tp, cum_n, p, n, f1_ppm) on the bounded coalesce(1)
+    * distinct-score table. */
+  private def f1Sweep(embeddings: DataFrame): DataFrame = {
     val byScore = probeScores(embeddings)
       .groupBy(col("score"))
       .agg(sum(col("y")).as("pos_at"),
@@ -251,14 +259,22 @@ object Eval {
       .select(col("score"),
         sum(col("pos_at")).over(run).as("tp"),
         sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
-        sum(col("pos_at")).over(all).as("p"))
+        sum(col("pos_at")).over(all).as("p"),
+        sum(col("neg_at")).over(all).as("n"))
+      .withColumn("f1_ppm", expr("(tp * 2000000) div (cum_n + p)"))
+  }
+
+  /** The shared argmax tie law: maximum floor'd-ppm F1, ties toward
+    * the HIGHER threshold (the conservative operating point). */
+  private def f1Argmax(sweep: DataFrame): DataFrame =
+    sweep.orderBy(col("f1_ppm").desc, col("score").desc).limit(1)
+
+  def bestF1(embeddings: DataFrame): DataFrame =
+    f1Argmax(f1Sweep(embeddings))
       .select(col("score"), col("tp"),
         (col("cum_n") - col("tp")).as("fp"),
         (col("p") - col("tp")).as("fn"),
-        expr("(tp * 2000000) div (cum_n + p)").as("f1_ppm"))
-      .orderBy(col("f1_ppm").desc, col("score").desc)
-      .limit(1)
-  }
+        col("f1_ppm"))
 
   /** Per-slice AUC of the ONE globally-fit probe — the per-language
     * quality audit a multilingual curation pipeline runs (CCNet trains
@@ -385,25 +401,8 @@ object Eval {
     * construction; all columns exact BIGINT on both engines. Same
     * scale shape: corpus → distinct-score table in one hash agg, the
     * sweep + argmax on the bounded table only. */
-  def confusionAtBestF1(embeddings: DataFrame): DataFrame = {
-    val byScore = probeScores(embeddings)
-      .groupBy(col("score"))
-      .agg(sum(col("y")).as("pos_at"),
-        (count(lit(1)) - sum(col("y"))).as("neg_at"))
-      .coalesce(1)
-    val desc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc)
-    val run = desc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = desc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    byScore
-      .select(col("score"),
-        sum(col("pos_at")).over(run).as("tp"),
-        sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
-        sum(col("pos_at")).over(all).as("p"),
-        sum(col("neg_at")).over(all).as("n"))
+  def confusionAtBestF1(embeddings: DataFrame): DataFrame =
+    f1Argmax(f1Sweep(embeddings))
       .select(col("score"), col("tp"),
         (col("cum_n") - col("tp")).as("fp"),
         (col("p") - col("tp")).as("fn"),
@@ -411,10 +410,7 @@ object Eval {
         expr("(tp * 1000000) div cum_n").as("precision_ppm"),
         expr("(tp * 1000000) div p").as("recall_ppm"),
         expr("((tp + n - (cum_n - tp)) * 1000000) div (p + n)").as("accuracy_ppm"),
-        expr("(tp * 2000000) div (cum_n + p)").as("f1_ppm"))
-      .orderBy(col("f1_ppm").desc, col("score").desc)
-      .limit(1)
-  }
+        col("f1_ppm"))
 
   /** Per-source calibration of the ONE global probe — [[calibrationBins]]
     * partitioned by the documents' source column (the [[aucBySlice]]

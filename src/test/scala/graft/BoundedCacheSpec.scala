@@ -48,6 +48,17 @@ class BoundedCacheSpec extends AnyFunSuite {
     assert(computes == 1)
   }
 
+  test("a failed compute is never cached: slot freed, retry runs the NEW closure") {
+    val c = new BoundedCache[Int, String](maxEntries = 2, onEvict = _ => ())
+    val e = intercept[RuntimeException] {
+      c.getOrCompute("app", 1) { throw new RuntimeException("boom") }
+    }
+    assert(e.getMessage == "boom")
+    assert(c.size == 0, "poisoned cell must not occupy an LRU slot")
+    assert(c.getOrCompute("app", 1)("recovered") == "recovered",
+      "retry must run the new caller's closure, not replay the failed one")
+  }
+
   test("evict -> re-access recomputes a correct checkpoint end-to-end (Quantize encode)") {
     import TestSpark._
     import spark.implicits._
