@@ -1316,9 +1316,7 @@ object SparkEntry {
     * corpus) — q188 grades it directly and q189's condensation levels
     * contract through it; without the cache the peel loop (tens of
     * small fixpoint jobs) runs twice per bench pass. */
-  private val sccCache = new graft.ops.BoundedCache[String, DataFrame](
-    maxEntries = 8,
-    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+  private val sccCache = new graft.ops.BoundedCache[String, DataFrame](maxEntries = 8)
   private def containmentSccCached(s: SparkSession, d: String): DataFrame =
     sccCache.getOrCompute(s.sparkContext.applicationId, d)(
       graft.cluster.Graphs.stronglyConnected(containmentEdges(s, d),

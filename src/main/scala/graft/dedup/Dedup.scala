@@ -63,8 +63,7 @@ object Dedup {
     * the [[graft.sim.Similarity]] ivfCache eviction rule (entries from
     * stopped contexts are dropped on access). */
   private val shingleCache = new graft.ops.BoundedCache[(String, Int), DataFrame](
-    maxEntries = 8,
-    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    maxEntries = 8)
 
   def shinglesCached(corpusKey: String, documents: DataFrame, n: Int): DataFrame =
     shingleCache.getOrCompute(
@@ -157,8 +156,7 @@ object Dedup {
     * is the capped twin); for moderate-df corpora it turns three
     * self-joins into one. */
   private val coPairsCache = new graft.ops.BoundedCache[(String, Int), DataFrame](
-    maxEntries = 8,
-    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    maxEntries = 8)
 
   def coShinglePairsCached(corpusKey: String, sh: DataFrame, n: Int): DataFrame =
     coPairsCache.getOrCompute(
@@ -259,9 +257,7 @@ object Dedup {
     * it is built once per (corpus, n, maxDf) and served to both, like
     * [[shinglesCached]] serves the raw index. */
   private val cappedPairsCache =
-    new graft.ops.BoundedCache[(String, Int, Long), DataFrame](
-      maxEntries = 8,
-      onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    new graft.ops.BoundedCache[(String, Int, Long), DataFrame](maxEntries = 8)
 
   def cappedCommonCached(corpusKey: String, sh: DataFrame, n: Int,
                          maxDf: Long): DataFrame =

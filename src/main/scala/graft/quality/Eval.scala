@@ -58,14 +58,14 @@ object Eval {
     * (q210/q211/q214/q215/q216/q217) read the same (vec_id, y, score)
     * table — fit + score once per (session, input plan), every consumer
     * sees bit-identical scores off the checkpointed table. Bounded at 8
-    * distinct input plans; eviction unpersists the checkpoint blocks.
+    * distinct input plans; eviction is borrower-safe release-to-GC
+    * (see [[graft.ops.BoundedCache]]).
     * Plan-hash keying assumes IMMUTABLE inputs
     * ([[graft.ops.BoundedCache]]'s contract) — call [[clearScoreCache]]
     * after an in-place rewrite. A failed fit (one-class input) is never
     * cached. */
   private val scoreCache = new graft.ops.BoundedCache[Int, DataFrame](
-    maxEntries = 8,
-    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    maxEntries = 8)
 
   /** Explicit invalidation hook for in-place input rewrites. */
   def clearScoreCache(): Unit = scoreCache.clear()
@@ -89,6 +89,8 @@ object Eval {
     * already in-envelope (every graded config). BigInt planning
     * arithmetic so the check itself can't overflow. */
   private[graft] def planSampleMod(d: Long, n0: Long, n1: Long): Long = {
+    require(d > 0, s"probeScores: embeddings must have ≥1 dimension (d=$d) — " +
+      "zero-dimension vectors cannot fit a probe")
     val cap = BigInt(Long.MaxValue) / 65025 / d
     var k = 1L
     while ((BigInt(n0) / k) * (BigInt(n1) / k) * 4 > cap) k *= 2

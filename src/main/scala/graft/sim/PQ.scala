@@ -233,12 +233,7 @@ object PQ {
     * localCheckpointed so a hit re-runs nothing; every serve re-applies
     * its own broadcast of the tiny centroid side. */
   private val pqCache =
-    new graft.ops.BoundedCache[(String, Int, Int, Int), PqIndex](
-      maxEntries = 8,
-      onEvict = idx => {
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.centroids)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.codes)
-      })
+    new graft.ops.BoundedCache[(String, Int, Int, Int), PqIndex](maxEntries = 8)
 
   def pqTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
                    k: Int, nlist: Int = 16, m: Int = 4, ksub: Int = 16,

@@ -56,13 +56,14 @@ object Quantize {
     * is a build-once/serve-many artifact, so a pipeline using both
     * [[codes]] and [[quantized]] over the same input pays the extrema
     * aggregation and the encode checkpoint ONCE. Bounded at 8 distinct
-    * input plans; eviction unpersists the checkpoint blocks. Plan-hash
-    * keying assumes IMMUTABLE inputs (see [[graft.ops.BoundedCache]]'s
-    * contract) — a source rewritten in place under the same plan must
-    * call [[clearEncodeCache]]. */
+    * input plans; eviction is borrower-safe release-to-GC (Spark's
+    * ContextCleaner unpersists the checkpoint blocks once no caller
+    * holds the frame — see [[graft.ops.BoundedCache]]). Plan-hash
+    * keying assumes IMMUTABLE inputs (the same contract) — a source
+    * rewritten in place under the same plan must call
+    * [[clearEncodeCache]]. */
   private val encodeCache = new graft.ops.BoundedCache[
-    Int, (DataFrame, Seq[(Double, Double)])](maxEntries = 8,
-    onEvict = v => org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(v._1))
+    Int, (DataFrame, Seq[(Double, Double)])](maxEntries = 8)
 
   /** Explicit invalidation hook for in-place input rewrites. */
   def clearEncodeCache(): Unit = encodeCache.clear()

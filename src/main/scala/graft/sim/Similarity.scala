@@ -254,13 +254,10 @@ object Similarity {
     * a stopped SparkContext are never served to a new session. */
   /** Bounded session LRU of built indexes ([[graft.ops.BoundedCache]]:
     * size-bounded, entries from stopped contexts dropped on access,
-    * checkpoint blocks unpersisted on eviction). */
+    * eviction is borrower-safe release-to-GC — ContextCleaner
+    * unpersists the checkpoint blocks once no caller holds them). */
   private val ivfCache = new graft.ops.BoundedCache[(String, Int), IvfIndex](
-    maxEntries = 8,
-    onEvict = idx => {
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.centroids)
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(idx.assigned)
-    })
+    maxEntries = 8)
 
   def ivfTopKCached(corpusKey: String, queries: DataFrame, corpus: DataFrame,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {

