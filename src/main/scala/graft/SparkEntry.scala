@@ -450,6 +450,13 @@ object SparkEntry {
     "q229_calibration_by_source" -> ((s, d) =>
       graft.quality.Eval.calibrationBySource(
         Tables.embeddings(s, d), Tables.documents(s, d))),
+    // per-source best-F1 operating point: q215's exact argmax law
+    // partitioned by source (q216/q229 slice discipline) — one
+    // (source, score)-keyed hash agg over the corpus, then the sweep +
+    // row_number argmax on the bounded per-source threshold table
+    "q230_best_f1_by_source" -> ((s, d) =>
+      graft.quality.Eval.bestF1BySource(
+        Tables.embeddings(s, d), Tables.documents(s, d))),
     // trailing-7-day value quantiles by histogram MERGE — the q168
     // trailing-window story for RANKS: per day, p50/p99 of the last
     // week's event values from summing <=64-row daily log histograms,
@@ -1488,7 +1495,8 @@ object SparkEntry {
     "q226_source_ks_drift" -> Seq("documents"),
     "q227_selection_tv" -> Seq("documents"),
     "q228_confusion_best_f1" -> Seq("embeddings"),
-    "q229_calibration_by_source" -> Seq("embeddings", "documents"))
+    "q229_calibration_by_source" -> Seq("embeddings", "documents"),
+    "q230_best_f1_by_source" -> Seq("embeddings", "documents"))
 
   /** Oracle SQL resolved against a concrete sf directory: documents/
     * embeddings references become read_parquet CTEs so the SQL runs
@@ -2881,6 +2889,33 @@ object SparkEntry {
          |  (CAST(SUM(y) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS pos_rate_pm,
          |  CAST(SUM(score - lo) AS BIGINT) AS sum_shift
          |FROM sl, ext GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    // per-source best-F1: q215's argmax law (floor'd-ppm F1 maximized,
+    // ties to the higher threshold) restated per source with the sweep
+    // windows PARTITIONED by source and a row_number argmax — all
+    // operands non-negative so DuckDB // == Spark div
+    "q230_best_f1_by_source" ->
+      s"""WITH $probeScoreCtes,
+         |sl AS (SELECT d.source, s.score, s.y
+         |  FROM sc s JOIN documents d ON s.vec_id = d.doc_id),
+         |bys AS (SELECT source, score, CAST(SUM(y) AS BIGINT) AS pos_at,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+         |  FROM sl GROUP BY source, score),
+         |cum AS (SELECT source, score,
+         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
+         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n,
+         |    CAST(SUM(pos_at) OVER wa AS BIGINT) AS p
+         |  FROM bys WINDOW
+         |    w AS (PARTITION BY source ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (PARTITION BY source ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |rk AS (SELECT source, score, tp, cum_n, p,
+         |    (tp * 2000000) // (cum_n + p) AS f1_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY (tp * 2000000) // (cum_n + p) DESC, score DESC) AS rn
+         |  FROM cum)
+         |SELECT source, score, tp, cum_n - tp AS fp, p - tp AS fn, f1_ppm
+         |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin,
     // dedup ROI: q57's CC chain + per-group mass agg + the cluster-size
     // histogram; tok_kept = per-group MAX token count (deterministic
     // without naming a tiebreak — only the max VALUE enters)

@@ -375,8 +375,9 @@ object StressBench {
     run("bigram_nll",
       mat(graft.text.LanguageModel.bigramNll(docs1)),
       mat(graft.text.LanguageModel.bigramNll(docsN)))
-    // Gopher rules: five narrow projections + one doc-keyed mode agg —
-    // should track the tokenize scan
+    // Gopher rules: one tokenize-once stacked-projection pipeline (the
+    // mode rule is a sorted-run fold, not an agg) — should track the
+    // tokenize scan
     run("gopher_rules",
       mat(graft.text.QualityRules.gopherRules(docs1)),
       mat(graft.text.QualityRules.gopherRules(docsN)))
@@ -978,6 +979,35 @@ object StressBench {
     run("vocab_encode",
       mat(graft.text.TextOps.encodeCorpus(docs1, 10)),
       mat(graft.text.TextOps.encodeCorpus(docsPlainN, 10)))
+    // dup_mass cost attribution (the heaviest stress row): the q221 ROI
+    // report decomposes as band build (shingle -> minhash -> banding),
+    // star-edge CC contraction, and the two reporting aggs — each timed
+    // on a checkpointed copy of ITS OWN input (the curate_stages
+    // discipline below), at 1x and at factor, so the 0.3x slope can be
+    // attributed to a stage instead of adjudicated in aggregate.
+    // Checkpoints are released eagerly at unit end: the unit owns its
+    // frames, the provably-safe case for prompt reclamation now that
+    // cache eviction defers to the GC.
+    if (only.forall(_.exists("dup_mass_stages".startsWith))) {
+      import graft.dedup.Dedup
+      def dupMassSplit(df: DataFrame, tag: String): Unit = {
+        val docs = df.select(col("doc_id"), col("text")).localCheckpoint()
+        val tBand = time {
+          Dedup.bandedSignatures(docs, 3, 8, 4).drop("signature").count(); ()
+        }
+        val banded = Dedup.bandedSignatures(docs, 3, 8, 4)
+          .drop("signature").localCheckpoint()
+        val tCc = time { Dedup.dedupGroupsFromBands(docs, banded).count(); () }
+        val groups = Dedup.dedupGroupsFromBands(docs, banded).localCheckpoint()
+        val tRep = time { mat(Dedup.dupMassFromGroups(docs, groups)); () }
+        println(f"STRESS dup_mass_stages   $tag%-5s band=$tBand%6.2fs " +
+          f"cc=$tCc%6.2fs report=$tRep%6.2fs")
+        Seq(docs, banded, groups)
+          .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+      }
+      dupMassSplit(docs1, "1x")
+      dupMassSplit(docsPlainN, s"${factor}x")
+    }
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is
     // its own work, not its lineage — the composite q55 cost decomposes

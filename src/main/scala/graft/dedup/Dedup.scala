@@ -341,8 +341,10 @@ object Dedup {
       .agg(graft.functions.Sketches.minhashAgg(col("shingle"), numHashes).as("signature"))
 
   /** (band, bucket, signature) rows per document: the LSH banding key
-    * table both pair generation and corpus-admission probe against. */
-  private def bandedSignatures(documents: DataFrame, n: Int,
+    * table both pair generation and corpus-admission probe against.
+    * `private[graft]` so the stress harness can time the band build as
+    * its own stage (dup_mass_stages). */
+  private[graft] def bandedSignatures(documents: DataFrame, n: Int,
                                bands: Int, rowsPerBand: Int): DataFrame =
     minhashSignaturesOnePass(documents, n, bands * rowsPerBand)
       .select(col("doc_id"), col("signature"),
@@ -391,11 +393,16 @@ object Dedup {
     * components are "shared at least one LSH band" transitive closures —
     * the standard corpus-dedup semantics, not threshold-verified pairs. */
   def minhashDedupGroups(documents: DataFrame, n: Int, bands: Int,
-                         rowsPerBand: Int): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val banded = bandedSignatures(documents, n, bands, rowsPerBand)
-      .drop("signature")
+                         rowsPerBand: Int): DataFrame =
+    dedupGroupsFromBands(documents,
+      bandedSignatures(documents, n, bands, rowsPerBand).drop("signature"))
+
+  /** [[minhashDedupGroups]]' star-edge + CC tail over a prebuilt band
+    * table — the seam that lets the stress harness price the band build
+    * and the component contraction separately (same code path, same
+    * output bit-for-bit). */
+  private[graft] def dedupGroupsFromBands(documents: DataFrame,
+                                          banded: DataFrame): DataFrame = {
     val hubs = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("hub"))
     // The contraction loop consumes its input once per round, and
@@ -457,8 +464,14 @@ object Dedup {
     * keyed by cluster size — the FoF reduction idea applied to dedup
     * clusters; the final table is bounded by the largest cluster. */
   def dupMassReport(documents: DataFrame, n: Int, bands: Int,
-                    rowsPerBand: Int): DataFrame = {
-    val groups = minhashDedupGroups(documents, n, bands, rowsPerBand)
+                    rowsPerBand: Int): DataFrame =
+    dupMassFromGroups(documents,
+      minhashDedupGroups(documents, n, bands, rowsPerBand))
+
+  /** [[dupMassReport]]'s reporting aggregations over a prebuilt group
+    * table — the stress-stage seam twin of [[dedupGroupsFromBands]]. */
+  private[graft] def dupMassFromGroups(documents: DataFrame,
+                                       groups: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
     groups.join(toks, Seq("doc_id"))

@@ -441,4 +441,49 @@ object Eval {
         col("sum_shift"))
       .orderBy(col("source"), col("bin"))
   }
+
+  /** Per-source best-F1 operating point — [[bestF1]]'s exact argmax
+    * law partitioned by the documents' source column (the
+    * [[aucBySlice]] / [[calibrationBySource]] slice discipline): the
+    * threshold each source would deploy if tuned independently, which
+    * is how a mixed web/books corpus actually operates a filter. Same
+    * floor'd-ppm F1 law and ties-toward-the-HIGHER-threshold rule as
+    * the global argmax, stated per source as one row_number window over
+    * the bounded (source × distinct score) sweep. A source with no
+    * positives sweeps f1_ppm = 0 everywhere and deterministically
+    * reports its highest threshold (tp = fn = 0) — loud, not wrong, on
+    * both engines.
+    *
+    * Scale shape: the corpus enters ONE (source, score)-keyed hash agg
+    * (downstream of the cached probe scores and the column-pruned
+    * id-key equi join); the cumulative/total/argmax windows all run on
+    * the bounded sweep table PARTITIONED by source — no coalesce(1),
+    * no corpus sort, nothing pairwise. */
+  def bestF1BySource(embeddings: DataFrame, documents: DataFrame): DataFrame = {
+    val slices = documents.select(col("doc_id").as("vec_id"), col("source"))
+    val byScore = probeScores(embeddings)
+      .join(slices, Seq("vec_id"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(col("y")).as("pos_at"),
+        (count(lit(1)) - sum(col("y"))).as("neg_at"))
+    val W = org.apache.spark.sql.expressions.Window
+    val desc = W.partitionBy(col("source")).orderBy(col("score").desc)
+    val run = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = desc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val amax = W.partitionBy(col("source"))
+      .orderBy(col("f1_ppm").desc, col("score").desc)
+    byScore
+      .select(col("source"), col("score"),
+        sum(col("pos_at")).over(run).as("tp"),
+        sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
+        sum(col("pos_at")).over(all).as("p"))
+      .withColumn("f1_ppm", expr("(tp * 2000000) div (cum_n + p)"))
+      .withColumn("rn", row_number().over(amax))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("score"), col("tp"),
+        (col("cum_n") - col("tp")).as("fp"),
+        (col("p") - col("tp")).as("fn"),
+        col("f1_ppm"))
+      .orderBy(col("source"))
+  }
 }

@@ -537,18 +537,6 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the winnow plan:\n$p")
   }
 
-  test("gopher rules: narrow projections + one doc-keyed mode agg, no pairwise") {
-    // q208: five rules are pure HOF projections; the repetition rule is
-    // the only agg (per-(doc, token) count + per-doc max) — doc-keyed,
-    // map-side combined, never a join over data pairs
-    val p = planOf("q208_gopher_rules")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"pairwise stage in the gopher-rules plan:\n$p")
-    assert("HashAggregate".r.findAllIn(p).length >= 2 ||
-      p.contains("ObjectHashAggregate"),
-      s"repetition rule lost its map-side partial:\n$p")
-  }
-
   test("k-center round: state update is a narrow projection — no join, no exchange") {
     // q204's own final plan is the collected picks table; gate the
     // per-round state update directly — folding the new center literal
@@ -690,6 +678,44 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan reads the text column:\n$docScan\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"bin reduction lost its map-side partial:\n$p")
+  }
+
+  test("per-source best F1: one corpus hash agg, bounded per-source windows, no pairwise stage") {
+    // q230: the q215 argmax law per source — the corpus must enter ONE
+    // (source, score)-keyed hash agg (after the pruned id-key join);
+    // every window (sweep cumulatives + row_number argmax) then runs on
+    // the bounded sweep table partitioned by source. No coalesce(1), no
+    // pairwise stage; documents side pruned to (doc_id, source).
+    val p = planOf("q230_best_f1_by_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the per-source best-F1 plan:\n$p")
+    assert(!p.contains("Coalesce 1") && !p.contains("coalesce(1)"),
+      s"per-source sweep must not single-partition the table:\n$p")
+    val docScan = p.linesIterator.find(l =>
+      l.contains("InMemoryTableScan") ||
+        (l.contains("FileScan") && l.contains("documents.parquet")))
+      .getOrElse(fail(s"no documents scan node found:\n$p"))
+    assert(!docScan.contains("text#"),
+      s"documents scan reads the text column:\n$docScan\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"(source, score) reduction lost its map-side partial:\n$p")
+    assert(p.contains("Window"), s"sweep lost its window stage:\n$p")
+  }
+
+  test("gopher rules: tokenize once, no aggregation, no shuffle but the graded sort") {
+    // q208: the restructured battery is a stacked-projection pipeline —
+    // the split must appear ONCE (one tokenization pass shared by every
+    // rule through the projection boundary), there must be NO aggregate
+    // and no exchange besides the graded orderBy's rangepartitioning
+    // (the old shape re-tokenized per rule and shuffled a per-(doc,
+    // token) row set for the mode rule).
+    val p = planOf("q208_gopher_rules")
+    assert("split\\(".r.findAllIn(p).length == 1,
+      s"tokenization must run once, not once per rule:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"gopher rules must not aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the graded orderBy may shuffle:\n$p")
   }
 
   test("FoF family: two stacked hash aggs, no join and no corpus sort") {
