@@ -13,7 +13,13 @@ canonical-config one — mechanically, so two past failure modes can't recur:
 Usage:
   python3 tools/bench_adjudicate.py NEW.json [PREV.json ...]
       [--threshold 1.25] [--canonical-sf sf0.1] [--canonical-cpus 32]
-      [--write-note]
+      [--write-note] [--justify "reason"]
+
+--justify is the explicit human override for a flagged regression: the
+run still prints every REGRESSED line, but exits 0 and records the
+justification verbatim in the artifact note (under --write-note), so an
+accepted regression is signed and auditable instead of silently passed.
+Config drift and dropped queries can NOT be justified — those always fail.
 
 With no PREV given, every other BENCH_full_r*.json next to NEW is scanned
 and the lexicographically-latest artifact with MATCHING (sf, cpus) is used;
@@ -65,6 +71,12 @@ def selftest(art_path):
         code, out = run(json.loads(json.dumps(base)))
         assert code == 0, f"identical artifact must pass, got exit {code}:\n{out}"
         print("selftest 3 OK: clean artifact passes")
+
+        code, out = run(slowed, "--justify", "selftest: deliberate")
+        assert code == 0 and "REGRESSED" in out and \
+            "accepted with justification" in out, \
+            f"justified regression must pass loudly, got exit {code}:\n{out}"
+        print("selftest 4 OK: justified regression passes but stays loud")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -102,6 +114,7 @@ def main():
     threshold = float(opt("--threshold", "1.25"))
     canon = (opt("--canonical-sf", "sf0.1"), int(opt("--canonical-cpus", "32")))
     write_note = opt("--write-note", flag=True)
+    justify = opt("--justify")
     if not args:
         fail("no NEW artifact given")
     new_path, prev_paths = args[0], args[1:]
@@ -156,10 +169,14 @@ def main():
     for q, p, n, r in sorted(regressed, key=lambda t: -t[3]):
         print(f"  REGRESSED {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x slower)",
               file=sys.stderr)
-    if regressed:
+    if regressed and justify:
+        summary += ("; regression" + ("s" if len(regressed) > 1 else "") +
+                    " JUSTIFIED: " + justify)
+        print(f"accepted with justification: {justify}")
+    elif regressed:
         fail(f"{len(regressed)} shared quer{'y' if len(regressed) == 1 else 'ies'} "
-             f"regressed past {threshold}x on replicated minima — justify or fix "
-             f"before recording the artifact")
+             f"regressed past {threshold}x on replicated minima — justify "
+             f"(--justify) or fix before recording the artifact")
 
     if write_note:
         new["note"] = new.get("note", "").rstrip("; ") + "; " + summary
