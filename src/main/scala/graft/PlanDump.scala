@@ -216,11 +216,15 @@ object PlanDump {
       "bounded slice), scoring LEFT-joins with count-0 coalesce so OOV terms " +
       "pay the add-1 floor; the big corpus is tokenized once and flows through " +
       "two equi-joins + one per-doc agg"),
-    "q208_gopher_rules" -> ("the Gopher hard-filter battery: five rules are " +
-      "pure codegen'd HOF projections over the token array (no join, no " +
-      "shuffle); the repetition rule is the only aggregation — per-(doc, " +
-      "token) count + per-doc max, doc-keyed and map-side combined; every " +
-      "flag is an exact-integer comparison, pure BIGINT surface"),
+    "q208_gopher_rules" -> ("the Gopher hard-filter battery as ONE " +
+      "stacked-projection pipeline: the token array materializes once " +
+      "behind a projection boundary (split appears ONCE in the plan — " +
+      "CollapseProject keeps the non-cheap multi-consumer alias), counting " +
+      "rules are allocation-free folds over that shared array, the " +
+      "repetition rule's modal count is a longest-equal-run fold over the " +
+      "locally sorted array — NO aggregate, no join, the only Exchange is " +
+      "the graded orderBy; every flag is an exact-integer comparison, pure " +
+      "BIGINT surface"),
     "q209_winnow_fingerprints" -> ("winnowing (MOSS) fingerprints: the " +
       "token-hash table materializes ONCE (Scan ExistingRDD — xxhash64 stays " +
       "in the expression layer, bit-identical to the oracle's replayed " +
@@ -313,7 +317,13 @@ object PlanDump {
       "scores join the documents slice pruned to (doc_id, source) on the " +
       "1:1 id key, the global [lo,hi] bin law is a literal-folded integer " +
       "projection, and one (source, bin)-keyed map-side-combined hash agg " +
-      "produces the sources x bins table")
+      "produces the sources x bins table"),
+    "q230_best_f1_by_source" -> ("per-source best-F1 operating point: " +
+      "q215's exact floor'd-ppm argmax law with every window PARTITIONED " +
+      "by source — the corpus enters one (source, score)-keyed hash agg " +
+      "(after the id-key join pruned to (doc_id, source)); the sweep " +
+      "cumulatives, totals, and row_number argmax all run on the bounded " +
+      "per-source threshold table, no coalesce(1), nothing pairwise")
   )
 
   def main(args: Array[String]): Unit = {
