@@ -60,7 +60,7 @@ final class BoundedCache[K, V](maxEntries: Int) {
     * outcome (Success or Failure) is what waiters observe. */
   private final class Cell(c0: () => V) {
     private var compute0: () => V = c0
-    private var result: Option[scala.util.Try[V]] = None
+    @volatile private var result: Option[scala.util.Try[V]] = None
     def value: V = this.synchronized {
       result match {
         case Some(r) => r.get // Failure rethrows the ORIGINAL exception to waiters
@@ -76,6 +76,12 @@ final class BoundedCache[K, V](maxEntries: Int) {
           } finally compute0 = null
       }
     }
+    // lock-free peek for getOrCompute's hit path: a poisoned cell must
+    // not be handed to a FRESH caller (only already-blocked waiters see
+    // the original failure) — without this, a caller arriving between
+    // the failure and the failing thread's map.remove would rethrow a
+    // stale failure instead of computing
+    def poisoned: Boolean = result.exists(_.isFailure)
   }
 
   // accessOrder = true: iteration order is least- to most-recently-used.
@@ -103,7 +109,7 @@ final class BoundedCache[K, V](maxEntries: Int) {
         if (it.next().getKey._1 != appId) it.remove()
       }
       val hit = map.get(k)
-      if (hit != null) hit
+      if (hit != null && !hit.poisoned) hit
       else { val c = new Cell(() => compute); map.put(k, c); c }
     }
     try cell.value // per-cell lock: same-key builders serialize, others don't

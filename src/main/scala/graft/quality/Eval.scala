@@ -236,40 +236,65 @@ object Eval {
     * the final orderBy/limit runs on the bounded distinct-score
     * table, never the corpus. |2·TP·10⁶| ≤ 2n·10⁶ stays in BIGINT to
     * n ≈ 4.6·10¹². */
-  /** The descending distinct-score F1 sweep [[bestF1]] and
-    * [[confusionAtBestF1]] both argmax over — the ONE definition of
-    * the running/total window frames, the floor'd-ppm F1 law, and (via
-    * [[f1Argmax]]) the tie law, so the two graded queries name the
-    * same deployed threshold BY CONSTRUCTION rather than by keeping
-    * two hand-maintained copies in sync. Columns:
+  /** The descending distinct-score F1 sweep [[bestF1]],
+    * [[confusionAtBestF1]], and (sliced) [[bestF1BySource]] all argmax
+    * over — the ONE definition of the running/total window frames, the
+    * floor'd-ppm F1 law ([[f1SweepFrom]]), and the tie law
+    * ([[f1TieOrder]]), so the three graded queries name the same
+    * deployed threshold BY CONSTRUCTION rather than by keeping
+    * hand-maintained copies in sync. Columns:
     * (score, tp, cum_n, p, n, f1_ppm) on the bounded coalesce(1)
     * distinct-score table. */
-  private def f1Sweep(embeddings: DataFrame): DataFrame = {
-    val byScore = probeScores(embeddings)
-      .groupBy(col("score"))
-      .agg(sum(col("y")).as("pos_at"),
-        (count(lit(1)) - sum(col("y"))).as("neg_at"))
-      .coalesce(1)
-    val desc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc)
-    val run = desc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = desc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+  private def f1Sweep(embeddings: DataFrame): DataFrame =
+    f1SweepFrom(
+      probeScores(embeddings)
+        .groupBy(col("score"))
+        .agg(sum(col("y")).as("pos_at"),
+          (count(lit(1)) - sum(col("y"))).as("neg_at"))
+        .coalesce(1),
+      sliceCols = Nil)
+
+  /** The ONE statement of the descending-threshold window frames and
+    * the floor'd-ppm F1 law, over a (sliceCols..., score, pos_at,
+    * neg_at) distinct-score table — empty `sliceCols` is the global
+    * sweep ([[bestF1]]/[[confusionAtBestF1]]), non-empty partitions
+    * every frame by the slice ([[bestF1BySource]]), so the global and
+    * per-slice operating points can never state divergent laws. */
+  private def f1SweepFrom(byScore: DataFrame,
+                          sliceCols: Seq[String]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val desc =
+      if (sliceCols.isEmpty) W.orderBy(col("score").desc)
+      else W.partitionBy(sliceCols.map(col): _*).orderBy(col("score").desc)
+    val run = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = desc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     byScore
-      .select(col("score"),
+      .select(sliceCols.map(col) ++ Seq(col("score"),
         sum(col("pos_at")).over(run).as("tp"),
         sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
         sum(col("pos_at")).over(all).as("p"),
-        sum(col("neg_at")).over(all).as("n"))
+        sum(col("neg_at")).over(all).as("n")): _*)
       .withColumn("f1_ppm", expr("(tp * 2000000) div (cum_n + p)"))
   }
 
   /** The shared argmax tie law: maximum floor'd-ppm F1, ties toward
-    * the HIGHER threshold (the conservative operating point). */
+    * the HIGHER threshold (the conservative operating point) — one
+    * ordering definition serving both the global LIMIT-1 argmax and
+    * the per-slice row_number argmax. */
+  private def f1TieOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(col("f1_ppm").desc, col("score").desc)
+
   private def f1Argmax(sweep: DataFrame): DataFrame =
-    sweep.orderBy(col("f1_ppm").desc, col("score").desc).limit(1)
+    sweep.orderBy(f1TieOrder: _*).limit(1)
+
+  /** Per-slice argmax under the SAME tie law. */
+  private def f1ArgmaxBy(sweep: DataFrame, sliceCols: Seq[String]): DataFrame =
+    sweep
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sliceCols.map(col): _*).orderBy(f1TieOrder: _*)))
+      .filter(col("rn") === 1)
+      .drop("rn")
 
   def bestF1(embeddings: DataFrame): DataFrame =
     f1Argmax(f1Sweep(embeddings))
@@ -466,20 +491,7 @@ object Eval {
       .groupBy(col("source"), col("score"))
       .agg(sum(col("y")).as("pos_at"),
         (count(lit(1)) - sum(col("y"))).as("neg_at"))
-    val W = org.apache.spark.sql.expressions.Window
-    val desc = W.partitionBy(col("source")).orderBy(col("score").desc)
-    val run = desc.rowsBetween(W.unboundedPreceding, W.currentRow)
-    val all = desc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    val amax = W.partitionBy(col("source"))
-      .orderBy(col("f1_ppm").desc, col("score").desc)
-    byScore
-      .select(col("source"), col("score"),
-        sum(col("pos_at")).over(run).as("tp"),
-        sum(col("pos_at") + col("neg_at")).over(run).as("cum_n"),
-        sum(col("pos_at")).over(all).as("p"))
-      .withColumn("f1_ppm", expr("(tp * 2000000) div (cum_n + p)"))
-      .withColumn("rn", row_number().over(amax))
-      .filter(col("rn") === 1)
+    f1ArgmaxBy(f1SweepFrom(byScore, Seq("source")), Seq("source"))
       .select(col("source"), col("score"), col("tp"),
         (col("cum_n") - col("tp")).as("fp"),
         (col("p") - col("tp")).as("fn"),

@@ -63,26 +63,30 @@ class BoundedCacheSpec extends AnyFunSuite {
   test("a waiter blocked on a failing compute gets the ORIGINAL failure, not a replay") {
     val c = new BoundedCache[Int, String](maxEntries = 2)
     val computeStarted = new java.util.concurrent.CountDownLatch(1)
-    val waiterQueued = new java.util.concurrent.CountDownLatch(1)
+    val mayThrow = new java.util.concurrent.CountDownLatch(1)
     var computes = 0 // guarded by the cell lock (both closures run under it)
     val failer = new Thread(() =>
       try c.getOrCompute("app", 1) {
         computes += 1
         computeStarted.countDown()
-        // hold the cell lock until the waiter thread is queued on it
-        waiterQueued.await(10, java.util.concurrent.TimeUnit.SECONDS)
-        Thread.sleep(100) // let the waiter actually block on the monitor
+        // hold the cell lock until the main thread has OBSERVED the
+        // waiter blocked on this cell's monitor — deterministic, no sleep
+        mayThrow.await(10, java.util.concurrent.TimeUnit.SECONDS)
         throw new IllegalStateException("original-failure")
       } catch { case _: IllegalStateException => () })
     failer.start()
     assert(computeStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
     @volatile var waiterError: Throwable = null
-    val waiter = new Thread(() => {
-      waiterQueued.countDown() // entering getOrCompute NOW; failer then waits 100ms
+    val waiter = new Thread(() =>
       try c.getOrCompute("app", 1) { computes += 1; "replayed" }
-      catch { case t: Throwable => waiterError = t }
-    })
+      catch { case t: Throwable => waiterError = t })
     waiter.start()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (waiter.getState != Thread.State.BLOCKED && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    assert(waiter.getState == Thread.State.BLOCKED,
+      "waiter never reached the cell monitor")
+    mayThrow.countDown()
     failer.join(15000); waiter.join(15000)
     assert(computes == 1, "the waiter must not replay any closure")
     assert(waiterError != null &&
@@ -90,6 +94,26 @@ class BoundedCacheSpec extends AnyFunSuite {
       s"waiter must rethrow the original failure, got: $waiterError")
     // the poisoned cell was removed -> a LATER caller recomputes fresh
     assert(c.getOrCompute("app", 1)("fresh") == "fresh")
+  }
+
+  test("a FRESH caller after a failed compute recomputes — from any thread") {
+    // closes the poisoned-cell race loophole: a caller whose map lookup
+    // lands between another thread's compute failure and that thread's
+    // cell removal must NOT inherit the stale failure. The window itself
+    // is a few instructions wide and cannot be pinned without a code
+    // seam; the hit path closes it structurally (`Cell.poisoned` skips
+    // the stale cell and installs a fresh one), and this test asserts
+    // the observable contract from a second thread: after a failure,
+    // the next getOrCompute — whoever makes it — runs its own closure.
+    val c = new BoundedCache[Int, String](maxEntries = 2)
+    intercept[RuntimeException] {
+      c.getOrCompute("app", 7) { throw new RuntimeException("boom") }
+    }
+    @volatile var got: String = null
+    val t = new Thread(() => got = c.getOrCompute("app", 7)("recovered"))
+    t.start(); t.join(15000)
+    assert(got == "recovered",
+      "a fresh caller must compute, never inherit a stale poisoned cell")
   }
 
   test("an entry evicted while its compute is in flight still returns a usable value") {

@@ -328,6 +328,56 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("bestF1BySource replays the per-source brute-force sweep, q215 law per slice (q230)") {
+    // web/books carry both classes; z is NEGATIVE-ONLY (p = 0), the
+    // loud-not-wrong edge: every threshold sweeps f1_ppm = 0 and the
+    // tie law deterministically reports the HIGHEST threshold with
+    // tp = fn = 0
+    val srcOf = Map(1L -> "web", 3L -> "web", 7L -> "web",
+      2L -> "books", 4L -> "books", 8L -> "books",
+      5L -> "z", 6L -> "z")
+    val srcDocs = srcOf.toSeq.map { case (id, s) => (id, s"doc $id", "en", s, 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val want = scored.toSeq.groupBy(v => srcOf(v._1)).map { case (src, vs) =>
+      val all = vs.map(_._2) // (y, score)
+      val p = all.count(_._1 == 1L).toLong
+      src -> all.map(_._2).distinct.sorted(Ordering[Long].reverse).map { t =>
+        val kept = all.filter(_._2 >= t)
+        val tp = kept.count(_._1 == 1L).toLong
+        val cumN = kept.size.toLong
+        (t, tp, cumN - tp, p - tp, tp * 2000000L / (cumN + p))
+      }.maxBy { case (t, _, _, _, f1) => (f1, t) } // SAME tie law as q215
+    }
+    val rows = Eval.bestF1BySource(emb, srcDocs).collect()
+    assert(rows.length == want.size)
+    assert(rows.map(_.getString(0)).toSeq ==
+      rows.map(_.getString(0)).toSeq.sorted, "ordered by source")
+    rows.foreach { r =>
+      val g = (r.getAs[Long]("score"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("f1_ppm"))
+      assert(g == want(r.getString(0)), s"${r.getString(0)}: got $g")
+    }
+    // the z slice edge stated explicitly
+    val z = rows.find(_.getString(0) == "z").get
+    assert(z.getAs[Long]("f1_ppm") == 0L && z.getAs[Long]("tp") == 0L &&
+      z.getAs[Long]("fn") == 0L)
+    assert(z.getAs[Long]("score") ==
+      scored.collect { case (id, (_, s)) if srcOf(id) == "z" => s }.max)
+    // and the sliced law agrees with the global one where the slice IS
+    // the whole corpus: a single-source map reproduces bestF1 exactly
+    val oneSrc = srcOf.keys.toSeq.map(id => (id, s"doc $id", "en", "all", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val global = Eval.bestF1(emb).collect().head
+    val sliced = Eval.bestF1BySource(emb, oneSrc).collect().head
+    assert((sliced.getAs[Long]("score"), sliced.getAs[Long]("tp"),
+        sliced.getAs[Long]("fp"), sliced.getAs[Long]("fn"),
+        sliced.getAs[Long]("f1_ppm")) ==
+      (global.getAs[Long]("score"), global.getAs[Long]("tp"),
+        global.getAs[Long]("fp"), global.getAs[Long]("fn"),
+        global.getAs[Long]("f1_ppm")),
+      "single-source slice must equal the global operating point")
+  }
+
   // ---- past-envelope fallbacks (round-11: automatic switch, not refusal) ----
 
   test("probeScoresSampled at sampleMod=1 is the exact path verbatim") {

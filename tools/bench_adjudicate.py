@@ -103,6 +103,8 @@ def main():
                 args.pop(i)
                 return True
             args.pop(i)
+            if i >= len(args) or args[i].startswith("--"):
+                fail(f"{name} requires a value")
             return args.pop(i)
         return default
 
@@ -133,7 +135,10 @@ def main():
         prev_paths = sorted(p for p in glob.glob(os.path.join(here, "BENCH_full_r*.json"))
                             if os.path.abspath(p) != os.path.abspath(new_path))
     cands, skipped = [], []
-    for p in prev_paths:
+    # sort by basename whether the list came from the scan or from
+    # explicit arguments, so "latest matching artifact" never depends on
+    # argument order
+    for p in sorted(prev_paths, key=os.path.basename):
         art = json.load(open(p))
         (cands if config(art) == config(new) else skipped).append((p, art))
     for p, art in skipped:
