@@ -1627,6 +1627,23 @@ object SparkEntry {
        |    CAST(SUM(c.code * w.w) AS BIGINT) AS score
        |  FROM cf c JOIN wts w USING (i) GROUP BY c.vec_id)""".stripMargin
 
+  /** The descending F1 sweep's oracle CTEs (bys/tot/cum) — the SQL twin
+    * of [[graft.quality.Eval]]'s `f1SweepFrom`, stated ONCE so q215 and
+    * q228 argmax over the same chain (q230's per-source form partitions
+    * the same windows by source). Consumes `sc` from
+    * [[probeScoreCtes]]. */
+  private val f1SweepCtes: String =
+    s"""bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+       |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
+       |  FROM sc GROUP BY score),
+       |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p,
+       |    CAST(SUM(neg_at) AS BIGINT) AS n FROM bys),
+       |cum AS (SELECT score,
+       |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
+       |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
+       |  FROM bys WINDOW w AS (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
   /** The BPE fixed-round training chain (q200/q201 oracles): w0 is the
     * vocab with char-level double-space symstrs; round r contributes
     * p{r} (pair counts), b{r} (argmax merge), w{r} (rewritten vocab).
@@ -2796,18 +2813,11 @@ object SparkEntry {
          |FROM bys ORDER BY score DESC""".stripMargin,
     // best-F1 operating point: the identical exact-integer argmax law
     // (floor'd-ppm F1 maximized, ties to the higher threshold) — LIMIT 1
-    // over the bounded distinct-score sweep
+    // over the bounded distinct-score sweep; bys/tot/cum stated ONCE in
+    // f1SweepCtes (shared with q228, the SQL twin of Eval.f1SweepFrom)
     "q215_best_f1" ->
       s"""WITH $probeScoreCtes,
-         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
-         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
-         |  FROM sc GROUP BY score),
-         |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p FROM bys),
-         |cum AS (SELECT score,
-         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
-         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
-         |  FROM bys WINDOW w AS (ORDER BY score DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |$f1SweepCtes
          |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
          |  (tp * 2000000) // (cum_n + p) AS f1_ppm
          |FROM cum, tot ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
@@ -2855,20 +2865,12 @@ object SparkEntry {
          |  score AS score_at
          |FROM cum ORDER BY ks_num DESC, score_at ASC LIMIT 1""".stripMargin,
     // the full confusion matrix at the best-F1 threshold: q215's exact
-    // argmax law restated with TN + floor'd-ppm operating rates —
-    // non-negative operands so DuckDB // == Spark div
+    // argmax law (the SHARED f1SweepCtes chain) restated with TN +
+    // floor'd-ppm operating rates — non-negative operands so
+    // DuckDB // == Spark div
     "q228_confusion_best_f1" ->
       s"""WITH $probeScoreCtes,
-         |bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
-         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
-         |  FROM sc GROUP BY score),
-         |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p,
-         |    CAST(SUM(neg_at) AS BIGINT) AS n FROM bys),
-         |cum AS (SELECT score,
-         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
-         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
-         |  FROM bys WINDOW w AS (ORDER BY score DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |$f1SweepCtes
          |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
          |  n - (cum_n - tp) AS tn,
          |  (tp * 1000000) // cum_n AS precision_ppm,
