@@ -1627,22 +1627,37 @@ object SparkEntry {
        |    CAST(SUM(c.code * w.w) AS BIGINT) AS score
        |  FROM cf c JOIN wts w USING (i) GROUP BY c.vec_id)""".stripMargin
 
-  /** The descending F1 sweep's oracle CTEs (bys/tot/cum) — the SQL twin
-    * of [[graft.quality.Eval]]'s `f1SweepFrom`, stated ONCE so q215 and
-    * q228 argmax over the same chain (q230's per-source form partitions
-    * the same windows by source). Consumes `sc` from
-    * [[probeScoreCtes]]. */
-  private val f1SweepCtes: String =
-    s"""bys AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos_at,
+  /** The descending F1 sweep's oracle CTEs (bys/cum) — the SQL twin of
+    * [[graft.quality.Eval]]'s `f1SweepFrom`, stated ONCE and
+    * partition-parameterized exactly like its `sliceCols`: q215/q228
+    * consume the global form (reads `sc` from [[probeScoreCtes]]),
+    * q230 the `slice`-partitioned form (reads a caller-provided `sl`
+    * carrying the slice column). `cum` exposes (tp, cum_n, p, n) with
+    * the totals as whole-partition window sums, mirroring the Scala
+    * `all` frame. */
+  private def f1SweepCtes(slice: String = ""): String = {
+    val keys = if (slice.isEmpty) "score" else s"$slice, score"
+    val src = if (slice.isEmpty) "sc" else "sl"
+    val part = if (slice.isEmpty) "" else s"PARTITION BY $slice "
+    s"""bys AS (SELECT $keys, CAST(SUM(y) AS BIGINT) AS pos_at,
        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
-       |  FROM sc GROUP BY score),
-       |tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p,
-       |    CAST(SUM(neg_at) AS BIGINT) AS n FROM bys),
-       |cum AS (SELECT score,
+       |  FROM $src GROUP BY $keys),
+       |cum AS (SELECT $keys,
        |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
-       |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n
-       |  FROM bys WINDOW w AS (ORDER BY score DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+       |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n,
+       |    CAST(SUM(pos_at) OVER wa AS BIGINT) AS p,
+       |    CAST(SUM(neg_at) OVER wa AS BIGINT) AS n
+       |  FROM bys WINDOW
+       |    w AS (${part}ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wa AS (${part}ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin
+  }
+
+  /** The floor'd-ppm F1 law over `cum`'s columns — ONE string serving
+    * every oracle consumer (q215/q228 projection+ORDER BY, q230's rk
+    * projection and ROW_NUMBER ordering). */
+  private val F1PpmSql = "(tp * 2000000) // (cum_n + p)"
 
   /** The BPE fixed-round training chain (q200/q201 oracles): w0 is the
     * vocab with char-level double-space symstrs; round r contributes
@@ -2817,10 +2832,10 @@ object SparkEntry {
     // f1SweepCtes (shared with q228, the SQL twin of Eval.f1SweepFrom)
     "q215_best_f1" ->
       s"""WITH $probeScoreCtes,
-         |$f1SweepCtes
+         |${f1SweepCtes()}
          |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
-         |  (tp * 2000000) // (cum_n + p) AS f1_ppm
-         |FROM cum, tot ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
+         |  $F1PpmSql AS f1_ppm
+         |FROM cum ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
     // per-language AUC: the q210 sweep keyed (lang, score), the
     // negatives-below window partitioned by lang; a one-class slice
     // grades auc_ppm NULL on both engines
@@ -2870,14 +2885,14 @@ object SparkEntry {
     // DuckDB // == Spark div
     "q228_confusion_best_f1" ->
       s"""WITH $probeScoreCtes,
-         |$f1SweepCtes
+         |${f1SweepCtes()}
          |SELECT score, tp, cum_n - tp AS fp, p - tp AS fn,
          |  n - (cum_n - tp) AS tn,
          |  (tp * 1000000) // cum_n AS precision_ppm,
          |  (tp * 1000000) // p AS recall_ppm,
          |  ((tp + n - (cum_n - tp)) * 1000000) // (p + n) AS accuracy_ppm,
-         |  (tp * 2000000) // (cum_n + p) AS f1_ppm
-         |FROM cum, tot ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
+         |  $F1PpmSql AS f1_ppm
+         |FROM cum ORDER BY f1_ppm DESC, score DESC LIMIT 1""".stripMargin,
     // per-source calibration: q211's exact bin law on the GLOBAL
     // [lo, hi] grid, keyed (source, bin) via the id-key join
     "q229_calibration_by_source" ->
@@ -2899,22 +2914,11 @@ object SparkEntry {
       s"""WITH $probeScoreCtes,
          |sl AS (SELECT d.source, s.score, s.y
          |  FROM sc s JOIN documents d ON s.vec_id = d.doc_id),
-         |bys AS (SELECT source, score, CAST(SUM(y) AS BIGINT) AS pos_at,
-         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_at
-         |  FROM sl GROUP BY source, score),
-         |cum AS (SELECT source, score,
-         |    CAST(SUM(pos_at) OVER w AS BIGINT) AS tp,
-         |    CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS cum_n,
-         |    CAST(SUM(pos_at) OVER wa AS BIGINT) AS p
-         |  FROM bys WINDOW
-         |    w AS (PARTITION BY source ORDER BY score DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |    wa AS (PARTITION BY source ORDER BY score DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |${f1SweepCtes("source")},
          |rk AS (SELECT source, score, tp, cum_n, p,
-         |    (tp * 2000000) // (cum_n + p) AS f1_ppm,
+         |    $F1PpmSql AS f1_ppm,
          |    ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY (tp * 2000000) // (cum_n + p) DESC, score DESC) AS rn
+         |      ORDER BY $F1PpmSql DESC, score DESC) AS rn
          |  FROM cum)
          |SELECT source, score, tp, cum_n - tp AS fp, p - tp AS fn, f1_ppm
          |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin,

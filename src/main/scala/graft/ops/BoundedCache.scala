@@ -125,5 +125,18 @@ final class BoundedCache[K, V](maxEntries: Int) {
     * keep working (release-to-GC, see class doc). */
   def clear(): Unit = synchronized(map.clear())
 
+  /** TEST SEAM: install an already-poisoned cell for (appId, key), the
+    * map state a fresh caller sees if its lookup lands between another
+    * thread's compute failure and that thread's cell removal. The
+    * window is a few instructions wide and cannot be paused from a
+    * test, so the hit path's poisoned-skip branch is pinned through
+    * this seam instead (the envelope-parameter seam discipline). */
+  private[graft] def seedPoisonedForTest(appId: String, key: K,
+                                         t: Throwable): Unit = synchronized {
+    val c = new Cell(() => throw t)
+    try c.value catch { case _: Throwable => () }
+    map.put((appId, key), c)
+  }
+
   private[graft] def size: Int = synchronized(map.size())
 }

@@ -97,14 +97,6 @@ class BoundedCacheSpec extends AnyFunSuite {
   }
 
   test("a FRESH caller after a failed compute recomputes — from any thread") {
-    // closes the poisoned-cell race loophole: a caller whose map lookup
-    // lands between another thread's compute failure and that thread's
-    // cell removal must NOT inherit the stale failure. The window itself
-    // is a few instructions wide and cannot be pinned without a code
-    // seam; the hit path closes it structurally (`Cell.poisoned` skips
-    // the stale cell and installs a fresh one), and this test asserts
-    // the observable contract from a second thread: after a failure,
-    // the next getOrCompute — whoever makes it — runs its own closure.
     val c = new BoundedCache[Int, String](maxEntries = 2)
     intercept[RuntimeException] {
       c.getOrCompute("app", 7) { throw new RuntimeException("boom") }
@@ -114,6 +106,22 @@ class BoundedCacheSpec extends AnyFunSuite {
     t.start(); t.join(15000)
     assert(got == "recovered",
       "a fresh caller must compute, never inherit a stale poisoned cell")
+  }
+
+  test("the hit path skips a poisoned cell still present in the map (the race branch)") {
+    // the poisoned-cell race: a caller whose map lookup lands between
+    // another thread's compute failure and that thread's cell removal
+    // sees a poisoned cell AT the key. That window is a few
+    // instructions wide, so the seam installs exactly that map state;
+    // without the hit path's `poisoned` skip this rethrows the stale
+    // IllegalStateException instead of computing.
+    val c = new BoundedCache[Int, String](maxEntries = 2)
+    c.seedPoisonedForTest("app", 9, new IllegalStateException("stale-failure"))
+    assert(c.size == 1, "seam must leave the poisoned cell in the map")
+    assert(c.getOrCompute("app", 9)("fresh") == "fresh",
+      "a fresh caller must compute, not inherit the stale poisoned failure")
+    assert(c.getOrCompute("app", 9)("MISS") == "fresh",
+      "the fresh cell must have replaced the poisoned one in the map")
   }
 
   test("an entry evicted while its compute is in flight still returns a usable value") {

@@ -36,6 +36,9 @@ def main():
         if name in args:
             i = args.index(name)
             args.pop(i)
+            if i >= len(args) or args[i].startswith("--"):
+                print(f"{name} requires a value", file=sys.stderr)
+                sys.exit(1)
             return args.pop(i)
         return default
 
@@ -61,18 +64,23 @@ def main():
             if failed_dumps:
                 print(f"{sf}: query dumps failed: {failed_dumps}")
                 ok = False
-            code, log = sh([sys.executable,
-                            os.path.join(tools, "compare_local.py"), sfdir, out])
+            cmp_code, log = sh([sys.executable,
+                                os.path.join(tools, "compare_local.py"), sfdir, out])
             m = re.search(r"== (\d+) pass, (\d+) fail", log)
             rt = re.search(r"oracle runtime: ([0-9.]+)s total", log)
             npass, nfail = (int(m.group(1)), int(m.group(2))) if m else (0, -1)
             secs = float(rt.group(1)) if rt else -1.0
-            fails = [l for l in log.splitlines() if l.startswith("FAIL")]
+            # any line carrying FAIL (incl. compare_local's per-query
+            # 'BUDGET FAIL qNNN' lines), not only line-initial FAILs
+            fails = [l for l in log.splitlines() if "FAIL" in l]
             code_a, log_a = sh([sys.executable,
                                 os.path.join(tools, "audit_output_types.py"), out])
-            audit_ok = "0 DECIMAL/FLOAT32" in log_a
-            sf_ok = nfail == 0 and npass > 0 and secs <= budget and \
-                audit_ok and not failed_dumps
+            audit_ok = code_a == 0 and "0 DECIMAL/FLOAT32" in log_a
+            # compare_local exits nonzero on ANY failure class it knows
+            # about (value mismatch, per-query or total oracle budget) —
+            # trust its verdict, don't re-derive it from parsed fields
+            sf_ok = cmp_code == 0 and nfail == 0 and npass > 0 and \
+                secs <= budget and audit_ok and not failed_dumps
             ok = ok and sf_ok
             results.append((sf, npass, nfail, secs, audit_ok))
             print(f"{sf}: {npass} pass, {nfail} fail, oracle {secs:.1f}s "
