@@ -12,7 +12,12 @@ package graft.ops
   * MEMORY_AND_DISK blocks) with its `ContextCleaner`, which unpersists
   * the blocks once the RDD becomes unreachable — the same lifecycle
   * every non-cached `localCheckpoint` in this codebase already relies
-  * on. So a caller still holding an evicted frame keeps its blocks
+  * on. PRECONDITION: that lifecycle requires the `ContextCleaner` to
+  * exist — `spark.cleaner.referenceTracking` must stay at its default
+  * `true`; with it disabled, evicted checkpoint blocks are reclaimed
+  * only at context stop (the GC half of BoundedCacheSpec asserts the
+  * cleaner is present). So a caller still holding an evicted frame
+  * keeps its blocks
   * alive through its own reference, and use-after-evict simply WORKS:
   * there is no missing-block failure mode and no use-after-free window
   * for a dependent compute that is still reading the frame (the compute

@@ -36,12 +36,22 @@ import org.apache.spark.sql.functions._
   * a sort.
   *
   * Exactness: every graded column is BIGINT under floor division.
-  * N(N−1) and Σf(f−1) stay in-range to N ≈ 3·10⁹ tokens; past that a
-  * production deployment renders the diversity ratio in double (the
-  * counts themselves never overflow — only the pair products), which
-  * the scaladoc on [[simpsonDiversity]] spells out.
+  * N(N−1) and Σf(f−1) stay in-range to N ≈ 3·10⁹ tokens; past that
+  * [[simpsonDiversity]] AUTOMATICALLY switches (logged loudly) to
+  * rendering the pair products in double — the counts themselves
+  * (n_tokens, vocab, n1, singleton_pm) never overflow and stay exact
+  * BIGINT on both routes; only sum_ff1/inv_simpson degrade to
+  * DoubleType past the envelope (the [[graft.quality.RankCorr]]
+  * past-envelope discipline).
   */
 object Coverage {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** N(N−1) ≤ Long.MaxValue boundary: the largest corpus token count
+    * whose pair products (N(N−1) and the dominated Σf(f−1) ≤ N(N−1))
+    * are safe in BIGINT. */
+  val ExactEnvelopeTokens = 3000000000L
 
   /** (cnt, n_f): the frequency-of-frequencies reduction — n_f types
     * occur exactly cnt times. Two hash aggs from the raw corpus; the
@@ -80,10 +90,42 @@ object Coverage {
     * collision count; inv_simpson = N(N−1) div sum_ff1 is the
     * effective vocabulary size (NULL when no token repeats);
     * singleton_pm = n₁·1000 div V — the per-mille of vocabulary that
-    * is hapax legomena, the Heaps-law tail indicator. Exact to
-    * N ≈ 3·10⁹ tokens (the pair products; see object scaladoc). */
+    * is hapax legomena, the Heaps-law tail indicator.
+    *
+    * Exact to N ≈ 3·10⁹ tokens ([[ExactEnvelopeTokens]] — the pair
+    * products, see object scaladoc); past it the pair products switch
+    * to double AUTOMATICALLY (logged loudly): sum_ff1/inv_simpson
+    * become DoubleType while every count column stays exact BIGINT.
+    * The route is decided by one tiny agg action over the CHECKPOINTED
+    * FoF table (bounded at O(√2N) rows), so the corpus is still
+    * scanned exactly once. */
   def simpsonDiversity(documents: DataFrame): DataFrame =
-    freqOfFreq(documents)
+    simpsonDiversity(documents, ExactEnvelopeTokens)
+
+  /** Envelope-parameterized entry (test seam: a lowered envelope forces
+    * the auto-switch through the PUBLIC wiring on a tiny fixture). */
+  private[graft] def simpsonDiversity(documents: DataFrame,
+                                      envelope: Long): DataFrame = {
+    // checkpointed once: the route pre-count and the graded agg both
+    // read the bounded FoF rows instead of re-scanning the corpus
+    val fof = freqOfFreq(documents).localCheckpoint()
+    // Σ cnt·n_f = N: per-term ≤ N and the sum IS N — exact BIGINT at
+    // any conceivable corpus (only the PAIR products have an envelope)
+    val n = fof.agg(coalesce(sum(col("cnt") * col("n_f")), lit(0L)))
+      .first().getLong(0)
+    if (n <= envelope) simpsonExact(fof)
+    else {
+      log.warn(s"simpsonDiversity: N=$n tokens exceeds the exact " +
+        s"N(N-1) BIGINT envelope (<= $envelope); rendering the pair " +
+        "products in double (all count columns stay exact BIGINT)")
+      simpsonDouble(fof)
+    }
+  }
+
+  /** The exact-BIGINT pair-product path — unchanged law, off the
+    * checkpointed FoF table. */
+  private[graft] def simpsonExact(fof: DataFrame): DataFrame =
+    fof
       .agg(
         sum(col("cnt") * col("n_f")).as("n_tokens"),
         sum(col("n_f")).as("vocab"),
@@ -93,6 +135,36 @@ object Coverage {
         when(col("sum_ff1") > 0L,
           expr("(n_tokens * (n_tokens - 1)) div sum_ff1")).as("inv_simpson"),
         expr("(n1 * 1000) div vocab").as("singleton_pm"))
+
+  /** The past-envelope path: identical FoF reduction, count columns
+    * and singleton_pm still exact BIGINT; only the pair products
+    * accumulate as double (each factor cast BEFORE the product so no
+    * intermediate overflows). inv_simpson is the same law rendered as
+    * the TRUE double ratio N(N−1)/Σf(f−1) — deliberately un-floored:
+    * the exact path's floor is information only while the ratio is
+    * small enough that ±1 matters, and a Spark floor() would overflow
+    * its LongType result in the degenerate near-all-hapax corner this
+    * route must survive. Property contract (CoverageSpec): sum_ff1 is
+    * bit-equal to [[simpsonExact]]'s cast to double while every pair
+    * product ≤ 2⁵³, and inv_simpson is bit-equal to the double ratio
+    * formed from the exact path's own integer components; at the N it
+    * actually serves the accumulated products carry double rounding
+    * and partition-order sensitivity at the ulp level, acceptable for
+    * a diversity ratio read to a handful of significant digits. */
+  private[graft] def simpsonDouble(fof: DataFrame): DataFrame = {
+    val cntD = col("cnt").cast("double")
+    fof
+      .agg(
+        sum(col("cnt") * col("n_f")).as("n_tokens"),
+        sum(col("n_f")).as("vocab"),
+        coalesce(sum(when(col("cnt") === 1L, col("n_f"))), lit(0L)).as("n1"),
+        sum(cntD * (cntD - 1.0d) * col("n_f").cast("double")).as("sum_ff1"))
+      .select(col("n_tokens"), col("vocab"), col("sum_ff1"),
+        when(col("sum_ff1") > 0.0d,
+          col("n_tokens").cast("double") * (col("n_tokens") - 1L).cast("double")
+            / col("sum_ff1")).as("inv_simpson"),
+        expr("(n1 * 1000) div vocab").as("singleton_pm"))
+  }
 
   /** One row per requested coverage percentage: (pct, n_tokens,
     * v_needed, mass) — the smallest vocabulary, filled greedily from

@@ -157,6 +157,13 @@ class BoundedCacheSpec extends AnyFunSuite {
       "and its blocks are freed by the ContextCleaner once released") {
     import TestSpark._
     val sc = spark.sparkContext
+    // the release-to-GC lifecycle this test (and the class contract)
+    // relies on exists only while the ContextCleaner does: pin the
+    // spark.cleaner.referenceTracking=true precondition explicitly so a
+    // config drift fails HERE, not as a slow block leak in production
+    assert(sc.getConf.getBoolean("spark.cleaner.referenceTracking", defaultValue = true),
+      "BoundedCache's release-to-GC eviction requires spark.cleaner.referenceTracking " +
+        "to remain enabled (ContextCleaner reclaims evicted checkpoint blocks)")
     val c = new BoundedCache[Int, org.apache.spark.sql.DataFrame](maxEntries = 2)
     // build + evict + act in a WORKER THREAD so every stack slot that ever
     // referenced the frame (incl. scalatest assert-macro temporaries) dies

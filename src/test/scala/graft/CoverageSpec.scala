@@ -49,6 +49,46 @@ class CoverageSpec extends AnyFunSuite {
     assert(g.getAs[Long]("chao1") == 3L + 3L * 2L / 2L)
   }
 
+  test("simpsonDiversity past-envelope auto-switch: lowered envelope routes " +
+      "to double pair products, equal to the exact components re-rendered") {
+    // the envelope-parameter seam forces the fallback through the PUBLIC
+    // wiring on the tiny fixture; in the < 2^53 regime the double route
+    // must reproduce the exact path's integers bit-for-bit
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val exact = Coverage.simpsonDiversity(docs).collect().head
+    val forced = Coverage.simpsonDiversity(docs, envelope = 1L)
+    val fs = forced.schema
+    assert(fs("sum_ff1").dataType == DoubleType &&
+      fs("inv_simpson").dataType == DoubleType,
+      s"lowered envelope must route to the double rendering: $fs")
+    val f = forced.collect().head
+    // count columns stay exact BIGINT on BOTH routes
+    assert(f.getAs[Long]("n_tokens") == exact.getAs[Long]("n_tokens"))
+    assert(f.getAs[Long]("vocab") == exact.getAs[Long]("vocab"))
+    assert(f.getAs[Long]("singleton_pm") == exact.getAs[Long]("singleton_pm"))
+    // pair products: bit-equal to the exact integers rendered in double
+    assert(f.getAs[Double]("sum_ff1") == exact.getAs[Long]("sum_ff1").toDouble)
+    val nTok = exact.getAs[Long]("n_tokens")
+    val expectInv = nTok.toDouble * (nTok - 1L).toDouble /
+      exact.getAs[Long]("sum_ff1").toDouble
+    assert(f.getAs[Double]("inv_simpson") == expectInv,
+      s"double ratio ${f.getAs[Double]("inv_simpson")} != $expectInv")
+    // and the default envelope stays on the exact BIGINT route
+    val ds = Coverage.simpsonDiversity(docs).schema
+    assert(ds("sum_ff1").dataType == LongType &&
+      ds("inv_simpson").dataType == LongType,
+      s"default envelope must stay exact: $ds")
+  }
+
+  test("simpsonDiversity double route: all-hapax corpus still grades " +
+      "inv_simpson NULL") {
+    val uniq = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val h = Coverage.simpsonDiversity(uniq, envelope = 1L).collect().head
+    assert(h.getAs[Double]("sum_ff1") == 0.0d)
+    assert(h.isNullAt(h.fieldIndex("inv_simpson")))
+    assert(h.getAs[Long]("singleton_pm") == 1000L)
+  }
+
   test("vocabCoverage equals the token-level greedy prefix (brute replay)") {
     val counts = Map("a" -> 4L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
     val n = counts.values.sum

@@ -719,13 +719,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("FoF family: two stacked hash aggs, no join and no corpus sort") {
-    // q218/q219/q220: corpus -> vocabulary agg -> frequency-of-
+    // q218/q220: corpus -> vocabulary agg -> frequency-of-
     // frequencies agg -> constant-size arithmetic. Any join, pairwise
     // stage, or a rangepartitioning exchange (global sort) means the
     // reduction chain regressed; the q220 pct fan-out must be a
     // literal explode, not a cross join.
-    for (q <- Seq("q218_good_turing", "q219_simpson_diversity",
-        "q220_vocab_coverage")) {
+    for (q <- Seq("q218_good_turing", "q220_vocab_coverage")) {
       val p = planOf(q)
       assert("HashAggregate".r.findAllIn(p).length >= 4,
         s"$q lost a stacked agg's map-side partial:\n$p")
@@ -735,6 +734,32 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("rangepartitioning"),
         s"$q pays a global range-partitioned sort:\n$p")
     }
+  }
+
+  test("q219 simpson: checkpointed FoF consumed by one constant-size agg; " +
+      "the FoF builder keeps the stacked-agg shape") {
+    // since the past-envelope auto-switch (r13), the route decision
+    // pre-counts the CHECKPOINTED FoF table, so the graded plan reads
+    // those bounded rows (one partial+final agg, nothing corpus-sized)
+    // while the stacked-agg discipline is gated on the builder itself
+    val p = planOf("q219_simpson_diversity")
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"),
+      s"q219 must read the checkpointed FoF rows:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"q219 lost the final agg's map-side partial:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q219 grew a join stage:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"q219 pays a global range-partitioned sort:\n$p")
+    val b = graft.text.Coverage.freqOfFreq(
+      graft.ops.Tables.documents(spark, sf)).queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(b).length >= 4,
+      s"FoF builder lost a stacked agg's map-side partial:\n$b")
+    assert(!b.contains("SortMergeJoin") && !b.contains("BroadcastHashJoin") &&
+      !b.contains("CartesianProduct") && !b.contains("BroadcastNestedLoop") &&
+      !b.contains("rangepartitioning"),
+      s"FoF builder grew a join/global-sort stage:\n$b")
   }
 
   test("dedup ROI + selection shift: keyed joins and stacked aggs, nothing pairwise") {

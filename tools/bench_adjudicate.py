@@ -156,8 +156,16 @@ def main():
     if dropped:
         fail(f"queries present in {prev_path} but MISSING from {new_path}: "
              f"{dropped} — a shrinking surface is not an improvement")
-    regressed = [(q, pq[q], nq[q], nq[q] / pq[q]) for q in shared
-                 if pq[q] > 0 and nq[q] / pq[q] > threshold]
+    # a zero recorded previous minimum cannot form a ratio, but it must
+    # not silently EXEMPT the query from regression detection either:
+    # any shared query with pq == 0 whose new minimum exceeds a small
+    # absolute epsilon is flagged (ratio rendered as inf)
+    zero_eps = 0.05
+    regressed = [(q, pq[q], nq[q],
+                  (nq[q] / pq[q]) if pq[q] > 0 else float("inf"))
+                 for q in shared
+                 if (pq[q] > 0 and nq[q] / pq[q] > threshold)
+                 or (pq[q] <= 0 and nq[q] > zero_eps)]
     improved = [(q, pq[q], nq[q], pq[q] / nq[q]) for q in shared
                 if nq[q] > 0 and pq[q] / nq[q] > threshold]
     s_new, s_prev = sum(nq[q] for q in shared), sum(pq[q] for q in shared)

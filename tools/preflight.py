@@ -69,7 +69,14 @@ def main():
             m = re.search(r"== (\d+) pass, (\d+) fail", log)
             rt = re.search(r"oracle runtime: ([0-9.]+)s total", log)
             npass, nfail = (int(m.group(1)), int(m.group(2))) if m else (0, -1)
-            secs = float(rt.group(1)) if rt else -1.0
+            # a missing/reformatted runtime line is a FAILURE, not a pass:
+            # defaulting secs to -1.0 would satisfy `secs <= budget`
+            # vacuously and silently skip the runtime-budget gate
+            if rt is None:
+                print(f"{sf}: oracle runtime line MISSING from "
+                      "compare_local output — runtime-budget gate "
+                      "cannot be checked, failing loudly")
+            secs = float(rt.group(1)) if rt else float("inf")
             # any line carrying FAIL (incl. compare_local's per-query
             # 'BUDGET FAIL qNNN' lines), not only line-initial FAILs
             fails = [l for l in log.splitlines() if "FAIL" in l]
