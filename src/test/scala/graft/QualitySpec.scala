@@ -366,23 +366,61 @@ class QualitySpec extends AnyFunSuite {
     assert(out.isEmpty, "constant baseline has undefined z and must emit nothing")
   }
 
-  test("embedding drift: capacity guard fails loudly past the DECIMAL(38,0) bound") {
+  test("embedding drift: past the DECIMAL(38,0) envelope the op auto-switches " +
+      "to the exact law on a deterministic hash subsample") {
     // 1000·d²·(n·2¹⁴)⁴ < 10³⁸ caps a 64-dim (label, half) at ~4286
     // vectors; past it the squared forms would overflow and non-ANSI
     // Spark would silently NULL the graded columns while the HUGEINT
-    // oracle raises — the guard must throw instead, and just-below
-    // the bound must still grade non-null
+    // oracle raises. r12 and earlier failed loudly there; r13 switches
+    // automatically: the SAME law on the 1/k xxhash64(vec_id) sample —
+    // so the fallback result must be bit-identical to embeddingDrift run
+    // on the manually pre-filtered input (which is in-envelope and takes
+    // the exact route), and just-below the bound must stay exact+non-null
+    import graft.quality.Drift
     def emb(n: Long) = spark.range(n).select(
       (col("id") * 2).as("vec_id"), // even ids → all in half 0
       expr("transform(sequence(1, 64), j -> CAST(1.0 AS FLOAT))").as("embedding"),
       lit(1).as("label"))
-    val e = intercept[IllegalArgumentException] {
-      graft.quality.Drift.embeddingDrift(emb(4300L))
-    }
-    assert(e.getMessage.contains("capacity exceeded"))
-    val ok = graft.quality.Drift.embeddingDrift(emb(4000L)).collect()
+    val big = emb(4300L)
+    val fallback = Drift.embeddingDrift(big).collect().toSeq
+    assert(fallback.length == 1, "fallback must still grade one row per label")
+    val nSampled = fallback.head.getAs[Long]("n_a")
+    assert(nSampled > 0L && nSampled < 4300L,
+      s"fallback must have sampled (n_a = $nSampled)")
+    // the modulus the fallback chose is deterministic — replay the choice
+    val k = Drift.chooseDriftSampleMod(big, 4300L, 64L, Drift.DriftDecimalCap)
+    assert(k > 1L && (k & (k - 1L)) == 0L, s"modulus must be a power of two: $k")
+    val manual = Drift.embeddingDrift(big.filter(Drift.driftSampleFilter(k)))
+      .collect().toSeq
+    assert(fallback == manual,
+      s"fallback must equal the exact law on the same sample:\n$fallback\nvs\n$manual")
+    // below the bound: exact route (no sampling — n_a is the FULL count)
+    val ok = Drift.embeddingDrift(emb(4000L)).collect()
     assert(ok.length == 1 && !ok.head.isNullAt(ok.head.fieldIndex("na2_hi")),
       "below the bound the bilinear forms must grade non-null")
+    assert(ok.head.getAs[Long]("n_a") == 4000L,
+      "below the bound the exact route must see every vector")
+  }
+
+  test("embedding drift: a lowered cap forces the sampling route through " +
+      "the public wiring on a tiny fixture (envelope-parameter seam)") {
+    import graft.quality.Drift
+    val tiny = spark.range(64L).select(
+      (col("id") * 2).as("vec_id"),
+      expr("transform(sequence(1, 2), j -> CAST(0.5 AS FLOAT))").as("embedding"),
+      lit(1).as("label"))
+    val cap = BigInt(10).pow(25) // infeasible for 64 vectors of dim 2
+    assert(!Drift.driftFeasible(64L, 2L, cap))
+    val forced = Drift.embeddingDrift(tiny, cap).collect().toSeq
+    val k = Drift.chooseDriftSampleMod(tiny, 64L, 2L, cap)
+    assert(k > 1L, s"the lowered cap must force sampling (k = $k)")
+    val manual = Drift.embeddingDrift(tiny.filter(Drift.driftSampleFilter(k)))
+      .collect().toSeq
+    assert(forced == manual,
+      s"seam-forced route must equal the exact law on the same sample")
+    assert(forced.head.getAs[Long]("n_a") < 64L, "the sample must be proper")
+    // and the default cap on the same fixture stays exact
+    assert(Drift.embeddingDrift(tiny).collect().head.getAs[Long]("n_a") == 64L)
   }
 
   test("embedding drift: collinear halves read 1000, orthogonal 0, opposed -1000") {
