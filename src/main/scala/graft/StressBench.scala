@@ -958,12 +958,13 @@ object StressBench {
     // constant-size across SFs) — rows scale, the (label, half, dim)
     // agg state stays ≤ |labels|·2·64 rows; the linear term is the
     // explode + first hash agg. LABELS scale with the factor, pinning
-    // per-(label, half) counts at ~1000 — the operator's documented
-    // DECIMAL(38,0) capacity is ~4300 vectors per (label, half), and
-    // the round-8 guard now FAILS LOUDLY past it (the earlier
-    // fixed-10-label unit was silently measuring overflowed-NULL
-    // bilinear forms at 10×+; "shard labels" is the guard's own
-    // prescription and the honest scale law for a drift monitor).
+    // per-(label, half) counts at ~1000 — the operator's exact
+    // DECIMAL(38,0) envelope is ~4300 vectors per (label, half); past
+    // it the r13 fallback auto-switches to a deterministic hash
+    // subsample (the earlier fixed-10-label unit was silently
+    // measuring overflowed-NULL bilinear forms at 10×+), so pinning
+    // the cell size keeps this unit ON the exact route and measuring
+    // the exact law's slope.
     def synthEmb(n: Long, labels: Int): DataFrame =
       spark.range(n).select(col("id").as("vec_id"),
         (col("id") % labels).cast("int").as("label"),
@@ -1007,6 +1008,35 @@ object StressBench {
       }
       dupMassSplit(docs1, "1x")
       dupMassSplit(docsPlainN, s"${factor}x")
+    }
+    // capped_build cost attribution (VERDICT r12 item 2): the q194
+    // build decomposes as shingle scan, df agg -> stop list, rare
+    // anti-join index, stop-set build, and the pair self-join +
+    // recount — each timed on a checkpointed copy of ITS OWN input
+    // (the dup_mass_stages discipline), at 1x and at factor, on the
+    // SAME decorrelated replicas and df cap the capped_build unit
+    // uses. Checkpoints released eagerly at unit end (the unit owns
+    // its frames).
+    if (only.forall(_.exists("capped_build_stages".startsWith))) {
+      import graft.dedup.Dedup
+      def cappedSplit(df: DataFrame, tag: String): Unit = {
+        val tSh = time { Dedup.shingles(df, 3).count(); () }
+        val sh = Dedup.shingles(df, 3).localCheckpoint()
+        val tDf = time { Dedup.stopShingles(Dedup.shingleDfs(sh), 100).count(); () }
+        val stops = Dedup.stopShingles(Dedup.shingleDfs(sh), 100).localCheckpoint()
+        val tRare = time { Dedup.rareIndex(sh, broadcast(stops)).count(); () }
+        val indexed = Dedup.rareIndex(sh, broadcast(stops)).localCheckpoint()
+        val tStop = time { Dedup.stopSetsOf(sh, broadcast(stops)).count(); () }
+        val ss = Dedup.stopSetsOf(sh, broadcast(stops)).localCheckpoint()
+        val tPairs = time { Dedup.cappedPairsFrom(indexed, ss).count(); () }
+        println(f"STRESS capped_build_stages $tag%-5s shingle=$tSh%6.2fs " +
+          f"df=$tDf%6.2fs rare_idx=$tRare%6.2fs stop_sets=$tStop%6.2fs " +
+          f"pairs=$tPairs%6.2fs")
+        Seq(sh, stops, indexed, ss)
+          .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
+      }
+      cappedSplit(docs1, "1x")
+      cappedSplit(docsN, s"${factor}x")
     }
     // q55 cost attribution (VERDICT r4 item 7): each funnel stage timed
     // on a checkpointed copy of ITS OWN input, so a stage's number is

@@ -226,19 +226,75 @@ object Dedup {
     * pairs by stop postings: 13.8M rows for 436k pairs at sf0.1,
     * measured 9.9 s vs 5.0 s for this form).
     *
-    * indexed feeds both self-join sides and stopSets feeds both recount
-    * sides; un-materialized, projection collapse re-inlines the df
-    * aggregation into EVERY consumer (8 full shingle aggs observed in
-    * the q141 plan). One checkpoint each = one df pass total. */
+    * Build shape (restructured r13, the capped_build_stages
+    * attribution): the df agg runs ONCE into the checkpointed STOP
+    * list — the SMALL class by construction (≤ postings/maxDf distinct
+    * boilerplate shingles) — and both index stages then join AGAINST
+    * it: the rare index is an ANTI-join (rare = not stop), the stop
+    * sets an inner join, each with an explicit broadcast when the
+    * materialized stop list measures small (one cheap count on the
+    * checkpoint; past [[StopBroadcastMax]] rows the joins degrade to
+    * shuffles rather than risking an oversized broadcast). The
+    * previous shape aggregated df per consumer and shuffled the
+    * full shingle table against the LARGE rare class for the index
+    * join: 4 shingle-table-sized shuffles vs this form's 1 (the
+    * map-side-combined df agg, which has no hot-key row because hot
+    * shingles partial-aggregate). */
   def cappedCommonPairs(sh: DataFrame, maxDf: Long): DataFrame = {
-    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val indexed = sh.join(dfs.filter(col("df") <= maxDf).select("shingle"), "shingle")
-      .localCheckpoint()
-    val stopSets = sh.join(dfs.filter(col("df") > maxDf).select("shingle"), "shingle")
+    val stops = stopShingles(shingleDfs(sh), maxDf).localCheckpoint()
+    val stopSide = broadcastableStops(stops)
+    val indexed = rareIndex(sh, stopSide).localCheckpoint()
+    val stopSets = stopSetsOf(sh, stopSide).localCheckpoint()
+    cappedPairsFrom(indexed, stopSets)
+  }
+
+  /** Broadcast ceiling for the materialized stop-shingle list: under
+    * it the index joins broadcast (the shingle table never shuffles);
+    * past it they stay shuffle joins — correct, just not the fast
+    * path — instead of risking an oversized broadcast at corpus
+    * scales where the boilerplate class itself is huge. */
+  private[graft] val StopBroadcastMax = 2000000L
+
+  private def broadcastableStops(stops: DataFrame): DataFrame =
+    if (stops.count() <= StopBroadcastMax) broadcast(stops) else stops
+
+  /** (shingle, df) document frequencies — capped-build stage 1. ONE
+    * map-side-combined hash agg; hot shingles partial-aggregate, so
+    * there is no hot-key row. */
+  private[graft] def shingleDfs(sh: DataFrame): DataFrame =
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+  /** The distinct STOP shingles (df > maxDf) — the boilerplate class,
+    * small by construction. */
+  private[graft] def stopShingles(dfs: DataFrame, maxDf: Long): DataFrame =
+    dfs.filter(col("df") > maxDf).select("shingle")
+
+  /** Rare postings index — capped-build stage 2: rare = NOT stop, an
+    * anti-join against the small stop list (broadcast on the fast
+    * path), so the shingle table is never shuffled for the index. */
+  private[graft] def rareIndex(sh: DataFrame, stops: DataFrame): DataFrame =
+    sh.join(stops, Seq("shingle"), "left_anti")
+
+  /** Per-doc stop-shingle sets — capped-build stage 3: inner join
+    * against the same small stop list, then a doc-keyed agg over ONLY
+    * the stop postings (bounded arrays: few distinct stop shingles
+    * per doc by construction). */
+  private[graft] def stopSetsOf(sh: DataFrame, stops: DataFrame): DataFrame =
+    sh.join(stops, Seq("shingle"))
       .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("ss"))
-      .localCheckpoint()
+
+  /** Candidate pairs + exact recount — capped-build stage 4, over the
+    * two checkpointed artifacts. */
+  private[graft] def cappedPairsFrom(indexed: DataFrame,
+                                     stopSets: DataFrame): DataFrame = {
     // unordered pairs once (a < b), mirrored by the scorers that need
-    // both directions; the recount join volume halves too
+    // both directions; the recount join volume halves too. (A posting-
+    // list alternative — group each rare shingle's sorted doc list and
+    // explode the a<b combinations in-partition, one shuffle of the
+    // index instead of the self-join's two — was measured at 10x and
+    // LOST: pairs stage 5.4 s vs 4.9 s; collect_list + struct
+    // materialization costs more than the saved exchange, so the
+    // codegen'd self-join stays.)
     val rareCommon = indexed.as("a").join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
