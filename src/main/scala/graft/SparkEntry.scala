@@ -284,6 +284,14 @@ object SparkEntry {
     "q199_admission_stream" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedAdmissionCorpus(
         Tables.documents(s, d), AdmissionBatches)),
+    // the maintained near-dup GROUP-ID sink (incremental CC: per batch,
+    // min-label contraction restricted to touched components) replayed
+    // over the same deterministic micro-batches; the final state equals
+    // batch CC by the sink's equality law, so the oracle is q57's
+    // recursive-CTE chain + the residue-class batch column
+    "q231_cc_stream_groups" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedCcGroups(
+        Tables.documents(s, d), AdmissionBatches)),
     // BPE subword tokenizer TRAIN: per-round exact-integer pair counts
     // over the VOCAB (never the corpus), argmax with (cnt desc, pair
     // lexicographic) tiebreak, merge as one replace projection — the
@@ -1466,6 +1474,7 @@ object SparkEntry {
     "q106_pack_sequences" -> Seq("documents"),
     "q107_langid_ngram" -> Seq("documents"),
     "q199_admission_stream" -> Seq("documents"),
+    "q231_cc_stream_groups" -> Seq("documents"),
     "q200_bpe_train" -> Seq("documents"),
     "q201_bpe_encode" -> Seq("documents"),
     "q202_max_coverage" -> Seq("documents"),
@@ -1751,6 +1760,20 @@ object SparkEntry {
        |${mm3BandStep("bd2p", "bd3", 3, "h")}
        |${mm3BandStep("bd3p", "bd4", 4, "bucket")}
        |bd AS MATERIALIZED (SELECT doc_id, band, bucket FROM bd4p)""".stripMargin
+
+  /** The star-edge + recursive-CC chain over the [[minhashCtes]] band
+    * table (hubs → edges → sym → r) — the dedup-group LAW rendered
+    * ONCE and shared by q57/q147/q231 (the q230 one-rendering rule:
+    * the streamed CC sink's equality contract is precisely "equals
+    * this chain", so a third hand-maintained copy would be a law
+    * fork waiting to drift). Requires WITH RECURSIVE. */
+  private val ccChainCtes: String =
+    """hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
+      |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
+      |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
+      |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |r(a, b) AS (SELECT doc_id, doc_id FROM documents
+      |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)""".stripMargin
 
   /** Candidate pairs + estimated Jaccard (matching-minhash fraction)
     * from the [[minhashCtes]] chain — `cand`/`est` CTEs shared by the
@@ -2458,22 +2481,21 @@ object SparkEntry {
          |WHERE est_jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "q57_dedup_groups" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
-         |hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
-         |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
-         |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
-         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-         |r(a, b) AS (SELECT doc_id, doc_id FROM documents
-         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b)
+         |$ccChainCtes
          |SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the maintained-CC sink's equality law IS q57's chain (streamed
+    // min-label contraction == batch CC), plus the residue-class batch
+    // column the MemoryStream harness replays by
+    "q231_cc_stream_groups" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |$ccChainCtes
+         |SELECT a AS doc_id, MIN(b) AS group_id,
+         |  a % $AdmissionBatches AS batch
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
     // q57's CC chain + per-group argmax by token count (keep-best curation)
     "q147_dedup_rep" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
-         |hubs AS (SELECT band, bucket, MIN(doc_id) AS hub FROM bd GROUP BY 1, 2),
-         |edges AS (SELECT DISTINCT h.hub AS a, b.doc_id AS b
-         |  FROM bd b JOIN hubs h USING (band, bucket) WHERE b.doc_id <> h.hub),
-         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-         |r(a, b) AS (SELECT doc_id, doc_id FROM documents
-         |  UNION SELECT r.a, s.b FROM r JOIN sym s ON s.a = r.b),
+         |$ccChainCtes,
          |g AS (SELECT a AS doc_id, MIN(b) AS group_id FROM r GROUP BY a),
          |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM documents),

@@ -549,6 +549,48 @@ object CorpusStream {
     }
   }
 
+  /** GRADED end-to-end run of [[ccMaintenanceSink]] — the
+    * [[maintainedAdmissionCorpus]] harness applied to GROUP-ID
+    * maintenance: the documents table is replayed as `nBatches`
+    * deterministic micro-batches (doc_id mod nBatches, ascending)
+    * through the REAL checkpointed sink, and the graded output is the
+    * maintained component state itself, (doc_id, group_id, batch).
+    * By the sink's equality law the final state equals the BATCH
+    * [[graft.dedup.Dedup.minhashDedupGroups]] over the whole corpus,
+    * so the oracle is exactly q57's recursive-CTE CC chain plus the
+    * residue-class batch column. The driver-side collect is the
+    * MemoryStream harness contract (fixture-scale grading), not the
+    * operator. */
+  def maintainedCcGroups(documents: DataFrame, nBatches: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_graded").toString
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sink = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt)
+    try {
+      val rows = documents.select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(_.getLong(0) % nBatches == b)
+          .map(r => (r.getLong(0), r.getString(1)))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+      spark.read.parquet(state)
+        .select(col("doc_id"), col("group_id"),
+          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      sink.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the
@@ -676,6 +718,148 @@ object CorpusStream {
             adm.withColumn("_batch_id", lit(batchId))
               .withColumn("_stream_id", lit(streamId))
               .write.mode("append").parquet(corpusPath)
+        }
+      }
+      .start()
+
+  /** Incremental near-dup GROUP-ID maintenance — the sink that
+    * completes the maintained-state family with the "stable cluster
+    * ids at ingestion" production shape: each micro-batch extends the
+    * maintained band index and merges its documents into the
+    * maintained (doc_id, group_id) component state by min-label
+    * contraction restricted to TOUCHED components, instead of
+    * re-running batch CC over the whole corpus.
+    *
+    * EQUALITY LAW (graded, q231; spec-tested incl. restart): after any
+    * replay schedule the state equals the batch
+    * [[graft.dedup.Dedup.minhashDedupGroups]] over the union of all
+    * batches. (a) Connectivity: every pair sharing an LSH
+    * (band, bucket) is connected at the LATER doc's arrival — each
+    * batch links its band rows to ONE representative per prior bucket
+    * (whose members are already one component, by induction) and to
+    * the in-batch bucket hub — so cumulative connectivity equals the
+    * batch star-edge closure. (b) Labels: contracted super-node ids
+    * ARE prior group ids (= the min doc id of their component), so the
+    * contracted CC's min-label is the true merged component minimum.
+    *
+    * Exactly-once: the [[admissionSink]] + [[maintainState]]
+    * disciplines combined — band rows OVERWRITE their own
+    * `batch=<id>` partition (idempotent under replay), edge probes
+    * read only STRICTLY EARLIER partitions, and the state rewrite is
+    * the staged-rename + (_stream_id, _batch_id) high-water skeleton.
+    *
+    * Scale shape per batch: O(batch·bands) band rows; probe edges are
+    * ONE representative per touched (band, bucket) — never every
+    * bucket member; the CC runs over the CONTRACTED graph (new docs +
+    * touched group ids — batch-bounded); the relabel map is
+    * batch-bounded and broadcast; the state rewrite is one narrow
+    * doc-cardinality pass (the maintained-vocab sink's rewrite
+    * class). */
+  def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
+                        checkpoint: String, n: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val streamId = {
+            val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+            val txt = new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+              .map(_.group(1))
+              .getOrElse(sys.error(s"ccMaintenanceSink: no query id in $meta"))
+          }
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          val newBands = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
+            .select(col("doc_id"), col("band"), col("bucket"))
+            .localCheckpoint()
+          // (1) idempotent index extension: overwrite THIS batch's partition
+          newBands.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          // (2) high-water-gated, staged-rename state merge
+          val cur = new org.apache.hadoop.fs.Path(statePath)
+          val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
+          if (!fs.exists(cur) && fs.exists(nxt))
+            require(fs.rename(nxt, cur),
+              s"ccMaintenanceSink: recovery rename failed for $statePath")
+          else if (fs.exists(nxt)) fs.delete(nxt, true)
+          val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
+          val alreadyMerged = prior.exists { p =>
+            val sameStream =
+              if (p.columns.contains("_stream_id"))
+                p.filter(col("_stream_id") === streamId) else p
+            sameStream.agg(max(col("_batch_id"))).head() match {
+              case r if r.isNullAt(0) => false
+              case r => r.getLong(0) >= batchId
+            }
+          }
+          if (!alreadyMerged) {
+            val priorState = prior.map(_.drop("_batch_id", "_stream_id"))
+            // probe edges: new doc -> ONE representative per strictly
+            // earlier (band, bucket); the rep's members are already one
+            // component, so one edge per bucket carries full connectivity
+            val crossEdges = priorState match {
+              case Some(_) =>
+                val priorIdx = spark.read.parquet(indexPath)
+                  .filter(col("batch") < batchId)
+                newBands.join(
+                    priorIdx.groupBy(col("band"), col("bucket"))
+                      .agg(min(col("doc_id")).as("rep")),
+                    Seq("band", "bucket"))
+                  .select(col("doc_id"), col("rep")).distinct()
+                  .localCheckpoint()
+              case None =>
+                import spark.implicits._
+                Seq.empty[(Long, Long)].toDF("doc_id", "rep")
+            }
+            // contract: prior components become super-nodes named by
+            // their group id (= their min doc id)
+            val repGroups = priorState match {
+              case Some(st) => crossEdges
+                .join(st.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+                .select(col("doc_id").as("u"), col("group_id").as("v"))
+              case None => crossEdges.select(col("doc_id").as("u"),
+                col("rep").as("v")) // empty
+            }
+            val hubs = newBands.groupBy(col("band"), col("bucket"))
+              .agg(min(col("doc_id")).as("hub"))
+            val inEdges = newBands.join(hubs, Seq("band", "bucket"))
+              .filter(col("doc_id") =!= col("hub"))
+              .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
+            val touched = repGroups.select(col("v").as("group_id")).distinct()
+              .localCheckpoint()
+            val nodes = b.select(col("doc_id"))
+              .unionByName(touched.select(col("group_id").as("doc_id")))
+              .distinct()
+            val comp = graft.cluster.ConnectedComponents
+              .components(nodes, repGroups.unionByName(inEdges))
+              .toDF("id", "component").localCheckpoint()
+            // batch-bounded relabel map for the touched prior groups
+            val relabel = comp.join(touched, comp("id") === touched("group_id"))
+              .select(col("group_id"), col("component").as("new_group"))
+              .filter(col("new_group") =!= col("group_id"))
+            val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
+              .select(col("id").as("doc_id"), col("component").as("group_id"))
+            val merged = priorState match {
+              case Some(st) => st
+                .join(broadcast(relabel), Seq("group_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("new_group"), col("group_id")).as("group_id"))
+                .unionByName(newDocRows)
+              case None => newDocRows
+            }
+            merged.withColumn("_batch_id", lit(batchId))
+              .withColumn("_stream_id", lit(streamId))
+              .write.mode("overwrite").parquet(nxt.toString)
+            if (fs.exists(cur)) fs.delete(cur, true)
+            require(fs.rename(nxt, cur),
+              s"ccMaintenanceSink: rename failed for $statePath")
+          }
         }
       }
       .start()

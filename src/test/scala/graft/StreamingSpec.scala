@@ -400,6 +400,51 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(idxDocs.toSeq == got.toSeq)
   }
 
+  test("ccMaintenanceSink: maintained group ids equal batch CC, relabel on " +
+      "cross-batch merge, survive restart") {
+    val dir = tempDir("graft_cc")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = graft.stream.CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    val dA  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dA2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // ~dA
+    val dB  = "one two three four five six seven eight nine ten"
+    val dB2 = "one two three four five six seven eight nine eleven"      // ~dB
+    val dC  = "spark engines shuffle partitions broadcast joins catalyst codegen tungsten rows"
+    val dC2 = "spark engines shuffle partitions broadcast joins catalyst codegen tungsten cols" // ~dC
+    // batch 2's doc 3 near-dups batch 1's doc 5 with a SMALLER id: the
+    // maintained group 5 must RELABEL to 3 (the touched-component merge,
+    // not just an insert); 12/13 merge in-batch; after a restart, 21
+    // joins doc 8's group across the checkpoint boundary
+    val batches = Seq(
+      Seq((5L, dA), (8L, dB)),
+      Seq((3L, dA2), (12L, dC), (13L, dC2)),
+      Seq((21L, dB2), (22L, "completely different words here about nothing else")))
+    val q1 = start()
+    try {
+      batches.take(2).foreach { b => mem.addData(b: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = start() // restart from the same checkpoint
+    try {
+      mem.addData(batches(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(state).select("doc_id", "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val all = batches.flatten.toDF("doc_id", "text")
+    val want = graft.dedup.Dedup.minhashDedupGroups(all, 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"maintained groups must equal batch CC:\n got=$got\nwant=$want")
+    val byDoc = got.toMap
+    assert(byDoc(5L) == 3L && byDoc(3L) == 3L,
+      "cross-batch merge must RELABEL the existing component to the new minimum")
+    assert(byDoc(13L) == byDoc(12L), "in-batch near-dups must share a group")
+    assert(byDoc(21L) == byDoc(8L), "post-restart doc must join its pre-restart group")
+    assert(byDoc(22L) == 22L && byDoc(8L) == 8L, "singletons/roots label themselves")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")
