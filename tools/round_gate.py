@@ -68,6 +68,7 @@ def main():
     rnd = opt("--round")
     skip_plans = opt("--skip-plans", flag=True)
     skip_preflight = opt("--skip-preflight", flag=True)
+    justify = opt("--justify")  # passthrough: sign an accepted regression
     bench = opt("--bench",
                 os.path.join(ROOT, f"BENCH_full_r{rnd}.json") if rnd else None)
 
@@ -87,7 +88,8 @@ def main():
                         "--selftest", bench])
         check("adj-selftest", code == 0 and "selftest PASSED" in out)
         code, out = sh([sys.executable,
-                        os.path.join(TOOLS, "bench_adjudicate.py"), bench])
+                        os.path.join(TOOLS, "bench_adjudicate.py"), bench]
+                       + (["--justify", justify] if justify else []))
         if not check("adjudicate", code == 0,
                      out.splitlines()[-1] if out.splitlines() else ""):
             print(out)
