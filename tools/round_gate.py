@@ -80,6 +80,12 @@ def main():
         tail = "\n".join(out.splitlines()[-12:])
         if not check("preflight", code == 0):
             print(tail)
+        else:
+            # echo the per-sf summary + the ARCHITECTURE.md paragraph so
+            # the round record can cite this run's numbers directly
+            for l in out.splitlines():
+                if " pass, " in l or l.startswith("pre-flight"):
+                    print(f"  {l}")
 
     # 2+3. bench adjudication: selftest first, then the real run
     if bench and os.path.exists(bench):
