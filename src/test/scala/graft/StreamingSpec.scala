@@ -414,14 +414,20 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val dB2 = "one two three four five six seven eight nine eleven"      // ~dB
     val dC  = "spark engines shuffle partitions broadcast joins catalyst codegen tungsten rows"
     val dC2 = "spark engines shuffle partitions broadcast joins catalyst codegen tungsten cols" // ~dC
+    val dD  = "crimson umber viridian ochre cobalt cerulean magenta sienna indigo teal"
+    val dD2 = "crimson umber viridian ochre cobalt cerulean magenta sienna indigo slate" // ~dD
+    val dD3 = "crimson umber viridian ochre cobalt cerulean magenta sienna indigo pearl" // ~dD
     // batch 2's doc 3 near-dups batch 1's doc 5 with a SMALLER id: the
     // maintained group 5 must RELABEL to 3 (the touched-component merge,
     // not just an insert); 12/13 merge in-batch; after a restart, 21
-    // joins doc 8's group across the checkpoint boundary
+    // joins doc 8's group across the checkpoint boundary; the dD chain
+    // (7 -> merged by 6 -> merged by 4) forces a SECOND-generation
+    // relabel, exercising the alias-compression law
     val batches = Seq(
-      Seq((5L, dA), (8L, dB)),
-      Seq((3L, dA2), (12L, dC), (13L, dC2)),
-      Seq((21L, dB2), (22L, "completely different words here about nothing else")))
+      Seq((5L, dA), (8L, dB), (7L, dD)),
+      Seq((3L, dA2), (12L, dC), (13L, dC2), (6L, dD2)),
+      Seq((21L, dB2), (22L, "completely different words here about nothing else"),
+        (4L, dD3)))
     val q1 = start()
     try {
       batches.take(2).foreach { b => mem.addData(b: _*); q1.processAllAvailable() }
@@ -430,7 +436,8 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     try {
       mem.addData(batches(2): _*); q2.processAllAvailable()
     } finally q2.stop()
-    val got = spark.read.parquet(state).select("doc_id", "group_id")
+    val got = graft.stream.CorpusStream.readCcState(spark, state)
+      .select("doc_id", "group_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val all = batches.flatten.toDF("doc_id", "text")
     val want = graft.dedup.Dedup.minhashDedupGroups(all, 3, 8, 4)
@@ -443,6 +450,33 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byDoc(13L) == byDoc(12L), "in-batch near-dups must share a group")
     assert(byDoc(21L) == byDoc(8L), "post-restart doc must join its pre-restart group")
     assert(byDoc(22L) == 22L && byDoc(8L) == 8L, "singletons/roots label themselves")
+    assert(byDoc(7L) == 4L && byDoc(6L) == 4L && byDoc(4L) == 4L,
+      "two-generation merge chain must resolve to the final minimum")
+    // append-only proof: insert-time rows are immutable — every relabel
+    // lives solely in the small alias table, transitively COMPRESSED
+    // (7's label died to 6, then 6 to 4: both must map DIRECTLY to 4)
+    val g0s = spark.read.parquet(s"$state/docs").select("doc_id", "g0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g0s(5L) == 5L && g0s(7L) == 7L,
+      "relabels must never rewrite insert-time doc rows")
+    val aliasRows = spark.read.parquet(s"$state/alias").select("dead", "live")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aliasRows(5L) == 3L, "the 5->3 merge must live in the alias")
+    assert(aliasRows(7L) == 4L && aliasRows(6L) == 4L,
+      s"alias must stay transitively compressed (one-hop), got $aliasRows")
+    // crash-window recovery: death between delete(alias) and rename
+    // leaves the new alias stranded at .next — the next reader must
+    // recover it and resolve identically
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$state/alias")
+    val nxt = new org.apache.hadoop.fs.Path(s"$state/alias.next")
+    assert(fs.rename(cur, nxt), "test setup: strand the alias at .next")
+    val recovered = graft.stream.CorpusStream.readCcState(spark, state)
+      .select("doc_id", "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(recovered == want, "stranded alias.next must be recovered on read")
+    assert(fs.exists(cur) && !fs.exists(nxt), "recovery must complete the rename")
   }
 
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
