@@ -829,7 +829,9 @@ object CorpusStream {
           val newBands = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
             .select(col("doc_id"), col("band"), col("bucket"))
             .localCheckpoint()
-          val alias = readAlias(spark, statePath).localCheckpoint()
+          // parquet-backed already — both consumers re-scan the file,
+          // cheaper than a checkpoint job for a merge-bounded table
+          val alias = readAlias(spark, statePath)
           // probe: ONE representative (min doc, with its insert-time
           // label) per strictly earlier (band, bucket) — the rep's
           // members are already one component, so one edge per bucket
@@ -853,9 +855,10 @@ object CorpusStream {
           val inEdges = newBands.join(hubs, Seq("band", "bucket"))
             .filter(col("doc_id") =!= col("hub"))
             .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
-          // contract: touched live labels become super-nodes
+          // contract: touched live labels become super-nodes (derived
+          // from the CHECKPOINTED repEdges — both consumers re-scan
+          // those bounded rows, no checkpoint job needed)
           val touched = repEdges.select(col("v").as("group_id")).distinct()
-            .localCheckpoint()
           val nodes = b.select(col("doc_id"))
             .unionByName(touched.select(col("group_id").as("doc_id")))
             .distinct()
