@@ -806,13 +806,18 @@ object CorpusStream {
     * is the staged-rename skeleton (crash leaves the prior alias
     * readable; a stranded `.next` is recovered on the next access).
     *
-    * Scale shape per batch: O(batch·bands) band rows; probe edges are
-    * ONE representative per touched (band, bucket) — never every
-    * bucket member; the CC runs over the CONTRACTED graph (new docs +
+    * Scale shape per batch: O(batch·bands) band rows; the probe scans
+    * the prior index (the q199 admission probe shape — embarrassingly
+    * parallel, and restricted to THIS batch's buckets by a broadcast
+    * join BEFORE any aggregation, so only the matched postings —
+    * batch-bucket-bounded — ever shuffle); probe edges are ONE
+    * representative per touched (band, bucket), never every bucket
+    * member; the CC runs over the CONTRACTED graph (new docs +
     * touched live labels — batch-bounded); writes are two batch-sized
     * partitions plus the merge-bounded alias. Nothing corpus-sized is
-    * read or written on the batch path — the alias read is the one
-    * history-dependent input, bounded by total merge events. */
+    * SHUFFLED or WRITTEN on the batch path; the index scan is the one
+    * corpus-sized read, map-only, shared with the admission sink's
+    * contract. */
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4)
@@ -835,15 +840,23 @@ object CorpusStream {
           // probe: ONE representative (min doc, with its insert-time
           // label) per strictly earlier (band, bucket) — the rep's
           // members are already one component, so one edge per bucket
-          // carries full connectivity; g0 resolves through the alias
+          // carries full connectivity; g0 resolves through the alias.
+          // The index scan is restricted to THIS BATCH'S buckets by a
+          // broadcast join BEFORE the rep aggregation (the q199 probe
+          // shape): the scan stays embarrassingly parallel and only
+          // the matched postings — batch-bucket-bounded — ever
+          // shuffle; an unrestricted groupBy here would shuffle the
+          // whole corpus-sized index every micro-batch
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
           val repEdges = if (fs.exists(idxRoot)) {
             val priorIdx = spark.read.parquet(indexPath)
               .filter(col("batch") < batchId)
-            newBands.join(
-                priorIdx.groupBy(col("band"), col("bucket"))
-                  .agg(min(struct(col("doc_id"), col("g0"))).as("rep")),
-                Seq("band", "bucket"))
+            val batchBuckets = newBands.select(col("band"), col("bucket")).distinct()
+            val reps = priorIdx
+              .join(broadcast(batchBuckets), Seq("band", "bucket"))
+              .groupBy(col("band"), col("bucket"))
+              .agg(min(struct(col("doc_id"), col("g0"))).as("rep"))
+            newBands.join(reps, Seq("band", "bucket"))
               .select(col("doc_id").as("u"), col("rep.g0").as("rep_g0"))
               .join(alias.withColumnRenamed("dead", "rep_g0"), Seq("rep_g0"), "left")
               .select(col("u"), coalesce(col("live"), col("rep_g0")).as("v"))
