@@ -5040,7 +5040,8 @@ object SparkEntry {
         |  CAST(f.nb2 % 4294967296 AS BIGINT) AS nb2_lo,
         |  CAST(CASE WHEN f.na2 = 0 OR f.nb2 = 0 THEN 0
         |    ELSE (CASE WHEN f.dot > 0 THEN 1 WHEN f.dot < 0 THEN -1 ELSE 0 END)
-        |      * ((1000 * f.dot * f.dot) // (f.na2 * f.nb2)) END AS BIGINT) AS cos_sq_milli
+        |      * ((1000 * f.dot * f.dot) // (f.na2 * f.nb2)) END AS BIGINT) AS cos_sq_milli,
+        |  CAST(1 AS BIGINT) AS sample_mod
         |FROM forms f
         |LEFT JOIN counts na ON na.label = f.label AND na.half = 0
         |LEFT JOIN counts nb ON nb.label = f.label AND nb.half = 1

@@ -232,9 +232,12 @@ object Dedup {
     * boilerplate shingles) — and both index stages then join AGAINST
     * it: the rare index is an ANTI-join (rare = not stop), the stop
     * sets an inner join, each with an explicit broadcast when the
-    * materialized stop list measures small (one cheap count on the
-    * checkpoint; past [[StopBroadcastMax]] rows the joins degrade to
-    * shuffles rather than risking an oversized broadcast). The
+    * materialized stop list measures small (one cheap agg action on
+    * the checkpoint measuring BOTH rows and octets; past
+    * [[StopBroadcastMax]] rows or [[StopBroadcastMaxBytes]] the joins
+    * degrade to shuffles rather than risking an oversized broadcast —
+    * the byte cap covers variable-width shingles a row count alone
+    * would under-protect). The
     * previous shape aggregated df per consumer and shuffled the
     * full shingle table against the LARGE rare class for the index
     * join: 4 shingle-table-sized shuffles vs this form's 1 (the
@@ -255,8 +258,34 @@ object Dedup {
     * scales where the boilerplate class itself is huge. */
   private[graft] val StopBroadcastMax = 2000000L
 
-  private def broadcastableStops(stops: DataFrame): DataFrame =
-    if (stops.count() <= StopBroadcastMax) broadcast(stops) else stops
+  /** Byte ceiling on the SAME guard: shingle strings are
+    * variable-width, so a row count alone under-protects — 2M rows of
+    * long boilerplate shingles could be hundreds of MB, and an
+    * explicit broadcast() bypasses Spark's size-based safety. Both
+    * measures come from ONE agg action over the checkpointed stop
+    * list (no extra job for the byte check); 128 MiB of raw octets
+    * leaves ample headroom for the hash-relation expansion. */
+  private[graft] val StopBroadcastMaxBytes = 128L << 20
+
+  /** Counts the guard's measurement ACTIONS (test seam): the stop
+    * list is measured once per BUILD, and [[cappedCommonCached]]
+    * memoizes the whole pair table per (corpus, n, maxDf), so N
+    * cached invocations pay exactly one measurement — the spec in
+    * TextDedupSimSpec pins that contract so loop-callers can't
+    * silently stack count jobs. */
+  private[graft] val stopMeasureActions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def broadcastableStops(stops: DataFrame,
+                                        maxRows: Long = StopBroadcastMax,
+                                        maxBytes: Long = StopBroadcastMaxBytes)
+      : DataFrame = {
+    stopMeasureActions.incrementAndGet()
+    val m = stops.agg(count(lit(1)),
+      coalesce(sum(octet_length(col("shingle")).cast("long")), lit(0L))).head()
+    if (m.getLong(0) <= maxRows && m.getLong(1) <= maxBytes) broadcast(stops)
+    else stops
+  }
 
   /** (shingle, df) document frequencies — capped-build stage 1. ONE
     * map-side-combined hash agg; hot shingles partial-aggregate, so

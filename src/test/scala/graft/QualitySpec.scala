@@ -390,9 +390,17 @@ class QualitySpec extends AnyFunSuite {
     // the modulus the fallback chose is deterministic — replay the choice
     val k = Drift.chooseDriftSampleMod(big, 4300L, 64L, Drift.DriftDecimalCap)
     assert(k > 1L && (k & (k - 1L)) == 0L, s"modulus must be a power of two: $k")
+    // the route is surfaced row-locally: sample_mod carries the modulus
+    // (not only a driver log line a downstream consumer can't see)
+    assert(fallback.head.getAs[Long]("sample_mod") == k,
+      s"sampled route must stamp sample_mod = $k")
     val manual = Drift.embeddingDrift(big.filter(Drift.driftSampleFilter(k)))
       .collect().toSeq
-    assert(fallback == manual,
+    assert(manual.head.getAs[Long]("sample_mod") == 1L,
+      "the pre-filtered input is in-envelope, so its route is exact")
+    def noRoute(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => r.toSeq.dropRight(1)) // all but the sample_mod stamp
+    assert(noRoute(fallback) == noRoute(manual),
       s"fallback must equal the exact law on the same sample:\n$fallback\nvs\n$manual")
     // below the bound: exact route (no sampling — n_a is the FULL count)
     val ok = Drift.embeddingDrift(emb(4000L)).collect()
@@ -400,6 +408,8 @@ class QualitySpec extends AnyFunSuite {
       "below the bound the bilinear forms must grade non-null")
     assert(ok.head.getAs[Long]("n_a") == 4000L,
       "below the bound the exact route must see every vector")
+    assert(ok.head.getAs[Long]("sample_mod") == 1L,
+      "the exact route must stamp sample_mod = 1")
   }
 
   test("embedding drift: a lowered cap forces the sampling route through " +
@@ -414,13 +424,19 @@ class QualitySpec extends AnyFunSuite {
     val forced = Drift.embeddingDrift(tiny, cap).collect().toSeq
     val k = Drift.chooseDriftSampleMod(tiny, 64L, 2L, cap)
     assert(k > 1L, s"the lowered cap must force sampling (k = $k)")
+    assert(forced.head.getAs[Long]("sample_mod") == k,
+      s"seam-forced sampling must stamp sample_mod = $k")
     val manual = Drift.embeddingDrift(tiny.filter(Drift.driftSampleFilter(k)))
       .collect().toSeq
-    assert(forced == manual,
+    def noRoute(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => r.toSeq.dropRight(1))
+    assert(noRoute(forced) == noRoute(manual),
       s"seam-forced route must equal the exact law on the same sample")
     assert(forced.head.getAs[Long]("n_a") < 64L, "the sample must be proper")
-    // and the default cap on the same fixture stays exact
-    assert(Drift.embeddingDrift(tiny).collect().head.getAs[Long]("n_a") == 64L)
+    // and the default cap on the same fixture stays exact (sample_mod 1)
+    val exact = Drift.embeddingDrift(tiny).collect().head
+    assert(exact.getAs[Long]("n_a") == 64L)
+    assert(exact.getAs[Long]("sample_mod") == 1L)
   }
 
   test("embedding drift: collinear halves read 1000, orthogonal 0, opposed -1000") {

@@ -608,6 +608,35 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(cap.join(un, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
   }
 
+  test("cappedCommonCached: N invocations pay ONE stop-list measurement") {
+    // the ADVICE-flagged stacking hazard: every cappedCommonPairs BUILD
+    // pays one measurement action on the stop checkpoint, so a loop
+    // caller must route through the memoized entry — this pins that N
+    // cached invocations of the same (corpus, n, maxDf) measure once
+    val sh = Dedup.shingles(docs, 3).localCheckpoint()
+    val before = Dedup.stopMeasureActions.get()
+    (1 to 3).foreach { _ =>
+      Dedup.cappedCommonCached("memo-proof-fixture", sh, 3, 10).count()
+    }
+    assert(Dedup.stopMeasureActions.get() == before + 1,
+      "repeat invocations must serve the memoized pair table, not re-measure")
+  }
+
+  test("stop-list broadcast guard: the BYTE cap blocks oversized " +
+      "variable-width broadcasts a row count alone would admit") {
+    import spark.implicits._
+    // 4 rows (far under the row cap) of ~1 MB shingles: rows pass, bytes
+    // must veto the explicit broadcast when the byte ceiling is 1 MiB
+    val fat = (0 until 4).map(i => ("y" * 1000000) + i).toDF("shingle")
+      .localCheckpoint()
+    val vetoed = Dedup.broadcastableStops(fat, maxBytes = 1L << 20)
+    assert(!vetoed.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized-by-bytes stop list must NOT carry a broadcast hint")
+    val admitted = Dedup.broadcastableStops(fat, maxBytes = 1L << 30)
+    assert(admitted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "in-budget stop list must broadcast (the fast path)")
+  }
+
   test("persisted postings index: probe == direct computation, partition-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("postidx").toString
     val existing = docs.filter(col("doc_id") % 2 === 0)

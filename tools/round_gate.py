@@ -62,6 +62,9 @@ def main():
                 args.pop(i)
                 return True
             args.pop(i)
+            if i >= len(args):
+                sys.exit(f"usage: {name} requires a value "
+                         f"(e.g. {name} <value>)")
             return args.pop(i)
         return default
 
