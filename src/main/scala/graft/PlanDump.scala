@@ -180,6 +180,15 @@ object PlanDump {
       "the corpus as micro-batches; the graded tail is the materialized admitted " +
       "corpus (Scan ExistingRDD after localCheckpoint — the harness deletes its " +
       "temp tree), with no pairwise stage anywhere in the summary"),
+    "q231_cc_stream_groups" -> ("the REAL checkpointed CC maintenance sink " +
+      "replays the corpus as micro-batches; the graded tail is the resolved " +
+      "maintained (doc_id, group_id) state (Scan ExistingRDD after " +
+      "localCheckpoint — the harness deletes its temp tree), no pairwise stage. " +
+      "The batch-path scale claim — the corpus-sized band index meets the " +
+      "batch's buckets through a BroadcastHashJoin BELOW the representative " +
+      "aggregation, so the index scan stays map-only and only matched postings " +
+      "shuffle — is gated structurally in PlanSpec on ccProbeRepEdges, the " +
+      "exact DataFrame the sink checkpoints"),
     "q200_bpe_train" -> ("BPE training touches the corpus ONCE (word-frequency " +
       "hash agg); every merge round is a vocab-sized pair-count hash agg + a " +
       "single-row argmax (Scalar-class collect) + a narrow replace projection — " +
@@ -358,8 +367,19 @@ object PlanDump {
         // dependent) number of plans the graded streaming harnesses
         // created earlier in the session — no review value
         .replaceAll("plan_id=[0-9]+", "plan_id=N")
+        // RDD-id counter (MapPartitionsRDD[793]): same global-counter
+        // class — the streaming replays' job counts are timing-
+        // dependent, so absolute RDD ids are not reproducible
+        .replaceAll("RDD\\[[0-9]+\\]", "RDD[N]")
+      // expression IDs (doc_id#3825L) come off the same global
+      // counter: renumber them per SECTION in first-seen order, so
+      // same-named columns from different relations stay
+      // distinguishable while the dump is byte-reproducible
+      val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+      val renumbered = "#([0-9]+)".r.replaceAllIn(plan, m =>
+        s"#${seen.getOrElseUpdate(m.group(1), seen.size + 1)}")
       sb.append(s"\n## $name\n\n**Intent:** $intent\n\n```\n")
-      sb.append(plan.trim)
+      sb.append(renumbered.trim)
       sb.append("\n```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -818,6 +818,32 @@ object CorpusStream {
     * SHUFFLED or WRITTEN on the batch path; the index scan is the one
     * corpus-sized read, map-only, shared with the admission sink's
     * contract. */
+  /** The CC sink's per-batch PROBE, factored out so PlanSpec can gate
+    * the physical plan of the round's central scale claim: the
+    * corpus-sized prior index is restricted to THIS batch's buckets by
+    * a BROADCAST join BEFORE the representative aggregation, so the
+    * index scan stays map-only and only the matched postings —
+    * batch-bucket-bounded — ever shuffle. An unrestricted
+    * groupBy(band, bucket) here would shuffle the whole index every
+    * micro-batch. Returns the (u, v) probe edges: each new doc linked
+    * to ONE current-label representative per touched prior bucket
+    * (rep g0 resolved through the alias table — one left-join hop by
+    * the compression invariant). The sink localCheckpoints the
+    * result; the plan gate reads it un-checkpointed. */
+  private[graft] def ccProbeRepEdges(priorIdx: DataFrame, newBands: DataFrame,
+                                     alias: DataFrame): DataFrame = {
+    val batchBuckets = newBands.select(col("band"), col("bucket")).distinct()
+    val reps = priorIdx
+      .join(broadcast(batchBuckets), Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col("doc_id"), col("g0"))).as("rep"))
+    newBands.join(reps, Seq("band", "bucket"))
+      .select(col("doc_id").as("u"), col("rep.g0").as("rep_g0"))
+      .join(alias.withColumnRenamed("dead", "rep_g0"), Seq("rep_g0"), "left")
+      .select(col("u"), coalesce(col("live"), col("rep_g0")).as("v"))
+      .distinct()
+  }
+
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4)
@@ -851,17 +877,7 @@ object CorpusStream {
           val repEdges = if (fs.exists(idxRoot)) {
             val priorIdx = spark.read.parquet(indexPath)
               .filter(col("batch") < batchId)
-            val batchBuckets = newBands.select(col("band"), col("bucket")).distinct()
-            val reps = priorIdx
-              .join(broadcast(batchBuckets), Seq("band", "bucket"))
-              .groupBy(col("band"), col("bucket"))
-              .agg(min(struct(col("doc_id"), col("g0"))).as("rep"))
-            newBands.join(reps, Seq("band", "bucket"))
-              .select(col("doc_id").as("u"), col("rep.g0").as("rep_g0"))
-              .join(alias.withColumnRenamed("dead", "rep_g0"), Seq("rep_g0"), "left")
-              .select(col("u"), coalesce(col("live"), col("rep_g0")).as("v"))
-              .distinct()
-              .localCheckpoint()
+            ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
           } else Seq.empty[(Long, Long)].toDF("u", "v")
           val hubs = newBands.groupBy(col("band"), col("bucket"))
             .agg(min(col("doc_id")).as("hub"))

@@ -604,6 +604,95 @@ class PlanSpec extends AnyFunSuite {
       s"pairwise stage in the admission summary:\n$p")
   }
 
+  test("cc stream groups summary: materialized maintained state, no pairwise stage") {
+    // q231 executes the REAL checkpointed CC maintenance sink; the
+    // graded tail reads the resolved (doc_id, group_id) state and
+    // materializes it so the harness can delete its temp tree — the
+    // batch-path probe shape is gated structurally in the next test
+    val p = planOf("q231_cc_stream_groups")
+    assert(p.contains("ExistingRDD") || p.contains("Scan parquet") || p.contains("FileScan"),
+      s"group state must be the materialized maintained table:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairwise stage in the cc-groups summary:\n$p")
+  }
+
+  test("cc maintenance probe: broadcast bucket restriction BEFORE the rep " +
+      "aggregation; the corpus-sized index scan stays map-only") {
+    // the round-13 flagship scale claim, gated on the REAL batch path
+    // (ccProbeRepEdges is the exact DataFrame the sink checkpoints):
+    // the prior band index — corpus-sized at production scale — must
+    // meet the batch's bucket set through a BroadcastHashJoin below
+    // the representative aggregation, so raw index rows are filtered
+    // map-side and only matched postings reach any Exchange. An
+    // unrestricted groupBy(band, bucket) over the index would shuffle
+    // the whole corpus every micro-batch.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val dir = java.nio.file.Files.createTempDirectory("ccprobe_gate").toString
+    Seq((1L, 0, 11L, 1L), (2L, 1, 22L, 2L), (3L, 0, 11L, 1L))
+      .toDF("doc_id", "band", "bucket", "g0")
+      .write.parquet(s"$dir/batch=0")
+    val priorIdx = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("batch") < 1)
+    val newBands = Seq((10L, 0, 11L), (12L, 1, 33L)).toDF("doc_id", "band", "bucket")
+    val alias = Seq((2L, 1L)).toDF("dead", "live")
+    val df = graft.stream.CorpusStream.ccProbeRepEdges(priorIdx, newBands, alias)
+    val plan = df.queryExecution.sparkPlan
+    def parquetScans(p: SparkPlan) = p.collect {
+      case l: org.apache.spark.sql.execution.LeafExecNode
+        if l.nodeName.toLowerCase.contains("scan") &&
+           l.toString.toLowerCase.contains("parquet") => l
+    }
+    assert(parquetScans(plan).nonEmpty, s"no index file scan in the probe plan:\n$plan")
+    // (1) the restriction join: a BroadcastHashJoin keyed on (band,
+    // bucket) with the index FILE SCAN on its streamed side
+    val restrict = plan.collect { case j: BroadcastHashJoinExec
+      if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("band")) &&
+         (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("bucket")) &&
+         parquetScans(j).nonEmpty => j }
+    assert(restrict.nonEmpty,
+      s"index scan must meet the batch buckets through a broadcast (band, bucket) join:\n$plan")
+    // (2) map-only up to the join: the STREAMED (index) side has no
+    // shuffle between the file scan and the join — the build side may
+    // shuffle its batch-bounded bucket distinct before broadcasting
+    assert(restrict.forall { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      parquetScans(streamed).nonEmpty &&
+        streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty
+    }, s"the index side must not shuffle before the bucket restriction:\n$plan")
+    // (3) the join runs BEFORE the rep aggregation: some HashAggregate
+    // has the restriction join in its subtree
+    val aggAbove = plan.collect { case a: HashAggregateExec
+      if a.collect { case j: BroadcastHashJoinExec => j }
+        .exists(j => restrict.exists(_ eq j)) => a }
+    assert(aggAbove.nonEmpty,
+      s"the rep aggregation must consume the restricted join, not the raw index:\n$plan")
+    // (4) every shuffle above the index scan has the restriction join
+    // between itself and the scan — only matched postings exchange
+    val corpusShuffles = plan.collect { case e: ShuffleExchangeExec
+      if parquetScans(e).nonEmpty &&
+         e.collect { case j: BroadcastHashJoinExec => j }
+           .forall(j => !restrict.exists(_ eq j)) => e }
+    assert(corpusShuffles.isEmpty,
+      s"raw index rows reach an Exchange without the bucket restriction:\n$plan")
+    // (5) nothing pairwise anywhere in the probe
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"pairwise stage in the probe plan:\n$plan")
+    // and the probe is semantically right on the fixture: doc 10
+    // shares (band 0, bucket 11) with prior docs {1, 3} whose rep is
+    // doc 1 labeled g0=1; doc 12's bucket is new — no edge
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 1L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("probe auc family: literal-fold scoring + distinct-score agg, no rank sort") {
     // q210/q211/q214: the probe weights are a driver literal, so the
     // scoring pass is a narrow projection over the materialized codes
