@@ -371,6 +371,9 @@ object PlanDump {
         // class — the streaming replays' job counts are timing-
         // dependent, so absolute RDD ids are not reproducible
         .replaceAll("RDD\\[[0-9]+\\]", "RDD[N]")
+        // lambda-variable counter (lambda x_176#7): global too; the
+        // #id suffix (renumbered below) keeps variables distinct
+        .replaceAll("lambda x_[0-9]+", "lambda x")
       // expression IDs (doc_id#3825L) come off the same global
       // counter: renumber them per SECTION in first-seen order, so
       // same-named columns from different relations stay

@@ -1065,6 +1065,74 @@ object StressBench {
       val tAll = time { mat(graft.text.Curation.curate(docs1)); () }
       println(f"STRESS curate_composite  end_to_end=$tAll%5.2fs")
     }
+    // Maintained-sink index reads (VERDICT r13 item 3): q199's
+    // admission sink and q231's CC sink re-read the prior band index
+    // every micro-batch — the one corpus-SCALE read on their batch
+    // paths (map-only; everything that shuffles is batch-bounded).
+    // This unit measures (a) ONE batch's probe against a 1x and a
+    // factor× index, under the unpartitioned full read vs the
+    // residue-pruned read the sinks now use, across batch sizes that
+    // span the trickle->bulk coverage law (a batch touching B buckets
+    // hits ~P(1-e^(-B/P)) of the P=IndexLayoutParts residue classes);
+    // and (b) the CC sink END-TO-END at a fixed 4-batch replay, whose
+    // slope shows how per-batch cost grows with the corpus. Pruning
+    // is lossless (equal buckets => equal residues), so both reads
+    // feed the IDENTICAL probe plan downstream.
+    if (only.forall(_.exists("cc_sink".startsWith))) {
+      import graft.stream.CorpusStream
+      import spark.implicits._
+      val emptyAlias = Seq.empty[(Long, Long)].toDF("dead", "live")
+      // force the residue branch: the stress index stands in for one
+      // ACCUMULATED by trickle ingestion (per-batch writes are tiny;
+      // the total is corpus-sized), which is the regime pruning serves
+      def mkIndex(df: DataFrame, dir: String): Unit =
+        CorpusStream.writeBatchIndex(
+          graft.dedup.Dedup.bandRows(
+              df.select(col("doc_id"), col("text")), 3, 8, 4)
+            .select(col("doc_id"), col("band"), col("bucket"))
+            .withColumn("g0", col("doc_id")),
+          s"$dir/batch=0", classes = 0, trickleMaxClasses = Long.MaxValue)
+      def probe(dir: String, newBands: DataFrame, cls: Seq[Long],
+                pruned: Boolean): Double =
+        time {
+          val prior =
+            if (pruned) CorpusStream.readPriorIndex(spark, dir, 1L, cls)
+            else spark.read.parquet(dir).filter(col("batch") < 1L)
+          CorpusStream.ccProbeRepEdges(prior, newBands, emptyAlias).count()
+        }
+      val idx1 = java.nio.file.Files.createTempDirectory("ccidx1").toString
+      val idxN = java.nio.file.Files.createTempDirectory("ccidxN").toString
+      mkIndex(docs1, idx1)
+      mkIndex(docsN, idxN)
+      for (bsz <- Seq(4, 24, 500)) {
+        val batchDocs = docs1.orderBy(col("doc_id")).limit(bsz)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val newBands = graft.dedup.Dedup.bandRows(batchDocs, 3, 8, 4)
+          .select(col("doc_id"), col("band"), col("bucket")).localCheckpoint()
+        val cls = CorpusStream.residueClasses(newBands)
+        probe(idx1, newBands, cls, pruned = true) // warm-up: JIT + codegen
+        val f1 = probe(idx1, newBands, cls, pruned = false)
+        val p1 = probe(idx1, newBands, cls, pruned = true)
+        val fN = probe(idxN, newBands, cls, pruned = false)
+        val pN = probe(idxN, newBands, cls, pruned = true)
+        // rows the scan DECODES per route — the honest at-scale metric
+        // (local wall clocks are page-cache-confounded: a cluster read
+        // is remote, so bytes/rows scanned is what a probe pays)
+        val rowsFull = spark.read.parquet(idxN).filter(col("batch") < 1L).count()
+        val rowsPruned = CorpusStream.readPriorIndex(spark, idxN, 1L, cls).count()
+        println(f"STRESS cc_probe batch=$bsz%-4d classes=${cls.length}%3d/" +
+          f"${CorpusStream.IndexLayoutParts}  ${factor}x rows: " +
+          f"full=$rowsFull%,d pruned=$rowsPruned%,d " +
+          f"(${100.0 * rowsPruned / math.max(rowsFull, 1L)}%.0f%%)  " +
+          f"1x: full=$f1%5.2fs pruned=$p1%5.2fs  " +
+          f"${factor}x: full=$fN%5.2fs pruned=$pN%5.2fs")
+      }
+      Seq(idx1, idxN).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      run("cc_sink_e2e",
+        CorpusStream.maintainedCcGroups(docs1, 4).count(),
+        CorpusStream.maintainedCcGroups(docsN, 4).count())
+    }
     spark.stop()
   }
 }

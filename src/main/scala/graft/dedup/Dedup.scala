@@ -619,9 +619,18 @@ object Dedup {
     * candidates verify by signature agreement, survivors are admitted. */
   private def admitAgainst(corpusBands: DataFrame, incoming: DataFrame,
                            n: Int, bands: Int, rowsPerBand: Int,
-                           minEstJaccard: Double): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val batchBands = bandedSignatures(incoming, n, bands, rowsPerBand)
+                           minEstJaccard: Double): DataFrame =
+    admitAgainstPre(corpusBands, incoming,
+      bandedSignatures(incoming, n, bands, rowsPerBand),
+      bands * rowsPerBand, minEstJaccard)
+
+  /** [[admitAgainstBands]] with the incoming batch's band rows PREBUILT
+    * — the streaming admission sink computes them once and reuses them
+    * for the probe's residue classes, the decisions, and the index
+    * write (previously the batch was shingled twice per micro-batch). */
+  private[graft] def admitAgainstPre(corpusBands: DataFrame, incoming: DataFrame,
+                                     batchBands: DataFrame, numHashes: Int,
+                                     minEstJaccard: Double): DataFrame = {
     val rejected = batchBands.as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .withColumn("est_jaccard",

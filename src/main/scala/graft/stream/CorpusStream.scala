@@ -647,6 +647,85 @@ object CorpusStream {
       }
       .start()
 
+  /** Residue-class layout for the maintained band indexes (shared by
+    * [[admissionSink]] and [[ccMaintenanceSink]]): a TRICKLE batch's
+    * band rows land under `batch=<id>/p=<pmod(bucket, P)>` (a BULK
+    * batch writes flat as the `p=-1` class — see
+    * [[IndexTrickleMaxClasses]]), and each probe lists only `batch < id`
+    * AND the residue classes its OWN buckets can match, plus `p=-1` —
+    * lossless (equal buckets have equal residues), and the prune set
+    * is bounded by P, so it collects driver-side safely.
+    *
+    * Coverage law: a batch touching B distinct buckets hits
+    * ≈ P·(1 − e^(−B/P)) residue classes, so file-read pruning wins in
+    * the TRICKLE regime (B ≲ P — the prior index read drops to ~B/P of
+    * the corpus) and degrades to the full map-only scan in the BULK
+    * regime (B ≫ P), never below the unpartitioned layout (measured:
+    * StressBench `cc_probe_*`, adjudicated in SCALE.md). P also bounds
+    * the per-batch file count (the write-side repartition) — raising P
+    * buys more trickle pruning at the price of more, smaller files. */
+  private[graft] val IndexLayoutParts = 256
+
+  /** Bulk/trickle split for the residue layout: a batch touching MORE
+    * residue classes than this writes FLAT into the single `p=-1`
+    * class that every probe reads — by the coverage law its buckets
+    * saturate the classes anyway, so partitioning it would buy no
+    * pruning and cost a shuffle plus P small files per batch
+    * (measured: the unconditional layout tripled the graded q199/q231
+    * replays, whose batches are bulk). At or under it — future probes
+    * read ≤ half of this batch's rows on average, shrinking as batches
+    * shrink — the batch writes residue-partitioned. The branch is a
+    * pure function of the batch's rows (its residue-class count, which
+    * the probe already collected), so replays take the same branch and
+    * the write stays idempotent. */
+  private[graft] val IndexTrickleMaxClasses = IndexLayoutParts.toLong / 2
+
+  private def bucketResidue: org.apache.spark.sql.Column =
+    pmod(col("bucket"), lit(IndexLayoutParts.toLong))
+
+  /** The batch's residue classes — ONE bounded (≤ P rows) driver
+    * action per micro-batch, shared by the probe's file pruning and
+    * the write-side bulk/trickle branch (a deterministic function of
+    * the batch's rows, so replays reproduce both). */
+  private[graft] def residueClasses(batchBands: DataFrame): Seq[Long] =
+    batchBands.select(bucketResidue.as("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  /** One batch's band rows in the adaptive residue layout — whole-dir
+    * overwrite of this batch's partition keeps the write
+    * replay-idempotent. `classes` is the batch's residue-class set
+    * ([[residueClasses]], already collected for the probe);
+    * `trickleMaxClasses` is the branch threshold and the
+    * test/measurement seam (StressBench raises it to force the residue
+    * branch, measuring a trickle-accumulated index at scale). */
+  private[graft] def writeBatchIndex(rows: DataFrame, batchDir: String,
+                                     classes: Int,
+                                     trickleMaxClasses: Long = IndexTrickleMaxClasses)
+      : Unit =
+    if (classes <= trickleMaxClasses)
+      rows.withColumn("p", bucketResidue)
+        .repartition(col("p")) // files = classes touched, tasks AQE-coalesced
+        .write.mode("overwrite").partitionBy("p").parquet(batchDir)
+    else {
+      // replays take the same branch (deterministic rows), but clear
+      // the dir anyway so a threshold CHANGE between runs can't strand
+      // stale residue dirs next to the flat class
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        rows.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(batchDir), true)
+      rows.write.mode("overwrite").parquet(s"$batchDir/p=-1")
+    }
+
+  /** The prior-index read for one batch's probe: strictly earlier
+    * batches only (replay-stable decisions), pruned to the batch's own
+    * residue classes PLUS the flat bulk class (`p=-1`, always read —
+    * irreducibly so, per the coverage law). */
+  private[graft] def readPriorIndex(spark: org.apache.spark.sql.SparkSession,
+                                    indexPath: String, batchId: Long,
+                                    classes: Seq[Long]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("batch") < batchId && col("p").isin(classes :+ -1L: _*))
+
   /** Streaming near-dup ADMISSION loop — the full ingestion contract as
     * one sink: each micro-batch probes the maintained band index (zero
     * corpus-side compute, the [[graft.dedup.Dedup.incrementalNearDupIndexed]]
@@ -654,9 +733,10 @@ object CorpusStream {
     * their band rows extend the index for every later batch.
     *
     * Exactly-once WITHOUT a transaction log, by construction:
-    * - the index is laid out `indexPath/batch=<id>/band=<b>/…`, and a
-    *   batch's band rows OVERWRITE their own batch partition —
-    *   idempotent under any number of replays;
+    * - the index is laid out `indexPath/batch=<id>/p=<residue>/…`
+    *   (the [[IndexLayoutParts]] residue layout), and a batch's band
+    *   rows OVERWRITE their own batch partition — idempotent under
+    *   any number of replays;
     * - admission decisions probe only `batch < batchId` partitions
     *   (partition-pruned), so a replay whose own half-written bands are
     *   already on disk cannot self-collide and reaches the SAME
@@ -690,19 +770,26 @@ object CorpusStream {
               .getOrElse(sys.error(s"admissionSink: no query id in $meta"))
           }
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          // the batch's band rows, computed ONCE for probe residues,
+          // admission decisions, and the index write alike
+          val batchBands = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
+            .localCheckpoint()
+          val classes = residueClasses(batchBands)
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
-          // replay-stable decisions: only STRICTLY EARLIER batches vote
+          // replay-stable decisions: only STRICTLY EARLIER batches
+          // vote, residue-pruned to the buckets this batch can match
           val admitted = if (fs.exists(idxRoot)) {
-            val prior = spark.read.parquet(indexPath).filter(col("batch") < batchId)
+            val prior = readPriorIndex(spark, indexPath, batchId, classes)
             if (prior.isEmpty) b
-            else b.join(graft.dedup.Dedup.admitAgainstBands(
-              prior, b, n, bands, rowsPerBand, minEstJaccard), Seq("doc_id"))
+            else b.join(graft.dedup.Dedup.admitAgainstPre(
+              prior, b, batchBands, bands * rowsPerBand, minEstJaccard),
+              Seq("doc_id"))
           } else b
           val adm = admitted.localCheckpoint()
           // (1) idempotent index extension: overwrite THIS batch's partition
-          graft.dedup.Dedup.bandRows(adm, n, bands, rowsPerBand)
-            .write.mode("overwrite")
-            .parquet(s"$indexPath/batch=$batchId")
+          writeBatchIndex(
+            batchBands.join(adm.select(col("doc_id")), Seq("doc_id")),
+            s"$indexPath/batch=$batchId", classes.length)
           // (2) marker-gated corpus append
           val corpus = new org.apache.hadoop.fs.Path(corpusPath)
           val alreadyAppended = fs.exists(corpus) && {
@@ -767,10 +854,12 @@ object CorpusStream {
     * STATE LAYOUT — append-only, so per-batch I/O is batch-bounded,
     * never corpus-sized (the r13 second-pass fix of the initial
     * full-rewrite design):
-    *  - `indexPath/batch=<id>`: (doc_id, band, bucket, g0) band rows —
-    *    each row carries the doc's INSERT-TIME label g0, so bucket
+    *  - `indexPath/batch=<id>/p=<residue>`: (doc_id, band, bucket, g0)
+    *    band rows in the [[IndexLayoutParts]] residue layout — each
+    *    row carries the doc's INSERT-TIME label g0, so bucket
     *    representatives resolve to a current group without ever
-    *    scanning the doc state;
+    *    scanning the doc state, and probes file-prune to the residue
+    *    classes the batch's own buckets can match;
     *  - `statePath/docs/batch=<id>`: (doc_id, g0) — insert-only;
     *  - `statePath/alias`: (dead, live) — the ONLY table rewritten per
     *    batch, and it is MERGE-EVENT-bounded (one row per group label
@@ -808,16 +897,20 @@ object CorpusStream {
     *
     * Scale shape per batch: O(batch·bands) band rows; the probe scans
     * the prior index (the q199 admission probe shape — embarrassingly
-    * parallel, and restricted to THIS batch's buckets by a broadcast
-    * join BEFORE any aggregation, so only the matched postings —
-    * batch-bucket-bounded — ever shuffle); probe edges are ONE
-    * representative per touched (band, bucket), never every bucket
-    * member; the CC runs over the CONTRACTED graph (new docs +
-    * touched live labels — batch-bounded); writes are two batch-sized
-    * partitions plus the merge-bounded alias. Nothing corpus-sized is
-    * SHUFFLED or WRITTEN on the batch path; the index scan is the one
-    * corpus-sized read, map-only, shared with the admission sink's
-    * contract. */
+    * parallel, file-pruned to the batch's residue classes by the
+    * [[IndexLayoutParts]] layout, and restricted to THIS batch's
+    * buckets by a broadcast join BEFORE any aggregation, so only the
+    * matched postings — batch-bucket-bounded — ever shuffle); probe
+    * edges are ONE representative per touched (band, bucket), never
+    * every bucket member; the CC runs over the CONTRACTED graph (new
+    * docs + touched live labels — batch-bounded); writes are two
+    * batch-sized partitions plus the merge-bounded alias. Nothing
+    * corpus-sized is SHUFFLED or WRITTEN on the batch path; the index
+    * scan is the one corpus-SCALE read, map-only, shared with the
+    * admission sink's contract — residue pruning cuts it to ~B/P of
+    * the corpus in the trickle regime (B batch buckets ≲ P classes)
+    * and leaves the bulk regime at the full map-only scan (the
+    * coverage law at [[IndexLayoutParts]]; measured in SCALE.md). */
   /** The CC sink's per-batch PROBE, factored out so PlanSpec can gate
     * the physical plan of the round's central scale claim: the
     * corpus-sized prior index is restricted to THIS batch's buckets by
@@ -873,10 +966,10 @@ object CorpusStream {
           // the matched postings — batch-bucket-bounded — ever
           // shuffle; an unrestricted groupBy here would shuffle the
           // whole corpus-sized index every micro-batch
+          val classes = residueClasses(newBands)
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
           val repEdges = if (fs.exists(idxRoot)) {
-            val priorIdx = spark.read.parquet(indexPath)
-              .filter(col("batch") < batchId)
+            val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
             ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
           } else Seq.empty[(Long, Long)].toDF("u", "v")
           val hubs = newBands.groupBy(col("band"), col("bucket"))
@@ -907,9 +1000,10 @@ object CorpusStream {
           // its band rows (carrying insert-time labels)
           newDocRows.write.mode("overwrite")
             .parquet(s"$statePath/docs/batch=$batchId")
-          newBands.join(newDocRows, Seq("doc_id"))
-            .select(col("doc_id"), col("band"), col("bucket"), col("g0"))
-            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          writeBatchIndex(
+            newBands.join(newDocRows, Seq("doc_id"))
+              .select(col("doc_id"), col("band"), col("bucket"), col("g0")),
+            s"$indexPath/batch=$batchId", classes.length)
           // (2) alias' = alias·R ∪ R (keys disjoint: R's keys were live),
           // staged-rename swap; skipped when R is empty (alias' = alias)
           if (!relabel.isEmpty) {
