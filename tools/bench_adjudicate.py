@@ -170,12 +170,27 @@ def main():
                 if nq[q] > 0 and pq[q] / nq[q] > threshold]
     s_new, s_prev = sum(nq[q] for q in shared), sum(pq[q] for q in shared)
 
+    # window-drift diagnostic: when the HOST window shifted globally,
+    # every query drifts by a similar factor; the median shared-query
+    # ratio estimates that factor mechanically, and the normalized list
+    # separates per-query causes from window drift. DIAGNOSTIC ONLY —
+    # it never gates: a regression past threshold still fails without
+    # an explicit --justify, which can now cite these numbers.
+    ratios = sorted(nq[q] / pq[q] for q in shared if pq[q] > 0)
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    norm_flagged = sorted(q for q, p, n, r in regressed
+                          if r != float("inf") and r / med > threshold)
+    window = (f"window diagnostic: median shared-query ratio {med:.2f}x; "
+              f"still >{threshold}x after normalizing by it: "
+              f"{norm_flagged if norm_flagged else 'none'}")
+
     summary = (f"adjudicated vs {os.path.basename(prev_path)} (same config "
                f"{config(new)[0]}/{config(new)[1]}cpus): shared {len(shared)} "
                f"queries {s_new:.1f}s vs {s_prev:.1f}s = {s_new / s_prev:.2f}x, "
                f"{len(regressed)} regressed >{threshold}x, "
                f"{len(improved)} improved >{threshold}x"
-               + (f", {len(added)} new queries ({'/'.join(added)})" if added else ""))
+               + (f", {len(added)} new queries ({'/'.join(added)})" if added else "")
+               + f"; {window}")
     print(summary)
     for q, p, n, r in sorted(improved, key=lambda t: -t[3]):
         print(f"  improved  {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x faster)")
