@@ -726,6 +726,65 @@ object CorpusStream {
     spark.read.parquet(indexPath)
       .filter(col("batch") < batchId && col("p").isin(classes :+ -1L: _*))
 
+  /** OFFLINE compaction for the maintained band indexes: folds every
+    * `batch < uptoBatch` partition (and any existing compacted base)
+    * into ONE residue-partitioned base at `batch=-1`, then removes the
+    * consumed per-batch dirs. Probes are untouched — their
+    * `batch < batchId` filter includes -1 for every real batch id, and
+    * the base is residue-partitioned, so compaction RETROFITS trickle
+    * pruning onto bulk-written history (bulk batches write flat
+    * `p=-1`, unprunable until compacted) and bounds the per-probe file
+    * LISTING, which otherwise grows with total batch count for the
+    * life of the stream.
+    *
+    * CONTRACT: run while the sink is STOPPED, with `uptoBatch` no
+    * greater than the checkpoint's committed high water + 1 — a
+    * replayed batch only ever re-reads batches strictly below itself,
+    * all of which are then inside the base. Crash-safe by the staged
+    * dot-dir discipline plus probe idempotence:
+    *  - the new base writes to `.compact_next` (dot-prefixed —
+    *    invisible to partition discovery), so a crash mid-write
+    *    changes nothing;
+    *  - a crash between deleting the old base and renaming the new one
+    *    is recovered at the NEXT invocation (stranded `.compact_next`
+    *    with no `batch=-1`);
+    *  - consumed per-batch dirs are deleted only AFTER the swap; a
+    *    crash mid-delete leaves rows duplicated between the base and
+    *    surviving dirs, which both probes tolerate by construction
+    *    (admission takes DISTINCT rejected ids; the CC probe takes a
+    *    per-bucket MIN and distinct edges), and the next compaction
+    *    cleans them up. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, uptoBatch: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val base = new org.apache.hadoop.fs.Path(s"$indexPath/batch=-1")
+    val next = new org.apache.hadoop.fs.Path(s"$indexPath/.compact_next")
+    // recovery: a crash after delete(base) left the new base stranded
+    if (!fs.exists(base) && fs.exists(next))
+      require(fs.rename(next, base),
+        s"compactBandIndex: recovery rename failed for $indexPath")
+    else if (fs.exists(next)) fs.delete(next, true) // stale half-write
+    if (!fs.exists(root)) return
+    val consumed = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") && n.stripPrefix("batch=").toLong < uptoBatch
+      }
+    if (consumed.isEmpty || consumed.forall(_.getName == "batch=-1")) return
+    val rows = spark.read.option("basePath", indexPath)
+      .parquet(consumed.map(_.toString): _*)
+      .drop("p", "batch") // re-derive p: bulk history carried the flat -1 class
+    rows.withColumn("p", bucketResidue)
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(next.toString)
+    if (fs.exists(base)) fs.delete(base, true)
+    require(fs.rename(next, base),
+      s"compactBandIndex: rename failed for $indexPath")
+    consumed.filter(_.getName != "batch=-1").foreach(p => fs.delete(p, true))
+  }
+
   /** Streaming near-dup ADMISSION loop — the full ingestion contract as
     * one sink: each micro-batch probes the maintained band index (zero
     * corpus-side compute, the [[graft.dedup.Dedup.incrementalNearDupIndexed]]

@@ -479,6 +479,121 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(fs.exists(cur) && !fs.exists(nxt), "recovery must complete the rename")
   }
 
+  test("compactBandIndex: maintained state equals batch CC across compaction; " +
+      "bulk history becomes residue-partitioned; crash windows recover") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_compact")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    // batch 1 is BULK (40 docs, mutually distinct -> >128 residue
+    // classes -> the flat p=-1 write); batch 2 is trickle and contains
+    // a near-dup of a bulk doc, so its probe must SEE the bulk history
+    def uniq(i: Long) = (0 until 10).map(j => s"w${i}x$j").mkString(" ")
+    val dup100 = uniq(100L).replace("x9", "y9") // ~doc 100
+    val b1 = (100L until 140L).map(i => (i, uniq(i)))
+    val b2 = Seq((3L, dup100), (7L, "completely different words about nothing"))
+    val q1 = start()
+    try {
+      mem.addData(b1: _*); q1.processAllAvailable()
+      mem.addData(b2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dirsUnder(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    assert(dirsUnder(s"$idx/batch=0").contains("p=-1"),
+      "a 40-doc batch must take the BULK (flat) write branch")
+    assert(!dirsUnder(s"$idx/batch=1").contains("p=-1") &&
+      dirsUnder(s"$idx/batch=1").exists(_.startsWith("p=")),
+      "a 2-doc batch must take the TRICKLE (residue) write branch")
+    // save a consumed dir to replay the crash-mid-delete window later
+    val saved = new org.apache.hadoop.fs.Path(s"$dir/saved_batch0")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$idx/batch=0"), fs, saved,
+      false, spark.sparkContext.hadoopConfiguration)
+    // compact everything committed so far (2 batches -> uptoBatch 2)
+    CorpusStream.compactBandIndex(spark, idx, 2L)
+    assert(dirsUnder(idx) == Seq("batch=-1"),
+      s"consumed per-batch dirs must fold into the base, got ${dirsUnder(idx)}")
+    assert(dirsUnder(s"$idx/batch=-1").forall(d =>
+      d.startsWith("p=") && !d.equals("p=-1")),
+      "the compacted base must be residue-partitioned — bulk history " +
+        s"becomes prunable, got ${dirsUnder(s"$idx/batch=-1")}")
+    // crash-mid-delete window: a consumed dir survives next to the base
+    // (rows duplicated) — probes must tolerate it by idempotence
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs,
+      new org.apache.hadoop.fs.Path(s"$idx/batch=0"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // resume the SAME stream: batch 3 merges into a compacted group
+    // (102's near-dup with a smaller id forces a relabel THROUGH the
+    // base) and into the duplicated batch-0 rows
+    val b3 = Seq((2L, uniq(102L).replace("x9", "z9")),
+      (9L, "entirely fresh content words nine"))
+    val q2 = start()
+    try { mem.addData(b3: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = CorpusStream.readCcState(spark, state)
+      .select("doc_id", "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val want = graft.dedup.Dedup.minhashDedupGroups(all, 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"state after compaction + duplicate window must equal batch CC:\n got=$got\nwant=$want")
+    val byDoc = got.toMap
+    assert(byDoc(3L) == 3L && byDoc(100L) == 3L,
+      "the pre-compaction merge must survive compaction")
+    assert(byDoc(2L) == 2L && byDoc(102L) == 2L,
+      "a post-compaction merge must relabel a group that lives in the base")
+    // second compaction absorbs the duplicated dir and the new batch
+    CorpusStream.compactBandIndex(spark, idx, 3L)
+    assert(dirsUnder(idx) == Seq("batch=-1"))
+    assert(CorpusStream.readCcState(spark, state)
+      .select("doc_id", "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == want,
+      "re-compaction over duplicated rows must not change resolution")
+    // crash window between delete(base) and rename: strand the base at
+    // .compact_next — the next invocation must recover it
+    val basePath = new org.apache.hadoop.fs.Path(s"$idx/batch=-1")
+    val nextPath = new org.apache.hadoop.fs.Path(s"$idx/.compact_next")
+    assert(fs.rename(basePath, nextPath), "test setup: strand the base")
+    CorpusStream.compactBandIndex(spark, idx, 3L)
+    assert(fs.exists(basePath) && !fs.exists(nextPath),
+      "a stranded .compact_next must be recovered on the next invocation")
+    assert(spark.read.parquet(idx).filter(col("batch") < 99L).count() > 0,
+      "the recovered base must serve probes")
+  }
+
+  test("compactBandIndex: admission decisions unchanged across compaction") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_adm_compact")
+    val (idx, corpus, ckpt) = (s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.admissionSink(
+      mem.toDF().toDF("doc_id", "text"), idx, corpus, ckpt, 3, 8, 4, 0.5)
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d1b = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // ~d1
+    val d2 = "one two three four five six seven eight nine ten"
+    val q1 = start()
+    try {
+      mem.addData((1L, d1), (2L, d2)); q1.processAllAvailable()
+    } finally q1.stop()
+    CorpusStream.compactBandIndex(spark, idx, 1L)
+    val q2 = start()
+    try {
+      // 11 near-dups doc 1 whose band rows now live ONLY in the base
+      mem.addData((11L, d1b), (12L, "fresh unrelated words about engines"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 12L),
+      s"the compacted base must still reject near-dups: $got")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")
