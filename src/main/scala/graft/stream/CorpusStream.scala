@@ -740,7 +740,9 @@ object CorpusStream {
     * CONTRACT: run while the sink is STOPPED, with `uptoBatch` no
     * greater than the checkpoint's committed high water + 1 — a
     * replayed batch only ever re-reads batches strictly below itself,
-    * all of which are then inside the base. Crash-safe by the staged
+    * all of which are then inside the base (the checkpoint-taking
+    * overload derives exactly that bound via [[committedHighWater]]).
+    * Crash-safe by the staged
     * dot-dir discipline plus probe idempotence:
     *  - the new base writes to `.compact_next` (dot-prefixed —
     *    invisible to partition discovery), so a crash mid-write
@@ -754,6 +756,31 @@ object CorpusStream {
     *    (admission takes DISTINCT rejected ids; the CC probe takes a
     *    per-bucket MIN and distinct edges), and the next compaction
     *    cleans them up. */
+  /** The checkpoint's committed high-water batch id — the max entry in
+    * `<checkpoint>/commits` (Structured Streaming writes one file per
+    * COMMITTED batch), or -1 when nothing has committed. This is the
+    * value that makes compaction safe: a restarted stream replays at
+    * most the first UNcommitted batch, whose probe reads strictly
+    * below itself — all inside a base folded up to highWater + 1. */
+  def committedHighWater(spark: org.apache.spark.sql.SparkSession,
+                         checkpoint: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    if (!fs.exists(commits)) -1L
+    else fs.listStatus(commits).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** [[compactBandIndex]] with `uptoBatch` DERIVED from the sink's own
+    * checkpoint (committed high water + 1) — the safe-by-default entry
+    * that removes the one manual step from the maintenance contract. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, checkpoint: String): Unit =
+    compactBandIndex(spark, indexPath,
+      committedHighWater(spark, checkpoint) + 1L)
+
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, uptoBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -547,8 +547,11 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "the pre-compaction merge must survive compaction")
     assert(byDoc(2L) == 2L && byDoc(102L) == 2L,
       "a post-compaction merge must relabel a group that lives in the base")
-    // second compaction absorbs the duplicated dir and the new batch
-    CorpusStream.compactBandIndex(spark, idx, 3L)
+    // second compaction absorbs the duplicated dir and the new batch,
+    // via the safe-by-default overload that derives uptoBatch from the
+    // checkpoint's commits (3 committed batches -> high water 2)
+    assert(CorpusStream.committedHighWater(spark, ckpt) == 2L)
+    CorpusStream.compactBandIndex(spark, idx, ckpt)
     assert(dirsUnder(idx) == Seq("batch=-1"))
     assert(CorpusStream.readCcState(spark, state)
       .select("doc_id", "group_id")
@@ -581,7 +584,7 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     try {
       mem.addData((1L, d1), (2L, d2)); q1.processAllAvailable()
     } finally q1.stop()
-    CorpusStream.compactBandIndex(spark, idx, 1L)
+    CorpusStream.compactBandIndex(spark, idx, ckpt) // derived uptoBatch = 1
     val q2 = start()
     try {
       // 11 near-dups doc 1 whose band rows now live ONLY in the base
