@@ -1,22 +1,31 @@
 #!/usr/bin/env python3
 """Adjudicate a new replicated-minima bench artifact against the previous
-canonical-config one — mechanically, so two past failure modes can't recur:
+canonical-config one — mechanically, so three past failure modes can't
+recur:
 
   * the r10 silent config switch (an sf0.01/8-cpu artifact compared against
     sf0.1/32 history): comparison across different (sf, cpus) is REFUSED,
     and a non-canonical new artifact fails the adjudication outright;
   * the r11 single-run noise misread (q205/q226/q165 looked 1.6x slower in
     a single driver run while their replicated minima had improved): this
-    tool only ever reads BENCH_full minima artifacts, and flags a shared
-    query only when its MINIMUM regressed > --threshold (default 1.25x).
+    tool only ever reads BENCH_full minima artifacts, and compares MINIMA;
+  * the r13/r14 window-drift blindness (3 then 82 raw flags, every one a
+    uniform host slowdown, each covered by ONE --justify string): the raw
+    per-query flags are INFORMATION, and the GATE is the median-normalized
+    list — when the whole shared surface drifts by a common factor, the
+    median shared-query ratio estimates that factor, and a query is a
+    code-caused regression only if it regressed past threshold RELATIVE
+    to it. A real regression hidden under a drifted window still flags
+    (selftest 6 proves it); a pure window shift no longer needs a
+    justification that would otherwise carry no information.
 
 Usage:
   python3 tools/bench_adjudicate.py NEW.json [PREV.json ...]
       [--threshold 1.25] [--canonical-sf sf0.1] [--canonical-cpus 32]
       [--write-note] [--justify "reason"]
 
---justify is the explicit human override for a flagged regression: the
-run still prints every REGRESSED line, but exits 0 and records the
+--justify is the explicit human override for a NORMALIZED flag: the run
+still prints every flagged line, but exits 0 and records the
 justification verbatim in the artifact note (under --write-note), so an
 accepted regression is signed and auditable instead of silently passed.
 Config drift and dropped queries can NOT be justified — those always fail.
@@ -26,16 +35,25 @@ and the lexicographically-latest artifact with MATCHING (sf, cpus) is used;
 artifacts with a different config are listed as skipped, never compared.
 
 Exit 0: adjudication clean (summary printed, and appended to NEW's `note`
-        under --write-note).
+        under --write-note). Raw >threshold movements that normalize away
+        under the median window factor are printed and recorded as
+        window-attributed, not failed.
 Exit 1: loud failure — config drift, no comparable predecessor, a shared
-        query regressed past threshold, or the new artifact has failures.
+        query regressed past threshold AFTER normalizing by the median
+        window factor (or from a zero baseline), or the new artifact has
+        failures.
 
-`--selftest ART.json` is the deliberate-regression dry run: it forges a
-copy of ART with one query slowed 2x (must fail), a copy at a different
-config (must be refused), and a clean copy (must pass), and verifies each
-outcome — proof the gate fails loudly, runnable any round.
+`--selftest ART.json` is the deliberate-regression dry run: it forges
+copies of ART covering every contract branch — a 2x single-query
+regression (must fail), a config switch (must be refused), a clean copy
+(must pass), a justified regression (must pass loudly), a uniform 1.4x
+window drift (must pass WITHOUT justification, raw flags printed), and
+the same drifted window with one query slowed a FURTHER 2x (must fail,
+with that query in the normalized list) — and verifies each outcome:
+proof the gate fails loudly exactly when the code regressed, runnable
+any round.
 """
-import sys, json, os, glob, subprocess, tempfile, shutil
+import sys, json, os, glob, statistics, subprocess, tempfile, shutil
 
 
 def selftest(art_path):
@@ -77,6 +95,27 @@ def selftest(art_path):
             "accepted with justification" in out, \
             f"justified regression must pass loudly, got exit {code}:\n{out}"
         print("selftest 4 OK: justified regression passes but stays loud")
+
+        # uniform host-window drift: every query 1.4x slower, no code
+        # cause — must PASS without a justification (the r13/r14 regime
+        # where --justify carried no information), while every raw flag
+        # still prints
+        window = json.loads(json.dumps(base))
+        window["queries"] = {q: v * 1.4 for q, v in base["queries"].items()}
+        code, out = run(window)
+        assert code == 0 and "REGRESSED" in out and "window" in out, \
+            f"uniform 1.4x drift must pass with loud raw flags, got exit {code}:\n{out}"
+        print("selftest 5 OK: uniform window drift passes, raw flags stay loud")
+
+        # a REAL regression hidden under that same drifted window: q0 is
+        # 2x slower than the window explains — the normalized gate MUST
+        # still flag it (the promotion criterion this gate exists for)
+        hidden = json.loads(json.dumps(window))
+        hidden["queries"][q0] = base["queries"][q0] * 1.4 * 2.0
+        code, out = run(hidden)
+        assert code == 1 and q0 in out and "normaliz" in out, \
+            f"regression hidden under drift must fail, got exit {code}:\n{out}"
+        print(f"selftest 6 OK: {q0} hidden under a 1.4x window still flags")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -159,7 +198,8 @@ def main():
     # a zero recorded previous minimum cannot form a ratio, but it must
     # not silently EXEMPT the query from regression detection either:
     # any shared query with pq == 0 whose new minimum exceeds a small
-    # absolute epsilon is flagged (ratio rendered as inf)
+    # absolute epsilon is flagged (ratio rendered as inf) and gates
+    # unconditionally — it cannot be window-normalized
     zero_eps = 0.05
     regressed = [(q, pq[q], nq[q],
                   (nq[q] / pq[q]) if pq[q] > 0 else float("inf"))
@@ -170,24 +210,34 @@ def main():
                 if nq[q] > 0 and pq[q] / nq[q] > threshold]
     s_new, s_prev = sum(nq[q] for q in shared), sum(pq[q] for q in shared)
 
-    # window-drift diagnostic: when the HOST window shifted globally,
+    # THE GATE (promoted from diagnostic in r15, per the stated
+    # criterion "if window drift recurs across rounds" — r13 signed 3
+    # drift flags, r14 signed 82): when the HOST window shifts globally,
     # every query drifts by a similar factor; the median shared-query
-    # ratio estimates that factor mechanically, and the normalized list
-    # separates per-query causes from window drift. DIAGNOSTIC ONLY —
-    # it never gates: a regression past threshold still fails without
-    # an explicit --justify, which can now cite these numbers.
+    # ratio estimates that factor mechanically. Raw >threshold
+    # movements are printed as INFORMATION; the adjudication FAILS on
+    # the NORMALIZED list — queries still past threshold after dividing
+    # out the window factor — plus any zero-baseline (inf) flag, which
+    # has no ratio to normalize. Queries with pq == 0 are excluded from
+    # the median (noted below) but not from gating.
     ratios = sorted(nq[q] / pq[q] for q in shared if pq[q] > 0)
-    med = ratios[len(ratios) // 2] if ratios else 1.0
-    norm_flagged = sorted(q for q, p, n, r in regressed
-                          if r != float("inf") and r / med > threshold)
-    window = (f"window diagnostic: median shared-query ratio {med:.2f}x; "
-              f"still >{threshold}x after normalizing by it: "
-              f"{norm_flagged if norm_flagged else 'none'}")
+    zero_base = sum(1 for q in shared if pq[q] <= 0)
+    med = statistics.median(ratios) if ratios else 1.0
+    gate = [(q, p, n, r) for q, p, n, r in regressed
+            if r == float("inf") or r / med > threshold]
+    gate_names = sorted(q for q, _, _, _ in gate)
+    window = (f"window factor (median shared-query ratio): {med:.2f}x"
+              + (f" over {len(ratios)} ratios"
+                 + (f" ({zero_base} zero-baseline shared queries excluded "
+                    f"from the median, gated raw)" if zero_base else ""))
+              + f"; still >{threshold}x after normalizing by it: "
+              + (f"{gate_names}" if gate_names else "none"))
 
     summary = (f"adjudicated vs {os.path.basename(prev_path)} (same config "
                f"{config(new)[0]}/{config(new)[1]}cpus): shared {len(shared)} "
                f"queries {s_new:.1f}s vs {s_prev:.1f}s = {s_new / s_prev:.2f}x, "
-               f"{len(regressed)} regressed >{threshold}x, "
+               f"{len(regressed)} raw >{threshold}x, "
+               f"{len(gate_names)} NORMALIZED flags (the gate), "
                f"{len(improved)} improved >{threshold}x"
                + (f", {len(added)} new queries ({'/'.join(added)})" if added else "")
                + f"; {window}")
@@ -195,16 +245,26 @@ def main():
     for q, p, n, r in sorted(improved, key=lambda t: -t[3]):
         print(f"  improved  {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x faster)")
     for q, p, n, r in sorted(regressed, key=lambda t: -t[3]):
-        print(f"  REGRESSED {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x slower)",
-              file=sys.stderr)
-    if regressed and justify:
-        summary += ("; regression" + ("s" if len(regressed) > 1 else "") +
+        gated = q in gate_names
+        print(f"  REGRESSED {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x raw, "
+              + (f"{r / med:.2f}x normalized"
+                 if r != float("inf") else "zero baseline")
+              + (" — GATES)" if gated else " — window-attributed)"),
+              file=sys.stderr if gated else sys.stdout)
+    if regressed and not gate_names:
+        print(f"{len(regressed)} raw movement(s) fully window-attributed "
+              f"(median factor {med:.2f}x) — informational, not gating")
+    if gate_names and justify:
+        summary += ("; normalized flag" + ("s" if len(gate_names) > 1 else "") +
                     " JUSTIFIED: " + justify)
         print(f"accepted with justification: {justify}")
-    elif regressed:
-        fail(f"{len(regressed)} shared quer{'y' if len(regressed) == 1 else 'ies'} "
-             f"regressed past {threshold}x on replicated minima — justify "
+    elif gate_names:
+        fail(f"{len(gate_names)} shared quer{'y' if len(gate_names) == 1 else 'ies'} "
+             f"regressed past {threshold}x after normalizing by the "
+             f"{med:.2f}x window factor: {gate_names} — justify "
              f"(--justify) or fix before recording the artifact")
+    elif justify:
+        print(f"note: --justify given but nothing gated; not recorded")
 
     if write_note:
         new["note"] = new.get("note", "").rstrip("; ") + "; " + summary

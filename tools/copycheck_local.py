@@ -70,7 +70,13 @@ def main():
         for fp, theirs in ref_lines.items():
             if not theirs:
                 continue
-            r = difflib.SequenceMatcher(None, mine, theirs).ratio()
+            # autojunk=False: the default heuristic discounts lines that
+            # occur in >1% of a >200-line sequence (braces, imports,
+            # boilerplate), which would UNDER-report similarity on larger
+            # files relative to a detector without it — a pre-gate mirror
+            # must err toward over-flagging (ADVICE r14)
+            r = difflib.SequenceMatcher(None, mine, theirs,
+                                        autojunk=False).ratio()
             if r > threshold:
                 flagged.append({"repo": os.path.relpath(rp, ROOT),
                                 "reference": os.path.relpath(fp, ref_root),

@@ -17,7 +17,10 @@ fails):
                     fails loudly before trusting it.
   3. adjudicate   — tools/bench_adjudicate.py on the round's artifact
                     vs the latest same-config predecessor (refuses
-                    config drift, flags >1.25x minima regressions).
+                    config drift; GATES on >1.25x minima regressions
+                    that survive median-window normalization — raw
+                    flags that the window factor explains are printed
+                    as information, not failed).
   4. leak-grep    — an independent re-check of the LEAKCHECK surface:
                     buckets/URLs/keys/internal hosts over src/, tools/,
                     build.sbt, project/*.sbt|*.scala (build caches under
