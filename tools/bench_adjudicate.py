@@ -40,8 +40,11 @@ Exit 0: adjudication clean (summary printed, and appended to NEW's `note`
         window-attributed, not failed.
 Exit 1: loud failure — config drift, no comparable predecessor, a shared
         query regressed past threshold AFTER normalizing by the median
-        window factor (or from a zero baseline), or the new artifact has
-        failures.
+        window factor (or from a zero baseline), the median itself sits
+        outside the 1.75x window-attribution cap (a uniform shift that
+        large is as likely a shared-path code regression as a host, and
+        may only pass with --justify citing out-of-band evidence), or
+        the new artifact has failures.
 
 `--selftest ART.json` is the deliberate-regression dry run: it forges
 copies of ART covering every contract branch — a 2x single-query
@@ -116,6 +119,21 @@ def selftest(art_path):
         assert code == 1 and q0 in out and "normaliz" in out, \
             f"regression hidden under drift must fail, got exit {code}:\n{out}"
         print(f"selftest 6 OK: {q0} hidden under a 1.4x window still flags")
+
+        # a UNIFORM 2x shift: normalization would absorb it entirely, but
+        # a shift that large is as likely a shared-path code regression
+        # as a host — the window-attribution cap must refuse to
+        # self-certify it (justifiable only with out-of-band evidence)
+        big = json.loads(json.dumps(base))
+        big["queries"] = {q: v * 2.0 for q, v in base["queries"].items()}
+        code, out = run(big)
+        assert code == 1 and "cap" in out, \
+            f"uniform 2x shift must hit the window cap, got exit {code}:\n{out}"
+        code, out = run(big, "--justify", "selftest: A/B evidence cited")
+        assert code == 0, \
+            f"capped shift with justification must pass, got exit {code}:\n{out}"
+        print("selftest 7 OK: uniform 2x shift gates on the window cap, "
+              "passes only justified")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -226,6 +244,16 @@ def main():
     gate = [(q, p, n, r) for q, p, n, r in regressed
             if r == float("inf") or r / med > threshold]
     gate_names = sorted(q for q, _, _, _ in gate)
+    # the cap on what "window drift" may absorb: a uniform CODE
+    # regression (a session-config change, a shared-path slowdown) is
+    # mechanically indistinguishable from a slow host, so a median past
+    # this bound cannot self-certify as window — it needs a --justify
+    # citing out-of-band evidence (an A/B at a prior commit on the same
+    # host, the r14 discipline). 1.75x covers every host swing observed
+    # to date (r13/r14 drift: 1.23x; the judge's corroboration run:
+    # 1.43x vs r13 minima) with slack.
+    med_cap = 1.75
+    med_capped = med > med_cap or med < 1.0 / med_cap
     window = (f"window factor (median shared-query ratio): {med:.2f}x"
               + (f" over {len(ratios)} ratios"
                  + (f" ({zero_base} zero-baseline shared queries excluded "
@@ -251,18 +279,27 @@ def main():
                  if r != float("inf") else "zero baseline")
               + (" — GATES)" if gated else " — window-attributed)"),
               file=sys.stderr if gated else sys.stdout)
-    if regressed and not gate_names:
+    if regressed and not gate_names and not med_capped:
         print(f"{len(regressed)} raw movement(s) fully window-attributed "
               f"(median factor {med:.2f}x) — informational, not gating")
-    if gate_names and justify:
-        summary += ("; normalized flag" + ("s" if len(gate_names) > 1 else "") +
-                    " JUSTIFIED: " + justify)
+    gating_causes = []
+    if gate_names:
+        gating_causes.append(
+            f"{len(gate_names)} shared quer{'y' if len(gate_names) == 1 else 'ies'} "
+            f"regressed past {threshold}x after normalizing by the "
+            f"{med:.2f}x window factor: {gate_names}")
+    if med_capped:
+        gating_causes.append(
+            f"uniform {med:.2f}x shift exceeds the {med_cap}x window-"
+            f"attribution cap — a shift this large cannot self-certify as "
+            f"host drift; cite out-of-band evidence (e.g. an A/B at a "
+            f"prior commit on this host) via --justify")
+    if gating_causes and justify:
+        summary += "; gated finding(s) JUSTIFIED: " + justify
         print(f"accepted with justification: {justify}")
-    elif gate_names:
-        fail(f"{len(gate_names)} shared quer{'y' if len(gate_names) == 1 else 'ies'} "
-             f"regressed past {threshold}x after normalizing by the "
-             f"{med:.2f}x window factor: {gate_names} — justify "
-             f"(--justify) or fix before recording the artifact")
+    elif gating_causes:
+        fail("; AND ".join(gating_causes) +
+             " — justify (--justify) or fix before recording the artifact")
     elif justify:
         print(f"note: --justify given but nothing gated; not recorded")
 
