@@ -189,6 +189,14 @@ object PlanDump {
       "aggregation, so the index scan stays map-only and only matched postings " +
       "shuffle — is gated structurally in PlanSpec on ccProbeRepEdges, the " +
       "exact DataFrame the sink checkpoints"),
+    "q232_cc_compact_resume" -> ("the q231 replay with the band index " +
+      "COMPACTED mid-stream (sink stopped, checkpoint-derived bound, same " +
+      "stream resumed): the graded tail is the identical resolved " +
+      "(doc_id, group_id) state (Scan ExistingRDD after localCheckpoint), " +
+      "because compaction only re-homes batch partitions into the " +
+      "residue-partitioned batch=-1 base — post-compaction probes " +
+      "file-prune against the base exactly as trickle batches do, and the " +
+      "equality law (resolved state == batch CC) survives the fold"),
     "q200_bpe_train" -> ("BPE training touches the corpus ONCE (word-frequency " +
       "hash agg); every merge round is a vocab-sized pair-count hash agg + a " +
       "single-row argmax (Scalar-class collect) + a narrow replace projection — " +

@@ -292,6 +292,15 @@ object SparkEntry {
     "q231_cc_stream_groups" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedCcGroups(
         Tables.documents(s, d), AdmissionBatches)),
+    // the CC sink's full state LIFECYCLE graded end to end: replay 2
+    // batches through the REAL sink, STOP it, compact the band index
+    // under the checkpoint-derived bound, RESUME the same stream for
+    // the last batch against the compacted base — compaction preserves
+    // exactly what probes read, so the resolved state still equals
+    // batch CC and q231's oracle grades the compact+resume path
+    "q232_cc_compact_resume" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedCcGroupsCompacted(
+        Tables.documents(s, d), AdmissionBatches, 2)),
     // BPE subword tokenizer TRAIN: per-round exact-integer pair counts
     // over the VOCAB (never the corpus), argmax with (cnt desc, pair
     // lexicographic) tiebreak, merge as one replace projection — the
@@ -1475,6 +1484,7 @@ object SparkEntry {
     "q107_langid_ngram" -> Seq("documents"),
     "q199_admission_stream" -> Seq("documents"),
     "q231_cc_stream_groups" -> Seq("documents"),
+    "q232_cc_compact_resume" -> Seq("documents"),
     "q200_bpe_train" -> Seq("documents"),
     "q201_bpe_encode" -> Seq("documents"),
     "q202_max_coverage" -> Seq("documents"),
@@ -2487,6 +2497,17 @@ object SparkEntry {
     // min-label contraction == batch CC), plus the residue-class batch
     // column the MemoryStream harness replays by
     "q231_cc_stream_groups" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |$ccChainCtes
+         |SELECT a AS doc_id, MIN(b) AS group_id,
+         |  a % $AdmissionBatches AS batch
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+    // compaction + resume preserve the sink's equality law (probes read
+    // the same rows from the folded base), so q232 grades against the
+    // IDENTICAL chain — any compaction-induced divergence (lost band
+    // rows, a probe seeing its own batch, a broken alias) would break
+    // the hash match
+    "q232_cc_compact_resume" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |$ccChainCtes
          |SELECT a AS doc_id, MIN(b) AS group_id,

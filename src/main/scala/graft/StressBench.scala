@@ -1133,6 +1133,111 @@ object StressBench {
         CorpusStream.maintainedCcGroups(docs1, 4).count(),
         CorpusStream.maintainedCcGroups(docsN, 4).count())
     }
+    // q231 stage attribution (VERDICT r14 item 4): the heaviest graded
+    // query is a 3-batch replay of the CC sink; decompose its per-batch
+    // cost through the CcStageTimer seam on ccProcessBatch — the EXACT
+    // body the sink runs (no measurement fork). Stages: band (batch
+    // checkpoint + minhash bands + residue classes), probe (prior-index
+    // read + rep edges), cc (contracted components + relabel + doc
+    // rows), write (two batch partitions), alias (staged-rename swap).
+    // The residual between cc_sink_e2e and the stage sum is the
+    // MemoryStream/checkpoint harness itself. Driven at 1x and factor×
+    // on the same residue schedule q231 replays.
+    if (only.forall(_.exists("cc_sink_stages".startsWith))) {
+      import graft.stream.CorpusStream
+      class WallTimer extends CorpusStream.CcStageTimer {
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        def apply[T](stage: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          acc(stage) = acc.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+          r
+        }
+      }
+      def stageSplit(docs: DataFrame, tag: String, nBatches: Int): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory("ccstages").toString
+        val rows = docs.select(col("doc_id"), col("text")).localCheckpoint()
+        (0 until nBatches).foreach { b =>
+          val batch = rows.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b.toLong)
+          val t = new WallTimer
+          CorpusStream.ccProcessBatch(batch, b.toLong,
+            s"$dir/idx", s"$dir/state", 3, 8, 4, t)
+          println(f"STRESS cc_sink_stages $tag%-5s batch=$b " +
+            t.acc.map { case (s, v) => f"$s=$v%5.2fs" }.mkString(" "))
+        }
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rows)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+      stageSplit(docs1, "1x", 3)
+      stageSplit(docsN, s"${factor}x", 3)
+    }
+    // Accumulated-trickle regime (VERDICT r14 item 3): r14's cc_probe
+    // rows probed a 100x index written in ONE pass, standing in for an
+    // index ACCUMULATED by trickle ingestion — but the file-count /
+    // listing growth (hundreds of batch=<id> dirs x up to 256 p=
+    // subdirs) is exactly what compactBandIndex trades against, so
+    // measure it on a GENUINELY accumulated index: nBatches
+    // trickle-sized batches (small enough that the residue branch
+    // engages by its own threshold, no override), then (a) recursive
+    // file count + partition-discovery wall + one trickle probe wall
+    // on the accumulated layout, (b) compactBandIndex's own cost under
+    // the real uptoBatch bound, (c) the same three numbers on the
+    // folded base. Listing cost is driven by dir/file COUNT, not row
+    // volume, so a 1x-corpus accumulation isolates the claim; the 100x
+    // row-volume behavior stays covered by cc_probe's rows-decoded
+    // metric above.
+    if (only.forall(_.exists("cc_accum".startsWith))) {
+      import graft.stream.CorpusStream
+      val dir = java.nio.file.Files.createTempDirectory("ccaccum").toString
+      val rows = docs1.select(col("doc_id"), col("text")).localCheckpoint()
+      val total = rows.count()
+      val batchSize = 15L // <= ~18 docs keeps classes <= P/2: the REAL trickle branch
+      val nBatches = ((total + batchSize - 1) / batchSize).toInt
+      val tAccum = time {
+        (0 until nBatches).foreach { b =>
+          val batch = rows.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b.toLong)
+          val bands = graft.dedup.Dedup.bandRows(batch, 3, 8, 4)
+            .select(col("doc_id"), col("band"), col("bucket"))
+            .withColumn("g0", col("doc_id")).localCheckpoint()
+          CorpusStream.writeBatchIndex(bands, s"$dir/batch=$b",
+            CorpusStream.residueClasses(bands).length)
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(bands)
+        }
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def fileCount(p: String): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }
+      // partition discovery + schema: the per-probe listing price a
+      // fragmented layout charges before any byte of data is read
+      def listWall(): Double = {
+        spark.catalog.clearCache()
+        time { spark.read.parquet(dir).schema }
+      }
+      val probeDocs = rows.orderBy(col("doc_id")).limit(batchSize.toInt)
+        .localCheckpoint()
+      val probeBands = graft.dedup.Dedup.bandRows(probeDocs, 3, 8, 4)
+        .select(col("doc_id"), col("band"), col("bucket")).localCheckpoint()
+      val cls = CorpusStream.residueClasses(probeBands)
+      val emptyAlias = Seq.empty[(Long, Long)].toDF("dead", "live")
+      def probeWall(): Double = time {
+        CorpusStream.ccProbeRepEdges(
+          CorpusStream.readPriorIndex(spark, dir, nBatches.toLong, cls),
+          probeBands, emptyAlias).count()
+      }
+      probeWall() // warm-up: JIT + codegen (page cache stays confounded; see SCALE.md)
+      val (filesPre, listPre, probePre) = (fileCount(dir), listWall(), probeWall())
+      val tCompact = time { CorpusStream.compactBandIndex(spark, dir, nBatches.toLong) }
+      val (filesPost, listPost, probePost) = (fileCount(dir), listWall(), probeWall())
+      println(f"STRESS cc_accum batches=$nBatches%d (size=$batchSize%d, " +
+        f"accum=$tAccum%6.1fs) pre:  files=$filesPre%,d list=$listPre%5.2fs " +
+        f"probe=$probePre%5.2fs")
+      println(f"STRESS cc_accum compact=$tCompact%5.2fs           " +
+        f"post: files=$filesPost%,d list=$listPost%5.2fs probe=$probePost%5.2fs")
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rows)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
     spark.stop()
   }
 }

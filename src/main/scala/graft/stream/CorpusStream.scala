@@ -591,6 +591,59 @@ object CorpusStream {
     }
   }
 
+  /** GRADED end-to-end run of the CC sink's full state LIFECYCLE —
+    * [[maintainedCcGroups]] with [[compactBandIndex]] exercised
+    * mid-stream: the first `compactAfter` residue-class batches replay
+    * through the REAL checkpointed sink, the sink STOPS, the band
+    * index compacts under the checkpoint-derived bound
+    * (committed high water + 1 — the safe-by-default overload), the
+    * SAME stream resumes from its checkpoint, and the remaining
+    * batches replay against the compacted base. Compaction preserves
+    * exactly the rows probes read (`batch < id` includes the base's
+    * -1 for every real batch id), so the resolved final state still
+    * equals batch CC over the whole corpus — q231's oracle (q57's
+    * recursive-CTE chain + the residue-class batch column) grades the
+    * compaction + resume path end to end, promoting the
+    * StreamingSpec-only equality claim into the driver's correctness
+    * gate (the q179/q198 discipline applied to the last ungraded
+    * maintained-state transition). */
+  def maintainedCcGroupsCompacted(documents: DataFrame, nBatches: Int,
+                                  compactAfter: Int): DataFrame = {
+    require(compactAfter > 0 && compactAfter < nBatches,
+      s"compactAfter must split the replay: got $compactAfter of $nBatches")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccc_graded").toString
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    def start() = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt)
+    try {
+      val rows = documents.select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      def feed(sink: org.apache.spark.sql.streaming.StreamingQuery,
+               bs: Range): Unit = bs.foreach { b =>
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
+          .map(r => (r.getLong(0), r.getString(1)))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+      val q1 = start()
+      try feed(q1, 0 until compactAfter) finally q1.stop()
+      compactBandIndex(spark, idx, ckpt) // sink stopped: the contract
+      val q2 = start() // resume the SAME stream from its checkpoint
+      try feed(q2, compactAfter until nBatches) finally q2.stop()
+      readCcState(spark, state)
+        .select(col("doc_id"), col("group_id"),
+          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the
@@ -686,7 +739,18 @@ object CorpusStream {
   /** The batch's residue classes — ONE bounded (≤ P rows) driver
     * action per micro-batch, shared by the probe's file pruning and
     * the write-side bulk/trickle branch (a deterministic function of
-    * the batch's rows, so replays reproduce both). */
+    * the batch's rows, so replays reproduce both).
+    *
+    * SIGNED (r15, closing ADVICE r14): on a stream's FIRST batch the
+    * probe is skipped (no prior index), so this job feeds only the
+    * write branch — but it cannot be skipped or replaced there. The
+    * write branch must be the same pure function of the batch's rows
+    * on the first attempt and on a crash replay, and on replay the
+    * index EXISTS (written by the crashed attempt), so any cheaper
+    * "no-index-yet" classifier would fork the branch across exactly
+    * the crash window the layout's idempotence contract covers. One
+    * batch-bounded distinct per stream lifetime is the accepted
+    * price. */
   private[graft] def residueClasses(batchBands: DataFrame): Seq[Long] =
     batchBands.select(bucketResidue.as("p")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -701,20 +765,23 @@ object CorpusStream {
   private[graft] def writeBatchIndex(rows: DataFrame, batchDir: String,
                                      classes: Int,
                                      trickleMaxClasses: Long = IndexTrickleMaxClasses)
-      : Unit =
+      : Unit = {
+    // replays take the same branch (deterministic rows), but BOTH
+    // branches clear the dir first so a threshold change (or session
+    // partitionOverwriteMode=dynamic, whose partitioned overwrite
+    // truncates only matched partitions) can never strand the other
+    // branch's layout next to this write — the idempotence claim must
+    // not depend on session config (ADVICE r14)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(batchDir), true)
     if (classes <= trickleMaxClasses)
       rows.withColumn("p", bucketResidue)
         .repartition(col("p")) // files = classes touched, tasks AQE-coalesced
         .write.mode("overwrite").partitionBy("p").parquet(batchDir)
-    else {
-      // replays take the same branch (deterministic rows), but clear
-      // the dir anyway so a threshold CHANGE between runs can't strand
-      // stale residue dirs next to the flat class
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        rows.sparkSession.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(batchDir), true)
+    else
       rows.write.mode("overwrite").parquet(s"$batchDir/p=-1")
-    }
+  }
 
   /** The prior-index read for one batch's probe: strictly earlier
     * batches only (replay-stable decisions), pruned to the batch's own
@@ -781,8 +848,16 @@ object CorpusStream {
     compactBandIndex(spark, indexPath,
       committedHighWater(spark, checkpoint) + 1L)
 
-  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, uptoBatch: Long): Unit = {
+  /** Bound-taking overload, narrowed to the package: an `uptoBatch`
+    * above the checkpoint's committed high water + 1 would fold an
+    * UNCOMMITTED batch's index rows into the base, where its own
+    * replay's probe (`batch < batchId`, which includes -1) would see
+    * them — every replayed doc self-collides at est_jaccard=1 and
+    * admission decisions flip versus the original run (ADVICE r14).
+    * External callers get only the checkpoint-deriving overload, which
+    * computes exactly the safe bound. */
+  private[graft] def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String, uptoBatch: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexPath)
@@ -1023,6 +1098,120 @@ object CorpusStream {
       .distinct()
   }
 
+  /** Stage seam for the CC sink's per-batch pipeline: StressBench's
+    * `cc_sink_stages` unit passes a timing implementation so q231's
+    * graded cost decomposes (band / probe / cc / write / alias) on the
+    * ONE shared sink body — a measurement fork of the sink would drift
+    * from what q231 actually pays. The default is a no-op. */
+  private[graft] trait CcStageTimer {
+    def apply[T](stage: String)(f: => T): T
+  }
+  private[graft] object CcNoTimer extends CcStageTimer {
+    def apply[T](stage: String)(f: => T): T = f
+  }
+
+  /** One micro-batch of [[ccMaintenanceSink]] (semantics documented
+    * there), factored out of foreachBatch so StressBench can
+    * stage-attribute the graded q231 replay cost through `t` against
+    * the exact code the sink runs. Stage boundaries wrap each stage's
+    * materializing ACTION (localCheckpoint / parquet write); the
+    * lazy plan construction between them is driver-side and free. */
+  private[graft] def ccProcessBatch(batch: DataFrame, batchId: Long,
+                                    indexPath: String, statePath: String,
+                                    n: Int, bands: Int, rowsPerBand: Int,
+                                    t: CcStageTimer = CcNoTimer): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    // band: fingerprint the batch + its residue classes (the classes
+    // job is signed at residueClasses — shared by probe prune + write
+    // branch, deterministic under replay)
+    val (b, newBands, classes) = t("band") {
+      val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+      val nb = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
+        .select(col("doc_id"), col("band"), col("bucket"))
+        .localCheckpoint()
+      (b, nb, residueClasses(nb))
+    }
+    // parquet-backed already — both consumers re-scan the file,
+    // cheaper than a checkpoint job for a merge-bounded table
+    val alias = readAlias(spark, statePath)
+    // probe: ONE representative (min doc, with its insert-time
+    // label) per strictly earlier (band, bucket) — the rep's
+    // members are already one component, so one edge per bucket
+    // carries full connectivity; g0 resolves through the alias.
+    // The index scan is restricted to THIS BATCH'S buckets by a
+    // broadcast join BEFORE the rep aggregation (the q199 probe
+    // shape): the scan stays embarrassingly parallel and only
+    // the matched postings — batch-bucket-bounded — ever
+    // shuffle; an unrestricted groupBy here would shuffle the
+    // whole corpus-sized index every micro-batch
+    val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val repEdges = t("probe") {
+      if (fs.exists(idxRoot)) {
+        val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
+        ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
+      } else Seq.empty[(Long, Long)].toDF("u", "v")
+    }
+    val hubs = newBands.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("hub"))
+    val inEdges = newBands.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
+    // contract: touched live labels become super-nodes (derived
+    // from the CHECKPOINTED repEdges — both consumers re-scan
+    // those bounded rows, no checkpoint job needed)
+    val touched = repEdges.select(col("v").as("group_id")).distinct()
+    val nodes = b.select(col("doc_id"))
+      .unionByName(touched.select(col("group_id").as("doc_id")))
+      .distinct()
+    val (comp, relabel, newDocRows) = t("cc") {
+      val comp = graft.cluster.ConnectedComponents
+        .components(nodes, repEdges.unionByName(inEdges))
+        .toDF("id", "component").localCheckpoint()
+      // batch-bounded relabel map: touched live labels that merged
+      // into a smaller minimum this batch
+      val relabel = comp.join(touched, comp("id") === touched("group_id"))
+        .select(col("group_id").as("dead"), col("component").as("live"))
+        .filter(col("live") =!= col("dead"))
+        .localCheckpoint()
+      val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
+        .select(col("id").as("doc_id"), col("component").as("g0"))
+        .localCheckpoint()
+      (comp, relabel, newDocRows)
+    }
+    // (1) idempotent batch-partition writes: this batch's docs and
+    // its band rows (carrying insert-time labels)
+    t("write") {
+      newDocRows.write.mode("overwrite")
+        .parquet(s"$statePath/docs/batch=$batchId")
+      writeBatchIndex(
+        newBands.join(newDocRows, Seq("doc_id"))
+          .select(col("doc_id"), col("band"), col("bucket"), col("g0")),
+        s"$indexPath/batch=$batchId", classes.length)
+    }
+    // (2) alias' = alias·R ∪ R (keys disjoint: R's keys were live),
+    // staged-rename swap; skipped when R is empty (alias' = alias)
+    t("alias") {
+      if (!relabel.isEmpty) {
+        val compressed = alias.join(
+            broadcast(relabel.select(col("dead").as("live"),
+              col("live").as("live2"))),
+            Seq("live"), "left")
+          .select(col("dead"), coalesce(col("live2"), col("live")).as("live"))
+        val aliasNew = compressed.unionByName(relabel)
+        val cur = new org.apache.hadoop.fs.Path(s"$statePath/alias")
+        val nxt = new org.apache.hadoop.fs.Path(s"$statePath/alias.next")
+        if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
+        aliasNew.write.mode("overwrite").parquet(nxt.toString)
+        if (fs.exists(cur)) fs.delete(cur, true)
+        require(fs.rename(nxt, cur),
+          s"ccMaintenanceSink: rename failed for $statePath/alias")
+      }
+    }
+  }
+
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4)
@@ -1030,84 +1219,9 @@ object CorpusStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          import spark.implicits._
-          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-          val newBands = graft.dedup.Dedup.bandRows(b, n, bands, rowsPerBand)
-            .select(col("doc_id"), col("band"), col("bucket"))
-            .localCheckpoint()
-          // parquet-backed already — both consumers re-scan the file,
-          // cheaper than a checkpoint job for a merge-bounded table
-          val alias = readAlias(spark, statePath)
-          // probe: ONE representative (min doc, with its insert-time
-          // label) per strictly earlier (band, bucket) — the rep's
-          // members are already one component, so one edge per bucket
-          // carries full connectivity; g0 resolves through the alias.
-          // The index scan is restricted to THIS BATCH'S buckets by a
-          // broadcast join BEFORE the rep aggregation (the q199 probe
-          // shape): the scan stays embarrassingly parallel and only
-          // the matched postings — batch-bucket-bounded — ever
-          // shuffle; an unrestricted groupBy here would shuffle the
-          // whole corpus-sized index every micro-batch
-          val classes = residueClasses(newBands)
-          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
-          val repEdges = if (fs.exists(idxRoot)) {
-            val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
-            ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
-          } else Seq.empty[(Long, Long)].toDF("u", "v")
-          val hubs = newBands.groupBy(col("band"), col("bucket"))
-            .agg(min(col("doc_id")).as("hub"))
-          val inEdges = newBands.join(hubs, Seq("band", "bucket"))
-            .filter(col("doc_id") =!= col("hub"))
-            .select(col("hub").as("u"), col("doc_id").as("v")).distinct()
-          // contract: touched live labels become super-nodes (derived
-          // from the CHECKPOINTED repEdges — both consumers re-scan
-          // those bounded rows, no checkpoint job needed)
-          val touched = repEdges.select(col("v").as("group_id")).distinct()
-          val nodes = b.select(col("doc_id"))
-            .unionByName(touched.select(col("group_id").as("doc_id")))
-            .distinct()
-          val comp = graft.cluster.ConnectedComponents
-            .components(nodes, repEdges.unionByName(inEdges))
-            .toDF("id", "component").localCheckpoint()
-          // batch-bounded relabel map: touched live labels that merged
-          // into a smaller minimum this batch
-          val relabel = comp.join(touched, comp("id") === touched("group_id"))
-            .select(col("group_id").as("dead"), col("component").as("live"))
-            .filter(col("live") =!= col("dead"))
-            .localCheckpoint()
-          val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
-            .select(col("id").as("doc_id"), col("component").as("g0"))
-            .localCheckpoint()
-          // (1) idempotent batch-partition writes: this batch's docs and
-          // its band rows (carrying insert-time labels)
-          newDocRows.write.mode("overwrite")
-            .parquet(s"$statePath/docs/batch=$batchId")
-          writeBatchIndex(
-            newBands.join(newDocRows, Seq("doc_id"))
-              .select(col("doc_id"), col("band"), col("bucket"), col("g0")),
-            s"$indexPath/batch=$batchId", classes.length)
-          // (2) alias' = alias·R ∪ R (keys disjoint: R's keys were live),
-          // staged-rename swap; skipped when R is empty (alias' = alias)
-          if (!relabel.isEmpty) {
-            val compressed = alias.join(
-                broadcast(relabel.select(col("dead").as("live"),
-                  col("live").as("live2"))),
-                Seq("live"), "left")
-              .select(col("dead"), coalesce(col("live2"), col("live")).as("live"))
-            val aliasNew = compressed.unionByName(relabel)
-            val cur = new org.apache.hadoop.fs.Path(s"$statePath/alias")
-            val nxt = new org.apache.hadoop.fs.Path(s"$statePath/alias.next")
-            if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
-            aliasNew.write.mode("overwrite").parquet(nxt.toString)
-            if (fs.exists(cur)) fs.delete(cur, true)
-            require(fs.rename(nxt, cur),
-              s"ccMaintenanceSink: rename failed for $statePath/alias")
-          }
-        }
+        if (!batch.isEmpty)
+          ccProcessBatch(batch, batchId, indexPath, statePath,
+            n, bands, rowsPerBand)
       }
       .start()
 }

@@ -597,6 +597,35 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"the compacted base must still reject near-dups: $got")
   }
 
+  test("maintainedCcGroupsCompacted (q232): compact+resume lifecycle equals " +
+      "the uncompacted graded replay") {
+    import graft.stream.CorpusStream
+    // near-dup pairs chosen to SPAN the compaction boundary of the
+    // 3-batch residue schedule with compactAfter=2: 9 (batch 0) ~ 10
+    // (batch 1) merge pre-compaction; 3 and 5 (batch 2, post-resume)
+    // near-dup 9 and 10 with SMALLER ids, forcing relabels of groups
+    // whose band rows live only in the compacted base
+    val dA  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dA2 = dA.replace("kappa", "lambda") // ~dA
+    val dB  = "one two three four five six seven eight nine ten"
+    val dB2 = dB.replace("ten", "eleven")   // ~dB
+    val docs = Seq(
+      (9L, dA), (12L, "unrelated words about streaming engines entirely"),
+      (10L, dA2), (4L, dB),
+      (3L, dB2), (5L, dA.replace("kappa", "sigma"))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = rows(CorpusStream.maintainedCcGroups(docs, 3))
+    val compacted = rows(CorpusStream.maintainedCcGroupsCompacted(docs, 3, 2))
+    assert(compacted == plain,
+      s"compact+resume must not change resolution:\n got=$compacted\nwant=$plain")
+    val byDoc = compacted.map(t => t._1 -> t._2).toMap
+    assert(byDoc(9L) == 5L && byDoc(10L) == 5L && byDoc(5L) == 5L,
+      "a post-compaction arrival must relabel a group folded into the base")
+    assert(byDoc(4L) == 3L && byDoc(3L) == 3L,
+      "cross-boundary merges onto smaller post-resume ids must resolve")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")
