@@ -134,6 +134,19 @@ def selftest(art_path):
             f"capped shift with justification must pass, got exit {code}:\n{out}"
         print("selftest 7 OK: uniform 2x shift gates on the window cap, "
               "passes only justified")
+
+        # the inverse masking: the host gets 2x FASTER and one query
+        # stays flat — raw detection sees nothing (nothing regressed
+        # raw), but relative to the window the flat query is a 2x code
+        # regression; the normalized sweep must run over ALL shared
+        # queries and flag it
+        fastwin = json.loads(json.dumps(base))
+        fastwin["queries"] = {q: (v if q == q0 else v * 0.5)
+                              for q, v in base["queries"].items()}
+        code, out = run(fastwin)
+        assert code == 1 and q0 in out and "faster window" in out, \
+            f"flat query under a faster window must flag, got exit {code}:\n{out}"
+        print(f"selftest 8 OK: {q0} flat under a 2x-faster window still flags")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -241,9 +254,13 @@ def main():
     ratios = sorted(nq[q] / pq[q] for q in shared if pq[q] > 0)
     zero_base = sum(1 for q in shared if pq[q] <= 0)
     med = statistics.median(ratios) if ratios else 1.0
-    gate = [(q, p, n, r) for q, p, n, r in regressed
-            if r == float("inf") or r / med > threshold]
-    gate_names = sorted(q for q, _, _, _ in gate)
+    # the normalized sweep runs over ALL shared queries, not just the
+    # raw-flagged ones: under a FASTER window (med < 1) a query that
+    # merely stayed flat is a code regression relative to the window
+    # and would never appear in the raw list
+    gate_names = sorted(
+        [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / med > threshold]
+        + [q for q in shared if pq[q] <= 0 and nq[q] > zero_eps])
     # the cap on what "window drift" may absorb: a uniform CODE
     # regression (a session-config change, a shared-path slowdown) is
     # mechanically indistinguishable from a slow host, so a median past
@@ -279,6 +296,13 @@ def main():
                  if r != float("inf") else "zero baseline")
               + (" — GATES)" if gated else " — window-attributed)"),
               file=sys.stderr if gated else sys.stdout)
+    raw_flagged = {q for q, _, _, _ in regressed}
+    for q in gate_names:
+        if q not in raw_flagged and pq.get(q, 0) > 0:
+            r = nq[q] / pq[q]
+            print(f"  REGRESSED {q}: {pq[q]:.3f}s -> {nq[q]:.3f}s ({r:.2f}x raw "
+                  f"— flat under a {med:.2f}x faster window, "
+                  f"{r / med:.2f}x normalized — GATES)", file=sys.stderr)
     if regressed and not gate_names and not med_capped:
         print(f"{len(regressed)} raw movement(s) fully window-attributed "
               f"(median factor {med:.2f}x) — informational, not gating")
