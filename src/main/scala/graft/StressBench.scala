@@ -1205,6 +1205,11 @@ object StressBench {
       }
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
+      // the unit measures the TRICKLE regime: if batchSize ever drifts
+      // past the residue threshold (bands/P changes), fail loudly
+      // instead of silently measuring the bulk branch
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=0/p=-1")),
+        "cc_accum batches took the BULK branch; shrink batchSize")
       def fileCount(p: String): Long = {
         val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
