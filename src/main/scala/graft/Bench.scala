@@ -35,6 +35,26 @@ object Bench {
         .orderBy(col("e"))
         .write.format("noop").mode("overwrite").save()
       warm.unpersist()
+      // the first javax.imageio / javax.sound.sampled / RIFF decode of
+      // the session pays codec discovery + class loading (~0.3-2 s),
+      // and the canonical bench order is the queries MAP's iteration
+      // order — which reshuffles whenever a key is added, silently
+      // moving that one-time cost between q66/q173/q178/q183/q184/q187
+      // (r15: adding q232 moved q184 ahead of q173; q184 inherited the
+      // codec JIT and read as a 1.46x phantom regression, while the
+      // shuffled-order run — q173 first — reproduced its old minimum).
+      // Warm every decode path untimed on a tiny slice so order can't
+      // assign it to anyone.
+      val mdocs = graft.ops.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 24).localCheckpoint()
+      Seq(
+        graft.multimodal.Multimodal.decodeFeatures(
+          graft.multimodal.Multimodal.synthesizeFromDocuments(mdocs), 32, 32).toDF(),
+        graft.multimodal.Multimodal.audioHistogram(mdocs),
+        graft.multimodal.Multimodal.audioFrameFeatures(mdocs),
+        graft.multimodal.Multimodal.resizedHistogram(mdocs, 8, 8),
+        graft.multimodal.Multimodal.videoFrameHistogram(mdocs)
+      ).foreach(_.write.format("noop").mode("overwrite").save())
       // build the write-once persisted indexes the serve-path queries
       // probe (q151/q152), so their timed bodies measure SERVING cost;
       // build cost is graded separately by q172_postings_build
