@@ -479,6 +479,35 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(fs.exists(cur) && !fs.exists(nxt), "recovery must complete the rename")
   }
 
+  test("writeBatchIndex: rewriting a batch dir across a branch change leaves " +
+      "no remnant of the other layout") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_wbi")
+    val batchDir = s"$dir/batch=0"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(batchDir))
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    val rows = Seq((1L, 0, 5L), (2L, 1, 300L), (3L, 2, 517L))
+      .toDF("doc_id", "band", "bucket").withColumn("g0", $"doc_id")
+    // bulk write (forced: threshold -1), then the SAME dir rewritten
+    // trickle (a replay after a threshold change, or a session running
+    // partitionOverwriteMode=dynamic whose partitioned overwrite only
+    // truncates matched partitions): the flat p=-1 class must be gone
+    CorpusStream.writeBatchIndex(rows, batchDir, classes = 3, trickleMaxClasses = -1L)
+    assert(dirs == Seq("p=-1"), s"bulk branch must write flat, got $dirs")
+    CorpusStream.writeBatchIndex(rows, batchDir, classes = 3)
+    assert(!dirs.contains("p=-1") && dirs.nonEmpty,
+      s"trickle rewrite must clear the flat class, got $dirs")
+    // residues of buckets 5/300/517 mod 256: p=5, p=44, p=5 -> {5, 44}
+    assert(dirs == Seq("p=44", "p=5"), s"residue layout expected, got $dirs")
+    // and the reverse: trickle dirs must not survive a bulk rewrite
+    CorpusStream.writeBatchIndex(rows, batchDir, classes = 3, trickleMaxClasses = -1L)
+    assert(dirs == Seq("p=-1"), s"bulk rewrite must clear residue dirs, got $dirs")
+    // either way the probe reads exactly the batch's rows, never doubles
+    assert(spark.read.parquet(dir).filter(col("batch") === 0L).count() == 3L)
+  }
+
   test("compactBandIndex: maintained state equals batch CC across compaction; " +
       "bulk history becomes residue-partitioned; crash windows recover") {
     import graft.stream.CorpusStream
