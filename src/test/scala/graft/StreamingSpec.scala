@@ -655,6 +655,132 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "cross-boundary merges onto smaller post-resume ids must resolve")
   }
 
+  test("compactBandIndex: REFUSES while a streaming query is active on the " +
+      "checkpoint; compacts once stopped; a restart re-arms the guard") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_guard")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val q1 = start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight"))
+      q1.processAllAvailable()
+      val e = intercept[IllegalArgumentException] {
+        CorpusStream.compactBandIndex(spark, idx, ckpt)
+      }
+      assert(e.getMessage.contains("ACTIVE"), e.getMessage)
+      // the refusal must happen BEFORE any mutation: per-batch dir intact
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=0")),
+        "a refused compaction must leave the index untouched")
+    } finally q1.stop()
+    // stopped: the IDENTICAL call now compacts
+    CorpusStream.compactBandIndex(spark, idx, ckpt)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=-1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=0")),
+      "after the sink stops the same call must fold")
+    // a RESTART re-arms the guard — the id matched is the CHECKPOINT's
+    // persisted query id, stable across restarts, not the stopped handle
+    val q2 = start()
+    try {
+      mem.addData((3L, "nine ten eleven twelve thirteen fourteen"))
+      q2.processAllAvailable()
+      intercept[IllegalArgumentException] {
+        CorpusStream.compactBandIndex(spark, idx, ckpt)
+      }
+    } finally q2.stop()
+  }
+
+  test("ccMaintenanceSink compactEvery: the sink self-compacts mid-stream and " +
+      "resolution still equals batch CC") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_autocompact")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4,
+      compactEvery = 2)
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dB = "one two three four five six seven eight nine ten"
+    // near-dup pairs SPAN the self-compaction boundary (the fold fires
+    // inside batch 2): 9~10 merge pre-fold; 3 and 5 arrive post-fold
+    // with SMALLER ids, relabeling groups whose band rows live only in
+    // the folded base
+    val batches = Seq(
+      Seq((9L, dA), (12L, "unrelated words about streaming engines entirely")),
+      Seq((10L, dA.replace("kappa", "lambda")), (4L, dB)),
+      Seq((3L, dB.replace("ten", "eleven"))),
+      Seq((5L, dA.replace("kappa", "sigma"))))
+    try batches.foreach { b => mem.addData(b: _*); sink.processAllAvailable() }
+    finally sink.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).sorted.toSeq
+    // batchId=2 fired the fold (2 % 2 == 0): batches 0/1 folded into the
+    // base; 2 and 3 accumulated after it
+    assert(dirs == Seq("batch=-1", "batch=2", "batch=3"),
+      s"the sink must have folded batches 0-1 into the base mid-stream: $dirs")
+    val got = CorpusStream.readCcState(spark, state)
+      .select("doc_id", "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = graft.dedup.Dedup.minhashDedupGroups(
+        batches.flatten.toDF("doc_id", "text"), 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"self-compacting sink must equal batch CC:\n got=$got\nwant=$want")
+    val byDoc = got.toMap
+    assert(byDoc(9L) == 5L && byDoc(10L) == 5L && byDoc(5L) == 5L,
+      "a post-fold arrival must relabel a group that lives in the base")
+    assert(byDoc(4L) == 3L && byDoc(3L) == 3L,
+      "a merge across the fold boundary must resolve to the new minimum")
+  }
+
+  test("a stranded .compact_next is recovered by the next PROBE, not only " +
+      "the next compaction") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_proberec")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val q1 = start()
+    try {
+      mem.addData((9L, dA), (12L, "unrelated words about streaming engines"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    CorpusStream.compactBandIndex(spark, idx, ckpt)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$idx/batch=-1")
+    val next = new org.apache.hadoop.fs.Path(s"$idx/.compact_next")
+    // simulate a crash between delete(base) and the swap: the folded
+    // history exists ONLY at the dot-dir, invisible to any plain scan
+    assert(fs.rename(base, next), "test setup: strand the base")
+    // resume WITHOUT re-invoking compaction: doc 20 near-dups doc 9,
+    // whose band rows live only in the stranded base — the probe must
+    // recover it first or 20 would silently start its own group
+    val q2 = start()
+    try {
+      mem.addData((20L, dA.replace("kappa", "lambda")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(fs.exists(base) && !fs.exists(next),
+      "the probe must have recovered the stranded base")
+    val byDoc = CorpusStream.readCcState(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byDoc(20L) == 9L && byDoc(9L) == 9L,
+      s"the recovered base must serve the probe's merge decision: $byDoc")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")
