@@ -12,7 +12,7 @@ import graft.sim.Quantize
   * precision/recall tradeoff curve to pick an operating threshold,
   * and (c) a calibration table so the score can be read as a
   * probability. The reference's ML stage stops at regression metrics
-  * (`ml.py`, `ml-gbt.py`: RMSE/R²); this family is the
+  * (`ml-sparkml.py`, `ml-savepipeline.py`: RMSE/R²); this family is the
   * classification-side evaluation a data-curation deployment runs at
   * corpus scale.
   *

@@ -990,10 +990,19 @@ object CorpusStream {
     * In-batch near-dups are admitted together (only the corpus is
     * probed) — run batch-level dedup upstream if the source can carry
     * duplicates inside one micro-batch, exactly as in the batch
-    * admission path. */
+    * admission path.
+    *
+    * `compactEvery > 0` self-compacts the band index every
+    * `compactEvery`-th micro-batch under the same in-batch
+    * serialization argument as [[ccMaintenanceSink]]'s knob (the fold
+    * runs inside foreachBatch with bound `batchId` =
+    * committedHighWater + 1 on first attempt and replay alike); the
+    * admission probe tolerates the crash-mid-delete duplicate window
+    * by its DISTINCT rejected-ids contract. */
   def admissionSink(docs: DataFrame, indexPath: String, corpusPath: String,
                     checkpoint: String, n: Int = 3, bands: Int = 8,
-                    rowsPerBand: Int = 4, minEstJaccard: Double = 0.5)
+                    rowsPerBand: Int = 4, minEstJaccard: Double = 0.5,
+                    compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1043,6 +1052,8 @@ object CorpusStream {
             adm.withColumn("_batch_id", lit(batchId))
               .withColumn("_stream_id", lit(streamId))
               .write.mode("append").parquet(corpusPath)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            compactBandIndex(spark, indexPath, batchId)
         }
       }
       .start()

@@ -781,6 +781,41 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"the recovered base must serve the probe's merge decision: $byDoc")
   }
 
+  test("admissionSink compactEvery: a self-compacting index still rejects " +
+      "near-dups of folded history") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_adm_autocompact")
+    val (idx, corpus, ckpt) = (s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = CorpusStream.admissionSink(
+      mem.toDF().toDF("doc_id", "text"), idx, corpus, ckpt, 3, 8, 4, 0.5,
+      compactEvery = 1)
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d2 = "one two three four five six seven eight nine ten"
+    try {
+      mem.addData((1L, d1), (2L, d2))
+      sink.processAllAvailable() // batch 0: no fold (batchId == 0)
+      mem.addData((11L, "fresh unrelated words about engines today"))
+      sink.processAllAvailable() // batch 1: folds batch 0 after deciding
+      // batch 2: near-dups of d1/d2, whose band rows by now live ONLY
+      // in the self-compacted base — both must still be rejected
+      mem.addData((21L, d1.replace("kappa", "lambda")),
+        (22L, d2.replace("ten", "eleven")))
+      sink.processAllAvailable() // then folds batch 1 too
+    } finally sink.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dirs == Seq("batch=-1", "batch=2"),
+      s"batches 0-1 must have folded into the base mid-stream: $dirs")
+    val got = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 11L),
+      s"near-dups of folded history must be rejected: $got")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")

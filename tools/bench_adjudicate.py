@@ -22,7 +22,16 @@ recur:
 Usage:
   python3 tools/bench_adjudicate.py NEW.json [PREV.json ...]
       [--threshold 1.25] [--canonical-sf sf0.1] [--canonical-cpus 32]
-      [--write-note] [--justify "reason"]
+      [--med-cap 1.75] [--write-note] [--justify "reason"]
+
+--med-cap overrides the window-attribution cap for ONE invocation, so a
+legitimate uniform shift past the default is accepted by a flag visible
+in the gate's invocation history instead of an in-place edit of the
+constant (VERDICT r15). Under a FASTER window (median < 1) the
+normalized threshold widens by 10% — ratio noise around an improving
+window otherwise converts sub-threshold raw movements into gating
+"normalized" flags (ADVICE r15) — and a median below 1/cap reports as
+"uniform speedup needs confirmation", not as a regression.
 
 --justify is the explicit human override for a NORMALIZED flag: the run
 still prints every flagged line, but exits 0 and records the
@@ -50,11 +59,15 @@ Exit 1: loud failure — config drift, no comparable predecessor, a shared
 copies of ART covering every contract branch — a 2x single-query
 regression (must fail), a config switch (must be refused), a clean copy
 (must pass), a justified regression (must pass loudly), a uniform 1.4x
-window drift (must pass WITHOUT justification, raw flags printed), and
-the same drifted window with one query slowed a FURTHER 2x (must fail,
-with that query in the normalized list) — and verifies each outcome:
-proof the gate fails loudly exactly when the code regressed, runnable
-any round.
+window drift (must pass WITHOUT justification, raw flags printed), the
+same drifted window with one query slowed a FURTHER 2x (must fail, with
+that query in the normalized list), a uniform 2x shift hitting the cap
+(must fail unjustified, pass justified, AND pass under --med-cap 2.5),
+a flat query under a 2x-faster window (must fail), sub-threshold raw
+noise under a 0.9x window (must pass via the widened med<1 bar), and a
+uniform 2.5x speedup (must ask for confirmation with speedup wording) —
+and verifies each outcome: proof the gate fails loudly exactly when the
+code regressed, runnable any round.
 """
 import sys, json, os, glob, statistics, subprocess, tempfile, shutil
 
@@ -147,6 +160,39 @@ def selftest(art_path):
         assert code == 1 and q0 in out and "faster window" in out, \
             f"flat query under a faster window must flag, got exit {code}:\n{out}"
         print(f"selftest 8 OK: {q0} flat under a 2x-faster window still flags")
+
+        # --med-cap accepts a legitimate larger shift VISIBLY: the same
+        # uniform 2x passes when the cap is raised on the command line
+        # (the override lives in the invocation history, not an edit)
+        code, out = run(big, "--med-cap", "2.5")
+        assert code == 0, \
+            f"--med-cap 2.5 must accept a uniform 2x shift, got exit {code}:\n{out}"
+        print("selftest 9 OK: --med-cap raises the cap per-invocation")
+
+        # ratio noise under a mildly FASTER window must not gate: whole
+        # surface at 0.9x, one query at 1.2x raw — 1.33x normalized,
+        # past the base threshold but inside the widened med<1 bar
+        noisy = json.loads(json.dumps(base))
+        noisy["queries"] = {q: v * 0.9 for q, v in base["queries"].items()}
+        noisy["queries"][q0] = base["queries"][q0] * 1.2
+        code, out = run(noisy)
+        assert code == 0, \
+            f"1.2x raw under a 0.9x window must not gate, got exit {code}:\n{out}"
+        print("selftest 10 OK: sub-threshold noise under a mild faster window absorbed")
+
+        # a uniform speedup past the cap gates with the SPEEDUP wording
+        # (dropped work / config change suspicion, not a regression),
+        # and passes once confirmed
+        fast = json.loads(json.dumps(base))
+        fast["queries"] = {q: v * 0.4 for q, v in base["queries"].items()}
+        code, out = run(fast)
+        assert code == 1 and "speedup needs confirmation" in out, \
+            f"uniform 2.5x speedup must ask for confirmation, got exit {code}:\n{out}"
+        code, out = run(fast, "--justify", "selftest: confirmed improvement")
+        assert code == 0, \
+            f"confirmed uniform speedup must pass, got exit {code}:\n{out}"
+        print("selftest 11 OK: uniform speedup gates with speedup wording, "
+              "passes confirmed")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -184,6 +230,7 @@ def main():
         return
 
     threshold = float(opt("--threshold", "1.25"))
+    med_cap = float(opt("--med-cap", "1.75"))
     canon = (opt("--canonical-sf", "sf0.1"), int(opt("--canonical-cpus", "32")))
     write_note = opt("--write-note", flag=True)
     justify = opt("--justify")
@@ -257,25 +304,34 @@ def main():
     # the normalized sweep runs over ALL shared queries, not just the
     # raw-flagged ones: under a FASTER window (med < 1) a query that
     # merely stayed flat is a code regression relative to the window
-    # and would never appear in the raw list
+    # and would never appear in the raw list. A mild faster window also
+    # AMPLIFIES ratios (a 1.2x raw under a 0.9x median reads 1.33x
+    # normalized), so under med < 1 the normalized threshold widens by
+    # 10% to absorb ratio noise around an improving window (ADVICE r15)
+    # — a real masked regression still clears the widened bar by a
+    # margin (selftest 8's flat-query-under-2x-faster reads 2.0x).
+    eff_threshold = threshold * 1.1 if med < 1.0 else threshold
     gate_names = sorted(
-        [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / med > threshold]
+        [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / med > eff_threshold]
         + [q for q in shared if pq[q] <= 0 and nq[q] > zero_eps])
     # the cap on what "window drift" may absorb: a uniform CODE
     # regression (a session-config change, a shared-path slowdown) is
     # mechanically indistinguishable from a slow host, so a median past
     # this bound cannot self-certify as window — it needs a --justify
     # citing out-of-band evidence (an A/B at a prior commit on the same
-    # host, the r14 discipline). 1.75x covers every host swing observed
-    # to date (r13/r14 drift: 1.23x; the judge's corroboration run:
-    # 1.43x vs r13 minima) with slack.
-    med_cap = 1.75
+    # host, the r14 discipline). The default 1.75x covers every host
+    # swing observed to date (r13/r14 drift: 1.23x; the judge's
+    # corroboration run: 1.43x vs r13 minima) with slack; a legitimate
+    # larger shift is accepted via --med-cap, visible in the invocation
+    # history. The symmetric branch (med < 1/cap) is a uniform SPEEDUP
+    # that large — suspicious in the other direction (dropped work, a
+    # config change) — so it too needs confirmation, reported as such.
     med_capped = med > med_cap or med < 1.0 / med_cap
     window = (f"window factor (median shared-query ratio): {med:.2f}x"
               + (f" over {len(ratios)} ratios"
                  + (f" ({zero_base} zero-baseline shared queries excluded "
                     f"from the median, gated raw)" if zero_base else ""))
-              + f"; still >{threshold}x after normalizing by it: "
+              + f"; still >{eff_threshold:.3g}x after normalizing by it: "
               + (f"{gate_names}" if gate_names else "none"))
 
     summary = (f"adjudicated vs {os.path.basename(prev_path)} (same config "
@@ -310,14 +366,22 @@ def main():
     if gate_names:
         gating_causes.append(
             f"{len(gate_names)} shared quer{'y' if len(gate_names) == 1 else 'ies'} "
-            f"regressed past {threshold}x after normalizing by the "
+            f"regressed past {eff_threshold:.3g}x after normalizing by the "
             f"{med:.2f}x window factor: {gate_names}")
-    if med_capped:
+    if med_capped and med > 1.0:
         gating_causes.append(
             f"uniform {med:.2f}x shift exceeds the {med_cap}x window-"
             f"attribution cap — a shift this large cannot self-certify as "
             f"host drift; cite out-of-band evidence (e.g. an A/B at a "
-            f"prior commit on this host) via --justify")
+            f"prior commit on this host) via --justify, or raise the cap "
+            f"visibly via --med-cap")
+    elif med_capped:
+        gating_causes.append(
+            f"uniform speedup needs confirmation: the {med:.2f}x median is "
+            f"below 1/{med_cap}x — an improvement this uniform is as likely "
+            f"dropped work or a config change as a genuinely faster path; "
+            f"confirm via --justify (e.g. an A/B at a prior commit), or "
+            f"raise the cap visibly via --med-cap")
     if gating_causes and justify:
         summary += "; gated finding(s) JUSTIFIED: " + justify
         print(f"accepted with justification: {justify}")
