@@ -301,6 +301,15 @@ object SparkEntry {
     "q232_cc_compact_resume" -> ((s, d) =>
       graft.stream.CorpusStream.maintainedCcGroupsCompacted(
         Tables.documents(s, d), AdmissionBatches, 2)),
+    // the sink's SELF-compaction knob graded end to end: compactEvery=1
+    // makes the sink fold its own index inside batches 1 and 2, so
+    // batch 2's probe reads a base the SINK created mid-stream — the
+    // in-batch fold preserves what probes read, so the resolved state
+    // still equals batch CC and q231's oracle grades the path (the
+    // harness requires the fold actually engaged)
+    "q233_cc_autocompact" -> ((s, d) =>
+      graft.stream.CorpusStream.maintainedCcGroupsAutoCompacted(
+        Tables.documents(s, d), AdmissionBatches, 1)),
     // BPE subword tokenizer TRAIN: per-round exact-integer pair counts
     // over the VOCAB (never the corpus), argmax with (cnt desc, pair
     // lexicographic) tiebreak, merge as one replace projection — the
@@ -1485,6 +1494,7 @@ object SparkEntry {
     "q199_admission_stream" -> Seq("documents"),
     "q231_cc_stream_groups" -> Seq("documents"),
     "q232_cc_compact_resume" -> Seq("documents"),
+    "q233_cc_autocompact" -> Seq("documents"),
     "q200_bpe_train" -> Seq("documents"),
     "q201_bpe_encode" -> Seq("documents"),
     "q202_max_coverage" -> Seq("documents"),
@@ -2508,6 +2518,16 @@ object SparkEntry {
     // rows, a probe seeing its own batch, a broken alias) would break
     // the hash match
     "q232_cc_compact_resume" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |$ccChainCtes
+         |SELECT a AS doc_id, MIN(b) AS group_id,
+         |  a % $AdmissionBatches AS batch
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the SELF-compacting sink preserves the same equality law (the
+    // in-batch fold keeps exactly the rows probes read), so q233 grades
+    // against the identical chain — a fold that lost band rows, let a
+    // probe see its own batch, or broke the alias would break the hash
+    "q233_cc_autocompact" ->
       s"""WITH RECURSIVE ${minhashCtes("documents")},
          |$ccChainCtes
          |SELECT a AS doc_id, MIN(b) AS group_id,

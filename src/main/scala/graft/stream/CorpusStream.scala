@@ -669,6 +669,61 @@ object CorpusStream {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  /** GRADED end-to-end run of the CC sink's SELF-compaction knob —
+    * [[maintainedCcGroups]] with `compactEvery` engaged on the sink
+    * itself: one continuous lifecycle in which the sink folds its own
+    * band index INSIDE foreachBatch every `compactEvery`-th batch, so
+    * later batches' probes read the self-folded base mid-stream (with
+    * nBatches=3, compactEvery=1 the fold fires inside batches 1 and 2,
+    * and batch 2's probe reads a base the SINK created — no external
+    * compaction step at all). The in-batch fold preserves exactly the
+    * rows probes read, so the resolved final state still equals batch
+    * CC over the whole corpus and q231's oracle grades the
+    * self-compaction path end to end — promoting the `compactEvery`
+    * StreamingSpec claim into the driver's correctness gate, the same
+    * discipline that promoted stop→compact→resume as q232. The
+    * harness REQUIRES the fold actually engaged (a base exists when
+    * the stream stops), so a silently-disabled knob fails loudly
+    * instead of grading q231 twice. */
+  def maintainedCcGroupsAutoCompacted(documents: DataFrame, nBatches: Int,
+                                      compactEvery: Int): DataFrame = {
+    require(compactEvery > 0 && compactEvery < nBatches,
+      s"compactEvery must fire inside the replay: got $compactEvery of $nBatches")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cca_graded").toString
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sink = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt,
+      compactEvery = compactEvery)
+    try {
+      val rows = documents.select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+      (0 until nBatches).foreach { b =>
+        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
+          .map(r => (r.getLong(0), r.getString(1)))
+        if (batch.nonEmpty) {
+          mem.addData(batch.toIndexedSeq)
+          sink.processAllAvailable()
+        }
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=-1")),
+        "maintainedCcGroupsAutoCompacted: the sink never self-compacted — " +
+          "this run would grade nothing beyond q231")
+      readCcState(spark, state)
+        .select(col("doc_id"), col("group_id"),
+          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      sink.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the

@@ -816,6 +816,31 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"near-dups of folded history must be rejected: $got")
   }
 
+  test("maintainedCcGroupsAutoCompacted (q233): the self-compacting lifecycle " +
+      "equals the uncompacted graded replay") {
+    import graft.stream.CorpusStream
+    // the q232 fixture: merges span the fold points (compactEvery=1
+    // folds inside batches 1 and 2), so batch 2's merges resolve
+    // through a base the SINK itself created mid-stream
+    val dA  = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dB  = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (9L, dA), (12L, "unrelated words about streaming engines entirely"),
+      (10L, dA.replace("kappa", "lambda")), (4L, dB),
+      (3L, dB.replace("ten", "eleven")), (5L, dA.replace("kappa", "sigma")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = rows(CorpusStream.maintainedCcGroups(docs, 3))
+    val auto = rows(CorpusStream.maintainedCcGroupsAutoCompacted(docs, 3, 1))
+    assert(auto == plain,
+      s"self-compaction must not change resolution:\n got=$auto\nwant=$plain")
+    val byDoc = auto.map(t => t._1 -> t._2).toMap
+    assert(byDoc(9L) == 5L && byDoc(10L) == 5L && byDoc(5L) == 5L &&
+      byDoc(4L) == 3L && byDoc(3L) == 3L,
+      s"post-fold arrivals must relabel groups folded into the base: $byDoc")
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")
