@@ -816,6 +816,75 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"near-dups of folded history must be rejected: $got")
   }
 
+  test("compactBandIndex preserves the probe-visible row set for every later " +
+      "batch id (randomized splits, branches, and fold points)") {
+    import graft.stream.CorpusStream
+    // the preservation LAW all lifecycle grading (q232/q233) rests on,
+    // pinned at the file-layout level with no streams. Two clauses, for
+    // any batch split, any mix of trickle/bulk write branches, and any
+    // fold bound uptoBatch <= B:
+    //  (1) the FULL view (all residue classes) a probe at batch id B
+    //      reads is EXACTLY preserved — no row lost, none duplicated;
+    //  (2) a PRUNED probe's DECISION-RELEVANT rows (those whose own
+    //      bucket residue is in the probe's classes — the only rows
+    //      that can join the probing batch's buckets) are exactly
+    //      preserved, while the read may legitimately SHRINK: pre-fold
+    //      it also hauls bulk p=-1 rows of unrelated buckets (the
+    //      coverage-law overhead compaction exists to remove).
+    val rnd = new scala.util.Random(16L)
+    for (trial <- 0 until 3) {
+      val dir = tempDir(s"graft_cc_invariant$trial")
+      val nBatches = 3 + rnd.nextInt(3)
+      val n = 60 + rnd.nextInt(60)
+      val all = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(5000).toLong, i.toLong) }
+      (0 until nBatches).foreach { b =>
+        val batch = all.filter(_._1 % nBatches == b)
+          .toDF("doc_id", "band", "bucket", "g0")
+        val classes = CorpusStream.residueClasses(batch)
+        // randomize the write branch independently of batch size, so
+        // folds run over mixed trickle/bulk history
+        val branch = if (rnd.nextBoolean()) -1L else 999L
+        CorpusStream.writeBatchIndex(batch, s"$dir/batch=$b",
+          classes.length, trickleMaxClasses = branch)
+      }
+      def visible(b: Long, classes: Seq[Long]) =
+        CorpusStream.readPriorIndex(spark, dir, b, classes)
+          .select("doc_id", "band", "bucket", "g0")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted.toSeq
+      val P = CorpusStream.IndexLayoutParts.toLong
+      val probeClasses = Seq.fill(1 + rnd.nextInt(4))(
+        rnd.nextInt(CorpusStream.IndexLayoutParts).toLong).distinct
+      def relevant(rows: Seq[(Long, Long, Long, Long)]) =
+        rows.filter(r => probeClasses.contains(((r._3 % P) + P) % P))
+      val fullClasses = (0L until P)
+      val before = (1 to nBatches).map { b =>
+        (visible(b.toLong, fullClasses), visible(b.toLong, probeClasses)) }
+      def checkFrom(u: Long, tag: String): Unit =
+        (u.toInt to nBatches).foreach { b =>
+          val (full, pruned) = (visible(b.toLong, fullClasses),
+            visible(b.toLong, probeClasses))
+          val (full0, pruned0) = before(b - 1)
+          assert(full == full0,
+            s"trial $trial: $tag changed the FULL view a probe at $b reads")
+          assert(relevant(pruned) == relevant(pruned0),
+            s"trial $trial: $tag changed decision-relevant rows at $b")
+          assert(pruned.toSet.subsetOf(pruned0.toSet),
+            s"trial $trial: $tag ADDED rows to a pruned probe at $b")
+        }
+      // two sequential folds at random ascending bounds (the second
+      // consumes the first's base too); probes at b < u may legally
+      // change (their batch range folded past them), so check b >= u
+      val u1 = 1L + rnd.nextInt(nBatches - 1).toLong
+      CorpusStream.compactBandIndex(spark, dir, u1)
+      checkFrom(u1, s"fold at $u1")
+      val u2 = u1 + rnd.nextInt(nBatches - u1.toInt).toLong + 1L
+      CorpusStream.compactBandIndex(spark, dir, u2)
+      checkFrom(u2, s"second fold at $u2")
+    }
+  }
+
   test("maintainedCcGroupsAutoCompacted (q233): the self-compacting lifecycle " +
       "equals the uncompacted graded replay") {
     import graft.stream.CorpusStream
