@@ -1107,6 +1107,10 @@ object CorpusStream {
             adm.withColumn("_batch_id", lit(batchId))
               .withColumn("_stream_id", lit(streamId))
               .write.mode("append").parquet(corpusPath)
+          // eager-unpersist discipline: index written, corpus appended —
+          // free this batch's checkpoint blocks instead of waiting on GC
+          Seq(b, batchBands, adm)
+            .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
             compactBandIndex(spark, indexPath, batchId)
         }
@@ -1325,6 +1329,10 @@ object CorpusStream {
       val newDocRows = comp.join(b.select(col("doc_id").as("id")), Seq("id"))
         .select(col("id").as("doc_id"), col("component").as("g0"))
         .localCheckpoint()
+      // comp's consumers are both checkpointed: free its blocks now —
+      // the sink runs for the life of the stream, and relying on
+      // GC/ContextCleaner lets checkpoint blocks pile up between GCs
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(comp)
       (relabel, newDocRows)
     }
     // (1) idempotent batch-partition writes: this batch's docs and
@@ -1356,6 +1364,11 @@ object CorpusStream {
           s"ccMaintenanceSink: rename failed for $statePath/alias")
       }
     }
+    // eager-unpersist discipline: every consumer has materialized; a
+    // long-running sink must not pin this batch's checkpoint blocks
+    // until the next GC (repEdges is a no-op on the first-batch branch)
+    Seq(b, newBands, repEdges, relabel, newDocRows)
+      .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
   }
 
   /** `compactEvery > 0` graduates SCALE.md's compaction cadence from
