@@ -47,7 +47,10 @@ object Bench {
       // assign it to anyone.
       val mdocs = graft.ops.Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 24).localCheckpoint()
-      Seq(
+      // eager-unpersist discipline in a finally: even when one decode
+      // path throws (the outer catch swallows it and the bench runs
+      // on), the warm-up slice must not pin blocks all session
+      try Seq(
         graft.multimodal.Multimodal.decodeFeatures(
           graft.multimodal.Multimodal.synthesizeFromDocuments(mdocs), 32, 32).toDF(),
         graft.multimodal.Multimodal.audioHistogram(mdocs),
@@ -55,9 +58,7 @@ object Bench {
         graft.multimodal.Multimodal.resizedHistogram(mdocs, 8, 8),
         graft.multimodal.Multimodal.videoFrameHistogram(mdocs)
       ).foreach(_.write.format("noop").mode("overwrite").save())
-      // eager-unpersist discipline: the warm-up slice must not pin
-      // blocks for the whole bench session
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(mdocs)
+      finally org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(mdocs)
       // build the write-once persisted indexes the serve-path queries
       // probe (q151/q152), so their timed bodies measure SERVING cost;
       // build cost is graded separately by q172_postings_build

@@ -561,6 +561,38 @@ object CorpusStream {
     * residue-class batch column. The driver-side collect is the
     * MemoryStream harness contract (fixture-scale grading), not the
     * operator. */
+  /** The graded CC replay schedule and resolve projection, shared by
+    * the THREE lifecycle harnesses (q231 plain / q232 stop-compact-
+    * resume / q233 self-compacting) so the schedule their common
+    * oracle replays cannot silently fork between them: the fixture is
+    * collected and sorted ONCE, each residue class (doc_id mod
+    * nBatches, ascending) feeds as one micro-batch, and the final
+    * state resolves through the same one-hop projection. */
+  private def collectDocRows(documents: DataFrame) =
+    documents.select(col("doc_id"), col("text"))
+      .collect().sortBy(_.getLong(0))
+
+  private def feedBatches(
+      mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)],
+      sink: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Array[org.apache.spark.sql.Row], nBatches: Int, bs: Range): Unit =
+    bs.foreach { b =>
+      val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
+        .map(r => (r.getLong(0), r.getString(1)))
+      if (batch.nonEmpty) {
+        mem.addData(batch.toIndexedSeq)
+        sink.processAllAvailable()
+      }
+    }
+
+  private def resolveCcState(spark: org.apache.spark.sql.SparkSession,
+                             statePath: String, nBatches: Int): DataFrame =
+    readCcState(spark, statePath)
+      .select(col("doc_id"), col("group_id"),
+        pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+
   def maintainedCcGroups(documents: DataFrame, nBatches: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -570,21 +602,8 @@ object CorpusStream {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sink = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt)
     try {
-      val rows = documents.select(col("doc_id"), col("text"))
-        .collect().sortBy(_.getLong(0))
-      (0 until nBatches).foreach { b =>
-        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
-          .map(r => (r.getLong(0), r.getString(1)))
-        if (batch.nonEmpty) {
-          mem.addData(batch.toIndexedSeq)
-          sink.processAllAvailable()
-        }
-      }
-      readCcState(spark, state)
-        .select(col("doc_id"), col("group_id"),
-          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
+      feedBatches(mem, sink, collectDocRows(documents), nBatches, 0 until nBatches)
+      resolveCcState(spark, state, nBatches)
     } finally {
       sink.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -628,20 +647,11 @@ object CorpusStream {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     def start() = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt)
     try {
-      val rows = documents.select(col("doc_id"), col("text"))
-        .collect().sortBy(_.getLong(0))
-      def feed(sink: org.apache.spark.sql.streaming.StreamingQuery,
-               bs: Range): Unit = bs.foreach { b =>
-        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
-          .map(r => (r.getLong(0), r.getString(1)))
-        if (batch.nonEmpty) {
-          mem.addData(batch.toIndexedSeq)
-          sink.processAllAvailable()
-        }
-      }
+      val rows = collectDocRows(documents)
       t("lifecycle1") {
         val q1 = start()
-        try feed(q1, 0 until compactAfter) finally q1.stop()
+        try feedBatches(mem, q1, rows, nBatches, 0 until compactAfter)
+        finally q1.stop()
       }
       // determinism insurance (VERDICT r15): compactAfter counts residue
       // CLASSES — if every one of the first compactAfter classes were
@@ -656,14 +666,11 @@ object CorpusStream {
       }
       t("lifecycle2") {
         val q2 = start() // resume the SAME stream from its checkpoint
-        try feed(q2, compactAfter until nBatches) finally q2.stop()
+        try feedBatches(mem, q2, rows, nBatches, compactAfter until nBatches)
+        finally q2.stop()
       }
       t("resolve") {
-        readCcState(spark, state)
-          .select(col("doc_id"), col("group_id"),
-            pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
-          .orderBy(col("doc_id"))
-          .localCheckpoint()
+        resolveCcState(spark, state, nBatches)
       }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -698,26 +705,13 @@ object CorpusStream {
     val sink = ccMaintenanceSink(mem.toDF().toDF("doc_id", "text"), idx, state, ckpt,
       compactEvery = compactEvery)
     try {
-      val rows = documents.select(col("doc_id"), col("text"))
-        .collect().sortBy(_.getLong(0))
-      (0 until nBatches).foreach { b =>
-        val batch = rows.filter(r => Math.floorMod(r.getLong(0), nBatches.toLong) == b.toLong)
-          .map(r => (r.getLong(0), r.getString(1)))
-        if (batch.nonEmpty) {
-          mem.addData(batch.toIndexedSeq)
-          sink.processAllAvailable()
-        }
-      }
+      feedBatches(mem, sink, collectDocRows(documents), nBatches, 0 until nBatches)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=-1")),
         "maintainedCcGroupsAutoCompacted: the sink never self-compacted — " +
           "this run would grade nothing beyond q231")
-      readCcState(spark, state)
-        .select(col("doc_id"), col("group_id"),
-          pmod(col("doc_id"), lit(nBatches.toLong)).as("batch"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
+      resolveCcState(spark, state, nBatches)
     } finally {
       sink.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -972,10 +966,19 @@ object CorpusStream {
     * admission/merge decisions. Called at the head of
     * [[compactBandIndex]] AND before every sink probe
     * ([[ccProcessBatch]], [[admissionSink]]), so the window closes at
-    * the next batch even if no compaction is ever re-invoked. A stale
-    * `.compact_next` next to a live base (crash mid-WRITE) is deleted —
-    * safe because compaction is serialized with probes by contract
-    * (the running-sink guard / in-batch self-compaction). */
+    * the next batch even if no compaction is ever re-invoked.
+    *
+    * RENAME-ONLY by design: a `.compact_next` sitting next to a live
+    * base is either a crashed half-write (harmless — invisible to
+    * scans, cleaned by the next compaction) or a compaction IN FLIGHT
+    * between finishing its write and deleting the base. The probe path
+    * cannot distinguish them, and deleting here would let a sink that
+    * (re)started during an external fold — already a contract
+    * violation, but a survivable one — destroy the new base moments
+    * before the compactor's swap, turning a racy read into permanent
+    * loss of all previously-folded history. Deleting the stale case is
+    * [[compactBandIndex]]'s job, which IS serialized with other
+    * compactions by the maintenance contract. */
   private[graft] def recoverCompactedBase(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -985,7 +988,6 @@ object CorpusStream {
     if (!fs.exists(base) && fs.exists(next))
       require(fs.rename(next, base),
         s"compactBandIndex: recovery rename failed for $indexPath")
-    else if (fs.exists(next)) fs.delete(next, true) // stale half-write
   }
 
   /** Bound-taking overload, narrowed to the package: an `uptoBatch`
@@ -1004,6 +1006,11 @@ object CorpusStream {
     val base = new org.apache.hadoop.fs.Path(s"$indexPath/batch=-1")
     val next = new org.apache.hadoop.fs.Path(s"$indexPath/.compact_next")
     recoverCompactedBase(spark, indexPath)
+    // a stale half-write next to a live base is deleted HERE, not in
+    // the probe-path recovery: compactions are serialized with each
+    // other by the maintenance contract, so no in-flight fold can own
+    // this .compact_next (see recoverCompactedBase's rename-only note)
+    if (fs.exists(next)) fs.delete(next, true)
     if (!fs.exists(root)) return
     val consumed = fs.listStatus(root).toSeq.map(_.getPath)
       .filter { p =>

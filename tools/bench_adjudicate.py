@@ -28,10 +28,13 @@ Usage:
 legitimate uniform shift past the default is accepted by a flag visible
 in the gate's invocation history instead of an in-place edit of the
 constant (VERDICT r15). Under a FASTER window (median < 1) the
-normalized threshold widens by 10% — ratio noise around an improving
-window otherwise converts sub-threshold raw movements into gating
-"normalized" flags (ADVICE r15) — and a median below 1/cap reports as
-"uniform speedup needs confirmation", not as a regression.
+normalized threshold widens by exactly the ratio amplification the
+division introduces (x 1/median, capped at 10%) — ratio noise around an
+improving window otherwise converts sub-threshold raw movements into
+gating "normalized" flags (ADVICE r15), while a flat widening would
+hide genuine regressions under any marginally-faster window — and a
+median below 1/cap reports as "uniform speedup needs confirmation",
+not as a regression.
 
 --justify is the explicit human override for a NORMALIZED flag: the run
 still prints every flagged line, but exits 0 and records the
@@ -193,6 +196,18 @@ def selftest(art_path):
             f"confirmed uniform speedup must pass, got exit {code}:\n{out}"
         print("selftest 11 OK: uniform speedup gates with speedup wording, "
               "passes confirmed")
+
+        # the widening must be PROPORTIONAL to the amplification, never
+        # flat: a genuine 1.32x regression under a 0.98x noise median
+        # reads 1.347x normalized against a 1.25*(1/0.98)=1.276x bar —
+        # a flat 10% widening (bar 1.375) would have passed it silently
+        creep = json.loads(json.dumps(base))
+        creep["queries"] = {q: v * 0.98 for q, v in base["queries"].items()}
+        creep["queries"][q0] = base["queries"][q0] * 1.32
+        code, out = run(creep)
+        assert code == 1 and q0 in out, \
+            f"1.32x regression under a 0.98x median must gate, got exit {code}:\n{out}"
+        print(f"selftest 12 OK: {q0} at 1.32x under a 0.98x noise median still gates")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -304,13 +319,19 @@ def main():
     # the normalized sweep runs over ALL shared queries, not just the
     # raw-flagged ones: under a FASTER window (med < 1) a query that
     # merely stayed flat is a code regression relative to the window
-    # and would never appear in the raw list. A mild faster window also
-    # AMPLIFIES ratios (a 1.2x raw under a 0.9x median reads 1.33x
-    # normalized), so under med < 1 the normalized threshold widens by
-    # 10% to absorb ratio noise around an improving window (ADVICE r15)
-    # — a real masked regression still clears the widened bar by a
-    # margin (selftest 8's flat-query-under-2x-faster reads 2.0x).
-    eff_threshold = threshold * 1.1 if med < 1.0 else threshold
+    # and would never appear in the raw list. A faster window also
+    # AMPLIFIES ratios — dividing by med < 1 scales every ratio by
+    # 1/med — so the normalized threshold widens by exactly that
+    # amplification factor (a 1.2x raw under a 0.9x median reads 1.33x
+    # normalized but only regressed 1.2x against its own baseline),
+    # capped at 10% so a strongly improving window cannot hide a real
+    # regression behind an ever-wider bar (selftest 8's
+    # flat-query-under-2x-faster reads 2.0x, far past the cap). A flat
+    # widening would lower recall for every mild med in (0.91, 1.0):
+    # a genuine 1.32x code regression under a 0.98x noise median must
+    # still gate (selftest 12).
+    widen = min(1.1, 1.0 / med) if med < 1.0 else 1.0
+    eff_threshold = threshold * widen
     gate_names = sorted(
         [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / med > eff_threshold]
         + [q for q in shared if pq[q] <= 0 and nq[q] > zero_eps])
@@ -350,7 +371,9 @@ def main():
         print(f"  REGRESSED {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x raw, "
               + (f"{r / med:.2f}x normalized"
                  if r != float("inf") else "zero baseline")
-              + (" — GATES)" if gated else " — window-attributed)"),
+              + (" — GATES)" if gated
+                 else (" — window-attributed)" if med >= 1.0
+                       else " — within the widened noise bar)")),
               file=sys.stderr if gated else sys.stdout)
     raw_flagged = {q for q, _, _, _ in regressed}
     for q in gate_names:
