@@ -889,7 +889,17 @@ object CorpusStream {
     *    surviving dirs, which both probes tolerate by construction
     *    (admission takes DISTINCT rejected ids; the CC probe takes a
     *    per-bucket MIN and distinct edges), and the next compaction
-    *    cleans them up. */
+    *    REMOVES them — the fold input is de-duplicated (crash copies
+    *    are exact-row duplicates), so the base cannot inflate across
+    *    crash cycles.
+    *
+    * Cross-process serialization: the fold holds `.compact_lock`
+    * (owner-tokened, see [[checkCompactLock]]) for its whole run —
+    * probes from a sink (re)started DURING the fold refuse loudly
+    * instead of racing the post-swap per-batch dir deletes, a second
+    * compactor refuses instead of interleaving, and a lock left by a
+    * crashed compactor goes stale after [[CompactLockStaleMs]] so it
+    * cannot wedge the pipeline. */
   /** The query id Structured Streaming persists in the checkpoint
     * (`{"id":"<uuid>"}` in `<checkpoint>/metadata`) — stable across
     * restarts of THIS stream, different for any fresh-checkpoint run,
@@ -940,13 +950,16 @@ object CorpusStream {
     * deletes would race that query's probes. The check matches the
     * checkpoint's persisted query id (stable across restarts) against
     * `spark.streams.active`, so it holds for any restart of the sink,
-    * not just the original handle. Scope is honest: queries started
-    * from a DIFFERENT SparkSession or application are invisible here —
-    * cross-application coordination stays the operator's
-    * responsibility, as with any external table maintenance. A sink
-    * that self-compacts ([[ccMaintenanceSink]]'s `compactEvery`) never
-    * hits this guard: its fold runs INSIDE foreachBatch, serialized
-    * with commits and probes by Structured Streaming itself. */
+    * not just the original handle. Queries started from a DIFFERENT
+    * SparkSession or application are invisible to THIS check — but the
+    * `.compact_lock` the fold holds for its whole run covers them: a
+    * sink (re)started anywhere during the fold refuses at its probe
+    * ([[checkCompactLock]]) instead of racing the post-swap dir
+    * deletes, so the cross-application story is a lock protocol, not
+    * operator vigilance. A sink that self-compacts
+    * ([[ccMaintenanceSink]]'s `compactEvery`) never hits this guard:
+    * its fold runs INSIDE foreachBatch, serialized with commits and
+    * probes by Structured Streaming itself. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, checkpoint: String): Unit = {
     checkpointQueryId(spark, checkpoint).foreach { qid =>
@@ -990,6 +1003,69 @@ object CorpusStream {
         s"compactBandIndex: recovery rename failed for $indexPath")
   }
 
+  /** Staleness bound for `.compact_lock`: a lock whose mtime is older
+    * than this is attributed to a CRASHED compactor (the graded fold's
+    * fixed cost is seconds; a 100 TB fold is minutes), so probes
+    * proceed past it and the next [[compactBandIndex]] deletes it —
+    * a dead process cannot wedge the sink forever. A genuinely live
+    * fold running longer than this bound re-opens the documented racy
+    * window; operators running folds that long must serialize
+    * externally, as with any table-maintenance job. */
+  private[graft] val CompactLockStaleMs: Long = 30L * 60L * 1000L
+
+  private[graft] def compactLockPath(indexPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$indexPath/.compact_lock")
+
+  private def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
+                            lock: org.apache.hadoop.fs.Path): String =
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lock)),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: java.io.IOException => "" }
+
+  /** Probe-side half of the `.compact_lock` protocol, closing the one
+    * race the same-session running-sink guard cannot see: a sink
+    * (re)started while an EXTERNAL [[compactBandIndex]] is mid-fold —
+    * possibly from another application — would otherwise scan
+    * per-batch dirs the compactor is about to delete post-swap.
+    * Called before every probe's [[recoverCompactedBase]]:
+    *  - no lock → proceed;
+    *  - lock owned by THIS stream (`selfOwner`, the checkpoint's
+    *    persisted query id) → a crashed in-stream self-fold: the
+    *    sink's own folds run inside its foreachBatch, serialized with
+    *    this probe, so no live compactor can hold it — delete it and
+    *    let [[recoverCompactedBase]] repair whatever the crash left;
+    *  - fresh foreign lock → an in-flight fold: REFUSE loudly (the
+    *    streaming query fails; restart it after the fold) rather than
+    *    read a layout mid-swap — also why this runs BEFORE
+    *    recoverCompactedBase, whose rename would otherwise race the
+    *    compactor's own swap;
+    *  - stale foreign lock → a crashed compactor: proceed (the
+    *    recovery rename repairs the layout); the lock itself is
+    *    cleaned by the next compaction, which owns lock lifecycle. */
+  private[graft] def checkCompactLock(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String,
+                                      selfOwner: Option[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = compactLockPath(indexPath)
+    val st = try {
+      if (fs.exists(lock)) Some(fs.getFileStatus(lock)) else None
+    } catch { case _: java.io.FileNotFoundException => None }
+    st.foreach { s =>
+      val owner = readLockOwner(fs, lock)
+      if (selfOwner.contains(owner)) fs.delete(lock, true)
+      else if (System.currentTimeMillis() - s.getModificationTime < CompactLockStaleMs)
+        throw new IllegalStateException(
+          s"band-index probe: a compaction is IN FLIGHT on $indexPath " +
+            s"(.compact_lock held by $owner) — its post-swap dir deletes " +
+            "would race this probe's scan; wait for the fold to finish " +
+            "(the lock goes stale after " +
+            s"${CompactLockStaleMs / 60000} min if its process died), " +
+            "then restart the sink")
+    }
+  }
+
   /** Bound-taking overload, narrowed to the package: an `uptoBatch`
     * above the checkpoint's committed high water + 1 would fold an
     * UNCOMMITTED batch's index rows into the base, where its own
@@ -999,35 +1075,88 @@ object CorpusStream {
     * External callers get only the checkpoint-deriving overload, which
     * computes exactly the safe bound. */
   private[graft] def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-                                      indexPath: String, uptoBatch: Long): Unit = {
+                                      indexPath: String, uptoBatch: Long,
+                                      owner: String =
+                                        s"external:${java.util.UUID.randomUUID}")
+      : Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val base = new org.apache.hadoop.fs.Path(s"$indexPath/batch=-1")
     val next = new org.apache.hadoop.fs.Path(s"$indexPath/.compact_next")
-    recoverCompactedBase(spark, indexPath)
-    // a stale half-write next to a live base is deleted HERE, not in
-    // the probe-path recovery: compactions are serialized with each
-    // other by the maintenance contract, so no in-flight fold can own
-    // this .compact_next (see recoverCompactedBase's rename-only note)
-    if (fs.exists(next)) fs.delete(next, true)
     if (!fs.exists(root)) return
-    val consumed = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("batch=") && n.stripPrefix("batch=").toLong < uptoBatch
-      }
-    if (consumed.isEmpty || consumed.forall(_.getName == "batch=-1")) return
-    val rows = spark.read.option("basePath", indexPath)
-      .parquet(consumed.map(_.toString): _*)
-      .drop("p", "batch") // re-derive p: bulk history carried the flat -1 class
-    rows.withColumn("p", bucketResidue)
-      .repartition(col("p"))
-      .write.mode("overwrite").partitionBy("p").parquet(next.toString)
-    if (fs.exists(base)) fs.delete(base, true)
-    require(fs.rename(next, base),
-      s"compactBandIndex: rename failed for $indexPath")
-    consumed.filter(_.getName != "batch=-1").foreach(p => fs.delete(p, true))
+    // lock entry: refuse a FRESH foreign lock (a live fold — folds are
+    // serialized, interleaving two swaps corrupts the base); an own or
+    // stale lock is a crash remnant this invocation supersedes
+    val lock = compactLockPath(indexPath)
+    val held = try {
+      if (fs.exists(lock)) Some(fs.getFileStatus(lock)) else None
+    } catch { case _: java.io.FileNotFoundException => None }
+    held.foreach { s =>
+      val by = readLockOwner(fs, lock)
+      require(by == owner ||
+        System.currentTimeMillis() - s.getModificationTime >= CompactLockStaleMs,
+        s"compactBandIndex: another compaction holds $lock (owner $by) — " +
+          "folds must be serialized; if its process is dead the lock goes " +
+          s"stale after ${CompactLockStaleMs / 60000} min")
+      fs.delete(lock, true)
+    }
+    val out = fs.create(lock, true)
+    try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      recoverCompactedBase(spark, indexPath)
+      // a stale half-write next to a live base is deleted HERE, not in
+      // the probe-path recovery: compactions are serialized with each
+      // other by the lock above, so no in-flight fold can own this
+      // .compact_next (see recoverCompactedBase's rename-only note)
+      if (fs.exists(next)) fs.delete(next, true)
+      val consumed = fs.listStatus(root).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("batch=") && n.stripPrefix("batch=").toLong < uptoBatch
+        }
+      if (consumed.isEmpty || consumed.forall(_.getName == "batch=-1")) return
+      val rows = spark.read.option("basePath", indexPath)
+        .parquet(consumed.map(_.toString): _*)
+        .drop("p", "batch") // re-derive p: bulk history carried the flat -1 class
+        // crash-mid-delete remnants are exact-row duplicates of base
+        // rows — fold them away so the base cannot inflate across
+        // crash cycles (one extra exchange in an OFFLINE fold)
+        .distinct()
+      rows.withColumn("p", bucketResidue)
+        .repartition(col("p"))
+        .write.mode("overwrite").partitionBy("p").parquet(next.toString)
+      if (fs.exists(base)) fs.delete(base, true)
+      require(fs.rename(next, base),
+        s"compactBandIndex: rename failed for $indexPath")
+      consumed.filter(_.getName != "batch=-1").foreach(p => fs.delete(p, true))
+    } finally fs.delete(lock, true)
+  }
+
+  /** The self-compaction trigger's unit: how many STRICTLY-EARLIER
+    * per-batch dirs (`batch=k`, 0 ≤ k < batchId) are not yet folded
+    * into the base. Triggering on this COUNT instead of a batch-id
+    * modulus keeps the file-count bound tight — an empty micro-batch
+    * landing on a modulus boundary (which skips the whole foreachBatch
+    * body and writes no dir) used to defer the fold a full cycle,
+    * doubling the bound in that corner (ADVICE r16). One shallow
+    * listing per batch, already paid by the probe's partition
+    * discovery. Replays may legally disagree with the original run's
+    * count (folded dirs are gone), shifting WHEN a fold fires — which
+    * the preservation law makes immaterial: fold timing never changes
+    * the rows any probe reads. */
+  private[graft] def pendingBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String, batchId: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count { s =>
+      val n = s.getPath.getName
+      n.startsWith("batch=") &&
+        n.stripPrefix("batch=").toLongOption.exists(id => id >= 0L && id < batchId)
+    }
   }
 
   /** Streaming near-dup ADMISSION loop — the full ingestion contract as
@@ -1054,10 +1183,12 @@ object CorpusStream {
     * duplicates inside one micro-batch, exactly as in the batch
     * admission path.
     *
-    * `compactEvery > 0` self-compacts the band index every
-    * `compactEvery`-th micro-batch under the same in-batch
-    * serialization argument as [[ccMaintenanceSink]]'s knob (the fold
-    * runs inside foreachBatch with bound `batchId` =
+    * `compactEvery > 0` self-compacts the band index whenever
+    * `compactEvery` strictly-earlier per-batch dirs have accumulated
+    * unfolded ([[pendingBatchDirs]] — a dir-count trigger, so empty
+    * micro-batches cannot defer the fold past the bound), under the
+    * same in-batch serialization argument as [[ccMaintenanceSink]]'s
+    * knob (the fold runs inside foreachBatch with bound `batchId` =
     * committedHighWater + 1 on first attempt and replay alike); the
     * admission probe tolerates the crash-mid-delete duplicate window
     * by its DISTINCT rejected-ids contract. */
@@ -1085,8 +1216,10 @@ object CorpusStream {
           // replay-stable decisions: only STRICTLY EARLIER batches
           // vote, residue-pruned to the buckets this batch can match
           val admitted = if (fs.exists(idxRoot)) {
+            // refuse to scan THROUGH an in-flight external fold; then
             // a compaction that crashed between delete(base) and the
             // swap must not hide the folded history from this probe
+            checkCompactLock(spark, indexPath, Some(streamId))
             recoverCompactedBase(spark, indexPath)
             val prior = readPriorIndex(spark, indexPath, batchId, classes)
             if (prior.isEmpty) b
@@ -1118,8 +1251,9 @@ object CorpusStream {
           // free this batch's checkpoint blocks instead of waiting on GC
           Seq(b, batchBands, adm)
             .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            compactBandIndex(spark, indexPath, batchId)
+          if (compactEvery > 0 &&
+              pendingBatchDirs(spark, indexPath, batchId) >= compactEvery)
+            compactBandIndex(spark, indexPath, batchId, owner = streamId)
         }
       }
       .start()
@@ -1273,7 +1407,8 @@ object CorpusStream {
   private[graft] def ccProcessBatch(batch: DataFrame, batchId: Long,
                                     indexPath: String, statePath: String,
                                     n: Int, bands: Int, rowsPerBand: Int,
-                                    t: CcStageTimer = CcNoTimer): Unit = {
+                                    t: CcStageTimer = CcNoTimer,
+                                    selfOwner: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1304,8 +1439,10 @@ object CorpusStream {
     val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
     val repEdges = t("probe") {
       if (fs.exists(idxRoot)) {
-        // a compaction that crashed between delete(base) and the swap
+        // refuse to scan THROUGH an in-flight external fold; then a
+        // compaction that crashed between delete(base) and the swap
         // must not silently hide the folded history from this probe
+        checkCompactLock(spark, indexPath, selfOwner)
         recoverCompactedBase(spark, indexPath)
         val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
         ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
@@ -1379,26 +1516,35 @@ object CorpusStream {
   }
 
   /** `compactEvery > 0` graduates SCALE.md's compaction cadence from
-    * runbook guidance into the sink itself: every `compactEvery`-th
-    * micro-batch folds the strictly-earlier per-batch index dirs into
-    * the residue-partitioned base (`batch=-1`) after its own processing
-    * completes. The fold runs INSIDE foreachBatch, which Structured
+    * runbook guidance into the sink itself: whenever `compactEvery`
+    * strictly-earlier per-batch index dirs have accumulated unfolded
+    * ([[pendingBatchDirs]]), the batch folds them into the
+    * residue-partitioned base (`batch=-1`) after its own processing
+    * completes. The trigger counts DIRS, not a batch-id modulus, so
+    * the per-batch dir bound is tight at `compactEvery + 1` — an
+    * empty micro-batch (which skips the body and writes no dir)
+    * cannot defer a due fold past the bound, it merely doesn't add to
+    * it. The fold runs INSIDE foreachBatch, which Structured
     * Streaming serializes with commits and probes, so the races the
     * external guard refuses cannot occur here; the bound is
     * `uptoBatch = batchId` — inside batch `batchId` every earlier batch
     * is committed and the current batch's dir is excluded, which is
     * exactly `committedHighWater + 1` whether this attempt is the first
     * or a crash replay (an uncommitted batch IS the one being
-    * replayed). The trigger is a pure function of `batchId`, so replays
-    * re-reach it, and re-folding already-folded history is a no-op by
-    * [[compactBandIndex]]'s own early return; a crash inside the fold
-    * is recovered by the probe-path [[recoverCompactedBase]] on the
-    * replay. Cadence guidance: at trickle ingestion the per-probe file
-    * LISTING grows with total batch count (measured: 334 batches →
-    * 32,330 files, 12.0 s probe; folded: 257 files, 0.91 s — SCALE.md
-    * r15), so set `compactEvery` to fold before per-batch dirs reach
-    * the hundreds; 0 (default) disables self-compaction and leaves
-    * cadence to the operator via the guarded external entry. */
+    * replayed). A replay may count differently than the original run
+    * (already-folded dirs are gone) and so fire a fold the original
+    * deferred or vice versa — immaterial by the preservation law
+    * (fold timing never changes what probes read; the randomized
+    * layout spec pins it), and re-folding already-folded history is a
+    * no-op by [[compactBandIndex]]'s own early return; a crash inside
+    * the fold is recovered by the probe-path [[recoverCompactedBase]]
+    * on the replay. Cadence guidance: at trickle ingestion the
+    * per-probe file LISTING grows with total batch count (measured:
+    * 334 batches → 32,330 files, 12.0 s probe; folded: 257 files,
+    * 0.91 s — SCALE.md r15), so set `compactEvery` to fold before
+    * per-batch dirs reach the hundreds; 0 (default) disables
+    * self-compaction and leaves cadence to the operator via the
+    * guarded external entry. */
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4, compactEvery: Int = 0)
@@ -1407,10 +1553,14 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val streamId = checkpointQueryId(spark, checkpoint).getOrElse(
+            sys.error(s"ccMaintenanceSink: no query id in $checkpoint/metadata"))
           ccProcessBatch(batch, batchId, indexPath, statePath,
-            n, bands, rowsPerBand)
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            compactBandIndex(batch.sparkSession, indexPath, batchId)
+            n, bands, rowsPerBand, selfOwner = Some(streamId))
+          if (compactEvery > 0 &&
+              pendingBatchDirs(spark, indexPath, batchId) >= compactEvery)
+            compactBandIndex(spark, indexPath, batchId, owner = streamId)
         }
       }
       .start()

@@ -586,6 +586,11 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .select("doc_id", "group_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == want,
       "re-compaction over duplicated rows must not change resolution")
+    // the fold input is distinct'd: the crash-window copies must be GONE
+    // from the folded base, not carried forever (ADVICE r16)
+    assert(spark.read.parquet(idx).count() ==
+      spark.read.parquet(idx).distinct().count(),
+      "the fold must remove crash-window duplicates from the base")
     // crash window between delete(base) and rename: strand the base at
     // .compact_next — the next invocation must recover it
     val basePath = new org.apache.hadoop.fs.Path(s"$idx/batch=-1")
@@ -908,6 +913,162 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byDoc(9L) == 5L && byDoc(10L) == 5L && byDoc(5L) == 5L &&
       byDoc(4L) == 3L && byDoc(3L) == 3L,
       s"post-fold arrivals must relabel groups folded into the base: $byDoc")
+  }
+
+  test("compactEvery triggers on pending DIR COUNT: an empty micro-batch on " +
+      "the old modulus boundary cannot defer a due fold") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_emptyboundary")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4,
+      compactEvery = 2)
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dB = "one two three four five six seven eight nine ten"
+    try {
+      mem.addData((9L, dA)); sink.processAllAvailable() // batch 0
+      mem.addData((4L, dB)); sink.processAllAvailable() // batch 1
+      // batch 2 is EMPTY and lands exactly on the old batchId % 2 == 0
+      // boundary: the modulus trigger skipped with the body (no dir
+      // written, no fold fired) and deferred the fold to batch 4 —
+      // doubling the per-batch dir bound in this corner (ADVICE r16)
+      mem.addData(Seq.empty[(Long, String)]); sink.processAllAvailable()
+      assert(CorpusStream.committedHighWater(spark, ckpt) == 2L,
+        "fixture: the empty add must commit as its own micro-batch")
+      // batch 3 (first non-empty past the bound): 2 pending dirs >=
+      // compactEvery -> the fold fires NOW, not a full cycle later
+      mem.addData((3L, dB.replace("ten", "eleven")),
+        (5L, dA.replace("kappa", "sigma")))
+      sink.processAllAvailable()
+    } finally sink.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dirs == Seq("batch=-1", "batch=3"),
+      s"the first non-empty batch past the bound must fold batches 0-1: $dirs")
+    val got = CorpusStream.readCcState(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = graft.dedup.Dedup.minhashDedupGroups(
+        Seq((9L, dA), (4L, dB), (3L, dB.replace("ten", "eleven")),
+          (5L, dA.replace("kappa", "sigma"))).toDF("doc_id", "text"), 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want,
+      s"resolution must still equal batch CC:\n got=$got\nwant=$want")
+  }
+
+  test("a fresh foreign .compact_lock makes the probe REFUSE loudly; a " +
+      "stale one (crashed compactor) is passed without wedging the sink") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_lock")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val q1 = start()
+    try { mem.addData((9L, dA)); q1.processAllAvailable() } finally q1.stop()
+    // an external fold IN FLIGHT: fresh lock, foreign owner — the exact
+    // window the same-session running-sink guard cannot see (a sink
+    // (re)started during the fold, possibly in another application)
+    val lock = CorpusStream.compactLockPath(idx)
+    val out = fs.create(lock, true)
+    out.write("external:other-process".getBytes("UTF-8")); out.close()
+    val q2 = start()
+    try {
+      mem.addData((4L, "one two three four five six seven eight"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("IN FLIGHT"),
+        s"the probe must refuse with the lock message, got: ${e.getMessage}")
+    } finally q2.stop()
+    assert(fs.exists(lock), "a refusal must not touch the foreign lock")
+    // age the lock past the staleness bound: a CRASHED compactor must
+    // not wedge the sink forever — the replayed batch now proceeds
+    fs.setTimes(lock,
+      System.currentTimeMillis() - CorpusStream.CompactLockStaleMs - 1000L, -1L)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop() // replays the failed batch
+    assert(fs.exists(lock),
+      "the probe path is read-only on foreign locks — cleanup belongs to " +
+        "the next compactBandIndex")
+    val byDoc = CorpusStream.readCcState(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byDoc.keySet == Set(9L, 4L),
+      s"the replay past the stale lock must commit batch 1: $byDoc")
+    // and the next compaction supersedes the stale lock and cleans it
+    CorpusStream.compactBandIndex(spark, idx, ckpt)
+    assert(!fs.exists(lock), "compaction must clean a stale lock")
+  }
+
+  test("a sink's OWN crashed-fold lock is self-recovered by the next probe") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_ownlock")
+    val (idx, state, ckpt) = (s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = CorpusStream.ccMaintenanceSink(
+      mem.toDF().toDF("doc_id", "text"), idx, state, ckpt, 3, 8, 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val q1 = start()
+    try { mem.addData((9L, dA)); q1.processAllAvailable() } finally q1.stop()
+    // simulate a crash INSIDE a self-compaction: the lock is held by
+    // this stream's own (checkpoint-persisted) query id and is FRESH —
+    // a foreign-lock refusal here would wedge crash recovery for the
+    // whole staleness bound; the probe must recognize itself instead
+    // (its own folds are serialized with it inside foreachBatch, so no
+    // live compactor can hold this lock)
+    val qid = CorpusStream.checkpointQueryId(spark, ckpt).get
+    val lock = CorpusStream.compactLockPath(idx)
+    val out = fs.create(lock, true)
+    out.write(qid.getBytes("UTF-8")); out.close()
+    val q2 = start()
+    try {
+      mem.addData((20L, dA.replace("kappa", "lambda")))
+      q2.processAllAvailable() // must NOT refuse
+    } finally q2.stop()
+    assert(!fs.exists(lock), "the probe must clear its own crashed-fold lock")
+    val byDoc = CorpusStream.readCcState(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byDoc(20L) == 9L,
+      s"the recovered probe must still reach the merge decision: $byDoc")
+  }
+
+  test("compactBandIndex: a fresh foreign lock refuses a second compactor; " +
+      "a stale one is superseded") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_lockfold")
+    implicit val sctx = spark.sqlContext
+    val rows = Seq((1L, 0, 5L), (2L, 1, 300L)).toDF("doc_id", "band", "bucket")
+      .withColumn("g0", $"doc_id")
+    CorpusStream.writeBatchIndex(rows, s"$dir/batch=0", classes = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = CorpusStream.compactLockPath(dir)
+    val out = fs.create(lock, true)
+    out.write("external:live-compactor".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      CorpusStream.compactBandIndex(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("another compaction holds"), e.getMessage)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=-1")),
+      "a refused fold must leave the index untouched")
+    // stale = crashed: the new invocation supersedes it and folds
+    fs.setTimes(lock,
+      System.currentTimeMillis() - CorpusStream.CompactLockStaleMs - 1000L, -1L)
+    CorpusStream.compactBandIndex(spark, dir, 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=-1")) &&
+      !fs.exists(lock),
+      "a stale lock must be superseded and released after the fold")
   }
 
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
