@@ -1120,12 +1120,22 @@ object CorpusStream {
       val rows = spark.read.option("basePath", indexPath)
         .parquet(consumed.map(_.toString): _*)
         .drop("p", "batch") // re-derive p: bulk history carried the flat -1 class
-        // crash-mid-delete remnants are exact-row duplicates of base
-        // rows — fold them away so the base cannot inflate across
-        // crash cycles (one extra exchange in an OFFLINE fold)
-        .distinct()
+      // crash-mid-delete remnants are exact-row duplicates of base
+      // rows; equal rows share a bucket, hence a residue class, so a
+      // WITHIN-PARTITION dedup after the layout shuffle is globally
+      // exact: sort equal rows adjacent and keep the first — one
+      // spillable in-partition sort, where a plain distinct would
+      // re-shuffle the whole index a second time on all columns. The
+      // base cannot inflate across crash cycles.
+      val key = struct(rows.columns.map(col).toIndexedSeq: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p")).orderBy(col("_k"))
       rows.withColumn("p", bucketResidue)
         .repartition(col("p"))
+        .withColumn("_k", key)
+        .withColumn("_dup", lag(col("_k"), 1).over(w) === col("_k"))
+        .filter(!coalesce(col("_dup"), lit(false)))
+        .drop("_k", "_dup")
         .write.mode("overwrite").partitionBy("p").parquet(next.toString)
       if (fs.exists(base)) fs.delete(base, true)
       require(fs.rename(next, base),
