@@ -197,6 +197,14 @@ object PlanDump {
       "residue-partitioned batch=-1 base — post-compaction probes " +
       "file-prune against the base exactly as trickle batches do, and the " +
       "equality law (resolved state == batch CC) survives the fold"),
+    "q233_cc_autocompact" -> ("the q231 replay with the sink folding its " +
+      "OWN band index inside foreachBatch (compactEvery=1, the " +
+      "pending-dir-count trigger): the graded tail is the identical " +
+      "resolved (doc_id, group_id) state (Scan ExistingRDD after " +
+      "localCheckpoint) — the fold is serialized with commits and probes " +
+      "by Structured Streaming itself (no external compaction step), " +
+      "batch 2's probe reads a base the sink created mid-stream, and the " +
+      "preservation law keeps resolution equal to batch CC"),
     "q200_bpe_train" -> ("BPE training touches the corpus ONCE (word-frequency " +
       "hash agg); every merge round is a vocab-sized pair-count hash agg + a " +
       "single-row argmax (Scalar-class collect) + a narrow replace projection — " +
@@ -379,9 +387,10 @@ object PlanDump {
         // class — the streaming replays' job counts are timing-
         // dependent, so absolute RDD ids are not reproducible
         .replaceAll("RDD\\[[0-9]+\\]", "RDD[N]")
-        // lambda-variable counter (lambda x_176#7): global too; the
-        // #id suffix (renumbered below) keeps variables distinct
-        .replaceAll("lambda x_[0-9]+", "lambda x")
+        // lambda-variable counter (lambda x_176#7, lambda y_242#7):
+        // global too; the #id suffix (renumbered below) keeps
+        // variables distinct
+        .replaceAll("lambda ([a-z]+)_[0-9]+", "lambda $1")
       // expression IDs (doc_id#3825L) come off the same global
       // counter: renumber them per SECTION in first-seen order, so
       // same-named columns from different relations stay
