@@ -67,9 +67,11 @@ same drifted window with one query slowed a FURTHER 2x (must fail, with
 that query in the normalized list), a uniform 2x shift hitting the cap
 (must fail unjustified, pass justified, AND pass under --med-cap 2.5),
 a flat query under a 2x-faster window (must fail), sub-threshold raw
-noise under a 0.9x window (must pass via the widened med<1 bar), and a
-uniform 2.5x speedup (must ask for confirmation with speedup wording) —
-and verifies each outcome: proof the gate fails loudly exactly when the
+noise under a 0.9x window (must pass via the widened med<1 bar), a
+uniform 2.5x speedup (must ask for confirmation with speedup wording),
+and a degenerate all-zero-minima artifact (must fail cleanly through
+the speedup-confirmation wording, never a ZeroDivisionError) — and
+verifies each outcome: proof the gate fails loudly exactly when the
 code regressed, runnable any round.
 """
 import sys, json, os, glob, statistics, subprocess, tempfile, shutil
@@ -208,6 +210,19 @@ def selftest(art_path):
         assert code == 1 and q0 in out, \
             f"1.32x regression under a 0.98x median must gate, got exit {code}:\n{out}"
         print(f"selftest 12 OK: {q0} at 1.32x under a 0.98x noise median still gates")
+
+        # a degenerate artifact (all-zero new minima -> median ratio 0)
+        # must fail CLEANLY through the gate's own speedup-confirmation
+        # wording, never an uncaught ZeroDivisionError (the bare 1/med
+        # widening used to blow past the clean fail() path, ADVICE r16)
+        dead = json.loads(json.dumps(base))
+        dead["queries"] = {q: 0.0 for q in base["queries"]}
+        code, out = run(dead)
+        assert code == 1 and "ZeroDivisionError" not in out \
+            and "speedup needs confirmation" in out, \
+            f"all-zero artifact must fail cleanly via the cap, got exit {code}:\n{out}"
+        print("selftest 13 OK: degenerate all-zero artifact fails cleanly, "
+              "no ZeroDivisionError")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -330,10 +345,16 @@ def main():
     # widening would lower recall for every mild med in (0.91, 1.0):
     # a genuine 1.32x code regression under a 0.98x noise median must
     # still gate (selftest 12).
-    widen = min(1.1, 1.0 / med) if med < 1.0 else 1.0
+    # med == 0 (>= half the shared queries record a zero NEW minimum) is
+    # a degenerate artifact, not a window: skip normalization entirely
+    # (norm 1.0 leaves ratios raw) and let the med-cap branch below gate
+    # it as an unconfirmable uniform "speedup" (ADVICE r16 — the bare
+    # 1/med raised an uncaught ZeroDivisionError past the clean fail())
+    widen = min(1.1, 1.0 / med) if 0.0 < med < 1.0 else 1.0
+    norm = med if med > 0 else 1.0
     eff_threshold = threshold * widen
     gate_names = sorted(
-        [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / med > eff_threshold]
+        [q for q in shared if pq[q] > 0 and (nq[q] / pq[q]) / norm > eff_threshold]
         + [q for q in shared if pq[q] <= 0 and nq[q] > zero_eps])
     # the cap on what "window drift" may absorb: a uniform CODE
     # regression (a session-config change, a shared-path slowdown) is
@@ -369,7 +390,7 @@ def main():
     for q, p, n, r in sorted(regressed, key=lambda t: -t[3]):
         gated = q in gate_names
         print(f"  REGRESSED {q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x raw, "
-              + (f"{r / med:.2f}x normalized"
+              + (f"{r / norm:.2f}x normalized"
                  if r != float("inf") else "zero baseline")
               + (" — GATES)" if gated
                  else (" — window-attributed)" if med >= 1.0
@@ -381,7 +402,7 @@ def main():
             r = nq[q] / pq[q]
             print(f"  REGRESSED {q}: {pq[q]:.3f}s -> {nq[q]:.3f}s ({r:.2f}x raw "
                   f"— flat under a {med:.2f}x faster window, "
-                  f"{r / med:.2f}x normalized — GATES)", file=sys.stderr)
+                  f"{r / norm:.2f}x normalized — GATES)", file=sys.stderr)
     if regressed and not gate_names and not med_capped:
         print(f"{len(regressed)} raw movement(s) fully window-attributed "
               f"(median factor {med:.2f}x) — informational, not gating")
