@@ -1042,7 +1042,19 @@ object CorpusStream {
     *    compactor's own swap;
     *  - stale foreign lock → a crashed compactor: proceed (the
     *    recovery rename repairs the layout); the lock itself is
-    *    cleaned by the next compaction, which owns lock lifecycle. */
+    *    cleaned by the next compaction, which owns lock lifecycle.
+    *
+    * Honest bound: this check is itself check-then-act — a fold
+    * STARTING while this probe's scan is already in flight is not
+    * excluded (that would need a reader/writer lock a plain
+    * filesystem cannot give atomically). The lock converts the
+    * common operational race (sink restarted during a fold) into a
+    * loud refusal; the residual window is one probe-scan overlapping
+    * a fold-start, whose destructive arm is already closed
+    * ([[recoverCompactedBase]] is rename-only) and whose read arm
+    * fails LOUDLY (a dir deleted mid-scan raises, ignoreMissingFiles
+    * stays default-false) — the failed batch replays against the
+    * folded base, which preserves every row it needs. */
   private[graft] def checkCompactLock(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String,
                                       selfOwner: Option[String]): Unit = {
