@@ -727,7 +727,8 @@ object CorpusStream {
   private def maintainState(rows: DataFrame, statePath: String, checkpoint: String,
                             sinkName: String)(
       merge: (DataFrame, Option[DataFrame]) => DataFrame)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamIdMemo = new StreamIdMemo(sinkName, checkpoint)
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -738,9 +739,9 @@ object CorpusStream {
         val nxt = new org.apache.hadoop.fs.Path(statePath + ".next")
         // the query id Structured Streaming persists in the checkpoint:
         // stable across restarts of THIS stream, different for any
-        // fresh-checkpoint run (always present inside foreachBatch)
-        val streamId = checkpointQueryId(spark, checkpoint)
-          .getOrElse(sys.error(s"$sinkName: no query id in $checkpoint/metadata"))
+        // fresh-checkpoint run (always present inside foreachBatch,
+        // resolved once per sink start by the memo)
+        val streamId = streamIdMemo.get(spark)
         // crash recovery (the Layout.compact discipline): death between
         // delete(cur) and rename leaves the new state stranded at .next
         if (!fs.exists(cur) && fs.exists(nxt))
@@ -766,6 +767,7 @@ object CorpusStream {
         }
       }
       .start()
+  }
 
   /** Residue-class layout for the maintained band indexes (shared by
     * [[admissionSink]] and [[ccMaintenanceSink]]): a TRICKLE batch's
@@ -918,6 +920,29 @@ object CorpusStream {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(meta)),
         java.nio.charset.StandardCharsets.UTF_8)
       """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
+  /** Per-sink memo of [[checkpointQueryId]]: the id is constant for
+    * the life of a checkpoint, but each sink used to re-read and
+    * re-parse `<checkpoint>/metadata` on EVERY micro-batch — thousands
+    * of redundant small-file reads over a long trickle stream's
+    * lifetime, purely to recompute the same UUID. One instance is
+    * created per sink construction (outside foreachBatch) and resolves
+    * on the first non-empty batch, when Structured Streaming has
+    * necessarily written the metadata file; a sink restart constructs
+    * a fresh memo, which re-reads the same stable id. */
+  private[graft] final class StreamIdMemo(sinkName: String, checkpoint: String) {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[String]
+    def get(spark: org.apache.spark.sql.SparkSession): String = {
+      val cached = ref.get
+      if (cached != null) cached
+      else {
+        val v = checkpointQueryId(spark, checkpoint).getOrElse(
+          sys.error(s"$sinkName: no query id in $checkpoint/metadata"))
+        ref.compareAndSet(null, v)
+        ref.get
+      }
     }
   }
 
@@ -1099,7 +1124,13 @@ object CorpusStream {
     if (!fs.exists(root)) return
     // lock entry: refuse a FRESH foreign lock (a live fold — folds are
     // serialized, interleaving two swaps corrupts the base); an own or
-    // stale lock is a crash remnant this invocation supersedes
+    // stale lock is a crash remnant this invocation supersedes. The
+    // create uses overwrite=false, so two compactors that BOTH pass the
+    // held-lock check (both saw no lock, or both superseded the same
+    // stale one) cannot both acquire — the loser's create throws and it
+    // refuses, on any FileSystem whose create-if-absent is atomic
+    // (HDFS; the local FS's exists+create leaves a hair of a window,
+    // acceptable for the single-host harness).
     val lock = compactLockPath(indexPath)
     val held = try {
       if (fs.exists(lock)) Some(fs.getFileStatus(lock)) else None
@@ -1113,7 +1144,13 @@ object CorpusStream {
           s"stale after ${CompactLockStaleMs / 60000} min")
       fs.delete(lock, true)
     }
-    val out = fs.create(lock, true)
+    val out = try fs.create(lock, false) catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"compactBandIndex: lost the lock race for $lock — another " +
+            "compaction created it concurrently; folds must be serialized",
+          e)
+    }
     try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     try {
@@ -1124,10 +1161,7 @@ object CorpusStream {
       // .compact_next (see recoverCompactedBase's rename-only note)
       if (fs.exists(next)) fs.delete(next, true)
       val consumed = fs.listStatus(root).toSeq.map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith("batch=") && n.stripPrefix("batch=").toLong < uptoBatch
-        }
+        .filter(p => batchDirId(p.getName).exists(_ < uptoBatch))
       if (consumed.isEmpty || consumed.forall(_.getName == "batch=-1")) return
       val rows = spark.read.option("basePath", indexPath)
         .parquet(consumed.map(_.toString): _*)
@@ -1153,8 +1187,33 @@ object CorpusStream {
       require(fs.rename(next, base),
         s"compactBandIndex: rename failed for $indexPath")
       consumed.filter(_.getName != "batch=-1").foreach(p => fs.delete(p, true))
-    } finally fs.delete(lock, true)
+    } finally releaseLockIfOwned(fs, lock, owner)
   }
+
+  /** Release `.compact_lock` only if WE still own it: a fold that
+    * outlived [[CompactLockStaleMs]] may have been superseded by
+    * another compactor — unconditionally deleting on exit would remove
+    * the successor's LIVE lock and reopen the probe race it guards.
+    * (The superseded fold's own swap is still hazardous — that is the
+    * documented cost of running past the staleness bound — but its
+    * exit must not widen the damage.) */
+  private[graft] def releaseLockIfOwned(fs: org.apache.hadoop.fs.FileSystem,
+                                        lock: org.apache.hadoop.fs.Path,
+                                        owner: String): Unit =
+    if (readLockOwner(fs, lock) == owner) fs.delete(lock, true)
+
+  /** Parse a `batch=<id>` dir name; None for anything else, including
+    * a non-numeric suffix (an operator's stray `batch=0.bak`). Shared
+    * by the fold's consumed-dir filter and [[pendingBatchDirs]] so the
+    * two listings can never disagree — previously the trigger
+    * tolerated a foreign entry the fold then threw on, failing the
+    * streaming query every batch once the trigger armed. (Probes'
+    * partition discovery still rejects foreign dirs under the index
+    * root — the layout is sink-owned; this helper only keeps the
+    * maintenance path from crash-looping on one.) */
+  private[graft] def batchDirId(name: String): Option[Long] =
+    if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption
+    else None
 
   /** The self-compaction trigger's unit: how many STRICTLY-EARLIER
     * per-batch dirs (`batch=k`, 0 ≤ k < batchId) are not yet folded
@@ -1174,11 +1233,8 @@ object CorpusStream {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexPath)
     if (!fs.exists(root)) 0
-    else fs.listStatus(root).count { s =>
-      val n = s.getPath.getName
-      n.startsWith("batch=") &&
-        n.stripPrefix("batch=").toLongOption.exists(id => id >= 0L && id < batchId)
-    }
+    else fs.listStatus(root).count(s =>
+      batchDirId(s.getPath.getName).exists(id => id >= 0L && id < batchId))
   }
 
   /** Streaming near-dup ADMISSION loop — the full ingestion contract as
@@ -1218,7 +1274,8 @@ object CorpusStream {
                     checkpoint: String, n: Int = 3, bands: Int = 8,
                     rowsPerBand: Int = 4, minEstJaccard: Double = 0.5,
                     compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamIdMemo = new StreamIdMemo("admissionSink", checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1226,8 +1283,7 @@ object CorpusStream {
           val spark = batch.sparkSession
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-          val streamId = checkpointQueryId(spark, checkpoint)
-            .getOrElse(sys.error(s"admissionSink: no query id in $checkpoint/metadata"))
+          val streamId = streamIdMemo.get(spark)
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
           // the batch's band rows, computed ONCE for probe residues,
           // admission decisions, and the index write alike
@@ -1279,6 +1335,7 @@ object CorpusStream {
         }
       }
       .start()
+  }
 
   /** The maintained group state, resolved: `(doc_id, group_id)` for
     * every document [[ccMaintenanceSink]] has ingested. The state on
@@ -1570,20 +1627,21 @@ object CorpusStream {
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4, compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = new StreamIdMemo("ccMaintenanceSink", checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val streamId = checkpointQueryId(spark, checkpoint).getOrElse(
-            sys.error(s"ccMaintenanceSink: no query id in $checkpoint/metadata"))
+          val sid = streamId.get(spark)
           ccProcessBatch(batch, batchId, indexPath, statePath,
-            n, bands, rowsPerBand, selfOwner = Some(streamId))
+            n, bands, rowsPerBand, selfOwner = Some(sid))
           if (compactEvery > 0 &&
               pendingBatchDirs(spark, indexPath, batchId) >= compactEvery)
-            compactBandIndex(spark, indexPath, batchId, owner = streamId)
+            compactBandIndex(spark, indexPath, batchId, owner = sid)
         }
       }
       .start()
+  }
 }

@@ -1071,6 +1071,75 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "a stale lock must be superseded and released after the fold")
   }
 
+  test("compact lock release is ownership-checked: a superseded fold must " +
+      "not delete its successor's live lock") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_lockown")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lock = CorpusStream.compactLockPath(dir)
+    val out = fs.create(lock, true)
+    out.write("external:successor".getBytes("UTF-8")); out.close()
+    // the exact call compactBandIndex's finally makes when a fold that
+    // outlived the staleness bound exits after being superseded
+    CorpusStream.releaseLockIfOwned(fs, lock, "external:superseded-fold")
+    assert(fs.exists(lock),
+      "a foreign live lock must survive another fold's exit")
+    CorpusStream.releaseLockIfOwned(fs, lock, "external:successor")
+    assert(!fs.exists(lock), "the owner's own release must delete the lock")
+  }
+
+  test("foreign batch= entries under the index root: trigger and fold agree " +
+      "(neither counts them, the fold does not throw)") {
+    import graft.stream.CorpusStream
+    assert(CorpusStream.batchDirId("batch=7").contains(7L))
+    assert(CorpusStream.batchDirId("batch=-1").contains(-1L))
+    assert(CorpusStream.batchDirId("batch=0.bak").isEmpty)
+    assert(CorpusStream.batchDirId("batch=").isEmpty)
+    assert(CorpusStream.batchDirId("_SUCCESS").isEmpty)
+    val dir = tempDir("graft_cc_foreign")
+    implicit val sctx = spark.sqlContext
+    val rows = Seq((1L, 0, 5L), (2L, 1, 300L)).toDF("doc_id", "band", "bucket")
+      .withColumn("g0", $"doc_id")
+    CorpusStream.writeBatchIndex(rows, s"$dir/batch=0", classes = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val foreign = new org.apache.hadoop.fs.Path(s"$dir/batch=0.bak")
+    fs.mkdirs(foreign)
+    // the trigger ignores the foreign entry...
+    assert(CorpusStream.pendingBatchDirs(spark, dir, 1L) == 1,
+      "only the numeric strictly-earlier dir counts toward the trigger")
+    // ...and the fold it arms must not crash-loop on it (previously a
+    // bare .toLong threw NumberFormatException on every invocation)
+    CorpusStream.compactBandIndex(spark, dir, 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=-1")),
+      "the numeric dir must fold")
+    assert(fs.exists(foreign), "the foreign entry is left alone")
+  }
+
+  test("StreamIdMemo resolves the checkpoint query id once and caches it " +
+      "for the sink's lifetime") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_memo")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/metadata")
+    val out = fs.create(meta, true)
+    out.write("""{"id":"11111111-2222-3333-4444-555555555555"}""".getBytes("UTF-8"))
+    out.close()
+    val memo = new CorpusStream.StreamIdMemo("spec", dir)
+    assert(memo.get(spark) == "11111111-2222-3333-4444-555555555555")
+    // deleting the metadata file proves later calls never re-read it:
+    // the per-batch hot path pays the small-file read exactly once
+    fs.delete(meta, true)
+    assert(memo.get(spark) == "11111111-2222-3333-4444-555555555555",
+      "the memo must serve the cached id without re-reading metadata")
+    val fresh = new CorpusStream.StreamIdMemo("spec", dir)
+    val e = intercept[RuntimeException] { fresh.get(spark) }
+    assert(e.getMessage.contains("no query id"), e.getMessage)
+  }
+
   test("streaming HLL maintenance: merged registers equal the batch sketch, survive restart") {
     implicit val sctx = spark.sqlContext
     val dir = tempDir("graft_hll")

@@ -69,8 +69,10 @@ that query in the normalized list), a uniform 2x shift hitting the cap
 a flat query under a 2x-faster window (must fail), sub-threshold raw
 noise under a 0.9x window (must pass via the widened med<1 bar), a
 uniform 2.5x speedup (must ask for confirmation with speedup wording),
-and a degenerate all-zero-minima artifact (must fail cleanly through
-the speedup-confirmation wording, never a ZeroDivisionError) — and
+a degenerate all-zero-minima artifact (must fail cleanly through
+the speedup-confirmation wording, never a ZeroDivisionError), and the
+same all-zero artifact as the BASELINE side (must fail cleanly as a
+degenerate baseline) — and
 verifies each outcome: proof the gate fails loudly exactly when the
 code regressed, runnable any round.
 """
@@ -223,6 +225,22 @@ def selftest(art_path):
             f"all-zero artifact must fail cleanly via the cap, got exit {code}:\n{out}"
         print("selftest 13 OK: degenerate all-zero artifact fails cleanly, "
               "no ZeroDivisionError")
+
+        # the symmetric case: an all-zero artifact used as the PREVIOUS
+        # baseline must also fail cleanly (the summary's s_new/s_prev
+        # used to raise ZeroDivisionError before any gating)
+        deadprev = os.path.join(tmp, "BENCH_full_r89.json")
+        json.dump(dead, open(deadprev, "w"))
+        goodnew = os.path.join(tmp, "BENCH_full_r92.json")
+        json.dump(base, open(goodnew, "w"))
+        r = subprocess.run([sys.executable, me, goodnew, deadprev],
+                           capture_output=True, text=True)
+        out14 = r.stdout + r.stderr
+        assert r.returncode == 1 and "ZeroDivisionError" not in out14 \
+            and "degenerate baseline" in out14, \
+            f"all-zero PREV must fail cleanly, got exit {r.returncode}:\n{out14}"
+        print("selftest 14 OK: degenerate all-zero BASELINE fails cleanly, "
+              "no ZeroDivisionError")
         print("selftest PASSED")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -317,6 +335,15 @@ def main():
     improved = [(q, pq[q], nq[q], pq[q] / nq[q]) for q in shared
                 if nq[q] > 0 and pq[q] / nq[q] > threshold]
     s_new, s_prev = sum(nq[q] for q in shared), sum(pq[q] for q in shared)
+    # a degenerate PREVIOUS artifact (all-zero shared minima) cannot
+    # anchor an adjudication: every ratio is undefined, and the summary's
+    # s_new/s_prev would raise ZeroDivisionError past the clean fail()
+    # path (the r16 guard only covered the NEW side's all-zero case)
+    if s_prev <= 0:
+        fail(f"{prev_path} is a degenerate baseline: its shared-query "
+             f"minima sum to {s_prev}s — an all-zero artifact cannot "
+             f"anchor an adjudication; compare against a real prior "
+             f"artifact instead")
 
     # THE GATE (promoted from diagnostic in r15, per the stated
     # criterion "if window drift recurs across rounds" — r13 signed 3

@@ -2,17 +2,35 @@
 # Round bench series: N canonical full-surface Bench runs + 1 shuffled
 # check, each mirrored from /tmp/graft_bench.json. Serial by design
 # (shared sbt target/, and the machine must stay quiet for minima).
+# A failed run aborts the series: the mirror is removed BEFORE each run
+# and its absence (or a nonzero sbt exit) fails loudly, so a crashed
+# Bench can never silently duplicate the previous run's artifact into
+# the minima series (the degenerate-artifact class bench_adjudicate
+# rejects downstream must not be injectable upstream).
 # Usage: tools/run_bench_series.sh <round> [nruns] [shuffle_seed]
 set -u
 cd "$(dirname "$0")/.."
 R=${1:?round}; N=${2:-7}; SEED=${3:-$R}
+
+one_run() { # one_run <out.json> <log> [env k=v...]
+  local out=$1 log=$2; shift 2
+  rm -f /tmp/graft_bench.json
+  env "$@" SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    sbt -batch 'runMain graft.Bench' > "$log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ] || [ ! -f /tmp/graft_bench.json ]; then
+    echo "FAILED rc=$rc (no mirror) — see $log" >&2
+    return 1
+  fi
+  cp /tmp/graft_bench.json "$out"
+}
+
 for i in $(seq 1 "$N"); do
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-    sbt -batch 'runMain graft.Bench' > "/tmp/bench_r${R}_run$i.log" 2>&1
-  cp /tmp/graft_bench.json "/tmp/bench_r${R}_run$i.json" 2>/dev/null
-  echo "run $i done $(date +%H:%M:%S) rc=$?"
+  one_run "/tmp/bench_r${R}_run$i.json" "/tmp/bench_r${R}_run$i.log" \
+    || { echo "run $i FAILED $(date +%H:%M:%S)"; exit 1; }
+  echo "run $i done $(date +%H:%M:%S)"
 done
-SPARK_GRAFT_BENCH_SHUFFLE=$SEED SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt -batch 'runMain graft.Bench' > "/tmp/bench_r${R}_shuf.log" 2>&1
-cp /tmp/graft_bench.json "/tmp/bench_r${R}_shuf.json" 2>/dev/null
+one_run "/tmp/bench_r${R}_shuf.json" "/tmp/bench_r${R}_shuf.log" \
+  "SPARK_GRAFT_BENCH_SHUFFLE=$SEED" \
+  || { echo "shuffled run FAILED $(date +%H:%M:%S)"; exit 1; }
 echo "shuffled done $(date +%H:%M:%S)"
