@@ -1,22 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default to the machine's cores: the driver invokes Bench with only
-    // SPARK_GRAFT_SF_DIR set, and a low hardcoded default would silently
-    // under-parallelize the graded run (round-2 ran local[4] this way).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = GraftSession.tune(
-        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed JVM warm-up: first ML usage pays ~5-9 s of one-time class
-    // loading (Breeze/BLAS) and first query pays codegen warm-up; both
-    // are JVM artifacts, not query cost, so exclude them from timings.
-    try {
-      import org.apache.spark.sql.functions._
+  /** The untimed pre-bench warm-up, split into independently-failing
+    * stages so one broken path (say a codec) cannot silently skip the
+    * index prewarms behind it and turn every serve-path query into a
+    * cold-cache build. Returns `"ok"` or `"failed:<stage,...>"` — the
+    * caller stamps it into the bench artifact. `failStages` injects a
+    * throw at the named stages (env `SPARK_GRAFT_WARMUP_FAIL`,
+    * comma-separated; BenchWarmupSpec drives it directly) so the
+    * continue-past-failure contract is testable without breaking a
+    * real path. Stages: ml_codegen (Breeze/BLAS class load + the
+    * codegen/JIT shapes the query set leans on), codecs (javax.imageio
+    * / sampled-audio / RIFF decode discovery), indexes
+    * ([[SparkEntry.prewarmIndexes]]), shared_caches
+    * ([[SparkEntry.prewarmSharedCaches]]). */
+  private[graft] def runWarmup(spark: SparkSession, sfDir: String,
+                               failStages: Set[String] =
+                                 sys.env.get("SPARK_GRAFT_WARMUP_FAIL")
+                                   .map(_.split(",").toSet)
+                                   .getOrElse(Set.empty)): String = {
+    import org.apache.spark.sql.functions._
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def stage(name: String)(body: => Unit): Unit =
+      try {
+        if (failStages(name)) sys.error(s"injected warm-up failure: $name")
+        body
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] warm-up stage $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        failed += name
+      }
+    stage("ml_codegen") {
       val warm = spark.range(32).selectExpr("id", "CAST(id % 3 AS STRING) AS c",
         "CAST(id AS DOUBLE) AS label").cache()
       warm.count()
@@ -35,6 +49,8 @@ object Bench {
         .orderBy(col("e"))
         .write.format("noop").mode("overwrite").save()
       warm.unpersist()
+    }
+    stage("codecs") {
       // the first javax.imageio / javax.sound.sampled / RIFF decode of
       // the session pays codec discovery + class loading (~0.3-2 s),
       // and the canonical bench order is the queries MAP's iteration
@@ -48,7 +64,7 @@ object Bench {
       val mdocs = graft.ops.Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 24).localCheckpoint()
       // eager-unpersist discipline in a finally: even when one decode
-      // path throws (the outer catch swallows it and the bench runs
+      // path throws (the stage try swallows it and the bench runs
       // on), the warm-up slice must not pin blocks all session
       try Seq(
         graft.multimodal.Multimodal.decodeFeatures(
@@ -59,17 +75,39 @@ object Bench {
         graft.multimodal.Multimodal.videoFrameHistogram(mdocs)
       ).foreach(_.write.format("noop").mode("overwrite").save())
       finally org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(mdocs)
-      // build the write-once persisted indexes the serve-path queries
-      // probe (q151/q152), so their timed bodies measure SERVING cost;
-      // build cost is graded separately by q172_postings_build
-      SparkEntry.prewarmIndexes(spark, sfDir)
-      // force the session-scoped shingle/capped-common artifacts so
-      // their many consumers time scoring only; the build is graded
-      // and timed by q194_capped_index_build's from-scratch rebuild
-      SparkEntry.prewarmSharedCaches(spark, sfDir)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
     }
+    // build the write-once persisted indexes the serve-path queries
+    // probe (q151/q152), so their timed bodies measure SERVING cost;
+    // build cost is graded separately by q172_postings_build
+    stage("indexes") { SparkEntry.prewarmIndexes(spark, sfDir) }
+    // force the session-scoped shingle/capped-common artifacts so
+    // their many consumers time scoring only; the build is graded
+    // and timed by q194_capped_index_build's from-scratch rebuild
+    stage("shared_caches") { SparkEntry.prewarmSharedCaches(spark, sfDir) }
+    if (failed.isEmpty) "ok" else failed.mkString("failed:", ",", "")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Default to the machine's cores: the driver invokes Bench with only
+    // SPARK_GRAFT_SF_DIR set, and a low hardcoded default would silently
+    // under-parallelize the graded run (round-2 ran local[4] this way).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM warm-up: first ML usage pays ~5-9 s of one-time class
+    // loading (Breeze/BLAS) and first query pays codegen warm-up; both
+    // are JVM artifacts, not query cost, so exclude them from timings.
+    // Each stage fails INDEPENDENTLY and the outcome is stamped into
+    // the artifact ("warmup":"ok"|"failed:<stages>") — a cold-cache run
+    // (prewarm threw; the first consumer query pays the build) must be
+    // distinguishable from host drift in the artifact itself, not by
+    // re-running an adjudication series (r17 burned one on exactly
+    // that ambiguity).
+    val warmupStatus = runWarmup(spark, sfDir)
     // A failing query must FAIL the bench visibly (an exception recorded
     // per query + rc failure), never a silent fake timing that would
     // shrink the total and mask a regression.
@@ -136,13 +174,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     timings.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s ${v}%9.3f s") }
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"warmup":"${esc(warmupStatus)}","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
     // The driver tails the run's combined output and that window truncates
     // the FRONT of a long final line (round 4 lost the "metric" head of a
     // ~2.6 KB per-query line → parsed:null). So: the full per-query JSON
     // goes to the file mirror and an EARLIER stdout line, and the LAST line
     // of both streams is a compact summary (<200 bytes) that always fits.
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"failed":${errors.size},"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpus":$cpus,"warmup":"${esc(warmupStatus)}","failed":${errors.size},"sf":"$sfDir"}"""
     // Two file mirrors (ADVICE r5): the full per-query map, and the
     // compact summary alone — a driver that can't recover the JSON from
     // an sbt-wrapped tail (every round so far: parsed:null) can read

@@ -986,7 +986,16 @@ object CorpusStream {
     * its fold runs INSIDE foreachBatch, serialized with commits and
     * probes by Structured Streaming itself. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String, checkpoint: String): Unit = {
+                       indexPath: String, checkpoint: String): Unit =
+    compactBandIndex(spark, indexPath, checkpoint, CompactLockStaleMs)
+
+  /** [[compactBandIndex]] (checkpoint-deriving) with an explicit
+    * staleness bound — an EXPLICIT overload rather than a default
+    * because only one overload set may carry defaults (the
+    * bound-taking one does). */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, checkpoint: String,
+                       lockStaleMs: Long): Unit = {
     checkpointQueryId(spark, checkpoint).foreach { qid =>
       require(!spark.streams.active.exists(_.id.toString == qid),
         s"compactBandIndex: streaming query $qid is ACTIVE on checkpoint " +
@@ -994,7 +1003,7 @@ object CorpusStream {
           "the high-water bound and its probes race the per-batch dir deletes)")
     }
     compactBandIndex(spark, indexPath,
-      committedHighWater(spark, checkpoint) + 1L)
+      committedHighWater(spark, checkpoint) + 1L, lockStaleMs = lockStaleMs)
   }
 
   /** Recovery of a compaction interrupted between `delete(base)` and
@@ -1028,21 +1037,29 @@ object CorpusStream {
         s"compactBandIndex: recovery rename failed for $indexPath")
   }
 
-  /** Staleness bound for `.compact_lock`: a lock whose mtime is older
-    * than this is attributed to a CRASHED compactor (the graded fold's
-    * fixed cost is seconds; a 100 TB fold is minutes), so probes
-    * proceed past it and the next [[compactBandIndex]] deletes it —
-    * a dead process cannot wedge the sink forever. A genuinely live
-    * fold running longer than this bound re-opens the documented racy
-    * window; operators running folds that long must serialize
-    * externally, as with any table-maintenance job. */
+  /** Default staleness bound for `.compact_lock`: a lock whose mtime
+    * is older than this is attributed to a CRASHED compactor, so
+    * probes proceed past it and the next [[compactBandIndex]]
+    * supersedes it — a dead process cannot wedge the sink forever.
+    * Staleness is driven by LIVENESS, not elapsed fold time: the fold
+    * heartbeats the lock's mtime every `lockStaleMs / 3`
+    * ([[lockHeartbeat]]), so a legitimate fold running past the bound
+    * (a 100 TB fold is tens of minutes) stays fresh as long as its
+    * process is alive — the bound is the crash-DETECTION latency, not
+    * a fold-duration ceiling. Every lock-touching entry point takes a
+    * `lockStaleMs` knob with this default; tune it DOWN for faster
+    * crash recovery on small indexes, UP only when the filesystem's
+    * mtime granularity or cross-host clock skew vs the namenode
+    * approaches the bound (skew shifts the effective bound in either
+    * direction — keep it an order of magnitude above expected skew).
+    * SCALE.md ties the choice to measured fold cost. */
   private[graft] val CompactLockStaleMs: Long = 30L * 60L * 1000L
 
   private[graft] def compactLockPath(indexPath: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$indexPath/.compact_lock")
 
-  private def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
-                            lock: org.apache.hadoop.fs.Path): String =
+  private[graft] def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
+                                   lock: org.apache.hadoop.fs.Path): String =
     try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(lock)),
       java.nio.charset.StandardCharsets.UTF_8).trim
@@ -1082,7 +1099,9 @@ object CorpusStream {
     * folded base, which preserves every row it needs. */
   private[graft] def checkCompactLock(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String,
-                                      selfOwner: Option[String]): Unit = {
+                                      selfOwner: Option[String],
+                                      lockStaleMs: Long = CompactLockStaleMs)
+      : Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val lock = compactLockPath(indexPath)
@@ -1092,14 +1111,20 @@ object CorpusStream {
     st.foreach { s =>
       val owner = readLockOwner(fs, lock)
       if (selfOwner.contains(owner)) fs.delete(lock, true)
-      else if (System.currentTimeMillis() - s.getModificationTime < CompactLockStaleMs)
+      // empty owner + lock GONE on re-check = a fold finished (released)
+      // between the stat and the owner read — nothing is in flight,
+      // proceed; empty owner + lock still present = a fold is mid-
+      // acquisition (created, owner not yet written) — fall through to
+      // the freshness refusal like any live lock
+      else if (owner.isEmpty && !fs.exists(lock)) ()
+      else if (System.currentTimeMillis() - s.getModificationTime < lockStaleMs)
         throw new IllegalStateException(
           s"band-index probe: a compaction is IN FLIGHT on $indexPath " +
             s"(.compact_lock held by $owner) — its post-swap dir deletes " +
             "would race this probe's scan; wait for the fold to finish " +
             "(the lock goes stale after " +
-            s"${CompactLockStaleMs / 60000} min if its process died), " +
-            "then restart the sink")
+            s"${lockStaleMs / 60000} min if its process died — the fold " +
+            "heartbeats it while alive), then restart the sink")
     }
   }
 
@@ -1114,7 +1139,8 @@ object CorpusStream {
   private[graft] def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                                       indexPath: String, uptoBatch: Long,
                                       owner: String =
-                                        s"external:${java.util.UUID.randomUUID}")
+                                        s"external:${java.util.UUID.randomUUID}",
+                                      lockStaleMs: Long = CompactLockStaleMs)
       : Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1125,12 +1151,21 @@ object CorpusStream {
     // lock entry: refuse a FRESH foreign lock (a live fold — folds are
     // serialized, interleaving two swaps corrupts the base); an own or
     // stale lock is a crash remnant this invocation supersedes. The
-    // create uses overwrite=false, so two compactors that BOTH pass the
-    // held-lock check (both saw no lock, or both superseded the same
-    // stale one) cannot both acquire — the loser's create throws and it
-    // refuses, on any FileSystem whose create-if-absent is atomic
-    // (HDFS; the local FS's exists+create leaves a hair of a window,
-    // acceptable for the single-host harness).
+    // supersede is an ATOMIC RENAME to a unique tombstone, not a
+    // delete: a delete is check-then-act — two compactors that both
+    // stat the same stale lock could interleave so the second delete
+    // removes the first's freshly created LIVE lock (ADVICE r17). With
+    // rename, only one renamer wins the stale file (the loser's rename
+    // fails and it falls through to the create, which arbitrates); the
+    // winner then INSPECTS what it actually caught — if the path
+    // swapped under it (a concurrent superseder already re-created a
+    // fresh lock at this path between our stat and our rename), the
+    // tombstone holds a DIFFERENT owner with a fresh mtime: restore it
+    // and refuse. The create uses overwrite=false, so two compactors
+    // that both pass the held-lock check cannot both acquire on any
+    // FileSystem whose create-if-absent is atomic (HDFS; the local
+    // FS's exists+create leaves a hair of a window, which the
+    // post-write owner re-read below closes for the fold arm).
     val lock = compactLockPath(indexPath)
     val held = try {
       if (fs.exists(lock)) Some(fs.getFileStatus(lock)) else None
@@ -1138,11 +1173,29 @@ object CorpusStream {
     held.foreach { s =>
       val by = readLockOwner(fs, lock)
       require(by == owner ||
-        System.currentTimeMillis() - s.getModificationTime >= CompactLockStaleMs,
+        System.currentTimeMillis() - s.getModificationTime >= lockStaleMs,
         s"compactBandIndex: another compaction holds $lock (owner $by) — " +
           "folds must be serialized; if its process is dead the lock goes " +
-          s"stale after ${CompactLockStaleMs / 60000} min")
-      fs.delete(lock, true)
+          s"stale after ${lockStaleMs / 60000} min (live folds heartbeat it)")
+      val tomb = new org.apache.hadoop.fs.Path(
+        s"$indexPath/.compact_lock.tomb.${java.util.UUID.randomUUID}")
+      if (fs.rename(lock, tomb)) {
+        val caught = try Some(fs.getFileStatus(tomb)) catch {
+          case _: java.io.FileNotFoundException => None }
+        val grabbedLive = caught.exists { c =>
+          readLockOwner(fs, tomb) != by &&
+            System.currentTimeMillis() - c.getModificationTime < lockStaleMs }
+        if (grabbedLive) {
+          fs.rename(tomb, lock) // best-effort restore of the live lock
+          throw new IllegalArgumentException(
+            s"compactBandIndex: lost the supersede race for $lock — a " +
+              "concurrent compaction re-created it live; folds must be " +
+              "serialized")
+        }
+        fs.delete(tomb, true)
+      }
+      // rename failed → another compactor superseded the stale lock
+      // first; fall through — the create-if-absent below arbitrates
     }
     val out = try fs.create(lock, false) catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -1153,6 +1206,16 @@ object CorpusStream {
     }
     try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // post-write ownership verify: on a FileSystem without atomic
+    // create-if-absent (local FS), two creates can both "succeed" —
+    // last writer's content wins, so re-reading arbitrates: at most
+    // one invocation sees its own token and proceeds to fold
+    if (readLockOwner(fs, lock) != owner)
+      throw new IllegalArgumentException(
+        s"compactBandIndex: lock $lock is not ours after acquisition — " +
+          "another compaction overwrote it concurrently; folds must be " +
+          "serialized")
+    val heartbeat = lockHeartbeat(fs, lock, lockStaleMs)
     try {
       recoverCompactedBase(spark, indexPath)
       // a stale half-write next to a live base is deleted HERE, not in
@@ -1187,7 +1250,38 @@ object CorpusStream {
       require(fs.rename(next, base),
         s"compactBandIndex: rename failed for $indexPath")
       consumed.filter(_.getName != "batch=-1").foreach(p => fs.delete(p, true))
-    } finally releaseLockIfOwned(fs, lock, owner)
+    } finally {
+      heartbeat.interrupt(); heartbeat.join()
+      releaseLockIfOwned(fs, lock, owner)
+    }
+  }
+
+  /** Daemon thread refreshing `lock`'s mtime every `lockStaleMs / 3`
+    * while the fold runs, so LIVENESS — not elapsed time — drives the
+    * staleness bound: a legitimate fold longer than `lockStaleMs` (a
+    * 100 TB fold) stays fresh and keeps refusing probes/compactors,
+    * while a crashed fold's lock stops being touched and goes stale
+    * within one bound as before. Interrupted (and joined) in the
+    * fold's finally BEFORE release, so a touch can never resurrect a
+    * just-released lock path. Touch failures are swallowed: the lock
+    * may legitimately disappear mid-fold if a superseder raced us
+    * (the ownership-checked release already covers that arm), and a
+    * transient FS error must not kill the heartbeat — the next tick
+    * retries. */
+  private[graft] def lockHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                                   lock: org.apache.hadoop.fs.Path,
+                                   lockStaleMs: Long): Thread = {
+    val t = new Thread(() => {
+      val interval = math.max(lockStaleMs / 3, 50L)
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(interval)
+        try fs.setTimes(lock, System.currentTimeMillis(), -1L)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"compact-lock-heartbeat-${lock.getParent.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** Release `.compact_lock` only if WE still own it: a fold that
@@ -1273,7 +1367,8 @@ object CorpusStream {
   def admissionSink(docs: DataFrame, indexPath: String, corpusPath: String,
                     checkpoint: String, n: Int = 3, bands: Int = 8,
                     rowsPerBand: Int = 4, minEstJaccard: Double = 0.5,
-                    compactEvery: Int = 0)
+                    compactEvery: Int = 0,
+                    lockStaleMs: Long = CompactLockStaleMs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val streamIdMemo = new StreamIdMemo("admissionSink", checkpoint)
     docs.writeStream
@@ -1297,7 +1392,7 @@ object CorpusStream {
             // refuse to scan THROUGH an in-flight external fold; then
             // a compaction that crashed between delete(base) and the
             // swap must not hide the folded history from this probe
-            checkCompactLock(spark, indexPath, Some(streamId))
+            checkCompactLock(spark, indexPath, Some(streamId), lockStaleMs)
             recoverCompactedBase(spark, indexPath)
             val prior = readPriorIndex(spark, indexPath, batchId, classes)
             if (prior.isEmpty) b
@@ -1331,7 +1426,8 @@ object CorpusStream {
             .foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint)
           if (compactEvery > 0 &&
               pendingBatchDirs(spark, indexPath, batchId) >= compactEvery)
-            compactBandIndex(spark, indexPath, batchId, owner = streamId)
+            compactBandIndex(spark, indexPath, batchId, owner = streamId,
+              lockStaleMs = lockStaleMs)
         }
       }
       .start()
@@ -1487,7 +1583,9 @@ object CorpusStream {
                                     indexPath: String, statePath: String,
                                     n: Int, bands: Int, rowsPerBand: Int,
                                     t: CcStageTimer = CcNoTimer,
-                                    selfOwner: Option[String] = None): Unit = {
+                                    selfOwner: Option[String] = None,
+                                    lockStaleMs: Long = CompactLockStaleMs)
+      : Unit = {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1521,7 +1619,7 @@ object CorpusStream {
         // refuse to scan THROUGH an in-flight external fold; then a
         // compaction that crashed between delete(base) and the swap
         // must not silently hide the folded history from this probe
-        checkCompactLock(spark, indexPath, selfOwner)
+        checkCompactLock(spark, indexPath, selfOwner, lockStaleMs)
         recoverCompactedBase(spark, indexPath)
         val priorIdx = readPriorIndex(spark, indexPath, batchId, classes)
         ccProbeRepEdges(priorIdx, newBands, alias).localCheckpoint()
@@ -1626,7 +1724,8 @@ object CorpusStream {
     * guarded external entry. */
   def ccMaintenanceSink(docs: DataFrame, indexPath: String, statePath: String,
                         checkpoint: String, n: Int = 3, bands: Int = 8,
-                        rowsPerBand: Int = 4, compactEvery: Int = 0)
+                        rowsPerBand: Int = 4, compactEvery: Int = 0,
+                        lockStaleMs: Long = CompactLockStaleMs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val streamId = new StreamIdMemo("ccMaintenanceSink", checkpoint)
     docs.writeStream
@@ -1636,10 +1735,12 @@ object CorpusStream {
           val spark = batch.sparkSession
           val sid = streamId.get(spark)
           ccProcessBatch(batch, batchId, indexPath, statePath,
-            n, bands, rowsPerBand, selfOwner = Some(sid))
+            n, bands, rowsPerBand, selfOwner = Some(sid),
+            lockStaleMs = lockStaleMs)
           if (compactEvery > 0 &&
               pendingBatchDirs(spark, indexPath, batchId) >= compactEvery)
-            compactBandIndex(spark, indexPath, batchId, owner = sid)
+            compactBandIndex(spark, indexPath, batchId, owner = sid,
+              lockStaleMs = lockStaleMs)
         }
       }
       .start()

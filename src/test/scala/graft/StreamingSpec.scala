@@ -1090,6 +1090,103 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!fs.exists(lock), "the owner's own release must delete the lock")
   }
 
+  test("lockStaleMs is a knob: a raised bound keeps a long-running fold's " +
+      "lock refusing probes and compactors the default would call stale") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_staleknob")
+    implicit val sctx = spark.sqlContext
+    val rows = Seq((1L, 0, 5L), (2L, 1, 300L)).toDF("doc_id", "band", "bucket")
+      .withColumn("g0", $"doc_id")
+    CorpusStream.writeBatchIndex(rows, s"$dir/batch=0", classes = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = CorpusStream.compactLockPath(dir)
+    val out = fs.create(lock, true)
+    out.write("external:long-fold".getBytes("UTF-8")); out.close()
+    // a fold 40 min in: past the 30 min default, inside a raised 2 h bound
+    fs.setTimes(lock,
+      System.currentTimeMillis() - CorpusStream.CompactLockStaleMs - 600000L, -1L)
+    val twoHours = 2L * 60L * 60L * 1000L
+    val e = intercept[IllegalStateException] {
+      CorpusStream.checkCompactLock(spark, dir, None, lockStaleMs = twoHours)
+    }
+    assert(e.getMessage.contains("IN FLIGHT"),
+      s"the raised bound must keep refusing probes: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStream.compactBandIndex(spark, dir, 1L, lockStaleMs = twoHours)
+    }
+    assert(e2.getMessage.contains("another compaction holds"), e2.getMessage)
+    assert(fs.exists(lock) && CorpusStream.readLockOwner(fs, lock)
+      == "external:long-fold",
+      "a refused compactor must leave the long fold's lock in place")
+    // under the DEFAULT bound the same lock is a crashed compactor:
+    // probe passes, fold supersedes — and the rename-based supersede
+    // must leave no tombstone behind
+    CorpusStream.checkCompactLock(spark, dir, None)
+    CorpusStream.compactBandIndex(spark, dir, 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=-1")) &&
+      !fs.exists(lock), "the default bound must supersede and fold")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".compact_lock.tomb")),
+      "the supersede tombstone must not outlive the fold")
+  }
+
+  test("the fold heartbeats its lock: liveness, not elapsed time, drives " +
+      "staleness; a stopped heartbeat lets the lock go stale again") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_heartbeat")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lock = CorpusStream.compactLockPath(dir)
+    val out = fs.create(lock, true)
+    out.write("external:live-long-fold".getBytes("UTF-8")); out.close()
+    val staleMs = 1500L // interval = max(staleMs/3, 50) = 500 ms
+    val aged = System.currentTimeMillis() - 10L * staleMs
+    fs.setTimes(lock, aged, -1L)
+    // pre-heartbeat sanity: the aged, un-heartbeated lock reads as
+    // stale under this bound — the probe passes without throwing
+    CorpusStream.checkCompactLock(spark, dir, None, lockStaleMs = staleMs)
+    val hb = CorpusStream.lockHeartbeat(fs, lock, staleMs)
+    try {
+      // poll until a touch lands (bounded — one interval is 500 ms)
+      val deadline = System.currentTimeMillis() + 10000L
+      while (fs.getFileStatus(lock).getModificationTime <= aged &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      assert(fs.getFileStatus(lock).getModificationTime > aged,
+        "the heartbeat must refresh the lock's mtime")
+      // a probe under the SAME small bound now refuses: the fold is live
+      val e = intercept[IllegalStateException] {
+        CorpusStream.checkCompactLock(spark, dir, None, lockStaleMs = staleMs)
+      }
+      assert(e.getMessage.contains("IN FLIGHT"), e.getMessage)
+    } finally { hb.interrupt(); hb.join() }
+    // heartbeat stopped (the crash case): the lock ages out once more
+    fs.setTimes(lock, System.currentTimeMillis() - 10L * staleMs, -1L)
+    Thread.sleep(2L * staleMs) // a leaked ticker would re-touch it here
+    CorpusStream.checkCompactLock(spark, dir, None, lockStaleMs = staleMs)
+    assert(fs.exists(lock), "the stale pass-through is read-only")
+  }
+
+  test("a zero-byte .compact_lock (compactor mid-acquisition) still refuses " +
+      "probes while fresh") {
+    import graft.stream.CorpusStream
+    val dir = tempDir("graft_cc_emptylock")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lock = CorpusStream.compactLockPath(dir)
+    fs.create(lock, true).close() // created, owner not yet written
+    val e = intercept[IllegalStateException] {
+      CorpusStream.checkCompactLock(spark, dir, None)
+    }
+    assert(e.getMessage.contains("IN FLIGHT"),
+      s"a fresh empty lock is a fold mid-acquisition, not absence: ${e.getMessage}")
+    // (the other empty-owner arm — lock DELETED between the stat and the
+    // owner read — re-checks existence and proceeds; it is inherently an
+    // interleaving and is pinned by the code path, not a race replay)
+  }
+
   test("foreign batch= entries under the index root: trigger and fold agree " +
       "(neither counts them, the fold does not throw)") {
     import graft.stream.CorpusStream
