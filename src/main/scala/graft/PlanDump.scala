@@ -351,6 +351,43 @@ object PlanDump {
       "per-source threshold table, no coalesce(1), nothing pairwise")
   )
 
+  /** `explain("formatted")` with the run-dependent tokens normalized —
+    * shared by the PLANS.md dump and [[PlanFiles]]' per-query
+    * before/after artifacts, so both are byte-reproducible. */
+  private[graft] def normalizedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      // custom Aggregator instances and closure objects render with
+      // JVM identity tokens (Sketches$MinHashAgg@4225b4e2,
+      // $$Lambda$5681/0x00007f…@4410d01e) — the only run-dependent
+      // strings in an otherwise deterministic dump; normalize them so
+      // regenerate-and-diff (tools/round_gate.py) is a real check
+      .replaceAll("(\\$[A-Za-z0-9]+Agg)@[0-9a-f]+", "$1@anon")
+      .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-f]+(@[0-9a-f]+)?",
+        "\\$\\$Lambda@anon")
+      // graded streaming harnesses run in a fresh temp dir per dump
+      .replaceAll("(/tmp/graft_[a-z_]+)[0-9]+", "$1<tmp>")
+      // global plan-id counter: offset shifts with the (timing-
+      // dependent) number of plans the graded streaming harnesses
+      // created earlier in the session — no review value
+      .replaceAll("plan_id=[0-9]+", "plan_id=N")
+      // RDD-id counter (MapPartitionsRDD[793]): same global-counter
+      // class — the streaming replays' job counts are timing-
+      // dependent, so absolute RDD ids are not reproducible
+      .replaceAll("RDD\\[[0-9]+\\]", "RDD[N]")
+      // lambda-variable counter (lambda x_176#7, lambda y_242#7):
+      // global too; the #id suffix (renumbered below) keeps
+      // variables distinct
+      .replaceAll("lambda ([a-z]+)_[0-9]+", "lambda $1")
+    // expression IDs (doc_id#3825L) come off the same global
+    // counter: renumber them per SECTION in first-seen order, so
+    // same-named columns from different relations stay
+    // distinguishable while the dump is byte-reproducible
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    "#([0-9]+)".r.replaceAllIn(plan, m =>
+      s"#${seen.getOrElseUpdate(m.group(1), seen.size + 1)}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "PLANS.md"
@@ -367,37 +404,7 @@ object PlanDump {
     sb.append("human-reviewable rendering.\n")
     expectations.foreach { case (name, intent) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-        // custom Aggregator instances and closure objects render with
-        // JVM identity tokens (Sketches$MinHashAgg@4225b4e2,
-        // $$Lambda$5681/0x00007f…@4410d01e) — the only run-dependent
-        // strings in an otherwise deterministic dump; normalize them so
-        // regenerate-and-diff (tools/round_gate.py) is a real check
-        .replaceAll("(\\$[A-Za-z0-9]+Agg)@[0-9a-f]+", "$1@anon")
-        .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-f]+(@[0-9a-f]+)?",
-          "\\$\\$Lambda@anon")
-        // graded streaming harnesses run in a fresh temp dir per dump
-        .replaceAll("(/tmp/graft_[a-z_]+)[0-9]+", "$1<tmp>")
-        // global plan-id counter: offset shifts with the (timing-
-        // dependent) number of plans the graded streaming harnesses
-        // created earlier in the session — no review value
-        .replaceAll("plan_id=[0-9]+", "plan_id=N")
-        // RDD-id counter (MapPartitionsRDD[793]): same global-counter
-        // class — the streaming replays' job counts are timing-
-        // dependent, so absolute RDD ids are not reproducible
-        .replaceAll("RDD\\[[0-9]+\\]", "RDD[N]")
-        // lambda-variable counter (lambda x_176#7, lambda y_242#7):
-        // global too; the #id suffix (renumbered below) keeps
-        // variables distinct
-        .replaceAll("lambda ([a-z]+)_[0-9]+", "lambda $1")
-      // expression IDs (doc_id#3825L) come off the same global
-      // counter: renumber them per SECTION in first-seen order, so
-      // same-named columns from different relations stay
-      // distinguishable while the dump is byte-reproducible
-      val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
-      val renumbered = "#([0-9]+)".r.replaceAllIn(plan, m =>
-        s"#${seen.getOrElseUpdate(m.group(1), seen.size + 1)}")
+      val renumbered = normalizedPlan(df)
       sb.append(s"\n## $name\n\n**Intent:** $intent\n\n```\n")
       sb.append(renumbered.trim)
       sb.append("\n```\n")

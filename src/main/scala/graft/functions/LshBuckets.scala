@@ -44,6 +44,39 @@ case class LshBuckets(child: Expression, planes: Int, tables: Int)
 
 object LshBuckets {
 
+  /** Hyperplane-component matrix for a given (planes·tables, dim):
+    * entry [i·total + p] = xxhash64(p, i, seed 42) / Long.MaxValue —
+    * a pure function of the indices, so it is computed ONCE per JVM
+    * per shape instead of per row (the per-row double hash dominated
+    * this kernel; the cached doubles are the exact same values, so
+    * buckets stay bit-identical to the HOF form). Bounded: embedding
+    * dims and LSH shapes are per-dataset constants, so the cache
+    * holds a handful of small arrays (~total·dim·8 B each); if more
+    * than [[MatrixCacheMax]] distinct shapes ever appear, later ones
+    * are computed per call rather than grow the cache. */
+  private val MatrixCacheMax = 8
+  private val matrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def planeMatrix(total: Int, n: Int): Array[Double] = {
+    val key = (total, n)
+    val hit = matrixCache.get(key)
+    if (hit != null) return hit
+    val m = new Array[Double](n * total)
+    var i = 0
+    while (i < n) {
+      var p = 0
+      while (p < total) {
+        // xxhash64(lit(plane), idx): seed 42, ints hashed in child order
+        val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+        m(i * total + p) = h.toDouble / Long.MaxValue.toDouble
+        p += 1
+      }
+      i += 1
+    }
+    if (matrixCache.size < MatrixCacheMax) matrixCache.putIfAbsent(key, m)
+    m
+  }
+
   /** One pass over the vector: accumulate every plane's projection, then
     * pack sign bits per table. Per-plane accumulation order is ascending
     * element index — identical to the HOF fold, so results match
@@ -52,14 +85,14 @@ object LshBuckets {
     val total = planes * tables
     val proj = new Array[Double](total)
     val n = e.numElements()
+    val m = planeMatrix(total, n)
     var i = 0
     while (i < n) {
       val x = e.getFloat(i).toDouble
+      val base = i * total
       var p = 0
       while (p < total) {
-        // xxhash64(lit(plane), idx): seed 42, ints hashed in child order
-        val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
-        proj(p) += x * (h.toDouble / Long.MaxValue.toDouble)
+        proj(p) += x * m(base + p)
         p += 1
       }
       i += 1
