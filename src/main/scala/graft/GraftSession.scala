@@ -17,9 +17,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft's required configs to an arbitrary builder. */
-  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.withExtensions(new graft.plans.GraftExtensions)
+  /** Apply graft's required configs to an arbitrary builder.
+    *
+    * `SPARK_GRAFT_CONF` (semicolon-separated `k=v` pairs, applied LAST)
+    * is the deploy/experiment seam for scale-dependent settings: the
+    * local defaults below keep the driver's bench comparable, and a
+    * cluster deployment overrides (e.g. shuffle partition sizing,
+    * join-strategy preferences) without a rebuild. Unset = exactly the
+    * pinned defaults. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
+    val base = b.withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,6 +35,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(base) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k, v)
+      }
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -318,15 +318,19 @@ object SparkEntry {
       graft.text.BPE.trainedMerges(Tables.documents(s, d), BpeRounds)),
     // BPE ENCODE: vocab-side merge folding + one corpus join + ordered
     // per-doc reassembly (the q191 tail shape)
-    "q201_bpe_encode" -> ((s, d) =>
-      graft.text.BPE.trainEncode(Tables.documents(s, d), BpeRounds)),
+    "q201_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.BPE.encode(docs,
+        graft.text.BPE.trainedMergesCached(d, docs, BpeRounds))
+    }),
     // greedy max-coverage subset selection (diversity sampling): k
     // rounds of anti-join + hash agg + Scalar argmax over the shingle
     // table, exact integer gains, (gain desc, doc_id asc) tiebreak —
     // the fixed-round oracle replays every round as a CTE
     "q202_max_coverage" -> ((s, d) =>
-      graft.text.Curation.maxCoverageSelect(
-        Tables.documents(s, d), 3, MaxCovRounds)),
+      graft.text.Curation.maxCoverageSelectFrom(
+        graft.dedup.Dedup.shinglesCached(d, Tables.documents(s, d), 3),
+        MaxCovRounds)),
     // DSIR importance weights (Xie et al. 2023): hashed-token add-1
     // log-likelihood ratio of target (src0) vs raw corpus; λ carried
     // at exactly 6dp so the graded weight is integer micro-nats
@@ -342,7 +346,8 @@ object SparkEntry {
     // tokenizer fertility + bytes-per-subtoken compression ratio from
     // the trained BPE merges — exact integer permille, pure BIGINT
     "q205_bpe_fertility" -> ((s, d) =>
-      graft.text.BPE.fertility(Tables.documents(s, d), BpeRounds)),
+      graft.text.BPE.fertilityFrom(Tables.documents(s, d),
+        graft.text.BPE.trainedMergesCached(d, Tables.documents(s, d), BpeRounds))),
     // bigram-LM perplexity scoring (CCNet-style quality filter): add-1
     // smoothed bigram NLL per document in exact integer micro-nats —
     // the q203 6dp-decimal log discipline, pure BIGINT surface
@@ -1261,6 +1266,9 @@ object SparkEntry {
     // serves every consumer); the build is graded by q195_tfidf_build
     graft.sim.SparseSim.shingleTfidfTopKCached(
       d, sh, graft.ops.Scalar.count(docs), 3)
+    // the trained BPE merge table (q201 encode / q205 fertility serve
+    // it; the train itself is graded by q200, which bypasses the memo)
+    graft.text.BPE.trainedMergesCached(d, docs, BpeRounds)
     ()
   }
 

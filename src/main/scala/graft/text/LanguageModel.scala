@@ -62,8 +62,18 @@ object LanguageModel {
           i => struct(element_at(col("w"), i + 1).as("a"),
             element_at(col("w"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val cab = biStream.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("cab"))
+    // per-doc bigram multiplicities, materialized ONCE: both the corpus
+    // count table (cab = Σ mult, the exact same integer as counting the
+    // raw stream) and the scoring chain terms read it — without the
+    // checkpoint the corpus-sized tokenize+explode stream is evaluated
+    // AND shuffled twice (once keyed (a,b), once keyed (doc_id,a,b));
+    // with it the full stream crosses the exchange once and the (a,b)
+    // count aggregates the much smaller per-doc-distinct table
+    val mult = biStream.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("mult"))
+      .localCheckpoint()
+    val cab = mult.groupBy(col("a"), col("b"))
+      .agg(sum(col("mult")).as("cab"))
     // per-term λ at exactly 6dp (λ ≥ 0: numerator count+1 ≤ denominator)
     val lamUni = cu.select(col("a").as("word"),
       (round(log(lit(bigNV.toDouble)), 6).cast("decimal(18,6)") -
@@ -84,8 +94,7 @@ object LanguageModel {
         size(col("w")).cast("long").as("n_tok"))
       .join(lamUni, "word")
       .select(col("doc_id"), col("n_tok"), col("lam").as("lam0"))
-    val chainTerms = biStream.groupBy(col("doc_id"), col("a"), col("b"))
-      .agg(count(lit(1)).as("mult"))
+    val chainTerms = mult
       .join(lamBi, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("mult") * col("lam")).as("lamSum"))
