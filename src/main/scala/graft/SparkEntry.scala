@@ -315,7 +315,7 @@ object SparkEntry {
     // lexicographic) tiebreak, merge as one replace projection — the
     // fixed-round discipline; the oracle replays every round as a CTE
     "q200_bpe_train" -> ((s, d) =>
-      graft.text.BPE.trainedMerges(Tables.documents(s, d), BpeRounds)),
+      graft.text.BPE.trainedMergesGraded(d, Tables.documents(s, d), BpeRounds)),
     // BPE ENCODE: vocab-side merge folding + one corpus join + ordered
     // per-doc reassembly (the q191 tail shape)
     "q201_bpe_encode" -> ((s, d) => {
@@ -1266,9 +1266,6 @@ object SparkEntry {
     // serves every consumer); the build is graded by q195_tfidf_build
     graft.sim.SparseSim.shingleTfidfTopKCached(
       d, sh, graft.ops.Scalar.count(docs), 3)
-    // the trained BPE merge table (q201 encode / q205 fertility serve
-    // it; the train itself is graded by q200, which bypasses the memo)
-    graft.text.BPE.trainedMergesCached(d, docs, BpeRounds)
     ()
   }
 
