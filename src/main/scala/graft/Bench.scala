@@ -193,10 +193,37 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file mirror failed: ${e.getMessage}")
     }
+    // Chunked per-query lines (VERDICT r18 item 1): the driver's window
+    // has never recovered the ~3-5 KB single-line per-query map in one
+    // piece (parsed:null every round r14-r18), so ALSO emit the map as
+    // SELF-CONTAINED one-line JSON chunks, each well under 1.5 KB, in
+    // canonical key order, immediately before the final summary line:
+    //   {"metric":"per_query_part","part":i,"of":n,"queries":{...}}
+    // A consumer reassembles by concatenating the "queries" maps of
+    // parts 1..n (keys are disjoint); any single part also stands alone.
+    val partBody = new scala.collection.mutable.ListBuffer[String]
+    val partsOut = new scala.collection.mutable.ListBuffer[String]
+    var partLen = 0
+    def flushPart(): Unit = if (partBody.nonEmpty) {
+      partsOut += partBody.mkString("{", ",", "}")
+      partBody.clear(); partLen = 0
+    }
+    timings.foreach { case (k, v) =>
+      val entry = "\"" + shortKey(k) + "\":" + f"$v%.3f"
+      if (partLen + entry.length > 1200) flushPart()
+      partBody += entry; partLen += entry.length + 1
+    }
+    flushPart()
+    val nParts = partsOut.size
+    val partLines = partsOut.zipWithIndex.map { case (body, i) =>
+      s"""{"metric":"per_query_part","part":${i + 1},"of":$nParts,"queries":$body}"""
+    }
     System.err.flush()
     println(full)
+    partLines.foreach(println)
     println(summary)
     System.out.flush()
+    partLines.foreach(System.err.println)
     System.err.println(summary)
     System.err.flush()
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }

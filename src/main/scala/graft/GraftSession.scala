@@ -35,13 +35,29 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
+    applyConfOverrides(base, sys.env.get("SPARK_GRAFT_CONF"))
+  }
+
+  /** Parse-and-apply for the `SPARK_GRAFT_CONF` seam, factored out so
+    * the guard spec can drive it without mutating the environment.
+    * Malformed pairs fail with a descriptive error (ADVICE r18: the
+    * destructuring `val Array(k, v)` threw an opaque MatchError), and
+    * every applied override is logged to stderr so a graded Verify or
+    * Bench run that SOMEHOW inherits a stray env var leaves a trace in
+    * the captured output instead of silently running altered plans. */
+  private[graft] def applyConfOverrides(base: SparkSession.Builder,
+                                        conf: Option[String])
+      : SparkSession.Builder =
+    conf.toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foldLeft(base) { (acc, kv) =>
-        val Array(k, v) = kv.split("=", 2)
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF: malformed pair '$kv' — " +
+          "expected semicolon-separated key=value entries")
+        val (k, v) = (kv.take(i), kv.drop(i + 1))
+        System.err.println(s"[graft] SPARK_GRAFT_CONF override applied: $k=$v")
         acc.config(k, v)
       }
-  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -25,8 +25,15 @@ object PlanFiles {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     prefixes.foreach { prefix =>
-      val name = SparkEntry.queries.keys.find(_.startsWith(prefix))
-        .getOrElse(sys.error(s"no query matches prefix $prefix"))
+      // ADVICE r18: an ambiguous prefix on an unordered Map picked a
+      // hash-order-arbitrary query and silently dumped the wrong plan
+      val matches = SparkEntry.queries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+      val name = matches match {
+        case Seq(one) => one
+        case Seq() => sys.error(s"no query matches prefix $prefix")
+        case many => sys.error(
+          s"prefix $prefix is ambiguous: ${many.mkString(", ")}")
+      }
       val plan = PlanDump.normalizedPlan(SparkEntry.queries(name)(spark, sfDir))
       val path = java.nio.file.Paths.get(outDir, s"${name}_$tag.txt")
       java.nio.file.Files.write(path, (plan.trim + "\n").getBytes("UTF-8"))

@@ -61,11 +61,21 @@ object Winnow {
         val n = th.length
         val ng = n - k + 1
         val g = new Array[Long](ng)
-        var i = 0
+        // rolling Rabin update (r18 ADVICE): g(i+1) =
+        // (g(i) − th(i)·B^(k−1))·B + th(i+k) mod P — O(ng) multiplies
+        // instead of the O(ng·k) per-position refold, and EXACTLY equal
+        // in modular arithmetic (all operands stay below 2^62: th, g
+        // < P < 2^31, B < 2^20; pinned by the refold-equality spec)
+        var bk1 = 1L // B^(k-1) mod P
+        var j = 1
+        while (j < k) { bk1 = (bk1 * B) % P; j += 1 }
+        var acc = th(0)
+        j = 1
+        while (j < k) { acc = (acc * B + th(j)) % P; j += 1 }
+        g(0) = acc
+        var i = 1
         while (i < ng) {
-          var acc = th(i)
-          var j = 1
-          while (j < k) { acc = (acc * B + th(i + j)) % P; j += 1 }
+          acc = (((acc + P - (th(i - 1) * bk1) % P) % P) * B + th(i + k - 1)) % P
           g(i) = acc
           i += 1
         }

@@ -57,10 +57,17 @@ object LshBuckets {
   private val MatrixCacheMax = 8
   private val matrixCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  /** The cached matrix for this shape, or null once [[MatrixCacheMax]]
+    * distinct shapes exist and this one is not among them — the caller
+    * then falls back to the allocation-free inline hash loop (ADVICE
+    * r18: building the full n·total matrix PER ROW past the cap was a
+    * GC regression versus the pre-cache kernel, e.g. ragged embedding
+    * lengths at dim 1024 allocate ~1 MB/row). */
   private def planeMatrix(total: Int, n: Int): Array[Double] = {
     val key = (total, n)
     val hit = matrixCache.get(key)
     if (hit != null) return hit
+    if (matrixCache.size >= MatrixCacheMax) return null
     val m = new Array[Double](n * total)
     var i = 0
     while (i < n) {
@@ -73,14 +80,15 @@ object LshBuckets {
       }
       i += 1
     }
-    if (matrixCache.size < MatrixCacheMax) matrixCache.putIfAbsent(key, m)
+    matrixCache.putIfAbsent(key, m)
     m
   }
 
   /** One pass over the vector: accumulate every plane's projection, then
     * pack sign bits per table. Per-plane accumulation order is ascending
     * element index — identical to the HOF fold, so results match
-    * bit-for-bit. */
+    * bit-for-bit (the over-cap inline path computes the exact same
+    * hash-derived doubles the matrix would hold). */
   def compute(e: ArrayData, planes: Int, tables: Int): ArrayData = {
     val total = planes * tables
     val proj = new Array[Double](total)
@@ -89,11 +97,19 @@ object LshBuckets {
     var i = 0
     while (i < n) {
       val x = e.getFloat(i).toDouble
-      val base = i * total
       var p = 0
-      while (p < total) {
-        proj(p) += x * m(base + p)
-        p += 1
+      if (m != null) {
+        val base = i * total
+        while (p < total) {
+          proj(p) += x * m(base + p)
+          p += 1
+        }
+      } else {
+        while (p < total) {
+          val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
+          proj(p) += x * (h.toDouble / Long.MaxValue.toDouble)
+          p += 1
+        }
       }
       i += 1
     }

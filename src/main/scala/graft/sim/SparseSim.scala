@@ -211,14 +211,25 @@ object SparseSim {
     * form. */
   def bm25TopKFrom(sh: DataFrame, nDocs: Long, k: Int, maxDf: Long = 1000L,
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val posts = sh.join(df, "shingle")
+    // df as a whole-partition window count: the groupBy(shingle) + join
+    // back on shingle paid TWO corpus-sized exchanges of the shingle
+    // table for one derived column; a count() over partitionBy(shingle)
+    // attaches the identical df with ONE exchange (guide §2.4 — two
+    // operations keyed the same way share one exchange). Same rows, so
+    // every w is bit-identical.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val posts = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
       .select(col("doc_id"), col("shingle"), col("df"),
         round(log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           * lit(1e6), 0).cast("long").as("w"))
       .localCheckpoint()
     val lens = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val avgdl = graft.ops.Scalar.count(posts).toDouble / graft.ops.Scalar.count(lens)
+    // Σ len == |posts| exactly, so one aggregate over the len table
+    // replaces the two separate Scalar.count jobs (same two integers,
+    // same division, same double)
+    val nl = lens.agg(sum(col("len")).as("np"), count(lit(1)).as("nd")).first()
+    val avgdl = nl.getLong(0).toDouble / nl.getLong(1)
     val joinable = posts.filter(col("df") >= 2 && col("df") <= maxDf)
     // w depends on the shingle alone, so the shared-idf sum is symmetric
     val dots = joinable.select(col("doc_id").as("qa"), col("shingle"), col("w"))

@@ -718,12 +718,130 @@ object CorpusStream {
     }
   }
 
+  /** The high-water sidecar the state skeleton writes INSIDE the
+    * staged `.next` directory before the swap (underscore-prefixed, so
+    * parquet scans ignore it). Because it travels in the SAME atomic
+    * rename as the data files, it can never disagree with the state it
+    * sits next to — which is what lets the replay gate read one tiny
+    * file instead of running a full state-table scan per micro-batch
+    * (the r18 VERDICT's "2x per-batch read at vocab-sink scale" item:
+    * the gate's `agg(max(_batch_id))` job re-scanned the whole state
+    * parquet that the merge was about to scan again). */
+  private[graft] val StateMetaFile = "_graft_meta.json"
+
+  private[graft] def writeStateMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: org.apache.hadoop.fs.Path,
+                                    streamId: String, batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, StateMetaFile), true)
+    try out.write(s"""{"stream_id":"$streamId","batch_id":$batchId}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The sidecar's (stream_id, batch_id), or None when absent or
+    * unreadable — the caller then falls back to the pre-sidecar gate
+    * (a state table written by an older build has no sidecar but is
+    * still gated correctly, just at the old full-scan price). */
+  private[graft] def readStateMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path)
+      : Option[(String, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, StateMetaFile)
+      if (!fs.exists(p)) None
+      else {
+        val txt = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sid = """"stream_id"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val bid = """"batch_id"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toLong)
+        for (s <- sid; b <- bid) yield (s, b)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** High-water gate for the APPEND-mode corpus table, from parquet
+    * footer statistics: the max `_batch_id` over row groups whose
+    * `_stream_id` equals `streamId` (Some(None) when no row group
+    * matches). Exact because every appended file is written by ONE
+    * (stream, batch) — both marker columns are literals — so each row
+    * group's min==max stats identify its pair; and crash-consistent
+    * for the same reason the scan gate was: it reads the COMMITTED
+    * data files themselves, not a separately-written marker that could
+    * disagree with them. Returns None (caller falls back to the
+    * original scan gate) when any data file lacks the marker columns
+    * or usable stats, or a stat is not constant within a row group —
+    * none of which this sink produces, but the gate must never become
+    * weaker than the scan it replaces. */
+  private[graft] def appendedHighWater(spark: org.apache.spark.sql.SparkSession,
+                                       tablePath: String, streamId: String)
+      : Option[Option[Long]] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+        .filter(_.isFile).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      var hw = Option.empty[Long]
+      files.foreach { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var bi = 0
+          while (bi < blocks.size()) {
+            val cols = blocks.get(bi).getColumns
+            var sid: String = null
+            var bid = Option.empty[Long]
+            var ci = 0
+            while (ci < cols.size()) {
+              val cc = cols.get(ci)
+              val name = cc.getPath.toDotString
+              if (name == "_stream_id" || name == "_batch_id") {
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue ||
+                    st.getNumNulls != 0 ||
+                    st.genericGetMin != st.genericGetMax)
+                  return None // not the constant-marker shape: fall back
+                if (name == "_stream_id") st.genericGetMin match {
+                  case b: org.apache.parquet.io.api.Binary =>
+                    sid = b.toStringUsingUTF8
+                  case _ => return None
+                } else st.genericGetMin match {
+                  case l: java.lang.Long => bid = Some(l.longValue())
+                  case _ => return None
+                }
+              }
+              ci += 1
+            }
+            if (sid == null || bid.isEmpty) return None // markers missing
+            if (sid == streamId)
+              hw = Some(hw.fold(bid.get)(math.max(_, bid.get)))
+            bi += 1
+          }
+        } finally rd.close()
+      }
+      Some(hw)
+    } catch { case _: java.io.IOException => None }
+
   /** The exactly-once parquet state-table skeleton shared by the
     * maintenance sinks: staged `.next` rename (crash leaves the prior
     * state readable), recovery of a stranded rename, and the
     * stream-scoped (`_stream_id`, `_batch_id`) high-water gate that
     * makes checkpoint replays idempotent. `merge` sees the batch and
-    * the prior state WITHOUT the marker columns. */
+    * the prior state WITHOUT the marker columns.
+    *
+    * The replay gate reads the [[StateMetaFile]] sidecar (one small
+    * file) rather than scanning the state parquet: the sidecar is
+    * written into `.next` BEFORE the swap, so the atomic rename
+    * publishes data and high-water together and every crash window
+    * behaves exactly as before — a crash before the rename leaves the
+    * old state AND old sidecar (replay re-merges, correct), a crash
+    * after leaves the new pair (replay is gated off, correct). States
+    * predating the sidecar fall back to the original full-scan gate. */
   private def maintainState(rows: DataFrame, statePath: String, checkpoint: String,
                             sinkName: String)(
       merge: (DataFrame, Option[DataFrame]) => DataFrame)
@@ -747,21 +865,27 @@ object CorpusStream {
         if (!fs.exists(cur) && fs.exists(nxt))
           require(fs.rename(nxt, cur), s"$sinkName: recovery rename failed for $statePath")
         else if (fs.exists(nxt)) fs.delete(nxt, true) // stale half-write
-        val prior = if (fs.exists(cur)) Some(spark.read.parquet(statePath)) else None
-        val alreadyMerged = prior.exists { p =>
-          val sameStream =
-            if (p.columns.contains("_stream_id"))
-              p.filter(col("_stream_id") === streamId) else p
-          sameStream.agg(max(col("_batch_id"))).head() match {
-            case r if r.isNullAt(0) => false
-            case r => r.getLong(0) >= batchId
-          }
-        }
+        val curExists = fs.exists(cur)
+        val alreadyMerged = curExists && (readStateMeta(fs, cur) match {
+          case Some((sid, bid)) => sid == streamId && bid >= batchId
+          case None => // pre-sidecar state: the original full-scan gate
+            val p = spark.read.parquet(statePath)
+            val sameStream =
+              if (p.columns.contains("_stream_id"))
+                p.filter(col("_stream_id") === streamId) else p
+            sameStream.agg(max(col("_batch_id"))).head() match {
+              case r if r.isNullAt(0) => false
+              case r => r.getLong(0) >= batchId
+            }
+        })
         if (!batch.isEmpty && !alreadyMerged) {
+          val prior =
+            if (curExists) Some(spark.read.parquet(statePath)) else None
           val merged = merge(batch, prior.map(_.drop("_batch_id", "_stream_id")))
           merged.withColumn("_batch_id", lit(batchId))
             .withColumn("_stream_id", lit(streamId))
             .write.mode("overwrite").parquet(nxt.toString)
+          writeStateMeta(fs, nxt, streamId, batchId) // inside .next: swaps atomically
           if (fs.exists(cur)) fs.delete(cur, true)
           require(fs.rename(nxt, cur), s"$sinkName: rename failed for $statePath")
         }
@@ -1405,17 +1529,25 @@ object CorpusStream {
           writeBatchIndex(
             batchBands.join(adm.select(col("doc_id")), Seq("doc_id")),
             s"$indexPath/batch=$batchId", classes.length)
-          // (2) marker-gated corpus append
+          // (2) marker-gated corpus append. The gate reads parquet
+          // FOOTER statistics (every appended file carries one constant
+          // (_stream_id, _batch_id) pair, so file-level min==max stats
+          // identify it exactly) instead of running a corpus-sized scan
+          // job per micro-batch; unusable stats fall back to the
+          // original scan, so the decision function is unchanged.
           val corpus = new org.apache.hadoop.fs.Path(corpusPath)
-          val alreadyAppended = fs.exists(corpus) && {
-            val c = spark.read.parquet(corpusPath)
-            c.columns.contains("_stream_id") &&
-              (c.filter(col("_stream_id") === streamId)
-                .agg(max(col("_batch_id"))).head() match {
-                  case r if r.isNullAt(0) => false
-                  case r => r.getLong(0) >= batchId
-                })
-          }
+          val alreadyAppended = fs.exists(corpus) &&
+            (appendedHighWater(spark, corpusPath, streamId) match {
+              case Some(hw) => hw.exists(_ >= batchId)
+              case None => // stats unusable: the original full-scan gate
+                val c = spark.read.parquet(corpusPath)
+                c.columns.contains("_stream_id") &&
+                  (c.filter(col("_stream_id") === streamId)
+                    .agg(max(col("_batch_id"))).head() match {
+                      case r if r.isNullAt(0) => false
+                      case r => r.getLong(0) >= batchId
+                    })
+            })
           if (!alreadyAppended)
             adm.withColumn("_batch_id", lit(batchId))
               .withColumn("_stream_id", lit(streamId))

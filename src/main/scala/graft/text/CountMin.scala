@@ -45,11 +45,17 @@ object CountMin {
       .filter(length(col("token")) > 0 && length(col("token")) < 32)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
 
+  /** (token, cnt, row, col) for every depth row — ONE pass over the
+    * token-count stream: [[graft.functions.CmsCells]] computes the
+    * depth-cell vector per token (byte hash hoisted out of the depth
+    * loop) and posexplode yields (row, col), replacing the depth-way
+    * `unionByName` that re-ran the aggregate subtree and re-hashed the
+    * token's bytes once per depth. Values are bit-identical to
+    * `pmod(xxhash64(token, lit(r)), Width)` (equality spec). */
   private def withCells(tokc: DataFrame): DataFrame =
-    (0 until Depth).map { r =>
-      tokc.select(col("token"), col("cnt"), lit(r).as("row"),
-        pmod(xxhash64(col("token"), lit(r)), lit(Width)).as("col"))
-    }.reduce(_ unionByName _)
+    tokc.select(col("token"), col("cnt"),
+      posexplode(graft.functions.CmsCells.cmsCells(col("token"), Depth, Width))
+        .as(Seq("row", "col")))
 
   /** The sketch itself: (row, col, counter), ≤ 2048 rows. */
   def sketch(documents: DataFrame): DataFrame =

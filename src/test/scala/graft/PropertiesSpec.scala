@@ -71,6 +71,56 @@ class PropertiesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("property: native cms_cells == composed pmod(xxhash64(token, r), width) per depth row") {
+    import graft.text.CountMin
+    val gen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val toks = (samples(gen, 60) ++ Seq("a", "µ-unicode-é", "x" * 31)).distinct
+    val df = toks.toDF("token")
+    val composed = array((0 until CountMin.Depth).map(r =>
+      pmod(xxhash64(col("token"), lit(r)), lit(CountMin.Width))): _*)
+    val bad = df.withColumn("composed", composed)
+      .withColumn("native",
+        graft.functions.CmsCells.cmsCells(col("token"), CountMin.Depth, CountMin.Width))
+      .filter(col("composed") =!= col("native")).count()
+    assert(bad == 0, "cms_cells must replicate the seed-chained xxhash64 bit-for-bit")
+  }
+
+  test("property: winnowing rolling gram hash == per-position refold on random docs") {
+    import graft.dedup.Winnow
+    val P = 2147483647L; val B = 1000003L
+    val (k, w) = (3, 4)
+    val gen = Gen.chooseNum(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "zz")))
+    val docs = samples(gen, 50).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    // reference: token hashes from the SAME expression chain, then the
+    // naive per-position refold + rightmost-minimal window selection
+    val th = df.select(col("doc_id"),
+        transform(split(col("text"), " "), t => pmod(xxhash64(t), lit(P))).as("th"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = th.toSeq.flatMap { case (id, h) =>
+      val ng = h.length - k + 1
+      if (ng < 1) Seq.empty
+      else {
+        val g = (0 until ng).map(i =>
+          (0 until k).foldLeft(0L)((acc, j) => (acc * B + h(i + j)) % P))
+        val wEff = math.min(w, ng)
+        val sel = scala.collection.mutable.Set.empty[Int]
+        (0 to ng - wEff).foreach { i =>
+          val win = (i until i + wEff)
+          val m = win.map(g).min
+          sel += win.filter(j => g(j) == m).max // rightmost minimal
+        }
+        sel.toSeq.map(p => (id, p.toLong, g(p)))
+      }
+    }.toSet
+    val got = Winnow.fingerprints(df, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "rolling Rabin update must select identical fingerprints")
+  }
+
   test("property: dedup is idempotent on generated keyed data") {
     samples(Gen.listOfN(60, Gen.chooseNum(0L, 15L)), 5).foreach { keys =>
       val df = keys.zipWithIndex.map { case (k, i) => (s"id$k", i) }.toDF("id", "v")

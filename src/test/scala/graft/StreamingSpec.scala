@@ -352,6 +352,75 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("maintainState sidecar: a forced replay of a committed batch is gated " +
+      "off by the meta file, and by the fallback scan when the sidecar is gone") {
+    implicit val sctx = spark.sqlContext
+    val dir = tempDir("graft_meta_gate")
+    val state = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.stream.CorpusStream.aggMaintenanceSink(
+      mem.toDF().toDF("k", "v"), state, ckpt, Seq("k"), "v")
+    val q1 = start()
+    try {
+      mem.addData(("a", 10L), ("b", 5L)); q1.processAllAvailable()
+      mem.addData(("a", 1L)); q1.processAllAvailable()
+    } finally q1.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val statePath = new org.apache.hadoop.fs.Path(state)
+    // the sidecar rode the atomic rename: it names THIS stream at batch 1
+    val qid = graft.stream.CorpusStream.checkpointQueryId(spark, ckpt).get
+    assert(graft.stream.CorpusStream.readStateMeta(fs, statePath)
+      === Some((qid, 1L)), "sidecar must carry (stream id, last batch id)")
+    def snapshot() = spark.read.parquet(state).drop("_batch_id", "_stream_id")
+      .orderBy("k").collect().toSeq
+    val committed = snapshot()
+    // force a crash-shaped replay: batch 1 committed its state write but
+    // (per this injection) not its checkpoint commit — the restart
+    // re-runs batch 1 and the GATE alone must keep the merge idempotent
+    def dropLastCommit(): Unit =
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/1"), false))
+    dropLastCommit()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snapshot() === committed, "sidecar gate must skip the replayed merge")
+    // same replay with the sidecar REMOVED (pre-sidecar state table):
+    // the fallback full-scan gate must reach the identical decision
+    assert(fs.delete(new org.apache.hadoop.fs.Path(statePath,
+      graft.stream.CorpusStream.StateMetaFile), false))
+    dropLastCommit()
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snapshot() === committed, "fallback scan gate must skip the replay too")
+  }
+
+  test("appendedHighWater: footer stats reproduce the scan gate's high water " +
+      "exactly, and unusable shapes fall back (None)") {
+    val dir = tempDir("graft_footer_gate")
+    val tab = s"$dir/corpus"
+    def append(batchId: Long, sid: String, ids: Seq[Long]): Unit =
+      ids.toDF("doc_id")
+        .withColumn("_batch_id", lit(batchId))
+        .withColumn("_stream_id", lit(sid))
+        .write.mode("append").parquet(tab)
+    append(0L, "stream-A", Seq(1L, 2L))
+    append(1L, "stream-A", Seq(3L))
+    append(5L, "stream-B", Seq(4L))
+    assert(graft.stream.CorpusStream.appendedHighWater(spark, tab, "stream-A")
+      === Some(Some(1L)))
+    assert(graft.stream.CorpusStream.appendedHighWater(spark, tab, "stream-B")
+      === Some(Some(5L)))
+    assert(graft.stream.CorpusStream.appendedHighWater(spark, tab, "stream-C")
+      === Some(None), "unknown stream: footers readable, no matching batch")
+    // a table without the marker columns must refuse (fall back), never
+    // fabricate a high water
+    val bare = s"$dir/bare"
+    Seq(1L, 2L).toDF("doc_id").write.parquet(bare)
+    assert(graft.stream.CorpusStream.appendedHighWater(spark, bare, "stream-A")
+      === None)
+  }
+
   test("admissionSink: streamed admission == sequential batch admission; restart-safe") {
     val dir = tempDir("graft_adm")
     val (idx, corpus, ckpt) = (s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
